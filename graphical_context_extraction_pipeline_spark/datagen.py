@@ -1,0 +1,387 @@
+"""Deterministic synthetic interleaved-documents generator (FIXTURES.md spec).
+
+One row per document (≙ one video in the reference pipeline), with the span
+kinds mirroring the reference's timeline event types
+(reference: phase 2/src/timeline.py:13-21) and Phase-1 artifacts:
+
+    doc_id      string
+    spans       array<struct<kind, text, media_ref, offset:int>>
+    span_attrs  array<struct<end_ms:int, confidence:double, bbox:array<double>>>
+                  (positionally aligned with spans)
+    meta        struct<title, channel, description, tags:array<string>,
+                       upload_date, duration_ms:long>
+
+Generation is pure and per-doc seeded (seed derived from 42 and the doc
+index), so doc i is byte-identical at every scale factor and under any
+parallelism — sf0.01's 200 docs are the first 200 of sf0.1's 2000.
+
+The generator is itself a distributed Spark job (spark.range → mapInPandas),
+because at the target scale (10^12 docs) even test-corpus synthesis must not
+be a driver-side loop.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+# ---------------------------------------------------------------- vocab
+
+CONTENT_VOCAB = [
+    "model", "training", "data", "pipeline", "spark", "cluster", "query",
+    "tutorial", "video", "slide", "frame", "audio", "speech", "vector",
+    "index", "search", "token", "layer", "network", "gradient", "batch",
+    "epoch", "loss", "metric", "deploy", "server", "client", "request",
+    "response", "cache", "memory", "disk", "shuffle", "partition", "join",
+    "filter", "select", "group", "window", "stream", "table", "column",
+    "schema", "parquet", "iceberg", "arrow", "pandas", "python", "scala",
+    "java", "code", "function", "class", "object", "method", "variable",
+    "string", "integer", "float", "boolean", "array", "struct", "nested",
+    "timeline", "chunk", "scene", "keyframe", "overlay", "caption",
+    "subtitle", "chapter", "segment", "duration", "timestamp", "offset",
+    "alignment", "confidence", "score", "threshold", "sample", "extract",
+]
+
+# UI-chrome boilerplate vocabulary (reference: phase 2/src/ocr_cleanup.py:53-58
+# detects these by per-video frequency, not a fixed list — our generator
+# injects them so the frequency heuristic has something to find)
+BOILER_VOCAB = [
+    "file", "edit", "view", "insert", "format", "tools", "help",
+    "share", "present", "slideshow", "untitled", "autosave",
+]
+
+CHANNEL_NAMES = ["DataWorks", "SparkCasts", "MLTutorials", "PipelineTV"]
+
+TITLE_WORDS = [
+    "Intro", "Advanced", "Complete", "Guide", "Deep", "Dive", "Crash",
+    "Course", "Masterclass", "Walkthrough", "Basics", "Patterns",
+]
+
+# zero-width / NBSP / curly-quote noise as seen in the golden OCR full_text
+# (reference: phase 1/XNQTWZ87K4I/ocr.json)
+NOISE_CHARS = [" ", "​", "’", "“", "”", "﻿"]
+
+KIND_PRIORITY = {"chapter": 0, "scene": 1, "asr": 2, "frame": 3, "ocr": 4}
+
+DOCS_PER_SF = {"sf0.001": 20, "sf0.01": 200, "sf0.1": 2000}
+
+
+def _doc_seed(i: int) -> int:
+    # splitmix-style stable mix of (42, i)
+    x = (i + 0x9E3779B97F4A7C15 * 43) & 0xFFFFFFFFFFFFFFFF
+    x = ((x ^ (x >> 30)) * 0xBF58476D1CE4E5B9) & 0xFFFFFFFFFFFFFFFF
+    x = ((x ^ (x >> 27)) * 0x94D049BB133111EB) & 0xFFFFFFFFFFFFFFFF
+    return (x ^ (x >> 31)) & 0x7FFFFFFF
+
+
+def generate_doc(i: int) -> dict:
+    """Generate one document as plain-Python dict (shared by Spark gen and
+    the pure-Python oracle tests)."""
+    rng = np.random.RandomState(_doc_seed(i))
+    doc_id = f"doc_{i:08d}"
+    skew = 10 if (i % 100 == 7) else 1  # media-heavy skew docs
+
+    # ---- edge docs (prefix-stable at every sf) -------------------------
+    empty_doc = i == 0
+    asr_only = i == 1
+    ocr_only = i == 2
+    no_chapters = i == 3
+    chapters_end_early = i == 4
+
+    # ---- scenes: contiguous, forced merge/chain/long patterns ----------
+    n_scenes = 0 if empty_doc else int(rng.randint(4, 31)) * skew
+    if asr_only:
+        n_scenes = int(rng.randint(4, 10))
+    durs = np.exp(rng.normal(np.log(15000.0), 0.6, size=max(n_scenes, 1)))
+    durs = np.clip(durs, 1200, 55000).astype(np.int64)
+    if n_scenes >= 2:
+        durs[1] = rng.randint(1500, 4500)  # short → merge path
+    if n_scenes >= 6:
+        durs[3] = rng.randint(1500, 4900)  # chain of consecutive shorts
+        durs[4] = rng.randint(1500, 4900)
+    if n_scenes >= 3:
+        durs[n_scenes // 2] = rng.randint(61000, 85000)  # long → no-op split
+    starts = np.concatenate([[0], np.cumsum(durs)[:-1]]) if n_scenes else np.array([], dtype=np.int64)
+    ends = starts + durs[:n_scenes] if n_scenes else np.array([], dtype=np.int64)
+    duration_ms = int(ends[-1]) if n_scenes else int(rng.randint(60000, 120000))
+    scenes = [
+        {"scene_id": int(s_i), "start_ms": int(st), "end_ms": int(en)}
+        for s_i, (st, en) in enumerate(zip(starts, ends))
+    ]
+
+    # ---- chapters: float-second bounds (×1000 int-truncation path) -----
+    chapters = []
+    if not (empty_doc or no_chapters):
+        n_ch = int(rng.randint(1, 7))
+        cover = duration_ms / 1000.0
+        if chapters_end_early:
+            cover = cover / 2.0
+        cuts = np.sort(rng.uniform(0.0, cover, size=n_ch - 1)) if n_ch > 1 else np.array([])
+        bounds = [0.0, *[float(c) + rng.uniform(0.001, 0.999) * 1e-3 for c in cuts], cover]
+        for c_i in range(n_ch):
+            title = " ".join(rng.choice(TITLE_WORDS, size=2))
+            chapters.append(
+                {"title": f"{title} {c_i}", "start_s": float(bounds[c_i]), "end_s": float(bounds[c_i + 1])}
+            )
+
+    # ---- ASR segments ---------------------------------------------------
+    asr = []
+    if not (empty_doc or ocr_only):
+        t = int(rng.randint(0, 1200))
+        while t < duration_ms - 1000:
+            dur = int(rng.randint(1000, 8000))
+            end = min(t + dur, duration_ms)
+            n_tok = int(rng.randint(5, 21))
+            toks = list(rng.choice(CONTENT_VOCAB, size=n_tok))
+            if rng.rand() < 0.08:  # unicode noise
+                j = int(rng.randint(0, len(toks)))
+                toks[j] = rng.choice(NOISE_CHARS) + toks[j]
+            asr.append(
+                {
+                    "start_ms": t,
+                    "end_ms": end,
+                    "text": " ".join(toks),
+                    "confidence": round(float(rng.uniform(0.5, 1.0)), 4),
+                }
+            )
+            gap = int(rng.randint(0, 900))
+            if rng.rand() < 0.06:
+                gap = int(rng.randint(5500, 20000))  # silence gap > 5 s (ASR-gap path)
+            t = end + gap
+        # boundary-touching segments: end exactly at a chunk-boundary scene
+        # start (pins the inclusive-overlap duplication semantics,
+        # reference: phase 2/src/chunker.py:216)
+        big_scenes = [s for s in scenes if s["start_ms"] > 3000 and (s["end_ms"] - s["start_ms"]) >= 5000]
+        if big_scenes and asr:
+            pick = big_scenes[int(rng.randint(0, len(big_scenes)))]
+            b = pick["start_ms"]
+            asr.append(
+                {
+                    "start_ms": b - 2000,
+                    "end_ms": b,
+                    "text": " ".join(rng.choice(CONTENT_VOCAB, size=6)),
+                    "confidence": round(float(rng.uniform(0.5, 1.0)), 4),
+                }
+            )
+        asr.sort(key=lambda a: (a["start_ms"], a["end_ms"], a["text"]))
+
+    # ---- keyframes ------------------------------------------------------
+    frames = []  # {frame_id, ts, path, scene_id}
+    fid = 0
+    if not (empty_doc or asr_only):
+        for sc in scenes:
+            p = rng.rand()
+            n_f = 0 if p < 0.12 else (1 if p < 0.55 else (2 if p < 0.85 else 3))
+            span_len = sc["end_ms"] - sc["start_ms"]
+            for k in range(n_f):
+                ts = sc["start_ms"] + int(k * span_len / max(n_f, 1)) + int(rng.randint(0, 200))
+                ts = min(ts, sc["end_ms"] - 1)
+                frames.append(
+                    {
+                        "frame_id": fid,
+                        "ts": int(ts),
+                        "path": f"frames/{doc_id}/frame_{fid:05d}.jpg",
+                        "scene_id": sc["scene_id"],
+                    }
+                )
+                fid += 1
+        # force a >30s keyframe gap in some docs (validator W3 severity path)
+        if rng.rand() < 0.3 and len(frames) > 3:
+            cut_ts = frames[len(frames) // 2]["ts"]
+            frames = [f for f in frames if not (cut_ts < f["ts"] < cut_ts + 32000)]
+
+    # ---- OCR blocks per frame -------------------------------------------
+    # per-doc chrome design: injected into ~85% of frames → must be detected
+    # as chrome (occurrence count >= 0.8 * total_frames,
+    # reference: phase 2/src/ocr_cleanup.py:48-58, threshold config.py:39)
+    chrome_set = list(rng.choice(BOILER_VOCAB, size=4, replace=False))
+    near_thresh_tok = str(rng.choice([b for b in BOILER_VOCAB if b not in chrome_set]))
+    quirk_tok = "menubar"  # appears in ~55% of frames but 2× each → chrome by occurrence count
+    ocr = []  # {frame_id, ts, path, text, conf, bbox, arrival}
+    frames_with_ocr = [f for f in frames if rng.rand() > 0.1]
+    n_focr = len(frames_with_ocr)
+    prev_blocks = None
+    for f_i, fr in enumerate(frames_with_ocr):
+        if prev_blocks is not None and rng.rand() < 0.22:
+            # consecutive near-duplicate frame: ≥90% token overlap,
+            # different confidences (pins keep-higher-conf replace-in-place,
+            # reference: phase 2/src/ocr_cleanup.py:101-113)
+            blocks = [dict(b) for b in prev_blocks]
+            for b in blocks:
+                b["conf"] = round(float(np.clip(b["conf"] + rng.uniform(-0.2, 0.2), 0.31, 0.99)), 4)
+            if blocks and rng.rand() < 0.5 and len(blocks) > 9:
+                blocks = blocks[:-1]  # still ≥90% overlap
+        else:
+            n_b = int(rng.randint(1, 14)) * (skew if not asr_only else 1)
+            blocks = []
+            for _ in range(n_b):
+                n_tok = int(rng.randint(1, 8))
+                toks = list(rng.choice(CONTENT_VOCAB, size=n_tok))
+                if rng.rand() < 0.05:
+                    j = int(rng.randint(0, len(toks)))
+                    toks[j] = toks[j] + rng.choice(NOISE_CHARS)
+                if rng.rand() < 0.10:
+                    toks = list(rng.choice(chrome_set, size=int(rng.randint(1, 4))))  # chrome-only block
+                blocks.append(
+                    {
+                        "text": " ".join(toks),
+                        "conf": round(float(rng.uniform(0.3, 1.0)), 4),
+                        "bbox": [
+                            round(float(rng.uniform(0, 1000)), 2),
+                            round(float(rng.uniform(0, 680)), 2),
+                            round(float(rng.uniform(1000, 1280)), 2),
+                            round(float(rng.uniform(680, 720)), 2),
+                        ],
+                    }
+                )
+            # chrome injection (~85% of frames)
+            if rng.rand() < 0.85:
+                blocks.append(
+                    {
+                        "text": " ".join(chrome_set) + " " + " ".join(rng.choice(CONTENT_VOCAB, size=2)),
+                        "conf": round(float(rng.uniform(0.5, 1.0)), 4),
+                        "bbox": [0.0, 0.0, 400.0, 20.0],
+                    }
+                )
+            # near-threshold token (~75% of frames → NOT chrome)
+            if f_i < int(0.75 * n_focr):
+                blocks.append(
+                    {
+                        "text": near_thresh_tok + " " + str(rng.choice(CONTENT_VOCAB)),
+                        "conf": round(float(rng.uniform(0.5, 1.0)), 4),
+                        "bbox": [500.0, 700.0, 600.0, 720.0],
+                    }
+                )
+            # occurrence-count quirk token: 55% of frames, twice per frame
+            if f_i % 2 == 0:
+                blocks.append(
+                    {
+                        "text": f"{quirk_tok} {quirk_tok}",
+                        "conf": round(float(rng.uniform(0.5, 1.0)), 4),
+                        "bbox": [900.0, 700.0, 1000.0, 720.0],
+                    }
+                )
+        prev_blocks = blocks
+        for arrival, b in enumerate(blocks):
+            ocr.append(
+                {
+                    "frame_id": fr["frame_id"],
+                    "ts": fr["ts"],
+                    "path": fr["path"],
+                    "text": b["text"],
+                    "conf": b["conf"],
+                    "bbox": b["bbox"],
+                    "arrival": arrival,
+                }
+            )
+
+    # ---- assemble interleaved spans -------------------------------------
+    spans, attrs = [], []
+
+    def add(kind, text, media_ref, offset, end_ms=None, conf=None, bbox=None):
+        spans.append({"kind": kind, "text": text, "media_ref": media_ref, "offset": int(offset)})
+        attrs.append(
+            {
+                "end_ms": None if end_ms is None else int(end_ms),
+                "confidence": None if conf is None else float(conf),
+                "bbox": bbox,
+            }
+        )
+
+    for ch in chapters:
+        add("chapter", ch["title"], None, int(ch["start_s"] * 1000), end_ms=int(ch["end_s"] * 1000))
+    for sc in scenes:
+        add("scene", f"{sc['scene_id']}:{sc['end_ms']}", None, sc["start_ms"], end_ms=sc["end_ms"])
+    for a in asr:
+        add("asr", a["text"], None, a["start_ms"], end_ms=a["end_ms"], conf=a["confidence"])
+    for fr in frames:
+        add("frame", None, fr["path"], fr["ts"])
+    for o in ocr:
+        add("ocr", o["text"], o["path"], o["ts"] + o["arrival"], conf=o["conf"], bbox=o["bbox"])
+
+    # stable input ordering: (offset, kind priority, text) — mirrors the
+    # reference timeline's stable insertion-order sort
+    # (reference: phase 2/src/timeline.py:52-67)
+    order = sorted(
+        range(len(spans)),
+        key=lambda j: (spans[j]["offset"], KIND_PRIORITY[spans[j]["kind"]], spans[j]["text"] or ""),
+    )
+    spans = [spans[j] for j in order]
+    attrs = [attrs[j] for j in order]
+
+    title = " ".join(rng.choice(TITLE_WORDS, size=3)) + f" #{i}"
+    meta = {
+        "title": title,
+        "channel": str(rng.choice(CHANNEL_NAMES)),
+        "description": " ".join(rng.choice(CONTENT_VOCAB, size=200)),  # >500 chars → truncation path
+        "tags": [str(t) for t in rng.choice(CONTENT_VOCAB, size=5)],
+        "upload_date": f"2025{int(rng.randint(1, 13)):02d}{int(rng.randint(1, 29)):02d}",
+        "duration_ms": duration_ms,
+    }
+    return {"doc_id": doc_id, "spans": spans, "span_attrs": attrs, "meta": meta}
+
+
+# ---------------------------------------------------------------- Spark IO
+
+SPANS_DDL = (
+    "doc_id string, "
+    "spans array<struct<kind:string,text:string,media_ref:string,offset:int>>, "
+    "span_attrs array<struct<end_ms:int,confidence:double,bbox:array<double>>>, "
+    "meta struct<title:string,channel:string,description:string,"
+    "tags:array<string>,upload_date:string,duration_ms:long>"
+)
+
+
+def _gen_batches(it):
+    import pandas as pd
+
+    for pdf in it:
+        rows = [generate_doc(int(i)) for i in pdf["id"]]
+        yield pd.DataFrame(
+            {
+                "doc_id": [r["doc_id"] for r in rows],
+                "spans": [
+                    [(s["kind"], s["text"], s["media_ref"], s["offset"]) for s in r["spans"]]
+                    for r in rows
+                ],
+                "span_attrs": [
+                    [(a["end_ms"], a["confidence"], a["bbox"]) for a in r["span_attrs"]]
+                    for r in rows
+                ],
+                "meta": [
+                    (
+                        r["meta"]["title"],
+                        r["meta"]["channel"],
+                        r["meta"]["description"],
+                        r["meta"]["tags"],
+                        r["meta"]["upload_date"],
+                        r["meta"]["duration_ms"],
+                    )
+                    for r in rows
+                ],
+            }
+        )
+
+
+def write_documents(spark, n_docs: int, out_path: str, partitions: int | None = None) -> None:
+    """Distributed synthesis: spark.range → mapInPandas → parquet."""
+    partitions = partitions or max(8, min(64, n_docs // 25 or 1))
+    df = spark.range(0, n_docs, 1, partitions).mapInPandas(_gen_batches, schema=SPANS_DDL)
+    df.write.mode("overwrite").parquet(out_path)
+
+
+def ensure_documents(spark, sf_tag: str, base_dir: str = "/root/repo/data") -> str:
+    """Idempotent: generate the spans table for a scale tag if absent."""
+    import os
+
+    n = DOCS_PER_SF[sf_tag]
+    path = os.path.join(base_dir, sf_tag, "documents_spans.parquet")
+    marker = os.path.join(path, "_SUCCESS")
+    if not os.path.exists(marker):
+        write_documents(spark, n, path)
+    return path
+
+
+def sf_tag_from_dir(sf_dir: str) -> str:
+    """Map a driver sf dir (/root/testdata/sf0.01) to a generator tag."""
+    tag = sf_dir.rstrip("/").rsplit("/", 1)[-1]
+    return tag if tag in DOCS_PER_SF else "sf0.01"

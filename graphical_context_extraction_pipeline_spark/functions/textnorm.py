@@ -1,0 +1,76 @@
+"""Spec-level scalar text primitives, shared by the Spark pipeline and the
+pure-Python oracle (they are *the spec*; the interesting correctness surface
+is the distributed orchestration around them).
+
+Normalization covers the OCR-noise characters observed in the reference's
+golden full_text (reference: phase 1/XNQTWZ87K4I/ocr.json): NBSP, zero-width
+chars, curly quotes — plus NFC unicode normalization and Python-``str.split``
+whitespace collapsing (reference tokenizes with bare ``.split()``,
+phase 2/src/ocr_cleanup.py:47).
+"""
+
+from __future__ import annotations
+
+import math
+import re
+import unicodedata
+
+_ZW_TABLE = dict.fromkeys(map(ord, "​‌‍﻿"), None)
+_CHAR_TABLE = {
+    ord("’"): "'",
+    ord("‘"): "'",
+    ord("“"): '"',
+    ord("”"): '"',
+    ord(" "): " ",
+}
+_WS_RE = re.compile(r"\s+")
+
+
+def normalize_text(s: str | None) -> str | None:
+    """NFC + strip zero-width + ASCII-fold quotes + collapse whitespace."""
+    if s is None:
+        return None
+    s = unicodedata.normalize("NFC", s).translate(_ZW_TABLE).translate(_CHAR_TABLE)
+    return _WS_RE.sub(" ", s).strip()
+
+
+def tokens(s: str | None) -> list[str]:
+    """Lowercase whitespace tokens (Python str.split semantics)."""
+    if not s:
+        return []
+    return s.lower().split()
+
+
+def tfidf_cosine(a: str | None, b: str | None) -> float:
+    """Two-document TF-IDF cosine between a chunk's spoken and on-screen text.
+
+    Deterministic pure function of the two strings (the reference fits a
+    per-chunk-pair sklearn TfidfVectorizer, phase 2/src/aligner.py:19-24,
+    54-61 — corpus size is always 2, so idf ∈ {ln(3/2)+1, ln(3/3)+1} with
+    smooth-idf). Tokens of length ≥ 2, lowercase, whitespace-split.
+    """
+    ta = [t for t in tokens(a) if len(t) >= 2]
+    tb = [t for t in tokens(b) if len(t) >= 2]
+    if not ta or not tb:
+        return 0.0
+    ca: dict[str, int] = {}
+    cb: dict[str, int] = {}
+    for t in ta:
+        ca[t] = ca.get(t, 0) + 1
+    for t in tb:
+        cb[t] = cb.get(t, 0) + 1
+    vocab = set(ca) | set(cb)
+    dot = 0.0
+    na = 0.0
+    nb = 0.0
+    for t in vocab:
+        df = (t in ca) + (t in cb)
+        idf = math.log(3.0 / (1.0 + df)) + 1.0
+        va = ca.get(t, 0) * idf
+        vb = cb.get(t, 0) * idf
+        dot += va * vb
+        na += va * va
+        nb += vb * vb
+    if na == 0.0 or nb == 0.0:
+        return 0.0
+    return dot / math.sqrt(na * nb)

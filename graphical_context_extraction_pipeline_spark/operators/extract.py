@@ -1,0 +1,325 @@
+"""The core extraction operator: interleaved spans → enriched chunks.
+
+Spark-first design notes (scale rationale, SURVEY.md §7):
+
+- The input table is one row per document, so the whole deterministic core of
+  the reference's phase-2 pipeline (chunk fold W1, interval joins J1-J4, OCR
+  cleanup A1/W2/O1/P5, text merge F3, enrichment A3-A5, alignment F13) is
+  **embarrassingly parallel across documents** — implemented as a single
+  ``mapInPandas`` over Arrow batches with **zero shuffles**. At 10^12 docs /
+  100 TB this scales linearly with executors; no stage boundary exists to
+  bottleneck on.
+- Per-document sequential folds (scene merge, near-dup keep-chain) cannot be
+  expressed as Spark window functions (they compare against the last *kept*
+  element, not a fixed lag — reference: phase 2/src/ocr_cleanup.py:82-115),
+  which is exactly the case the grouped/batched pandas UDF exists for.
+- Within a batch the hot paths are numpy-vectorized: interval joins via
+  ``np.searchsorted`` over sorted offset arrays instead of the reference's
+  O(n·m) nested-loop scans (reference: phase 2/src/chunker.py:211-234).
+- Skew (media-heavy docs with 10× spans) is handled upstream by
+  ``spark.sql.files.maxPartitionBytes`` + AQE and small Arrow batches; each
+  doc is independent so there is no hot key to salt within this operator.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+
+from ..functions.textnorm import normalize_text, tfidf_cosine, tokens
+
+MIN_SCENE_MS = 5000
+OCR_CONF_MIN = 0.5
+CHROME_FRAME_FRACTION = 0.8
+NEAR_DUP_OVERLAP = 0.9
+KIND_PRIORITY = {"chapter": 0, "scene": 1, "asr": 2, "frame": 3, "ocr": 4}
+
+CHUNKS_DDL = (
+    "chunk_id string, doc_id string, t_start_ms int, t_end_ms int, "
+    "chapter_index int, chapter_title string, scene_id int, "
+    "merged_scene_ids array<int>, "
+    "asr_text string, ocr_text string, merged_text string, "
+    "out_spans array<struct<kind:string,text:string,media_ref:string,offset:int>>, "
+    "span_ctx array<string>, "
+    "keyframe_ids array<int>, keyframe_paths array<string>, has_keyframe boolean, "
+    "asr_confidence double, ocr_confidence double, alignment_score double, "
+    "completeness struct<has_speech:boolean,has_visual:boolean,has_ocr_text:boolean>, "
+    "provenance struct<video_title:string,channel:string,video_description:string,"
+    "tags:array<string>,publish_date:string>"
+)
+
+CHUNK_COLUMNS = [
+    "chunk_id", "doc_id", "t_start_ms", "t_end_ms", "chapter_index",
+    "chapter_title", "scene_id", "merged_scene_ids", "asr_text", "ocr_text",
+    "merged_text", "out_spans", "span_ctx", "keyframe_ids", "keyframe_paths",
+    "has_keyframe", "asr_confidence", "ocr_confidence", "alignment_score",
+    "completeness", "provenance",
+]
+
+
+def _get(span, key):
+    # Arrow hands struct elements back as dicts; tolerate tuples for tests
+    if isinstance(span, dict):
+        return span.get(key)
+    return getattr(span, key)
+
+
+def _frame_number(path: str) -> int:
+    stem = path.rsplit("/", 1)[-1]
+    digits = "".join(c for c in stem if c.isdigit())
+    return int(digits) if digits else -1
+
+
+def _doc_chunks(doc_id: str, spans, attrs, meta) -> list[tuple]:
+    """Vectorized single-document extraction (independent impl of the spec)."""
+    if spans is None or len(spans) == 0:
+        return []
+
+    # ---- single pass: bucket spans by kind -------------------------------
+    chap_t, chap_s, chap_e = [], [], []
+    scn_id, scn_s, scn_e = [], [], []
+    asr_t, asr_s, asr_e, asr_c = [], [], [], []
+    frm_p, frm_ts = [], []
+    ocr_p, ocr_txt, ocr_c, ocr_y, ocr_x = [], [], [], [], []
+    for sp, at in zip(spans, attrs):
+        kind = _get(sp, "kind")
+        if kind == "asr":
+            asr_t.append(normalize_text(_get(sp, "text")) or "")
+            asr_s.append(_get(sp, "offset"))
+            asr_e.append(_get(at, "end_ms"))
+            asr_c.append(_get(at, "confidence"))
+        elif kind == "ocr":
+            conf = _get(at, "confidence")
+            if conf is None or conf < OCR_CONF_MIN:
+                continue  # P1 pushed to scan time
+            bbox = _get(at, "bbox")
+            ocr_p.append(_get(sp, "media_ref"))
+            ocr_txt.append(normalize_text(_get(sp, "text")) or "")
+            ocr_c.append(conf)
+            ocr_y.append(bbox[1] if bbox is not None and len(bbox) > 1 else 0.0)
+            ocr_x.append(bbox[0] if bbox is not None and len(bbox) > 0 else 0.0)
+        elif kind == "frame":
+            frm_p.append(_get(sp, "media_ref"))
+            frm_ts.append(_get(sp, "offset"))
+        elif kind == "scene":
+            scn_id.append(int(_get(sp, "text").split(":", 1)[0]))
+            scn_s.append(_get(sp, "offset"))
+            scn_e.append(_get(at, "end_ms"))
+        elif kind == "chapter":
+            chap_t.append(_get(sp, "text"))
+            chap_s.append(_get(sp, "offset"))
+            chap_e.append(_get(at, "end_ms"))
+
+    if not scn_s:
+        return []
+
+    # ---- W1 fold, vectorized: a scene starts a new chunk iff it is the
+    # first or long enough; chunk id = running count of starters -----------
+    order = np.lexsort((scn_e, scn_s))
+    scn_id_a = np.asarray(scn_id, dtype=np.int64)[order]
+    scn_s_a = np.asarray(scn_s, dtype=np.int64)[order]
+    scn_e_a = np.asarray(scn_e, dtype=np.int64)[order]
+    dur = scn_e_a - scn_s_a
+    starter = dur >= MIN_SCENE_MS
+    starter[0] = True
+    cidx = np.cumsum(starter) - 1  # chunk index per scene
+    n_chunks = int(cidx[-1]) + 1
+    starts_per_chunk = scn_s_a[starter]
+    # t_end = end of last scene in each chunk group
+    last_in_chunk = np.r_[cidx[1:] != cidx[:-1], True]
+    ends_per_chunk = scn_e_a[last_in_chunk]
+    primary_scene = scn_id_a[starter]
+    merged_ids = [scn_id_a[cidx == c].tolist() for c in range(n_chunks)]
+
+    # ---- A1: chrome tokens over all P1-surviving OCR blocks --------------
+    tok_lists = [tokens(t) for t in ocr_txt]
+    total_frames = len(set(ocr_p))
+    chrome: set[str] = set()
+    if total_frames:
+        counts: dict[str, int] = {}
+        for tl in tok_lists:
+            for t in tl:
+                counts[t] = counts.get(t, 0) + 1
+        thresh = CHROME_FRAME_FRACTION * total_frames
+        chrome = {t for t, c in counts.items() if c >= thresh}
+
+    # ---- chapters sorted --------------------------------------------------
+    if chap_s:
+        ch_ord = np.argsort(np.asarray(chap_s), kind="stable")
+        chap_t = [chap_t[j] for j in ch_ord]
+        chap_s_a = np.asarray(chap_s, dtype=np.int64)[ch_ord]
+        chap_e_a = np.asarray(chap_e, dtype=np.int64)[ch_ord]
+    else:
+        chap_s_a = chap_e_a = None
+
+    # ---- ASR sorted by (start, end, text) ---------------------------------
+    if asr_s:
+        a_ord = sorted(range(len(asr_s)), key=lambda j: (asr_s[j], asr_e[j], asr_t[j]))
+        asr_t = [asr_t[j] for j in a_ord]
+        asr_s_a = np.asarray(asr_s, dtype=np.int64)[a_ord]
+        asr_e_a = np.asarray(asr_e, dtype=np.int64)[a_ord]
+        asr_c_a = np.asarray(asr_c, dtype=np.float64)[a_ord]
+    else:
+        asr_s_a = np.empty(0, dtype=np.int64)
+        asr_e_a = np.empty(0, dtype=np.int64)
+        asr_c_a = np.empty(0, dtype=np.float64)
+
+    # ---- frames → containing scene → chunk (searchsorted containment) -----
+    f_ord = sorted(range(len(frm_ts)), key=lambda j: (frm_ts[j], frm_p[j]))
+    frm_p = [frm_p[j] for j in f_ord]
+    frm_ts_a = np.asarray([frm_ts[j] for j in f_ord], dtype=np.int64)
+    if len(frm_ts_a):
+        si = np.searchsorted(scn_s_a, frm_ts_a, side="right") - 1
+        valid = (si >= 0) & (frm_ts_a < scn_e_a[np.clip(si, 0, len(scn_e_a) - 1)])
+        f_chunk = np.where(valid, cidx[np.clip(si, 0, len(cidx) - 1)], -1)
+    else:
+        f_chunk = np.empty(0, dtype=np.int64)
+
+    # frame path → (ts, chunk); group OCR blocks by path
+    path_info = {p: (int(ts), int(c)) for p, ts, c in zip(frm_p, frm_ts_a, f_chunk)}
+    blocks_by_path: dict[str, list[int]] = {}
+    for j, p in enumerate(ocr_p):
+        blocks_by_path.setdefault(p, []).append(j)
+
+    # frames grouped per chunk, in ts order (frm already sorted)
+    frames_by_chunk: dict[int, list[int]] = {}
+    for j, c in enumerate(f_chunk):
+        if c >= 0:
+            frames_by_chunk.setdefault(int(c), []).append(j)
+
+    meta_d = meta if isinstance(meta, dict) else {}
+    tags = meta_d.get("tags")
+    provenance = (
+        meta_d.get("title"),
+        meta_d.get("channel"),
+        (meta_d.get("description") or "")[:500],
+        None if tags is None else list(tags),
+        meta_d.get("upload_date"),
+    )
+
+    rows = []
+    for c in range(n_chunks):
+        t0 = int(starts_per_chunk[c])
+        t1 = int(ends_per_chunk[c])
+
+        # J4 chapter containment, fallback last, else Unknown
+        if chap_s_a is not None and len(chap_s_a):
+            ci = int(np.searchsorted(chap_s_a, t0, side="right")) - 1
+            if ci >= 0 and t0 < chap_e_a[ci]:
+                chapter_index, chapter_title = ci, chap_t[ci]
+            else:
+                chapter_index, chapter_title = len(chap_t) - 1, chap_t[-1]
+        else:
+            chapter_index, chapter_title = 0, "Unknown"
+
+        # J1 inclusive overlap via searchsorted on sorted starts
+        hi = int(np.searchsorted(asr_s_a, t1, side="right"))
+        seg_idx = [j for j in range(hi) if asr_e_a[j] >= t0]
+        asr_text = " ".join(asr_t[j] for j in seg_idx if asr_t[j])
+
+        fidx = frames_by_chunk.get(c, [])
+        kf_paths = [frm_p[j] for j in fidx]
+        kf_ts = [int(frm_ts_a[j]) for j in fidx]
+
+        # per-frame reading-order sort + chrome-only drop
+        frame_entries = []  # (ts, path, [block_j...], text, conf)
+        for p, ts in zip(kf_paths, kf_ts):
+            bj = blocks_by_path.get(p, [])
+            bj = sorted(bj, key=lambda j: (ocr_y[j], ocr_x[j], ocr_txt[j], -ocr_c[j]))
+            kept = [j for j in bj if not (tok_lists[j] and all(t in chrome for t in tok_lists[j]))]
+            text = " ".join(ocr_txt[j] for j in kept if ocr_txt[j])
+            conf = float(np.mean([ocr_c[j] for j in kept])) if kept else 0.0
+            frame_entries.append((ts, p, kept, text, conf))
+
+        # W2 near-dup keep-chain (compare vs last KEPT)
+        kept_frames: list[tuple] = []
+        for fe in frame_entries:
+            if not fe[3]:
+                continue
+            if kept_frames:
+                prev = kept_frames[-1]
+                cur_t = set(fe[3].lower().split())
+                prev_t = set(prev[3].lower().split())
+                denom = max(len(cur_t), len(prev_t))
+                if denom and len(cur_t & prev_t) / denom >= NEAR_DUP_OVERLAP:
+                    if fe[4] > prev[4]:
+                        kept_frames[-1] = fe
+                    continue
+            kept_frames.append(fe)
+
+        ocr_text = " | ".join(fe[3] for fe in kept_frames)
+
+        if asr_text and ocr_text:
+            merged_text = f"[SPOKEN] {asr_text} [ON SCREEN] {ocr_text}"
+        elif asr_text:
+            merged_text = f"[SPOKEN] {asr_text}"
+        elif ocr_text:
+            merged_text = f"[ON SCREEN] {ocr_text}"
+        else:
+            merged_text = ""
+
+        asr_conf = float(np.mean(asr_c_a[seg_idx])) if seg_idx else 0.0
+        chunk_block_confs = [ocr_c[j] for p in kf_paths for j in blocks_by_path.get(p, [])]
+        ocr_conf = float(np.mean(chunk_block_confs)) if chunk_block_confs else 0.0
+        alignment = tfidf_cosine(asr_text, ocr_text) if (asr_text and ocr_text) else 0.0
+
+        out_spans = [("asr", asr_t[j], None, int(asr_s_a[j])) for j in seg_idx]
+        out_spans += [("frame", None, p, ts) for p, ts in zip(kf_paths, kf_ts)]
+        for fe in kept_frames:
+            for rank, j in enumerate(fe[2]):
+                if ocr_txt[j]:
+                    out_spans.append(("ocr", ocr_txt[j], fe[1], fe[0] + rank))
+        out_spans.sort(key=lambda s: (s[3], KIND_PRIORITY[s[0]], s[1] or "", s[2] or ""))
+
+        # media-anchored context windows: nearest frame by |offset|, earlier wins
+        kf_ts_a = np.asarray(kf_ts, dtype=np.int64)
+        span_ctx = []
+        for kind, _t, _r, off in out_spans:
+            if kind in ("asr", "ocr") and len(kf_ts_a):
+                d = np.abs(kf_ts_a - off)
+                span_ctx.append(kf_paths[int(np.argmin(d))])
+            else:
+                span_ctx.append(None)
+
+        rows.append(
+            (
+                f"{doc_id}_ch{chapter_index}_sc{int(primary_scene[c])}",
+                doc_id,
+                t0,
+                t1,
+                chapter_index,
+                chapter_title,
+                int(primary_scene[c]),
+                merged_ids[c],
+                asr_text,
+                ocr_text,
+                merged_text,
+                out_spans,
+                span_ctx,
+                [_frame_number(p) for p in kf_paths],
+                kf_paths,
+                len(kf_paths) > 0,
+                asr_conf,
+                ocr_conf,
+                alignment,
+                (len(seg_idx) > 0, len(kf_paths) > 0, len(ocr_text) > 0),
+                provenance,
+            )
+        )
+    return rows
+
+
+def _extract_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in it:
+        out: list[tuple] = []
+        metas = pdf["meta"] if "meta" in pdf.columns else [None] * len(pdf)
+        for doc_id, spans, attrs, meta in zip(pdf["doc_id"], pdf["spans"], pdf["span_attrs"], metas):
+            out.extend(_doc_chunks(doc_id, spans, attrs, meta))
+        yield pd.DataFrame(out, columns=CHUNK_COLUMNS)
+
+
+def extract_documents(docs_df):
+    """spans table → chunks table. Zero-shuffle Arrow-batched map."""
+    return docs_df.mapInPandas(_extract_batches, schema=CHUNKS_DDL)
