@@ -1,38 +1,487 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+entry(spark)   — flagship: full extraction pipeline on the sf0.001
+                 interleaved-spans corpus → chunks DataFrame.
+queries()      — one entry per implemented operator (SURVEY.md §2 + the
+                 training-data ops); each callable (spark, sf_dir) → DF.
+oracle_sql()   — DuckDB-runnable ANSI SQL equivalents. Spans-table queries
+                 read the deterministic generated corpus from
+                 /root/repo/data/sf0.01 (synthesized by datagen, seeded);
+                 testdata queries use the pre-registered views.
+
+All oracle-compared outputs are integer/string/boolean typed (ratios as
+basis points via floor) so value hashes are immune to float formatting.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+REPO = os.path.dirname(os.path.abspath(__file__))
+if REPO not in sys.path:
+    sys.path.insert(0, REPO)
+
+from pyspark.sql import DataFrame, SparkSession  # noqa: E402
+from pyspark.sql import functions as F  # noqa: E402
+
+SPANS_SF = "sf0.01"
+SPANS_GLOB = f"{REPO}/data/{SPANS_SF}/documents_spans.parquet/*.parquet"
+
+
+def _spans_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from graphical_context_extraction_pipeline_spark import datagen
+    from graphical_context_extraction_pipeline_spark.session import ensure_worker_imports
+
+    ensure_worker_imports(spark)
+    tag = datagen.sf_tag_from_dir(sf_dir)
+    path = datagen.ensure_documents(spark, tag, base_dir=os.path.join(REPO, "data"))
+    return spark.read.parquet(path)
+
+
+def _flat_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: extraction pipeline (spans → enriched chunks) at sf0.001."""
+    from graphical_context_extraction_pipeline_spark.operators.extract import extract_documents
 
+    docs = _spans_docs(spark, "/root/testdata/sf0.001")
+    return extract_documents(docs)
+
+
+# --------------------------------------------------------------------------
+# corpus constructions shared between Spark queries and SQL oracles
+# --------------------------------------------------------------------------
+
+def _planted_exact(docs: DataFrame) -> DataFrame:
+    base = docs.select("doc_id", "text")
+    dup = docs.where(F.col("doc_id") % 50 == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"), "text"
+    )
+    return base.unionAll(dup)
+
+
+_NEAR_TAIL = " graft extra trailing tokens"
+
+
+def _planted_near(docs: DataFrame) -> DataFrame:
+    base = docs.select("doc_id", "text")
+    near = docs.where(F.col("doc_id") % 70 == 3).select(
+        (F.col("doc_id") + 200000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(_NEAR_TAIL)).alias("text"),
+    )
+    return base.unionAll(near)
+
+
+QUERY_IDS = list(range(10))
+
+
+# --------------------------------------------------------------------------
+# queries
+# --------------------------------------------------------------------------
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from graphical_context_extraction_pipeline_spark.operators import (
+        dedup,
+        relational as R,
+        similarity,
+        text_analysis as TA,
+        validate as V,
+    )
+    from graphical_context_extraction_pipeline_spark.operators.extract import extract_documents
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    def ex(spark, sf_dir):
+        return extract_documents(_spans_docs(spark, sf_dir))
+
+    return {
+        # ---- interleaved spans table: relational operators (SURVEY §2) ----
+        "span_kind_counts": lambda s, d: R.span_kind_counts(_spans_docs(s, d)),
+        "ocr_conf_stats": lambda s, d: R.ocr_conf_stats(_spans_docs(s, d)),
+        "chunk_segmentation": lambda s, d: R.chunk_segmentation(_spans_docs(s, d)),
+        "chunk_asr_text": lambda s, d: R.chunk_asr_text(_spans_docs(s, d)),
+        "chunk_chapter_assign": lambda s, d: R.chunk_chapter_assign(_spans_docs(s, d)),
+        "chrome_tokens": lambda s, d: R.chrome_tokens(_spans_docs(s, d)),
+        "timeline_interleave": lambda s, d: R.timeline_interleave(_spans_docs(s, d)),
+        # ---- validator analytics (SURVEY §2.5, phase-3 rebuild) ------------
+        "keyframe_gaps": lambda s, d: V.keyframe_gaps(_spans_docs(s, d)),
+        "asr_silence_gaps": lambda s, d: V.asr_gaps(_spans_docs(s, d)),
+        "coverage_windows": lambda s, d: V.coverage(_spans_docs(s, d)),
+        "chapter_counts": lambda s, d: V.chapter_counts(_spans_docs(s, d)),
+        # ---- full pipeline (pandas-UDF path; oracle: rows-only) ------------
+        "extract_chunks": ex,
+        "quality_flags": lambda s, d: V.quality_flags(
+            extract_documents(_spans_docs(s, d))
+        ),
+        "density_topk": lambda s, d: V.density_topk(
+            extract_documents(_spans_docs(s, d))
+        ),
+        "context_windows": lambda s, d: (
+            ex(s, d).select(
+                "chunk_id",
+                F.explode(F.arrays_zip(F.col("out_spans").alias("sp"), F.col("span_ctx").alias("ctx"))).alias("z"),
+            ).select(
+                "chunk_id",
+                F.col("z.sp.kind").alias("kind"),
+                F.col("z.sp.offset").cast("long").alias("offset"),
+                F.col("z.ctx").alias("nearest_frame"),
+            )
+        ),
+        # ---- training-data ops: dedup ---------------------------------------
+        "dedup_exact": lambda s, d: dedup.exact_duplicates(_planted_exact(_flat_docs(s, d))),
+        "ngram_jaccard_pairs": lambda s, d: dedup.ngram_jaccard_pairs(_planted_near(_flat_docs(s, d))),
+        "minhash_lsh_pairs": lambda s, d: dedup.minhash_lsh_pairs(_planted_near(_flat_docs(s, d))),
+        "simhash": lambda s, d: dedup.simhash(_flat_docs(s, d)),
+        "simhash_near_pairs": lambda s, d: dedup.simhash_near_pairs(_planted_near(_flat_docs(s, d))),
+        # ---- training-data ops: text analysis -------------------------------
+        "token_stats": lambda s, d: TA.token_stats(_flat_docs(s, d)),
+        "lang_id": lambda s, d: TA.lang_id(_flat_docs(s, d)),
+        "quality_score": lambda s, d: TA.quality_score(_flat_docs(s, d)),
+        "fingerprint": lambda s, d: TA.fingerprint(_flat_docs(s, d)),
+        # ---- similarity search ----------------------------------------------
+        "cosine_topk": lambda s, d: similarity.cosine_topk(_emb(s, d), QUERY_IDS),
+        "ann_topk_lsh": lambda s, d: similarity.ann_topk_lsh(_emb(s, d), QUERY_IDS),
+        "embedding_cosine_dups": lambda s, d: similarity.embedding_cosine_dups(_emb(s, d)),
+    }
+
+
+# --------------------------------------------------------------------------
+# DuckDB oracles
+# --------------------------------------------------------------------------
+
+_SD = f"read_parquet('{SPANS_GLOB}')"
+_Z = f"(SELECT doc_id, unnest(spans) AS s, unnest(span_attrs) AS a FROM {_SD})"
+_S1 = f"(SELECT doc_id, unnest(spans) AS s FROM {_SD})"
+
+_TOKS = r"list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '')"
+
+_SEGMENTATION_CTE = f"""
+sc AS (SELECT doc_id, cast(split_part(s.text, ':', 1) AS bigint) AS sid,
+              cast(s.offset AS bigint) AS st, cast(a.end_ms AS bigint) AS en
+       FROM {_Z} WHERE s.kind = 'scene'),
+stt AS (SELECT *, CASE WHEN row_number() OVER (PARTITION BY doc_id ORDER BY st, en) = 1
+                        OR en - st >= 5000 THEN 1 ELSE 0 END AS starter FROM sc),
+cx AS (SELECT *, sum(starter) OVER (PARTITION BY doc_id ORDER BY st, en
+                                    ROWS UNBOUNDED PRECEDING) AS chunk_seq FROM stt),
+chunks AS (SELECT doc_id, cast(chunk_seq AS bigint) AS chunk_seq,
+                  min(st) AS t_start_ms, max(en) AS t_end_ms,
+                  arg_min(sid, st) AS primary_scene, count(*) AS n_merged
+           FROM cx GROUP BY doc_id, chunk_seq)
+"""
+
+_CORPUS_EXACT = (
+    "corpus AS (SELECT doc_id, text FROM documents UNION ALL "
+    "SELECT doc_id + 100000 AS doc_id, text FROM documents WHERE doc_id % 50 = 0)"
+)
+_CORPUS_NEAR = (
+    "corpus AS (SELECT doc_id, text FROM documents UNION ALL "
+    f"SELECT doc_id + 200000 AS doc_id, text || '{_NEAR_TAIL}' AS text "
+    "FROM documents WHERE doc_id % 70 = 3)"
+)
+_SHINGLES_CTE = f"""
+tk AS (SELECT doc_id, {_TOKS} AS toks FROM corpus),
+sh AS (SELECT doc_id, unnest(list_distinct(
+         CASE WHEN len(toks) >= 3
+              THEN list_transform(generate_series(1, len(toks) - 2),
+                                  i -> array_to_string(list_slice(toks, i, i + 2), ' '))
+              ELSE []::VARCHAR[] END)) AS shingle FROM tk)
+"""
+
+
+def _minhash_oracle() -> str:
+    mins = ",\n  ".join(
+        f"min(cast(('0x' || substr(md5('s{i}:' || shingle), 1, 15)) AS bigint)) AS mh{i}"
+        for i in range(16)
+    )
+    bands = "\nUNION ALL\n".join(
+        "SELECT doc_id, {b} AS band, md5({key}) AS bkey FROM sig".format(
+            b=b,
+            key=" || '_' || ".join(f"cast(mh{b * 4 + j} AS varchar)" for j in range(4)),
+        )
+        for b in range(4)
+    )
+    return f"""
+WITH {_CORPUS_NEAR},
+{_SHINGLES_CTE},
+sig AS (SELECT doc_id, {mins} FROM sh GROUP BY doc_id),
+banded AS ({bands})
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM banded a JOIN banded b ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+"""
+
+
+def _simhash_cte(corpus_sql: str) -> str:
+    sums = ", ".join(
+        f"sum(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS s{b}" for b in range(60)
+    )
+    bits = " + ".join(f"(CASE WHEN s{b} > 0 THEN cast({2**b} AS bigint) ELSE 0 END)" for b in range(60))
+    return f"""
+tk2 AS (SELECT doc_id, unnest({_TOKS}) AS tok FROM {corpus_sql}),
+h AS (SELECT doc_id, cast(('0x' || substr(md5('s999:' || tok), 1, 15)) AS bigint) AS h FROM tk2),
+bs AS (SELECT doc_id, {sums} FROM h GROUP BY doc_id),
+sim AS (SELECT doc_id, ({bits}) AS simhash FROM bs)
+"""
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    q: dict[str, str] = {}
+
+    q["span_kind_counts"] = f"""
+SELECT doc_id, s.kind AS kind, count(*) AS n FROM {_S1} GROUP BY doc_id, s.kind
+"""
+
+    q["ocr_conf_stats"] = f"""
+WITH o AS (SELECT doc_id, cast(round(a.confidence * 10000) AS bigint) AS conf_e4
+           FROM {_Z} WHERE s.kind = 'ocr')
+SELECT doc_id, count(*) AS n_blocks,
+       sum(CASE WHEN conf_e4 >= 5000 THEN 1 ELSE 0 END) AS n_kept,
+       sum(CASE WHEN conf_e4 >= 5000 THEN conf_e4 ELSE 0 END) AS sum_kept_conf_e4
+FROM o GROUP BY doc_id
+"""
+
+    q["chunk_segmentation"] = f"WITH {_SEGMENTATION_CTE} SELECT * FROM chunks"
+
+    q["chunk_asr_text"] = f"""
+WITH {_SEGMENTATION_CTE},
+asr AS (SELECT doc_id, cast(s.offset AS bigint) AS st, cast(a.end_ms AS bigint) AS en,
+               s.text AS text FROM {_Z} WHERE s.kind = 'asr')
+SELECT c.doc_id, c.chunk_seq,
+       string_agg(asr.text, ' ' ORDER BY asr.st, asr.en, asr.text) AS asr_text,
+       count(*) AS n_segments
+FROM chunks c JOIN asr ON asr.doc_id = c.doc_id
+     AND asr.en >= c.t_start_ms AND asr.st <= c.t_end_ms
+GROUP BY c.doc_id, c.chunk_seq
+"""
+
+    q["chunk_chapter_assign"] = f"""
+WITH {_SEGMENTATION_CTE},
+ch AS (SELECT doc_id, s.text AS title, cast(s.offset AS bigint) AS st,
+              cast(a.end_ms AS bigint) AS en,
+              row_number() OVER (PARTITION BY doc_id ORDER BY s.offset) - 1 AS chapter_index
+       FROM {_Z} WHERE s.kind = 'chapter'),
+contained AS (SELECT c.doc_id, c.chunk_seq, min(ch.chapter_index) AS ci
+              FROM chunks c JOIN ch ON ch.doc_id = c.doc_id
+                   AND ch.st <= c.t_start_ms AND c.t_start_ms < ch.en
+              GROUP BY c.doc_id, c.chunk_seq),
+last_ch AS (SELECT doc_id, max(chapter_index) AS li FROM ch GROUP BY doc_id)
+SELECT c.doc_id, c.chunk_seq, c.t_start_ms,
+       cast(coalesce(con.ci, lc.li, 0) AS bigint) AS chapter_index,
+       coalesce(t.title, 'Unknown') AS chapter_title
+FROM chunks c
+LEFT JOIN contained con ON con.doc_id = c.doc_id AND con.chunk_seq = c.chunk_seq
+LEFT JOIN last_ch lc ON lc.doc_id = c.doc_id
+LEFT JOIN ch t ON t.doc_id = c.doc_id AND t.chapter_index = coalesce(con.ci, lc.li, 0)
+"""
+
+    q["chrome_tokens"] = f"""
+WITH o AS (SELECT doc_id, s.media_ref AS path, s.text AS text
+           FROM {_Z} WHERE s.kind = 'ocr' AND a.confidence >= 0.5),
+tot AS (SELECT doc_id, count(DISTINCT path) AS total_frames FROM o GROUP BY doc_id),
+tk AS (SELECT doc_id, unnest({_TOKS}) AS token FROM o),
+cnt AS (SELECT doc_id, token, count(*) AS n_occ FROM tk GROUP BY doc_id, token)
+SELECT cnt.doc_id, cnt.token, cnt.n_occ, cast(tot.total_frames AS bigint) AS total_frames
+FROM cnt JOIN tot ON tot.doc_id = cnt.doc_id
+WHERE cnt.n_occ * 10 >= tot.total_frames * 8
+"""
+
+    q["timeline_interleave"] = f"""
+WITH s AS (SELECT doc_id, s.kind AS kind, s.text AS text, s.media_ref AS media_ref,
+                  cast(s.offset AS bigint) AS "offset" FROM {_S1})
+SELECT doc_id, kind, text, media_ref, "offset",
+       cast(row_number() OVER (PARTITION BY doc_id ORDER BY "offset",
+            CASE kind WHEN 'chapter' THEN 0 WHEN 'scene' THEN 1 WHEN 'asr' THEN 2
+                      WHEN 'frame' THEN 3 ELSE 4 END,
+            coalesce(text, ''), coalesce(media_ref, '')) AS bigint) AS seq
+FROM s
+"""
+
+    q["keyframe_gaps"] = f"""
+WITH fr AS (SELECT doc_id, cast(s.offset AS bigint) AS ts, s.media_ref AS path
+            FROM {_S1} WHERE s.kind = 'frame'),
+led AS (SELECT doc_id, ts, lead(ts) OVER (PARTITION BY doc_id ORDER BY ts, path) AS next_ts FROM fr)
+SELECT doc_id, ts AS gap_start_ms, next_ts AS gap_end_ms, next_ts - ts AS gap_ms,
+       CASE WHEN next_ts - ts > 30000 THEN 'high' ELSE 'medium' END AS severity
+FROM led WHERE next_ts - ts > 15000
+"""
+
+    q["asr_silence_gaps"] = f"""
+WITH segs AS (SELECT doc_id, cast(s.offset AS bigint) AS start_ms,
+                     cast(a.end_ms AS bigint) AS end_ms, s.text AS text
+              FROM {_Z} WHERE s.kind = 'asr'),
+led AS (SELECT doc_id, end_ms,
+               lead(start_ms) OVER (PARTITION BY doc_id ORDER BY start_ms, end_ms, text) AS next_start
+        FROM segs)
+SELECT doc_id, end_ms AS gap_start_ms, next_start AS gap_end_ms,
+       next_start - end_ms AS gap_ms, 'low' AS severity
+FROM led WHERE next_start - end_ms > 5000
+"""
+
+    q["coverage_windows"] = f"""
+WITH d AS (SELECT doc_id, meta.duration_ms AS dur, spans, span_attrs FROM {_SD}
+           WHERE meta.duration_ms > 0),
+w AS (SELECT doc_id, dur, unnest(generate_series(0, dur - 1, 5000)) AS w0 FROM d),
+z AS (SELECT doc_id, unnest(spans) AS s, unnest(span_attrs) AS a FROM d),
+asr AS (SELECT doc_id, s.offset AS st, a.end_ms AS en FROM z WHERE s.kind = 'asr'),
+frm AS (SELECT doc_id, s.offset AS ts FROM z WHERE s.kind = 'frame'),
+cov AS (SELECT w.doc_id,
+               (EXISTS (SELECT 1 FROM asr WHERE asr.doc_id = w.doc_id
+                        AND asr.st < least(w.w0 + 5000, w.dur) AND asr.en > w.w0)
+                OR EXISTS (SELECT 1 FROM frm WHERE frm.doc_id = w.doc_id
+                           AND frm.ts >= w.w0 AND frm.ts < least(w.w0 + 5000, w.dur))) AS c
+        FROM w)
+SELECT doc_id, count(*) AS n_windows,
+       sum(CASE WHEN c THEN 1 ELSE 0 END) AS n_covered,
+       cast(floor(sum(CASE WHEN c THEN 1 ELSE 0 END) * 10000.0 / count(*)) AS bigint) AS coverage_bp
+FROM cov GROUP BY doc_id
+"""
+
+    q["chapter_counts"] = f"""
+WITH z AS (SELECT doc_id, unnest(spans) AS s, unnest(span_attrs) AS a FROM {_SD}),
+ch AS (SELECT doc_id, s.text AS chapter_title, cast(s.offset AS bigint) AS start_ms,
+              cast(a.end_ms AS bigint) AS end_ms,
+              row_number() OVER (PARTITION BY doc_id ORDER BY s.offset) - 1 AS chapter_index
+       FROM z WHERE s.kind = 'chapter'),
+sc AS (SELECT doc_id, s.offset AS st, a.end_ms AS en FROM z WHERE s.kind = 'scene'),
+fr AS (SELECT doc_id, s.offset AS ts FROM z WHERE s.kind = 'frame'),
+asr AS (SELECT doc_id, s.offset AS st, a.end_ms AS en FROM z WHERE s.kind = 'asr')
+SELECT ch.doc_id, cast(ch.chapter_index AS bigint) AS chapter_index, ch.chapter_title,
+       ch.start_ms, ch.end_ms,
+       (SELECT count(*) FROM sc WHERE sc.doc_id = ch.doc_id
+        AND sc.st >= ch.start_ms AND sc.en <= ch.end_ms) AS n_scenes,
+       (SELECT count(*) FROM fr WHERE fr.doc_id = ch.doc_id
+        AND fr.ts >= ch.start_ms AND fr.ts < ch.end_ms) AS n_frames,
+       (SELECT count(*) FROM asr WHERE asr.doc_id = ch.doc_id
+        AND asr.st < ch.end_ms AND asr.en > ch.start_ms) AS n_asr,
+       ((SELECT count(*) FROM fr WHERE fr.doc_id = ch.doc_id
+         AND fr.ts >= ch.start_ms AND fr.ts < ch.end_ms) > 0
+        AND (SELECT count(*) FROM asr WHERE asr.doc_id = ch.doc_id
+             AND asr.st < ch.end_ms AND asr.en > ch.start_ms) > 0) AS covered
+FROM ch
+"""
+
+    # ---- training-data ops ------------------------------------------------
+    q["dedup_exact"] = f"""
+WITH {_CORPUS_EXACT}
+SELECT md5(lower(text)) AS dup_key, count(*) AS n_members,
+       min(doc_id) AS canonical_doc, max(doc_id) AS max_doc
+FROM corpus GROUP BY 1 HAVING count(*) > 1
+"""
+
+    q["ngram_jaccard_pairs"] = f"""
+WITH {_CORPUS_NEAR},
+{_SHINGLES_CTE},
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared
+          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+          GROUP BY 1, 2)
+SELECT doc_a, doc_b, n_shared,
+       sa.n_sh + sb.n_sh - n_shared AS n_union,
+       cast(floor(n_shared * 10000.0 / (sa.n_sh + sb.n_sh - n_shared)) AS bigint) AS jaccard_bp
+FROM pairs JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b
+WHERE cast(floor(n_shared * 10000.0 / (sa.n_sh + sb.n_sh - n_shared)) AS bigint) >= 6000
+"""
+
+    q["minhash_lsh_pairs"] = _minhash_oracle()
+
+    q["simhash"] = f"""
+WITH {_simhash_cte("documents")}
+SELECT doc_id, simhash,
+       (simhash >> 0) & 32767 AS band0, (simhash >> 15) & 32767 AS band1,
+       (simhash >> 30) & 32767 AS band2, (simhash >> 45) & 32767 AS band3
+FROM sim
+"""
+
+    q["simhash_near_pairs"] = f"""
+WITH {_CORPUS_NEAR},
+{_simhash_cte("corpus")},
+sb AS (SELECT doc_id, simhash, unnest([0, 1, 2, 3]) AS band,
+              [(simhash >> 0) & 32767, (simhash >> 15) & 32767,
+               (simhash >> 30) & 32767, (simhash >> 45) & 32767] AS keys
+       FROM sim),
+banded AS (SELECT doc_id, simhash, band, keys[band + 1] AS bkey FROM sb),
+cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                a.simhash AS ha, b.simhash AS hb
+         FROM banded a JOIN banded b ON a.band = b.band AND a.bkey = b.bkey
+              AND a.doc_id < b.doc_id)
+SELECT doc_a, doc_b, cast(bit_count(xor(ha, hb)) AS bigint) AS hamming
+FROM cand WHERE bit_count(xor(ha, hb)) <= 8
+"""
+
+    q["token_stats"] = f"""
+SELECT doc_id,
+       cast(len({_TOKS}) AS bigint) AS n_tokens,
+       cast(len(list_distinct({_TOKS})) AS bigint) AS n_distinct_tokens,
+       cast(length(text) AS bigint) AS n_chars,
+       cast(len(list_filter(regexp_split_to_array(text, '[^A-Za-z0-9]+'), x -> x <> ''))
+            + length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS bigint) AS n_pieces
+FROM documents
+"""
+
+    def hits(sw: list[str]) -> str:
+        lst = ", ".join(f"'{w}'" for w in sw)
+        return f"cast(len(list_filter({_TOKS}, x -> list_contains([{lst}], x))) AS bigint)"
+
+    from graphical_context_extraction_pipeline_spark.operators.text_analysis import LANG_STOPWORDS
+
+    he, hs_, hf, hd = (hits(LANG_STOPWORDS[lang]) for lang in ["en", "es", "fr", "de"])
+    q["lang_id"] = f"""
+WITH t AS (SELECT doc_id, {he} AS hits_en, {hs_} AS hits_es, {hf} AS hits_fr, {hd} AS hits_de
+           FROM documents)
+SELECT doc_id, hits_en, hits_es, hits_fr, hits_de,
+       CASE WHEN hits_en + hits_es + hits_fr + hits_de = 0 THEN 'unknown'
+            WHEN hits_en >= hits_es AND hits_en >= hits_fr AND hits_en >= hits_de THEN 'en'
+            WHEN hits_es >= hits_fr AND hits_es >= hits_de THEN 'es'
+            WHEN hits_fr >= hits_de THEN 'fr'
+            ELSE 'de' END AS lang_guess
+FROM t
+"""
+
+    en_hits = hits(LANG_STOPWORDS["en"])
+    q["quality_score"] = f"""
+WITH t AS (SELECT doc_id,
+                  cast(length(text) AS bigint) AS n_chars,
+                  cast(len({_TOKS}) AS bigint) AS n_tokens,
+                  cast(length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')) AS bigint) AS n_punct,
+                  {en_hits} AS n_stop,
+                  cast(length(regexp_replace(text, '\\s', '', 'g')) AS bigint) AS non_ws
+           FROM documents)
+SELECT doc_id, n_chars, n_tokens,
+       cast(floor(n_punct * 10000.0 / greatest(n_chars, 1)) AS bigint) AS punct_bp,
+       cast(floor(n_stop * 10000.0 / greatest(n_tokens, 1)) AS bigint) AS stopword_bp,
+       cast(floor(non_ws * 100.0 / greatest(n_tokens, 1)) AS bigint) AS mean_token_len_e2,
+       (n_chars >= 64 AND n_tokens >= 12
+        AND floor(n_punct * 10000.0 / greatest(n_chars, 1)) < 1500
+        AND floor(n_stop * 10000.0 / greatest(n_tokens, 1)) > 0) AS passes_quality
+FROM t
+"""
+
+    q["fingerprint"] = f"""
+SELECT doc_id, md5(lower(text)) AS md5_full,
+       md5(array_to_string(list_slice({_TOKS}, 1, 16), ' ')) AS md5_head16,
+       cast(len({_TOKS}) AS bigint) AS n_tokens
+FROM documents
+"""
+
+    ids = ", ".join(str(i) for i in QUERY_IDS)
+    q["cosine_topk"] = f"""
+WITH qv AS (SELECT vec_id AS query_id, cast(embedding AS DOUBLE[]) AS qv
+            FROM embeddings WHERE vec_id IN ({ids})),
+pairs AS (SELECT q.query_id, e.vec_id,
+                 list_dot_product(cast(e.embedding AS DOUBLE[]), q.qv)
+                 / (sqrt(list_dot_product(cast(e.embedding AS DOUBLE[]), cast(e.embedding AS DOUBLE[])))
+                    * sqrt(list_dot_product(q.qv, q.qv))) AS cos
+          FROM embeddings e, qv q WHERE e.vec_id <> q.query_id),
+ranked AS (SELECT query_id, vec_id, cast(floor(cos * 10000) AS bigint) AS cos_e4,
+                  cast(row_number() OVER (PARTITION BY query_id
+                       ORDER BY cast(floor(cos * 10000) AS bigint) DESC, vec_id) AS bigint) AS rank
+           FROM pairs)
+SELECT query_id, vec_id, cos_e4, rank FROM ranked WHERE rank <= 10
+"""
+
+    return q

@@ -141,6 +141,7 @@ def generate_doc(i: int) -> dict:
                     "end_ms": end,
                     "text": " ".join(toks),
                     "confidence": round(float(rng.uniform(0.5, 1.0)), 4),
+                    "n_words": n_tok,
                 }
             )
             gap = int(rng.randint(0, 900))
@@ -160,6 +161,7 @@ def generate_doc(i: int) -> dict:
                     "end_ms": b,
                     "text": " ".join(rng.choice(CONTENT_VOCAB, size=6)),
                     "confidence": round(float(rng.uniform(0.5, 1.0)), 4),
+                    "n_words": 6,
                 }
             )
         asr.sort(key=lambda a: (a["start_ms"], a["end_ms"], a["text"]))
@@ -277,13 +279,18 @@ def generate_doc(i: int) -> dict:
     # ---- assemble interleaved spans -------------------------------------
     spans, attrs = [], []
 
-    def add(kind, text, media_ref, offset, end_ms=None, conf=None, bbox=None):
+    def add(kind, text, media_ref, offset, end_ms=None, conf=None, bbox=None, scene_id=None, n_words=None):
         spans.append({"kind": kind, "text": text, "media_ref": media_ref, "offset": int(offset)})
         attrs.append(
             {
                 "end_ms": None if end_ms is None else int(end_ms),
                 "confidence": None if conf is None else float(conf),
                 "bbox": bbox,
+                # frames carry the detector-assigned scene id (the reference
+                # joins keyframes to chunks by scene_id, not by timestamp —
+                # phase 2/src/chunker.py:220-226)
+                "scene_id": None if scene_id is None else int(scene_id),
+                "n_words": None if n_words is None else int(n_words),
             }
         )
 
@@ -292,9 +299,9 @@ def generate_doc(i: int) -> dict:
     for sc in scenes:
         add("scene", f"{sc['scene_id']}:{sc['end_ms']}", None, sc["start_ms"], end_ms=sc["end_ms"])
     for a in asr:
-        add("asr", a["text"], None, a["start_ms"], end_ms=a["end_ms"], conf=a["confidence"])
+        add("asr", a["text"], None, a["start_ms"], end_ms=a["end_ms"], conf=a["confidence"], n_words=a["n_words"])
     for fr in frames:
-        add("frame", None, fr["path"], fr["ts"])
+        add("frame", None, fr["path"], fr["ts"], scene_id=fr["scene_id"])
     for o in ocr:
         add("ocr", o["text"], o["path"], o["ts"] + o["arrival"], conf=o["conf"], bbox=o["bbox"])
 
@@ -325,7 +332,7 @@ def generate_doc(i: int) -> dict:
 SPANS_DDL = (
     "doc_id string, "
     "spans array<struct<kind:string,text:string,media_ref:string,offset:int>>, "
-    "span_attrs array<struct<end_ms:int,confidence:double,bbox:array<double>>>, "
+    "span_attrs array<struct<end_ms:int,confidence:double,bbox:array<double>,scene_id:int,n_words:int>>, "
     "meta struct<title:string,channel:string,description:string,"
     "tags:array<string>,upload_date:string,duration_ms:long>"
 )
@@ -344,7 +351,7 @@ def _gen_batches(it):
                     for r in rows
                 ],
                 "span_attrs": [
-                    [(a["end_ms"], a["confidence"], a["bbox"]) for a in r["span_attrs"]]
+                    [(a["end_ms"], a["confidence"], a["bbox"], a["scene_id"], a["n_words"]) for a in r["span_attrs"]]
                     for r in rows
                 ],
                 "meta": [

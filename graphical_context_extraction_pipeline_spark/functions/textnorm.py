@@ -24,6 +24,7 @@ _CHAR_TABLE = {
     ord(" "): " ",
 }
 _WS_RE = re.compile(r"\s+")
+_TFIDF_TOKEN_RE = re.compile(r"\b\w\w+\b")
 
 
 def normalize_text(s: str | None) -> str | None:
@@ -47,10 +48,11 @@ def tfidf_cosine(a: str | None, b: str | None) -> float:
     Deterministic pure function of the two strings (the reference fits a
     per-chunk-pair sklearn TfidfVectorizer, phase 2/src/aligner.py:19-24,
     54-61 — corpus size is always 2, so idf ∈ {ln(3/2)+1, ln(3/3)+1} with
-    smooth-idf). Tokens of length ≥ 2, lowercase, whitespace-split.
+    smooth-idf, l2 norm). Tokenization matches sklearn's default
+    token_pattern (?u)\\b\\w\\w+\\b.
     """
-    ta = [t for t in tokens(a) if len(t) >= 2]
-    tb = [t for t in tokens(b) if len(t) >= 2]
+    ta = _TFIDF_TOKEN_RE.findall(a.lower()) if a else []
+    tb = _TFIDF_TOKEN_RE.findall(b.lower()) if b else []
     if not ta or not tb:
         return 0.0
     ca: dict[str, int] = {}

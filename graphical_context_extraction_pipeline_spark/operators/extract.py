@@ -47,7 +47,8 @@ CHUNKS_DDL = (
     "asr_confidence double, ocr_confidence double, alignment_score double, "
     "completeness struct<has_speech:boolean,has_visual:boolean,has_ocr_text:boolean>, "
     "provenance struct<video_title:string,channel:string,video_description:string,"
-    "tags:array<string>,publish_date:string>"
+    "tags:array<string>,publish_date:string>, "
+    "part_id int"
 )
 
 CHUNK_COLUMNS = [
@@ -55,7 +56,7 @@ CHUNK_COLUMNS = [
     "chapter_title", "scene_id", "merged_scene_ids", "asr_text", "ocr_text",
     "merged_text", "out_spans", "span_ctx", "keyframe_ids", "keyframe_paths",
     "has_keyframe", "asr_confidence", "ocr_confidence", "alignment_score",
-    "completeness", "provenance",
+    "completeness", "provenance", "part_id",
 ]
 
 
@@ -80,8 +81,8 @@ def _doc_chunks(doc_id: str, spans, attrs, meta) -> list[tuple]:
     # ---- single pass: bucket spans by kind -------------------------------
     chap_t, chap_s, chap_e = [], [], []
     scn_id, scn_s, scn_e = [], [], []
-    asr_t, asr_s, asr_e, asr_c = [], [], [], []
-    frm_p, frm_ts = [], []
+    asr_t, asr_s, asr_e, asr_c, asr_w = [], [], [], [], []
+    frm_p, frm_ts, frm_sid = [], [], []
     ocr_p, ocr_txt, ocr_c, ocr_y, ocr_x = [], [], [], [], []
     for sp, at in zip(spans, attrs):
         kind = _get(sp, "kind")
@@ -90,6 +91,7 @@ def _doc_chunks(doc_id: str, spans, attrs, meta) -> list[tuple]:
             asr_s.append(_get(sp, "offset"))
             asr_e.append(_get(at, "end_ms"))
             asr_c.append(_get(at, "confidence"))
+            asr_w.append(_get(at, "n_words") or 0)
         elif kind == "ocr":
             conf = _get(at, "confidence")
             if conf is None or conf < OCR_CONF_MIN:
@@ -103,6 +105,7 @@ def _doc_chunks(doc_id: str, spans, attrs, meta) -> list[tuple]:
         elif kind == "frame":
             frm_p.append(_get(sp, "media_ref"))
             frm_ts.append(_get(sp, "offset"))
+            frm_sid.append(_get(at, "scene_id"))
         elif kind == "scene":
             scn_id.append(int(_get(sp, "text").split(":", 1)[0]))
             scn_s.append(_get(sp, "offset"))
@@ -161,19 +164,32 @@ def _doc_chunks(doc_id: str, spans, attrs, meta) -> list[tuple]:
         asr_s_a = np.asarray(asr_s, dtype=np.int64)[a_ord]
         asr_e_a = np.asarray(asr_e, dtype=np.int64)[a_ord]
         asr_c_a = np.asarray(asr_c, dtype=np.float64)[a_ord]
+        asr_w_a = np.asarray(asr_w, dtype=np.int64)[a_ord]
     else:
         asr_s_a = np.empty(0, dtype=np.int64)
         asr_e_a = np.empty(0, dtype=np.int64)
         asr_c_a = np.empty(0, dtype=np.float64)
+        asr_w_a = np.empty(0, dtype=np.int64)
 
-    # ---- frames → containing scene → chunk (searchsorted containment) -----
+    # ---- frames → scene → chunk: detector-assigned scene_id first
+    # (reference J2 joins on scene_id, chunker.py:220-226), timestamp
+    # containment via searchsorted as fallback ---------------------------
     f_ord = sorted(range(len(frm_ts)), key=lambda j: (frm_ts[j], frm_p[j]))
     frm_p = [frm_p[j] for j in f_ord]
+    frm_sid = [frm_sid[j] for j in f_ord]
     frm_ts_a = np.asarray([frm_ts[j] for j in f_ord], dtype=np.int64)
+    sid_to_cidx = {int(s): int(c) for s, c in zip(scn_id_a, cidx)}
     if len(frm_ts_a):
         si = np.searchsorted(scn_s_a, frm_ts_a, side="right") - 1
         valid = (si >= 0) & (frm_ts_a < scn_e_a[np.clip(si, 0, len(scn_e_a) - 1)])
-        f_chunk = np.where(valid, cidx[np.clip(si, 0, len(cidx) - 1)], -1)
+        contain_chunk = np.where(valid, cidx[np.clip(si, 0, len(cidx) - 1)], -1)
+        f_chunk = np.asarray(
+            [
+                sid_to_cidx.get(int(sid), -1) if sid is not None else int(contain_chunk[j])
+                for j, sid in enumerate(frm_sid)
+            ],
+            dtype=np.int64,
+        )
     else:
         f_chunk = np.empty(0, dtype=np.int64)
 
@@ -260,7 +276,11 @@ def _doc_chunks(doc_id: str, spans, attrs, meta) -> list[tuple]:
         else:
             merged_text = ""
 
-        asr_conf = float(np.mean(asr_c_a[seg_idx])) if seg_idx else 0.0
+        # word-weighted mean = reference's mean-over-all-words (enricher.py:51-68)
+        tot_w = int(np.sum(asr_w_a[seg_idx])) if seg_idx else 0
+        asr_conf = (
+            float(np.sum(asr_c_a[seg_idx] * asr_w_a[seg_idx]) / tot_w) if tot_w else 0.0
+        )
         chunk_block_confs = [ocr_c[j] for p in kf_paths for j in blocks_by_path.get(p, [])]
         ocr_conf = float(np.mean(chunk_block_confs)) if chunk_block_confs else 0.0
         alignment = tfidf_cosine(asr_text, ocr_text) if (asr_text and ocr_text) else 0.0
@@ -312,11 +332,17 @@ def _doc_chunks(doc_id: str, spans, attrs, meta) -> list[tuple]:
 
 
 def _extract_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    # partition-id lineage: every output row records which task produced it,
+    # enabling the per-partition metrics/audit rollup in pipeline.py
+    from pyspark import TaskContext
+
+    ctx = TaskContext.get()
+    part_id = ctx.partitionId() if ctx is not None else -1
     for pdf in it:
         out: list[tuple] = []
         metas = pdf["meta"] if "meta" in pdf.columns else [None] * len(pdf)
         for doc_id, spans, attrs, meta in zip(pdf["doc_id"], pdf["spans"], pdf["span_attrs"], metas):
-            out.extend(_doc_chunks(doc_id, spans, attrs, meta))
+            out.extend(r + (part_id,) for r in _doc_chunks(doc_id, spans, attrs, meta))
         yield pd.DataFrame(out, columns=CHUNK_COLUMNS)
 
 

@@ -1,0 +1,189 @@
+"""Relational (Catalyst-native) formulations of the pipeline's core
+operators — window functions, order-sensitive aggregations, interval joins —
+with zero Python UDFs. These are independently implemented from the pandas
+pipeline (operators/extract.py) and are each checked against an ANSI-SQL
+DuckDB oracle by the driver.
+
+Why both exist: the pandas pipeline is the zero-shuffle production path for
+whole-document processing; these relational forms prove the same semantics
+compose from Spark primitives (and give Catalyst room to push down/prune
+when only one facet is needed).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+MIN_SCENE_MS = 5000
+OCR_CONF_MIN = 0.5
+
+KIND_PRIORITY_SQL = (
+    "CASE kind WHEN 'chapter' THEN 0 WHEN 'scene' THEN 1 WHEN 'asr' THEN 2 "
+    "WHEN 'frame' THEN 3 ELSE 4 END"
+)
+
+
+def _zipped(docs: DataFrame, kind: str) -> DataFrame:
+    return (
+        docs.select(
+            "doc_id",
+            F.explode(F.arrays_zip(F.col("spans").alias("s"), F.col("span_attrs").alias("a"))).alias("z"),
+        )
+        .where(F.col("z.s.kind") == kind)
+    )
+
+
+def scenes_view(docs: DataFrame) -> DataFrame:
+    return _zipped(docs, "scene").select(
+        "doc_id",
+        F.split(F.col("z.s.text"), ":")[0].cast("long").alias("sid"),
+        F.col("z.s.offset").cast("long").alias("st"),
+        F.col("z.a.end_ms").cast("long").alias("en"),
+    )
+
+
+def chunk_segmentation(docs: DataFrame) -> DataFrame:
+    """W1 as a window cumsum: a scene starts a new chunk iff it is the first
+    of its doc or ≥ MIN_SCENE_MS long; chunk id = running starter count.
+    (Works because the reference's running merge only ever extends the
+    immediately-previous chunk — reference: phase 2/src/chunker.py:104-150.)
+    """
+    sc = scenes_view(docs)
+    w = Window.partitionBy("doc_id").orderBy("st", "en")
+    wc = w.rowsBetween(Window.unboundedPreceding, 0)
+    starter = (F.row_number().over(w) == 1) | ((F.col("en") - F.col("st")) >= MIN_SCENE_MS)
+    return (
+        sc.withColumn("chunk_seq", F.sum(starter.cast("long")).over(wc))
+        .groupBy("doc_id", "chunk_seq")
+        .agg(
+            F.min("st").alias("t_start_ms"),
+            F.max("en").alias("t_end_ms"),
+            F.min_by("sid", F.struct("st", "sid")).alias("primary_scene"),
+            F.count("*").cast("long").alias("n_merged"),
+        )
+    )
+
+
+def chunk_asr_text(docs: DataFrame) -> DataFrame:
+    """A10+J1: order-sensitive per-chunk ASR concat via inclusive interval
+    overlap (boundary-touching segments duplicate into both chunks)."""
+    chunks = chunk_segmentation(docs)
+    asr = _zipped(docs, "asr").select(
+        "doc_id",
+        F.col("z.s.offset").cast("long").alias("st"),
+        F.col("z.a.end_ms").cast("long").alias("en"),
+        F.col("z.s.text").alias("text"),
+    )
+    j = chunks.join(asr, "doc_id").where(
+        (F.col("en") >= F.col("t_start_ms")) & (F.col("st") <= F.col("t_end_ms"))
+    )
+    ordered = F.array_sort(F.collect_list(F.struct("st", "en", "text")))
+    return j.groupBy("doc_id", "chunk_seq").agg(
+        F.array_join(F.transform(ordered, lambda s: s["text"]), " ").alias("asr_text"),
+        F.count("*").cast("long").alias("n_segments"),
+    )
+
+
+def chunk_chapter_assign(docs: DataFrame) -> DataFrame:
+    """J4: broadcast interval-containment join of chunk starts against the
+    chapter dimension; fallback to the doc's last chapter."""
+    chunks = chunk_segmentation(docs)
+    ch_w = Window.partitionBy("doc_id").orderBy("st")
+    chapters = (
+        _zipped(docs, "chapter")
+        .select(
+            "doc_id",
+            F.col("z.s.text").alias("title"),
+            F.col("z.s.offset").cast("long").alias("st"),
+            F.col("z.a.end_ms").cast("long").alias("en"),
+        )
+        .withColumn("chapter_index", F.row_number().over(ch_w) - 1)
+    )
+    contained = (
+        chunks.join(F.broadcast(chapters), "doc_id")
+        .where((F.col("st") <= F.col("t_start_ms")) & (F.col("t_start_ms") < F.col("en")))
+        .groupBy("doc_id", "chunk_seq")
+        .agg(F.min("chapter_index").alias("ci"))
+    )
+    last_ch = chapters.groupBy("doc_id").agg(
+        F.max("chapter_index").alias("li"), F.max_by("title", "chapter_index").alias("lt")
+    )
+    titles = chapters.select(
+        F.col("doc_id").alias("t_doc"), F.col("chapter_index").alias("t_ci"), "title"
+    )
+    return (
+        chunks.join(contained, ["doc_id", "chunk_seq"], "left")
+        .join(F.broadcast(last_ch), "doc_id", "left")
+        .withColumn("chapter_index", F.coalesce("ci", "li", F.lit(0)).cast("long"))
+        .join(
+            F.broadcast(titles),
+            (F.col("chapter_index") == F.col("t_ci")) & (F.col("doc_id") == F.col("t_doc")),
+            "left",
+        )
+        .select(
+            "doc_id",
+            "chunk_seq",
+            "t_start_ms",
+            "chapter_index",
+            F.coalesce("title", F.lit("Unknown")).alias("chapter_title"),
+        )
+    )
+
+
+def span_kind_counts(docs: DataFrame) -> DataFrame:
+    return (
+        docs.select("doc_id", F.explode("spans").alias("s"))
+        .groupBy("doc_id", F.col("s.kind").alias("kind"))
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+
+
+def ocr_conf_stats(docs: DataFrame) -> DataFrame:
+    """P1+A2: per-doc OCR block counts and exact integer confidence sums
+    (confidences are 4-decimal by construction → e4 ints are lossless)."""
+    o = _zipped(docs, "ocr").select(
+        "doc_id", F.round(F.col("z.a.confidence") * 10000, 0).cast("long").alias("conf_e4")
+    )
+    return o.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_blocks"),
+        F.sum(F.when(F.col("conf_e4") >= 5000, 1).otherwise(0)).cast("long").alias("n_kept"),
+        F.sum(F.when(F.col("conf_e4") >= 5000, F.col("conf_e4")).otherwise(0)).cast("long").alias("sum_kept_conf_e4"),
+    )
+
+
+def chrome_tokens(docs: DataFrame) -> DataFrame:
+    """A1: per-doc UI-chrome tokens — occurrence count ≥ 0.8 × frames-with-OCR
+    (occurrences, not distinct frames: quirk pinned from the reference,
+    ocr_cleanup.py:48). Integer form: 10·count ≥ 8·total_frames."""
+    o = _zipped(docs, "ocr").where(F.col("z.a.confidence") >= OCR_CONF_MIN).select(
+        "doc_id", F.col("z.s.media_ref").alias("path"), F.col("z.s.text").alias("text")
+    )
+    totals = o.groupBy("doc_id").agg(F.countDistinct("path").alias("total_frames"))
+    toks = o.select(
+        "doc_id",
+        F.explode(F.filter(F.split(F.lower("text"), r"\s+"), lambda t: t != "")).alias("token"),
+    )
+    counts = toks.groupBy("doc_id", "token").agg(F.count("*").cast("long").alias("n_occ"))
+    return (
+        counts.join(F.broadcast(totals), "doc_id")
+        .where(F.col("n_occ") * 10 >= F.col("total_frames") * 8)
+        .select("doc_id", "token", "n_occ", F.col("total_frames").cast("long").alias("total_frames"))
+    )
+
+
+def timeline_interleave(docs: DataFrame) -> DataFrame:
+    """W7+O2: globally-ordered per-doc event sequence with the stable
+    kind-priority tiebreak (chapter<scene<asr<frame<ocr)."""
+    s = docs.select("doc_id", F.explode("spans").alias("s")).select(
+        "doc_id",
+        F.col("s.kind").alias("kind"),
+        F.col("s.text").alias("text"),
+        F.col("s.media_ref").alias("media_ref"),
+        F.col("s.offset").cast("long").alias("offset"),
+    )
+    pri = F.expr(KIND_PRIORITY_SQL)
+    w = Window.partitionBy("doc_id").orderBy(
+        "offset", pri, F.coalesce("text", F.lit("")), F.coalesce("media_ref", F.lit(""))
+    )
+    return s.withColumn("seq", F.row_number().over(w).cast("long"))

@@ -1,0 +1,131 @@
+"""Text-analysis operators for large-scale training-data pipelines, over the
+flat `documents` table (doc_id, text, lang, source, n_chars).
+
+All implementations are pure Spark SQL expressions (JVM-side, whole-stage
+codegen — no Python in the hot path). Compared outputs are integers/strings
+only: ratios are emitted as basis points via floor() so the DuckDB oracle
+hash-matches bit-for-bit (float formatting never enters the contract).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# occurrence-based stopword profiles for the language-ID heuristic
+LANG_STOPWORDS = {
+    "en": ["the", "a", "of", "and", "to", "in", "is"],
+    "es": ["el", "la", "de", "y", "que", "los", "es"],
+    "fr": ["le", "la", "et", "les", "des", "un", "est"],
+    "de": ["der", "die", "und", "das", "ist", "ein", "zu"],
+}
+LANG_ORDER = ["en", "es", "fr", "de"]  # deterministic tie-break priority
+
+
+def _tokens(col):
+    # Python str.split semantics: split on whitespace runs, drop empties
+    return F.filter(F.split(F.lower(col), r"\s+"), lambda t: t != "")
+
+
+def token_stats(docs: DataFrame) -> DataFrame:
+    """Token counting: whitespace tokens + a BPE-ish sub-token estimate
+    (alnum runs + each non-alnum-non-space char counts as one piece —
+    formulated without regex lookarounds so the RE2-based oracle matches)."""
+    toks = _tokens(F.col("text"))
+    alnum_runs = F.size(F.filter(F.split(F.col("text"), r"[^A-Za-z0-9]+"), lambda t: t != ""))
+    punct_chars = F.length(F.regexp_replace("text", r"[A-Za-z0-9\s]", ""))
+    return docs.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.size(F.array_distinct(toks)).cast("long").alias("n_distinct_tokens"),
+        F.length("text").cast("long").alias("n_chars"),
+        (alnum_runs + punct_chars).cast("long").alias("n_pieces"),
+    )
+
+
+def lang_id(docs: DataFrame) -> DataFrame:
+    """Stopword-occurrence heuristic language ID: argmax over profiles with
+    fixed priority (en > es > fr > de) on ties — a first-match CASE chain so
+    the SQL oracle is a literal transliteration."""
+    toks = _tokens(F.col("text"))
+    # membership as chained == (isin/array_contains don't accept HOF lambda
+    # vars; and the lambda must be unary — a second default arg would make
+    # Spark pass the array index into it)
+    def _member_fn(sw):
+        def member(t):
+            cond = t == F.lit(sw[0])
+            for w in sw[1:]:
+                cond = cond | (t == F.lit(w))
+            return cond
+
+        return member
+
+    h = {
+        lang: F.size(F.filter(toks, _member_fn(sw))).cast("long")
+        for lang, sw in LANG_STOPWORDS.items()
+    }
+    he, hs, hf, hd = h["en"], h["es"], h["fr"], h["de"]
+    guess = (
+        F.when(he + hs + hf + hd == 0, F.lit("unknown"))
+        .when((he >= hs) & (he >= hf) & (he >= hd), F.lit("en"))
+        .when((hs >= hf) & (hs >= hd), F.lit("es"))
+        .when(hf >= hd, F.lit("fr"))
+        .otherwise(F.lit("de"))
+    )
+    return docs.select(
+        "doc_id",
+        he.alias("hits_en"),
+        hs.alias("hits_es"),
+        hf.alias("hits_fr"),
+        hd.alias("hits_de"),
+        guess.alias("lang_guess"),
+    )
+
+
+def quality_score(docs: DataFrame) -> DataFrame:
+    """Quality signals: length, punctuation ratio, stopword ratio, mean token
+    length — integerized (basis points) for oracle stability."""
+    toks = _tokens(F.col("text"))
+    n_tokens = F.size(toks)
+    n_chars = F.length("text")
+    n_punct = n_chars - F.length(F.regexp_replace("text", r"\p{Punct}", ""))
+    en = LANG_STOPWORDS["en"]
+
+    def _member(t):
+        cond = t == F.lit(en[0])
+        for w in en[1:]:
+            cond = cond | (t == F.lit(w))
+        return cond
+
+    n_stop = F.size(F.filter(toks, _member))
+    punct_bp = F.floor(n_punct * 10000.0 / F.greatest(n_chars, F.lit(1))).cast("long")
+    stop_bp = F.floor(n_stop * 10000.0 / F.greatest(n_tokens, F.lit(1))).cast("long")
+    # mean token length = non-whitespace chars / tokens (no HOF fold needed)
+    non_ws = F.length(F.regexp_replace("text", r"\s", ""))
+    mean_tok_len_e2 = F.floor(non_ws * 100.0 / F.greatest(n_tokens, F.lit(1))).cast("long")
+    return docs.select(
+        "doc_id",
+        n_chars.cast("long").alias("n_chars"),
+        n_tokens.cast("long").alias("n_tokens"),
+        punct_bp.alias("punct_bp"),
+        stop_bp.alias("stopword_bp"),
+        mean_tok_len_e2.alias("mean_token_len_e2"),
+        (
+            (n_chars >= 64)
+            & (n_tokens >= 12)
+            & (punct_bp < 1500)
+            & (stop_bp > 0)
+        ).alias("passes_quality"),
+    )
+
+
+def fingerprint(docs: DataFrame) -> DataFrame:
+    """Document fingerprinting: full-text md5 + prefix fingerprint over the
+    first 16 whitespace tokens (cheap near-head dedup key)."""
+    toks = _tokens(F.col("text"))
+    return docs.select(
+        "doc_id",
+        F.md5(F.lower("text")).alias("md5_full"),
+        F.md5(F.array_join(F.slice(toks, 1, 16), " ")).alias("md5_head16"),
+        F.size(toks).cast("long").alias("n_tokens"),
+    )

@@ -1,0 +1,208 @@
+"""Validator analytics — the rebuild of phase 3's deterministic validator
+(reference: phase 3/src/validator.py:101-384) as native Spark SQL.
+
+Scale design: everything that is per-document is computed **intra-row** with
+higher-order functions over the `spans` array (zero shuffle, whole-stage
+codegen); only the final corpus-level rollups (top-k density) shuffle, and
+they shuffle pre-aggregated per-doc rows, not spans.
+
+Each function returns a DataFrame with stable aliased columns so the driver
+can hash-compare against a DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+KEYFRAME_GAP_MS = 15000  # reference: phase 3/src/validator.py:258
+KEYFRAME_GAP_HIGH_MS = 30000  # severity boundary (validator.py:259)
+ASR_GAP_MS = 5000  # reference: phase 3/src/validator.py:283
+WINDOW_MS = 5000  # coverage window (phase 3/src/config.py:51)
+
+
+def _spans_of_kind(kind: str):
+    return F.filter(F.col("spans"), lambda s: s["kind"] == F.lit(kind))
+
+
+def keyframe_gaps(docs: DataFrame) -> DataFrame:
+    """W3: consecutive keyframe timestamp gaps > 15 s, severity high > 30 s.
+
+    Window(lead) over exploded frame spans — the per-doc sort is pushed into
+    the window's local sort; no extra shuffle beyond the doc partitioning.
+    """
+    from pyspark.sql import Window
+
+    frames = (
+        docs.select("doc_id", F.explode(_spans_of_kind("frame")).alias("s"))
+        .select("doc_id", F.col("s.offset").alias("ts"), F.col("s.media_ref").alias("path"))
+    )
+    w = Window.partitionBy("doc_id").orderBy("ts", "path")
+    return (
+        frames.withColumn("next_ts", F.lead("ts").over(w))
+        .where(F.col("next_ts") - F.col("ts") > KEYFRAME_GAP_MS)
+        .select(
+            "doc_id",
+            F.col("ts").cast("long").alias("gap_start_ms"),
+            F.col("next_ts").cast("long").alias("gap_end_ms"),
+            (F.col("next_ts") - F.col("ts")).cast("long").alias("gap_ms"),
+            F.when(F.col("next_ts") - F.col("ts") > KEYFRAME_GAP_HIGH_MS, "high")
+            .otherwise("medium")
+            .alias("severity"),
+        )
+    )
+
+
+def asr_gaps(docs: DataFrame) -> DataFrame:
+    """W4: silence gaps between consecutive ASR segments > 5 s (severity low)."""
+    from pyspark.sql import Window
+
+    segs = (
+        docs.select(
+            "doc_id",
+            F.explode(
+                F.arrays_zip(F.col("spans").alias("s"), F.col("span_attrs").alias("a"))
+            ).alias("z"),
+        )
+        .where(F.col("z.s.kind") == "asr")
+        .select(
+            "doc_id",
+            F.col("z.s.offset").alias("start_ms"),
+            F.col("z.a.end_ms").alias("end_ms"),
+            F.col("z.s.text").alias("text"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy("start_ms", "end_ms", "text")
+    return (
+        segs.withColumn("next_start", F.lead("start_ms").over(w))
+        .where(F.col("next_start") - F.col("end_ms") > ASR_GAP_MS)
+        .select(
+            "doc_id",
+            F.col("end_ms").cast("long").alias("gap_start_ms"),
+            F.col("next_start").cast("long").alias("gap_end_ms"),
+            (F.col("next_start") - F.col("end_ms")).cast("long").alias("gap_ms"),
+            F.lit("low").alias("severity"),
+        )
+    )
+
+
+def coverage(docs: DataFrame) -> DataFrame:
+    """W6+A7: tumbling 5 s windows; covered iff an ASR segment overlaps or a
+    keyframe falls inside. Entirely intra-row (sequence + exists HOFs) —
+    zero shuffle at any scale."""
+    dur = F.col("meta.duration_ms")
+    win_starts = F.sequence(F.lit(0).cast("long"), dur - 1, F.lit(WINDOW_MS).cast("long"))
+    asr_zip = F.filter(
+        F.arrays_zip(F.col("spans").alias("s"), F.col("span_attrs").alias("a")),
+        lambda z: z["s"]["kind"] == F.lit("asr"),
+    )
+    frames = _spans_of_kind("frame")
+
+    def covered(w0):
+        w1 = F.least(w0 + WINDOW_MS, dur)
+        has_asr = F.exists(
+            asr_zip, lambda z: (z["s"]["offset"] < w1) & (z["a"]["end_ms"] > w0)
+        )
+        has_kf = F.exists(frames, lambda s: (s["offset"] >= w0) & (s["offset"] < w1))
+        return has_asr | has_kf
+
+    cov_flags = F.transform(win_starts, covered)
+    n_windows = F.size(cov_flags)
+    n_covered = F.size(F.filter(cov_flags, lambda c: c))
+    return docs.where(dur > 0).select(
+        "doc_id",
+        n_windows.cast("long").alias("n_windows"),
+        n_covered.cast("long").alias("n_covered"),
+        # basis points as integer — float division never enters the
+        # cross-engine comparison contract
+        F.floor(n_covered * 10000.0 / n_windows).cast("long").alias("coverage_bp"),
+    )
+
+
+def chapter_counts(docs: DataFrame) -> DataFrame:
+    """J7+A8: per-chapter counts of fully-contained scenes, point-in-range
+    keyframes, and overlapping ASR segments; chapter coverage flag = 100 iff
+    both a keyframe and an ASR segment exist. Intra-row transform over the
+    chapter array, then one explode — no join, no shuffle."""
+    zipped = F.arrays_zip(F.col("spans").alias("s"), F.col("span_attrs").alias("a"))
+    chapters = F.filter(zipped, lambda z: z["s"]["kind"] == F.lit("chapter"))
+    scenes = F.filter(zipped, lambda z: z["s"]["kind"] == F.lit("scene"))
+    asr = F.filter(zipped, lambda z: z["s"]["kind"] == F.lit("asr"))
+    frames = _spans_of_kind("frame")
+
+    def per_chapter(ch, idx):
+        c0 = ch["s"]["offset"]
+        c1 = ch["a"]["end_ms"]
+        n_scenes = F.size(
+            F.filter(scenes, lambda z: (z["s"]["offset"] >= c0) & (z["a"]["end_ms"] <= c1))
+        )
+        n_frames = F.size(F.filter(frames, lambda s: (s["offset"] >= c0) & (s["offset"] < c1)))
+        n_asr = F.size(F.filter(asr, lambda z: (z["s"]["offset"] < c1) & (z["a"]["end_ms"] > c0)))
+        return F.struct(
+            idx.cast("long").alias("chapter_index"),
+            ch["s"]["text"].alias("chapter_title"),
+            c0.cast("long").alias("start_ms"),
+            c1.cast("long").alias("end_ms"),
+            n_scenes.cast("long").alias("n_scenes"),
+            n_frames.cast("long").alias("n_frames"),
+            n_asr.cast("long").alias("n_asr"),
+            ((n_frames > 0) & (n_asr > 0)).alias("covered"),
+        )
+
+    return (
+        docs.select("doc_id", F.explode(F.transform(chapters, per_chapter)).alias("c"))
+        .select("doc_id", "c.*")
+    )
+
+
+def quality_flags(chunks: DataFrame) -> DataFrame:
+    """Quality flags per chunk (reference: phase 3/src/validator.py:296-361):
+    no_ocr_text / low_ocr_text (<10 chars) / no_visual / no_speech."""
+    flags = F.array_compact(
+        F.array(
+            F.when(F.length("ocr_text") == 0, F.lit("no_ocr_text")),
+            F.when((F.length("ocr_text") > 0) & (F.length("ocr_text") < 10), F.lit("low_ocr_text")),
+            F.when(~F.col("completeness.has_visual"), F.lit("no_visual")),
+            F.when(~F.col("completeness.has_speech"), F.lit("no_speech")),
+        )
+    )
+    return (
+        chunks.select("doc_id", "chunk_id", F.explode(flags).alias("flag"))
+        .orderBy("chunk_id", "flag")
+    )
+
+
+def density_topk(chunks: DataFrame, k: int = 3) -> DataFrame:
+    """O4: per-doc top-k richest and bottom-k thinnest chunks by content
+    density score len(asr_text)+len(ocr_text); density = chars/sec."""
+    from pyspark.sql import Window
+
+    scored = chunks.select(
+        "doc_id",
+        "chunk_id",
+        (F.length("asr_text") + F.length("ocr_text")).alias("content_chars"),
+        F.round(
+            (F.length("asr_text") + F.length("ocr_text"))
+            / ((F.col("t_end_ms") - F.col("t_start_ms")) / 1000.0),
+            6,
+        ).alias("density"),
+    )
+    w_desc = Window.partitionBy("doc_id").orderBy(
+        F.desc("content_chars"), F.asc("chunk_id")
+    )
+    w_asc = Window.partitionBy("doc_id").orderBy(
+        F.asc("content_chars"), F.asc("chunk_id")
+    )
+    return (
+        scored.withColumn("rich_rank", F.row_number().over(w_desc))
+        .withColumn("thin_rank", F.row_number().over(w_asc))
+        .where((F.col("rich_rank") <= k) | (F.col("thin_rank") <= k))
+        .select(
+            "doc_id",
+            "chunk_id",
+            "content_chars",
+            "density",
+            F.when(F.col("rich_rank") <= k, F.col("rich_rank")).alias("rich_rank"),
+            F.when(F.col("thin_rank") <= k, F.col("thin_rank")).alias("thin_rank"),
+        )
+    )

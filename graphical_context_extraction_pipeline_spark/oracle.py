@@ -52,10 +52,13 @@ def _parse_doc(doc: dict) -> dict:
                     "end_ms": attr["end_ms"],
                     "text": normalize_text(span["text"]) or "",
                     "confidence": attr["confidence"],
+                    "n_words": attr.get("n_words") or 0,
                 }
             )
         elif kind == "frame":
-            frames.append({"path": span["media_ref"], "ts": span["offset"]})
+            frames.append(
+                {"path": span["media_ref"], "ts": span["offset"], "scene_id": attr.get("scene_id")}
+            )
         elif kind == "ocr":
             ocr.append(
                 {
@@ -124,10 +127,13 @@ def extract_chunks(doc: dict) -> list[dict]:
     for b in ocr:
         ocr_by_path.setdefault(b["path"], []).append(b)
 
-    # frame → scene containment
-    def frame_scene(ts: int) -> int | None:
+    # frame → scene: detector-assigned scene_id (reference J2 semantics,
+    # chunker.py:220-226); timestamp containment only as fallback
+    def frame_scene(f: dict) -> int | None:
+        if f.get("scene_id") is not None:
+            return f["scene_id"]
         for sc in scenes:
-            if sc["start_ms"] <= ts < sc["end_ms"]:
+            if sc["start_ms"] <= f["ts"] < sc["end_ms"]:
                 return sc["scene_id"]
         return None
 
@@ -151,7 +157,7 @@ def extract_chunks(doc: dict) -> list[dict]:
 
         # J2: frames of merged scenes
         merged = set(cb["merged_scene_ids"])
-        cframes = [f for f in frames if frame_scene(f["ts"]) in merged]
+        cframes = [f for f in frames if frame_scene(f) in merged]
 
         # J3 + cleanup: per frame (ts order) sort blocks in reading order,
         # drop chrome-only blocks, then run the near-dup keep-chain
@@ -201,8 +207,14 @@ def extract_chunks(doc: dict) -> list[dict]:
         else:
             merged_text = ""
 
-        # enrichment (A3-A5)
-        asr_conf = sum(s["confidence"] for s in segs) / len(segs) if segs else 0.0
+        # enrichment (A3-A5) — asr confidence is word-weighted: the reference
+        # averages over all WORDS of the chunk's segments (enricher.py:51-68),
+        # and segment confidence is the mean word score, so weighting by
+        # n_words recovers the word-level mean exactly
+        tot_words = sum(s["n_words"] for s in segs)
+        asr_conf = (
+            sum(s["confidence"] * s["n_words"] for s in segs) / tot_words if tot_words else 0.0
+        )
         chunk_blocks = [b for f in cframes for b in ocr_by_path.get(f["path"], [])]
         ocr_conf = (
             sum(b["confidence"] for b in chunk_blocks) / len(chunk_blocks)

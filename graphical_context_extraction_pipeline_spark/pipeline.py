@@ -1,0 +1,132 @@
+"""Resumable extraction pipeline with write-audit lineage.
+
+Rebuilds the reference's checkpoint/restart story — every stage there checks
+``skip_if_exists`` and short-circuits by reloading its JSON artifact
+(reference: phase 1/src/ingest/downloader.py:34-44, asr.py:57-61 etc.) — as a
+snapshot-commit protocol over parquet (the same shape an Iceberg snapshot
+commit would take; Iceberg jars are not in this image, so the audit dir IS
+the snapshot log):
+
+    {output}/chunks/run=<run_id>/   chunk parquet written by one run
+    {output}/processed/run=<run_id>/ doc_ids attempted by that run
+    {output}/_audit/<run_id>.json   commit record — a run EXISTS only once
+                                     this file is written (last step)
+
+Resume = anti-join the input on the union of committed runs' processed
+doc_ids; a crash between data write and audit write leaves an uncommitted
+run directory that readers ignore and a later run safely redoes.
+
+Scale notes: the anti-join is a shuffle hash join on doc_id (at 10^12 docs
+the processed set is itself large — this is exactly what Iceberg snapshot
+diffs would replace); per-partition metrics come from the part_id lineage
+column emitted by the extraction operator, rolled up with one small groupBy.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .operators.extract import extract_documents
+
+PROCESSED_DDL = "doc_id string"
+
+
+class ExtractionPipeline:
+    def __init__(self, spark: SparkSession, output_dir: str):
+        self.spark = spark
+        self.output_dir = output_dir
+        self.chunks_dir = os.path.join(output_dir, "chunks")
+        self.processed_dir = os.path.join(output_dir, "processed")
+        self.audit_dir = os.path.join(output_dir, "_audit")
+
+    # ---------------- audit log ------------------------------------------
+    def committed_runs(self) -> list[dict]:
+        if not os.path.isdir(self.audit_dir):
+            return []
+        runs = []
+        for name in os.listdir(self.audit_dir):
+            if name.endswith(".json"):
+                with open(os.path.join(self.audit_dir, name)) as f:
+                    runs.append(json.load(f))
+        runs.sort(key=lambda r: r["committed_at_epoch_s"])  # commit order
+        return runs
+
+    def _committed_paths(self, base: str) -> list[str]:
+        return [
+            p
+            for r in self.committed_runs()
+            if os.path.isdir(p := os.path.join(base, f"run={r['run_id']}"))
+        ]
+
+    def read_chunks(self) -> DataFrame | None:
+        paths = self._committed_paths(self.chunks_dir)
+        return self.spark.read.parquet(*paths) if paths else None
+
+    def _read_processed(self) -> DataFrame | None:
+        paths = self._committed_paths(self.processed_dir)
+        return self.spark.read.parquet(*paths) if paths else None
+
+    # ---------------- run ------------------------------------------------
+    def run(self, docs: DataFrame, fail_before_commit: bool = False) -> DataFrame | None:
+        """Process all not-yet-processed documents; returns the full
+        committed chunks table (or None if the corpus is empty).
+
+        ``fail_before_commit`` simulates a crash after data is written but
+        before the audit commit — used by the resume tests.
+        """
+        run_id = uuid.uuid4().hex[:12]
+        t0 = time.time()
+
+        processed = self._read_processed()
+        todo = docs.join(processed, "doc_id", "left_anti") if processed is not None else docs
+
+        run_chunks_path = os.path.join(self.chunks_dir, f"run={run_id}")
+        run_processed_path = os.path.join(self.processed_dir, f"run={run_id}")
+
+        chunks = extract_documents(todo)
+        chunks.write.mode("overwrite").parquet(run_chunks_path)
+        todo.select("doc_id").distinct().write.mode("overwrite").parquet(run_processed_path)
+
+        if fail_before_commit:
+            raise RuntimeError("simulated crash before audit commit")
+
+        # per-partition lineage metrics from the part_id column (one tiny agg)
+        written = self.spark.read.parquet(run_chunks_path)
+        part_metrics = [
+            {
+                "part_id": r["part_id"],
+                "n_chunks": r["n_chunks"],
+                "n_docs": r["n_docs"],
+                "n_out_spans": r["n_out_spans"],
+            }
+            for r in written.groupBy("part_id")
+            .agg(
+                F.count("*").alias("n_chunks"),
+                F.countDistinct("doc_id").alias("n_docs"),
+                F.sum(F.size("out_spans")).alias("n_out_spans"),
+            )
+            .collect()
+        ]
+        n_docs_attempted = self.spark.read.parquet(run_processed_path).count()
+
+        os.makedirs(self.audit_dir, exist_ok=True)
+        record = {
+            "run_id": run_id,
+            "committed_at_epoch_s": round(time.time(), 3),
+            "wall_s": round(time.time() - t0, 3),
+            "n_docs_attempted": n_docs_attempted,
+            "n_docs_with_chunks": sum(m["n_docs"] for m in part_metrics),
+            "n_chunks": sum(m["n_chunks"] for m in part_metrics),
+            "partition_metrics": sorted(part_metrics, key=lambda m: m["part_id"]),
+        }
+        tmp = os.path.join(self.audit_dir, f".{run_id}.json.tmp")
+        with open(tmp, "w") as f:
+            json.dump(record, f, indent=1)
+        os.rename(tmp, os.path.join(self.audit_dir, f"{run_id}.json"))  # atomic commit
+        return self.read_chunks()

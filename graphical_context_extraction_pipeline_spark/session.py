@@ -33,6 +33,17 @@ def _export_package_path() -> str:
         os.environ["PYTHONPATH"] = (
             f"{pkg_root}{os.pathsep}{existing}" if existing else pkg_root
         )
+    # one BLAS/OMP thread per Python worker: N workers × M BLAS threads
+    # oversubscribes the box catastrophically (3× slowdown at local[32]);
+    # parallelism belongs to Spark tasks, not nested thread pools
+    for var in (
+        "OMP_NUM_THREADS",
+        "OPENBLAS_NUM_THREADS",
+        "MKL_NUM_THREADS",
+        "NUMEXPR_NUM_THREADS",
+        "VECLIB_MAXIMUM_THREADS",
+    ):
+        os.environ.setdefault(var, "1")
     return pkg_root
 
 
@@ -66,3 +77,26 @@ def get_spark(
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
+
+
+def ensure_worker_imports(spark: SparkSession) -> None:
+    """Ship this package to executor Python workers via addPyFile — the
+    runtime equivalent of ``spark-submit --py-files``, needed when the
+    SparkSession was created by an external driver (so the PYTHONPATH
+    export in get_spark never ran)."""
+    if getattr(spark, "_gcep_pyfiles_added", False):
+        return
+    import tempfile
+    import zipfile
+
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    zip_path = os.path.join(tempfile.gettempdir(), "gcep_spark_pkg.zip")
+    with zipfile.ZipFile(zip_path, "w") as z:
+        for root, _dirs, files in os.walk(pkg_dir):
+            for fn in files:
+                if fn.endswith(".py"):
+                    full = os.path.join(root, fn)
+                    rel = os.path.relpath(full, os.path.dirname(pkg_dir))
+                    z.write(full, rel)
+    spark.sparkContext.addPyFile(zip_path)
+    spark._gcep_pyfiles_added = True
