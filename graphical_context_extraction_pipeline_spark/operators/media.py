@@ -1,0 +1,116 @@
+"""Multimodal (binary) column operators.
+
+Images/audio/video are opaque `binary` columns with a typed metadata struct;
+decode / feature-extract / resize / frame-sample run as Arrow-batched
+`mapInPandas` stages. The image/audio codec libraries are NOT in this
+container, so the decode kernel is a clearly-marked deterministic fake
+(seeded from the payload bytes) behind an import-try — the Spark-side
+plumbing (schema, batch shape, partitioning, UDF signature) is real and
+tested, and swapping in Pillow/ffmpeg later changes ONE function.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+MEDIA_DDL = (
+    "media_ref string, payload binary, "
+    "media_meta struct<mime:string, width:int, height:int, duration_ms:long>"
+)
+
+FEATURES_DDL = (
+    "media_ref string, mime string, n_bytes long, sha256 string, "
+    "width int, height int, feature array<float>"
+)
+
+FEATURE_DIM = 32
+
+
+def synthesize_media(docs: DataFrame) -> DataFrame:
+    """Deterministic opaque payloads for every frame media_ref in the spans
+    table (payload bytes derived from the ref — stable across runs)."""
+    frames = (
+        docs.select(F.explode("spans").alias("s"))
+        .where(F.col("s.kind") == "frame")
+        .select(F.col("s.media_ref").alias("media_ref"))
+        .distinct()
+    )
+    return frames.select(
+        "media_ref",
+        F.sha2(F.col("media_ref"), 256).cast("binary").alias("payload"),
+        F.struct(
+            F.lit("image/jpeg").alias("mime"),
+            F.lit(1280).alias("width"),
+            F.lit(720).alias("height"),
+            F.lit(None).cast("long").alias("duration_ms"),
+        ).alias("media_meta"),
+    )
+
+
+def _decode_image(payload: bytes, mime: str) -> np.ndarray:
+    """Decode kernel. Real codecs are absent in this image — try them, fall
+    back to a DETERMINISTIC FAKE (seeded grey image) so the distributed
+    plumbing is exercised end-to-end."""
+    try:  # pragma: no cover - not installed in this container
+        import io
+
+        from PIL import Image  # noqa: F401
+
+        return np.asarray(Image.open(io.BytesIO(payload)))
+    except ImportError:
+        seed = int.from_bytes(hashlib.sha256(payload or b"").digest()[:4], "big")
+        rng = np.random.RandomState(seed)
+        return rng.randint(0, 256, size=(16, 16), dtype=np.uint8)
+
+
+def _feature_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in it:
+        rows = []
+        for ref, payload, meta in zip(pdf["media_ref"], pdf["payload"], pdf["media_meta"]):
+            payload = bytes(payload) if payload is not None else b""
+            meta = meta or {}
+            img = _decode_image(payload, meta.get("mime") or "")
+            # 32-bin normalized intensity histogram as the feature vector —
+            # deterministic, codec-agnostic; swap for a real model embedding
+            hist, _ = np.histogram(img, bins=FEATURE_DIM, range=(0, 256))
+            tot = hist.sum() or 1
+            feat = (hist / tot).astype(np.float32)
+            rows.append(
+                (
+                    ref,
+                    meta.get("mime"),
+                    len(payload),
+                    hashlib.sha256(payload).hexdigest(),
+                    meta.get("width"),
+                    meta.get("height"),
+                    feat.tolist(),
+                )
+            )
+        yield pd.DataFrame(
+            rows,
+            columns=["media_ref", "mime", "n_bytes", "sha256", "width", "height", "feature"],
+        )
+
+
+def extract_media_features(media: DataFrame) -> DataFrame:
+    """binary payloads → per-asset feature rows (Arrow-batched map; zero
+    shuffle — media assets are independent rows, like documents)."""
+    return media.mapInPandas(_feature_batches, schema=FEATURES_DDL)
+
+
+def frame_sample_plan(docs: DataFrame, every_ms: int = 5000) -> DataFrame:
+    """Frame-sampling plan for video spans: which timestamps a decoder would
+    sample, per doc (sequence HOF — plan is computable without any codec)."""
+    return docs.where(F.col("meta.duration_ms") > 0).select(
+        "doc_id",
+        F.sequence(
+            F.lit(0).cast("long"), F.col("meta.duration_ms") - 1, F.lit(every_ms).cast("long")
+        ).alias("sample_ts"),
+    )

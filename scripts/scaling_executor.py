@@ -1,0 +1,83 @@
+#!/usr/bin/env python
+"""One emulated executor for the N-vs-4N scaling measurement.
+
+Usage: scaling_executor.py <cpus> <shard_index> <n_shards> [sf_dir]
+
+Processes shard (crc32(doc_id) % n_shards == shard_index) of the spans
+corpus on a local[cpus] session; prints one JSON line with the timed
+extraction wall. The orchestrator (scripts/scaling_run.py) pins each
+instance to a disjoint core set via taskset — separate JVM + separate
+Python worker pool + disjoint cores ≙ one executor of a real cluster.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+
+def main() -> None:
+    cpus = int(sys.argv[1])
+    shard = int(sys.argv[2])
+    n_shards = int(sys.argv[3])
+    sf_dir = sys.argv[4] if len(sys.argv) > 4 else "/root/testdata/sf0.1"
+
+    from pyspark.sql import functions as F
+
+    from graphical_context_extraction_pipeline_spark.datagen import (
+        ensure_documents,
+        sf_tag_from_dir,
+    )
+    from graphical_context_extraction_pipeline_spark.operators.extract import extract_documents
+    from graphical_context_extraction_pipeline_spark.session import get_spark
+
+    spark = get_spark(app_name=f"exec{shard}", cpus=cpus)
+    path = ensure_documents(spark, sf_tag_from_dir(sf_dir), base_dir=os.path.join(REPO, "data"))
+    docs = spark.read.parquet(path)
+    if n_shards > 1:
+        # cost-aware sharding: media-heavy skew docs are 25-70x a normal doc,
+        # so hash-sharding makes stragglers (SURVEY §4.2). Rank docs by span
+        # count and deal round-robin — each shard gets an equal cost mix.
+        # (Global window is fine at bench scale; at 10^12 docs this becomes
+        # a size-bucketed salt on the partition key.)
+        from pyspark.sql import Window
+
+        w = Window.orderBy(F.desc(F.size("spans")), "doc_id")
+        docs = (
+            docs.withColumn("rn", F.row_number().over(w))
+            .where((F.col("rn") - 1) % n_shards == shard)
+            .drop("rn")
+        )
+    docs = docs.repartition(cpus * 4).cache()
+    n_docs = docs.count()
+    extract_documents(docs.limit(64)).count()  # warm workers/codegen
+
+    best = None
+    n_chunks = 0
+    for _ in range(3):
+        t0 = time.time()
+        n_chunks = extract_documents(docs).count()
+        w = time.time() - t0
+        best = w if best is None or w < best else best
+    print(
+        json.dumps(
+            {
+                "shard": shard,
+                "n_shards": n_shards,
+                "cpus": cpus,
+                "n_docs": n_docs,
+                "n_chunks": n_chunks,
+                "wall_s": round(best, 3),
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

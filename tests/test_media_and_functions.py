@@ -1,0 +1,63 @@
+"""Multimodal plumbing + scalar function unit tests."""
+
+import math
+
+from graphical_context_extraction_pipeline_spark.functions.textnorm import (
+    normalize_text,
+    tfidf_cosine,
+    tokens,
+)
+from graphical_context_extraction_pipeline_spark.operators.media import (
+    FEATURE_DIM,
+    extract_media_features,
+    frame_sample_plan,
+    synthesize_media,
+)
+
+
+def test_normalize_text():
+    assert normalize_text("  a b​c  ") == "a bc"
+    assert normalize_text("’quote“x”") == "'quote\"x\""
+    assert normalize_text("a\t\n  b") == "a b"
+    assert normalize_text(None) is None
+    assert tokens("A  b\tC") == ["a", "b", "c"]
+
+
+def test_tfidf_cosine_spec():
+    # identical docs → 1.0; disjoint → 0.0; hand-checked mixed case
+    assert tfidf_cosine("alpha beta", "alpha beta") == 1.0
+    assert tfidf_cosine("alpha beta", "gamma delta") == 0.0
+    assert tfidf_cosine("", "x y") == 0.0
+    # one shared term of two (smooth idf): shared idf=ln(3/3)+1=1,
+    # unique idf=ln(3/2)+1; cos = 1*1 / (sqrt(1+u^2)*sqrt(1+u^2))
+    u = math.log(3 / 2) + 1
+    expect = 1.0 / (1 + u * u)
+    assert abs(tfidf_cosine("alpha beta", "alpha gamma") - expect) < 1e-12
+    # single-char tokens are dropped (sklearn \w\w+ pattern)
+    assert tfidf_cosine("a b", "a b") == 0.0
+
+
+def test_media_feature_plumbing(spark, docs_path):
+    docs = spark.read.parquet(docs_path)
+    media = synthesize_media(docs)
+    n_assets = media.count()
+    assert n_assets > 0
+    feats = extract_media_features(media)
+    rows = feats.collect()
+    assert len(rows) == n_assets
+    for r in rows[:5]:
+        assert len(r.feature) == FEATURE_DIM
+        assert abs(sum(r.feature) - 1.0) < 1e-3  # normalized histogram
+        assert r.n_bytes > 0 and len(r.sha256) == 64
+    # determinism: same payloads → same features
+    again = {r.media_ref: list(r.feature) for r in extract_media_features(media).collect()}
+    for r in rows:
+        assert again[r.media_ref] == list(r.feature)
+
+
+def test_frame_sample_plan(spark, docs_path):
+    docs = spark.read.parquet(docs_path)
+    plan = frame_sample_plan(docs, every_ms=5000)
+    r = plan.head()
+    assert r.sample_ts[0] == 0
+    assert all(b - a == 5000 for a, b in zip(r.sample_ts, r.sample_ts[1:]))

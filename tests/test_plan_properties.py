@@ -1,0 +1,58 @@
+"""Scale guarantees asserted as physical-plan properties."""
+
+from pyspark.sql import functions as F
+
+from graphical_context_extraction_pipeline_spark.operators import relational as R
+from graphical_context_extraction_pipeline_spark.operators import validate as V
+from graphical_context_extraction_pipeline_spark.operators.extract import extract_documents
+from graphical_context_extraction_pipeline_spark.plans.explain import (
+    count_exchanges,
+    has_broadcast_join,
+    has_sort_merge_join,
+    physical_plan,
+    read_schema_columns,
+)
+
+
+def test_extraction_is_shuffle_free(spark, docs_path):
+    """The hot path: scan → mapInPandas → (count). Zero Exchange nodes."""
+    docs = spark.read.parquet(docs_path)
+    chunks = extract_documents(docs)
+    assert count_exchanges(chunks) == 0, physical_plan(chunks)
+
+
+def test_coverage_is_shuffle_free(spark, docs_path):
+    """Intra-row HOF analytics need no shuffle either."""
+    docs = spark.read.parquet(docs_path)
+    cov = V.coverage(docs)
+    assert count_exchanges(cov) == 0, physical_plan(cov)
+
+
+def test_chapter_assign_broadcasts_dimension(spark, docs_path):
+    """J4's chapter dimension side must be broadcast (the fact-side
+    chunk↔contained joins may legitimately sort-merge)."""
+    docs = spark.read.parquet(docs_path)
+    j = R.chunk_chapter_assign(docs)
+    plan = physical_plan(j)
+    assert has_broadcast_join(j), plan
+    # the chapters relation itself must never be the big side of an SMJ:
+    # all three chapter joins carry explicit broadcast hints
+    assert plan.count("BroadcastExchange") >= 2, plan
+
+
+def test_column_pruning_reaches_scan(spark, docs_path):
+    """A doc_id-only projection must not read the fat spans column."""
+    docs = spark.read.parquet(docs_path).select("doc_id")
+    cols = read_schema_columns(docs)
+    assert "doc_id" in cols
+    assert "spans" not in cols, cols
+
+
+def test_flat_filter_pushdown(spark):
+    """Predicates on the flat documents table reach the parquet scan."""
+    from graphical_context_extraction_pipeline_spark.plans.explain import pushed_filters
+
+    flat = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    q = flat.where(F.col("lang") == "en").select("doc_id")
+    pf = pushed_filters(q)
+    assert "lang" in pf, pf
