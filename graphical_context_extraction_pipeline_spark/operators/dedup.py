@@ -24,6 +24,23 @@ def _tokens(col):
     return F.filter(F.split(F.lower(col), r"\s+"), lambda t: t != "")
 
 
+def _bucket_pairs(df, *keys: str):
+    """(doc_a, doc_b) pairs sharing a bucket key — via groupBy + within-
+    bucket pair expansion instead of a self-join: singleton buckets (the
+    vast majority) never enter a shuffle-join, and each bucket's pairs are
+    generated locally. One shuffle total (the groupBy)."""
+    grouped = (
+        df.groupBy(*keys)
+        .agg(F.collect_list("doc_id").alias("ds"))
+        .where(F.size("ds") > 1)
+    )
+    return (
+        grouped.select(F.explode("ds").alias("doc_a"), F.col("ds"))
+        .select("doc_a", F.explode("ds").alias("doc_b"))
+        .where(F.col("doc_a") < F.col("doc_b"))
+    )
+
+
 def _word_shingles(col, n: int = 3):
     """Distinct word n-grams of the lowercased text (empty when fewer than
     n tokens — note F.sequence(1, 0) would DESCEND, so it must be guarded)."""
@@ -59,12 +76,8 @@ def ngram_jaccard_pairs(docs: DataFrame, n: int = 3, min_jaccard_bp: int = 6000)
         "doc_id", F.explode(_word_shingles(F.col("text"), n)).alias("shingle")
     )
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
-    a = sh.alias("a")
-    b = sh.alias("b")
-    pairs = (
-        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .agg(F.count("*").alias("n_shared"))
+    pairs = _bucket_pairs(sh, "shingle").groupBy("doc_a", "doc_b").agg(
+        F.count("*").alias("n_shared")
     )
     sa = sizes.alias("sa")
     sb = sizes.alias("sb")
@@ -120,18 +133,7 @@ def minhash_lsh_pairs(docs: DataFrame, n_hashes: int = N_MINHASH, bands: int = L
     banded = sig.select("doc_id", F.explode(F.array(*band_cols)).alias("b")).select(
         "doc_id", F.col("b.band").alias("band"), F.col("b.bkey").alias("bkey")
     )
-    a = banded.alias("a")
-    b = banded.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bkey") == F.col("b.bkey"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .distinct()
-    )
+    return _bucket_pairs(banded, "band", "bkey").distinct()
 
 
 def simhash(docs: DataFrame, bits: int = 64) -> DataFrame:
@@ -179,15 +181,16 @@ def simhash_near_pairs(docs: DataFrame, max_hamming: int = 8) -> DataFrame:
             F.array(*[F.struct(F.lit(i).alias("band"), F.col(f"band{i}").alias("bkey")) for i in range(4)])
         ).alias("b"),
     ).select("doc_id", "simhash", F.col("b.band").alias("band"), F.col("b.bkey").alias("bkey"))
-    a = banded.alias("a")
-    b = banded.alias("b")
+    # within-bucket pair expansion (see _bucket_pairs), carrying the hashes
+    grouped = (
+        banded.groupBy("band", "bkey")
+        .agg(F.collect_list(F.struct("doc_id", "simhash")).alias("ds"))
+        .where(F.size("ds") > 1)
+    )
     cand = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bkey") == F.col("b.bkey"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
+        grouped.select(F.explode("ds").alias("a"), F.col("ds"))
+        .select("a", F.explode("ds").alias("b"))
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
         .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
