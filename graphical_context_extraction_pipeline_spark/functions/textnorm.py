@@ -28,9 +28,27 @@ _TFIDF_TOKEN_RE = re.compile(r"\b\w\w+\b")
 
 
 def normalize_text(s: str | None) -> str | None:
-    """NFC + strip zero-width + ASCII-fold quotes + collapse whitespace."""
+    """NFC + strip zero-width + ASCII-fold quotes + collapse whitespace.
+
+    Fast path: for ASCII strings with no tabs/newlines/double/edge spaces
+    every step below is the identity (NFC is a no-op on ASCII; both
+    translate tables key only non-ASCII chars; the \\s+→' ' sub changes
+    nothing), and that is the overwhelmingly common case in the hot loop.
+    """
     if s is None:
         return None
+    if (
+        s.isascii()
+        and "  " not in s
+        and "\t" not in s
+        and "\n" not in s
+        and "\r" not in s
+        and "\x0b" not in s
+        and "\x0c" not in s
+        and not s.startswith(" ")
+        and not s.endswith(" ")
+    ):
+        return s
     s = unicodedata.normalize("NFC", s).translate(_ZW_TABLE).translate(_CHAR_TABLE)
     return _WS_RE.sub(" ", s).strip()
 

@@ -60,11 +60,8 @@ CHUNK_COLUMNS = [
 ]
 
 
-def _get(span, key):
-    # Arrow hands struct elements back as dicts; tolerate tuples for tests
-    if isinstance(span, dict):
-        return span.get(key)
-    return getattr(span, key)
+# struct elements arrive as dicts (Arrow) or Rows (createDataFrame) — both
+# support subscript access, used directly in the hot loop
 
 
 def _frame_number(path: str) -> int:
@@ -85,35 +82,35 @@ def _doc_chunks(doc_id: str, spans, attrs, meta) -> list[tuple]:
     frm_p, frm_ts, frm_sid = [], [], []
     ocr_p, ocr_txt, ocr_c, ocr_y, ocr_x = [], [], [], [], []
     for sp, at in zip(spans, attrs):
-        kind = _get(sp, "kind")
+        kind = sp["kind"]
         if kind == "asr":
-            asr_t.append(normalize_text(_get(sp, "text")) or "")
-            asr_s.append(_get(sp, "offset"))
-            asr_e.append(_get(at, "end_ms"))
-            asr_c.append(_get(at, "confidence"))
-            asr_w.append(_get(at, "n_words") or 0)
+            asr_t.append(normalize_text(sp["text"]) or "")
+            asr_s.append(sp["offset"])
+            asr_e.append(at["end_ms"])
+            asr_c.append(at["confidence"])
+            asr_w.append(at["n_words"] or 0)
         elif kind == "ocr":
-            conf = _get(at, "confidence")
+            conf = at["confidence"]
             if conf is None or conf < OCR_CONF_MIN:
                 continue  # P1 pushed to scan time
-            bbox = _get(at, "bbox")
-            ocr_p.append(_get(sp, "media_ref"))
-            ocr_txt.append(normalize_text(_get(sp, "text")) or "")
+            bbox = at["bbox"]
+            ocr_p.append(sp["media_ref"])
+            ocr_txt.append(normalize_text(sp["text"]) or "")
             ocr_c.append(conf)
             ocr_y.append(bbox[1] if bbox is not None and len(bbox) > 1 else 0.0)
             ocr_x.append(bbox[0] if bbox is not None and len(bbox) > 0 else 0.0)
         elif kind == "frame":
-            frm_p.append(_get(sp, "media_ref"))
-            frm_ts.append(_get(sp, "offset"))
-            frm_sid.append(_get(at, "scene_id"))
+            frm_p.append(sp["media_ref"])
+            frm_ts.append(sp["offset"])
+            frm_sid.append(at["scene_id"])
         elif kind == "scene":
-            scn_id.append(int(_get(sp, "text").split(":", 1)[0]))
-            scn_s.append(_get(sp, "offset"))
-            scn_e.append(_get(at, "end_ms"))
+            scn_id.append(int(sp["text"].split(":", 1)[0]))
+            scn_s.append(sp["offset"])
+            scn_e.append(at["end_ms"])
         elif kind == "chapter":
-            chap_t.append(_get(sp, "text"))
-            chap_s.append(_get(sp, "offset"))
-            chap_e.append(_get(at, "end_ms"))
+            chap_t.append(sp["text"])
+            chap_s.append(sp["offset"])
+            chap_e.append(at["end_ms"])
 
     if not scn_s:
         return []
@@ -246,7 +243,9 @@ def _doc_chunks(doc_id: str, spans, attrs, meta) -> list[tuple]:
             bj = sorted(bj, key=lambda j: (ocr_y[j], ocr_x[j], ocr_txt[j], -ocr_c[j]))
             kept = [j for j in bj if not (tok_lists[j] and all(t in chrome for t in tok_lists[j]))]
             text = " ".join(ocr_txt[j] for j in kept if ocr_txt[j])
-            conf = float(np.mean([ocr_c[j] for j in kept])) if kept else 0.0
+            # sum/len (not np.mean's pairwise sum) — bit-identical to the
+            # oracle so near-dup confidence tiebreaks can't diverge
+            conf = sum(ocr_c[j] for j in kept) / len(kept) if kept else 0.0
             frame_entries.append((ts, p, kept, text, conf))
 
         # W2 near-dup keep-chain (compare vs last KEPT)
@@ -276,13 +275,14 @@ def _doc_chunks(doc_id: str, spans, attrs, meta) -> list[tuple]:
         else:
             merged_text = ""
 
-        # word-weighted mean = reference's mean-over-all-words (enricher.py:51-68)
-        tot_w = int(np.sum(asr_w_a[seg_idx])) if seg_idx else 0
+        # word-weighted mean = reference's mean-over-all-words (enricher.py:51-68);
+        # sequential sums match the oracle exactly
+        tot_w = sum(int(asr_w_a[j]) for j in seg_idx)
         asr_conf = (
-            float(np.sum(asr_c_a[seg_idx] * asr_w_a[seg_idx]) / tot_w) if tot_w else 0.0
+            sum(float(asr_c_a[j]) * int(asr_w_a[j]) for j in seg_idx) / tot_w if tot_w else 0.0
         )
         chunk_block_confs = [ocr_c[j] for p in kf_paths for j in blocks_by_path.get(p, [])]
-        ocr_conf = float(np.mean(chunk_block_confs)) if chunk_block_confs else 0.0
+        ocr_conf = sum(chunk_block_confs) / len(chunk_block_confs) if chunk_block_confs else 0.0
         alignment = tfidf_cosine(asr_text, ocr_text) if (asr_text and ocr_text) else 0.0
 
         out_spans = [("asr", asr_t[j], None, int(asr_s_a[j])) for j in seg_idx]
@@ -293,15 +293,25 @@ def _doc_chunks(doc_id: str, spans, attrs, meta) -> list[tuple]:
                     out_spans.append(("ocr", ocr_txt[j], fe[1], fe[0] + rank))
         out_spans.sort(key=lambda s: (s[3], KIND_PRIORITY[s[0]], s[1] or "", s[2] or ""))
 
-        # media-anchored context windows: nearest frame by |offset|, earlier wins
+        # media-anchored context windows: nearest frame by |offset|, earlier
+        # wins ties — vectorized via searchsorted over the sorted frame ts
         kf_ts_a = np.asarray(kf_ts, dtype=np.int64)
-        span_ctx = []
-        for kind, _t, _r, off in out_spans:
-            if kind in ("asr", "ocr") and len(kf_ts_a):
-                d = np.abs(kf_ts_a - off)
-                span_ctx.append(kf_paths[int(np.argmin(d))])
-            else:
-                span_ctx.append(None)
+        if len(kf_ts_a) and out_spans:
+            offs = np.asarray([s[3] for s in out_spans], dtype=np.int64)
+            pos = np.searchsorted(kf_ts_a, offs, side="left")
+            left = np.clip(pos - 1, 0, len(kf_ts_a) - 1)
+            right = np.clip(pos, 0, len(kf_ts_a) - 1)
+            d_left = np.abs(offs - kf_ts_a[left])
+            d_right = np.abs(kf_ts_a[right] - offs)
+            nearest = np.where(d_left <= d_right, left, right)
+            # duplicate frame timestamps: earliest frame with that ts wins
+            nearest = np.searchsorted(kf_ts_a, kf_ts_a[nearest], side="left")
+            span_ctx = [
+                kf_paths[int(nearest[k])] if s[0] in ("asr", "ocr") else None
+                for k, s in enumerate(out_spans)
+            ]
+        else:
+            span_ctx = [None] * len(out_spans)
 
         rows.append(
             (
