@@ -195,20 +195,38 @@ sh AS (SELECT doc_id, unnest(list_distinct(
 
 
 def _minhash_oracle() -> str:
-    mins = ",\n  ".join(
-        f"min(cast(('0x' || substr(md5('s{i}:' || shingle), 1, 15)) AS bigint)) AS mh{i}"
-        for i in range(16)
-    )
-    bands = "\nUNION ALL\n".join(
-        "SELECT doc_id, {b} AS band, md5({key}) AS bkey FROM sig".format(
-            b=b,
-            key=" || '_' || ".join(f"cast(mh{b * 4 + j} AS varchar)" for j in range(4)),
-        )
-        for b in range(4)
-    )
+    """Mirrors dedup.minhash_lsh_pairs bit-for-bit: one md5 per token, two
+    32-bit digest slices polynomial-combined across each 3-gram into
+    (h1, h2) mod P=2³¹−1, minhash family mhᵢ = min((h1 + i·h2 + i²) % P),
+    band key = polynomial combine of 4 signature rows."""
+    P, C = 2147483647, 1000003
+
+    def poly(arr):
+        return f"((({arr}[i] * {C} + {arr}[i+1]) % {P}) * {C} + {arr}[i+2]) % {P}"
+
+    mins = ",\n  ".join(f"min((h1 + {i} * h2 + {i * i}) % {P}) AS mh{i}" for i in range(16))
+    # band-key fold matches Spark's exactly: k=0; k = (k*C + mh_j) % P per row
+    band_rows = []
+    for b in range(4):
+        key = "0"
+        for j in range(4):
+            key = f"(({key}) * {C} + mh{b * 4 + j}) % {P}"
+        band_rows.append(f"SELECT doc_id, {b} AS band, {key} AS bkey FROM sig")
+    bands = "\nUNION ALL\n".join(band_rows)
     return f"""
 WITH {_CORPUS_NEAR},
-{_SHINGLES_CTE},
+tk AS (SELECT doc_id, {_TOKS} AS toks FROM corpus),
+tm AS (SELECT doc_id, len(toks) AS nt, list_transform(toks, t -> md5(t)) AS ds FROM tk),
+th AS (SELECT doc_id, nt,
+         list_transform(ds, d -> cast(('0x' || substr(d, 1, 8)) AS bigint)) AS ta,
+         list_transform(ds, d -> cast(('0x' || substr(d, 9, 8)) AS bigint)) AS tb
+       FROM tm),
+hh AS (SELECT doc_id, unnest(list_distinct(
+         CASE WHEN nt >= 3 THEN
+           list_transform(generate_series(1, nt - 2), i ->
+             ({poly('ta')}) * 2147483648 + ({poly('tb')}))
+         ELSE []::BIGINT[] END)) AS hh FROM th),
+sh AS (SELECT doc_id, hh >> 31 AS h1, hh & {P} AS h2 FROM hh),
 sig AS (SELECT doc_id, {mins} FROM sh GROUP BY doc_id),
 banded AS ({bands})
 SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b

