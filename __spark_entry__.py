@@ -89,6 +89,7 @@ QUERY_IDS = list(range(10))
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from graphical_context_extraction_pipeline_spark.operators import (
+        boilerplate as BP,
         dedup,
         relational as R,
         similarity,
@@ -109,6 +110,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_chapter_assign": lambda s, d: R.chunk_chapter_assign(_spans_docs(s, d)),
         "chrome_tokens": lambda s, d: R.chrome_tokens(_spans_docs(s, d)),
         "timeline_interleave": lambda s, d: R.timeline_interleave(_spans_docs(s, d)),
+        "sliding_windows": lambda s, d: R.sliding_window_chunks(_spans_docs(s, d)),
+        # ---- cross-doc boilerplate model (north-star per-partition heuristic) --
+        "boilerplate_lines": lambda s, d: BP.boilerplate_lines(_spans_docs(s, d)),
+        "strip_boilerplate": lambda s, d: BP.strip_boilerplate(_spans_docs(s, d)),
+        "boilerplate_partition_local": lambda s, d: BP.boilerplate_lines_partition_local(
+            _spans_docs(s, d)
+        ),
         # ---- validator analytics (SURVEY §2.5, phase-3 rebuild) ------------
         "keyframe_gaps": lambda s, d: V.keyframe_gaps(_spans_docs(s, d)),
         "asr_silence_gaps": lambda s, d: V.asr_gaps(_spans_docs(s, d)),
@@ -381,6 +389,65 @@ SELECT ch.doc_id, cast(ch.chapter_index AS bigint) AS chapter_index, ch.chapter_
         AND (SELECT count(*) FROM asr WHERE asr.doc_id = ch.doc_id
              AND asr.st < ch.end_ms AND asr.en > ch.start_ms) > 0) AS covered
 FROM ch
+"""
+
+    _PRI = (
+        "CASE kind WHEN 'chapter' THEN 0 WHEN 'scene' THEN 1 WHEN 'asr' THEN 2 "
+        "WHEN 'frame' THEN 3 ELSE 4 END"
+    )
+    W, S = 30000, 15000
+    q["sliding_windows"] = f"""
+WITH d AS (SELECT doc_id, meta.duration_ms AS dur, spans FROM {_SD} WHERE meta.duration_ms > 0),
+sp AS (SELECT doc_id, dur, unnest(spans) AS s FROM d),
+rng AS (SELECT doc_id, s.kind AS kind, s.text AS text, s.media_ref AS media_ref,
+               cast(s.offset AS bigint) AS "offset",
+               greatest(0, cast(ceil((s.offset - {W} + 1) / {S}.0) AS bigint)) AS k_lo,
+               least(cast(floor(s.offset / {S}.0) AS bigint),
+                     greatest(0, cast(ceil((dur - {W}) / {S}.0) AS bigint))) AS k_hi
+        FROM sp),
+fan AS (SELECT doc_id, kind, text, media_ref, "offset",
+               unnest(generate_series(k_lo, k_hi)) AS win_seq
+        FROM rng WHERE k_lo <= k_hi)
+SELECT doc_id, win_seq, win_seq * {S} AS w_start_ms, win_seq * {S} + {W} AS w_end_ms,
+       count(*) AS n_spans,
+       sum(CASE WHEN kind IN ('asr', 'ocr') THEN 1 ELSE 0 END) AS n_text_spans,
+       coalesce(string_agg(
+         CASE WHEN kind IN ('asr', 'ocr') AND coalesce(text, '') <> '' THEN text END, ' '
+         ORDER BY "offset", {_PRI}, coalesce(text, ''), coalesce(media_ref, '')), '') AS text,
+       coalesce(string_agg(
+         CASE WHEN coalesce(media_ref, '') <> '' THEN media_ref END, '|'
+         ORDER BY "offset", {_PRI}, coalesce(text, ''), coalesce(media_ref, '')), '') AS media_refs
+FROM fan GROUP BY doc_id, win_seq
+"""
+
+    # explicit unicode-ws class (ASCII + NBSP + zero-width) matching
+    # boilerplate._norm_line character-for-character
+    _NORM = "trim(regexp_replace(lower(s.text), '[\\s ​‌‍﻿]+', ' ', 'g'))"
+    _BL = f"""
+ol AS (SELECT DISTINCT doc_id, {_NORM} AS norm FROM {_S1}
+       WHERE s.kind = 'ocr' AND s.text IS NOT NULL AND {_NORM} <> ''),
+tot AS (SELECT count(DISTINCT doc_id) AS total_docs FROM {_SD}),
+bl AS (SELECT norm, count(*) AS n_docs, (SELECT total_docs FROM tot) AS total_docs
+       FROM ol GROUP BY norm
+       HAVING count(*) * 10000 >= (SELECT total_docs FROM tot) * 2000)
+"""
+    q["boilerplate_lines"] = f"""
+WITH {_BL}
+SELECT norm, n_docs, cast(total_docs AS bigint) AS total_docs FROM bl
+"""
+
+    q["strip_boilerplate"] = f"""
+WITH {_BL},
+allsp AS (SELECT doc_id, s.kind AS kind, s.text AS text, s.media_ref AS media_ref,
+                 cast(s.offset AS bigint) AS "offset",
+                 CASE WHEN s.text IS NULL THEN NULL ELSE {_NORM} END AS norm
+          FROM {_S1}),
+kept AS (SELECT * FROM allsp
+         WHERE kind <> 'ocr' OR norm IS NULL OR norm NOT IN (SELECT norm FROM bl))
+SELECT doc_id, kind, text, media_ref, "offset",
+       cast(row_number() OVER (PARTITION BY doc_id ORDER BY "offset", {_PRI},
+            coalesce(text, ''), coalesce(media_ref, '')) AS bigint) AS seq
+FROM kept
 """
 
     # ---- training-data ops ------------------------------------------------

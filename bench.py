@@ -77,6 +77,7 @@ def run_extract(cpus: int, sf_dir: str, iters: int = 3) -> dict:
 
 def run_suite(cpus: int, sf_dir: str) -> dict:
     from graphical_context_extraction_pipeline_spark.operators import (
+        boilerplate as BP,
         dedup,
         relational as R,
         similarity,
@@ -100,6 +101,8 @@ def run_suite(cpus: int, sf_dir: str) -> dict:
         "chunk_segmentation": lambda: R.chunk_segmentation(docs).count(),
         "coverage_windows": lambda: V.coverage(docs).count(),
         "keyframe_gaps": lambda: V.keyframe_gaps(docs).count(),
+        "sliding_windows": lambda: R.sliding_window_chunks(docs).count(),
+        "boilerplate_strip": lambda: BP.strip_boilerplate(docs).count(),
         "dedup_exact": lambda: dedup.exact_duplicates(flat).count(),
         "ngram_jaccard": lambda: dedup.ngram_jaccard_pairs(flat).count(),
         "minhash_lsh": lambda: dedup.minhash_lsh_pairs(flat).count(),

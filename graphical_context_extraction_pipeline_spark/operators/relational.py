@@ -189,6 +189,94 @@ def chrome_tokens(docs: DataFrame) -> DataFrame:
     )
 
 
+def sliding_window_chunks(
+    docs: DataFrame, window_ms: int = 30000, stride_ms: int = 15000
+) -> DataFrame:
+    """Sliding-window chunk segmentation with overlap (north-star
+    requirement beyond the reference's scene-fold): windows of
+    ``window_ms`` every ``stride_ms``; a span belongs to every window
+    containing its offset, so consecutive chunks share boundary context.
+    Media_ref anchors are preserved in offset order within each window.
+
+    Plan shape: the span→window fan-out is computed arithmetically per row
+    (k ∈ [⌈(offset−window+1)/stride⌉, ⌊offset/stride⌋] clamped to the doc's
+    window range) via ``sequence`` + ``explode`` — no join against a window
+    dimension, no shuffle before the single per-(doc,window) aggregation.
+
+    Output: (doc_id, win_seq, w_start_ms, w_end_ms, n_spans, n_text_spans,
+    text — ordered concat of asr/ocr span text, media_refs — frame/ocr
+    anchors in offset order).
+    """
+    s = docs.select(
+        "doc_id",
+        F.col("meta.duration_ms").cast("long").alias("dur"),
+        F.explode("spans").alias("s"),
+    ).where(F.col("dur") > 0)
+    k_max = F.greatest(
+        F.lit(0).cast("long"),
+        F.ceil((F.col("dur") - F.lit(window_ms)) / F.lit(float(stride_ms))).cast("long"),
+    )
+    o = F.col("s.offset").cast("long")
+    k_lo = F.greatest(
+        F.lit(0).cast("long"),
+        F.ceil((o - F.lit(window_ms) + 1) / F.lit(float(stride_ms))).cast("long"),
+    )
+    k_hi = F.least(F.floor(o / F.lit(float(stride_ms))).cast("long"), k_max)
+    fan = (
+        s.select(
+            "doc_id",
+            F.col("s.kind").alias("kind"),
+            F.col("s.text").alias("text"),
+            F.col("s.media_ref").alias("media_ref"),
+            o.alias("offset"),
+            F.explode(F.when(k_lo <= k_hi, F.sequence(k_lo, k_hi)).otherwise(
+                F.array().cast("array<long>")
+            )).alias("win_seq"),
+        )
+    )
+    pri = F.expr(KIND_PRIORITY_SQL)
+    ordered = F.array_sort(
+        F.collect_list(
+            F.struct(
+                F.col("offset"),
+                pri.alias("pri"),
+                F.coalesce("text", F.lit("")).alias("t"),
+                F.coalesce("media_ref", F.lit("")).alias("m"),
+                F.col("kind"),
+            )
+        )
+    )
+    return (
+        fan.groupBy("doc_id", "win_seq")
+        .agg(
+            F.count("*").cast("long").alias("n_spans"),
+            F.sum(F.when(F.col("kind").isin("asr", "ocr"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_text_spans"),
+            ordered.alias("ord"),
+        )
+        .select(
+            "doc_id",
+            F.col("win_seq").cast("long").alias("win_seq"),
+            (F.col("win_seq") * stride_ms).cast("long").alias("w_start_ms"),
+            (F.col("win_seq") * stride_ms + window_ms).cast("long").alias("w_end_ms"),
+            "n_spans",
+            "n_text_spans",
+            F.array_join(
+                F.transform(
+                    F.filter(F.col("ord"), lambda x: x["kind"].isin("asr", "ocr") & (x["t"] != "")),
+                    lambda x: x["t"],
+                ),
+                " ",
+            ).alias("text"),
+            F.array_join(
+                F.transform(F.filter(F.col("ord"), lambda x: x["m"] != ""), lambda x: x["m"]),
+                "|",
+            ).alias("media_refs"),
+        )
+    )
+
+
 def timeline_interleave(docs: DataFrame) -> DataFrame:
     """W7+O2: globally-ordered per-doc event sequence with the stable
     kind-priority tiebreak (chapter<scene<asr<frame<ocr)."""
