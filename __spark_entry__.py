@@ -91,6 +91,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from graphical_context_extraction_pipeline_spark.operators import (
         boilerplate as BP,
         dedup,
+        export as EX,
         relational as R,
         similarity,
         text_analysis as TA,
@@ -111,6 +112,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chrome_tokens": lambda s, d: R.chrome_tokens(_spans_docs(s, d)),
         "timeline_interleave": lambda s, d: R.timeline_interleave(_spans_docs(s, d)),
         "sliding_windows": lambda s, d: R.sliding_window_chunks(_spans_docs(s, d)),
+        "transcript_lines": lambda s, d: EX.transcript_lines(_spans_docs(s, d)),
         # ---- cross-doc boilerplate model (north-star per-partition heuristic) --
         "boilerplate_lines": lambda s, d: BP.boilerplate_lines(_spans_docs(s, d)),
         "strip_boilerplate": lambda s, d: BP.strip_boilerplate(_spans_docs(s, d)),
@@ -434,6 +436,20 @@ bl AS (SELECT norm, count(*) AS n_docs, (SELECT total_docs FROM tot) AS total_do
     q["boilerplate_lines"] = f"""
 WITH {_BL}
 SELECT norm, n_docs, cast(total_docs AS bigint) AS total_docs FROM bl
+"""
+
+    q["transcript_lines"] = f"""
+WITH a AS (SELECT doc_id, cast(s.offset AS bigint) AS st, cast(a.end_ms AS bigint) AS en,
+                  s.text AS text FROM {_Z} WHERE s.kind = 'asr')
+SELECT doc_id,
+       cast(row_number() OVER (PARTITION BY doc_id ORDER BY st, en, text) AS bigint) AS seq,
+       printf('[%s --> %s] %s',
+              printf('%02d:%02d:%02d.%03d', st // 3600000, (st // 60000) % 60,
+                     (st // 1000) % 60, st % 1000),
+              printf('%02d:%02d:%02d.%03d', en // 3600000, (en // 60000) % 60,
+                     (en // 1000) % 60, en % 1000),
+              text) AS line
+FROM a
 """
 
     q["strip_boilerplate"] = f"""

@@ -44,6 +44,46 @@ def export_json_array(df: DataFrame, path: str, max_rows: int = JSON_ARRAY_MAX_R
     return len(rows)
 
 
+def transcript_lines(docs: DataFrame) -> DataFrame:
+    """S17/F7 rebuild: human-readable transcript lines per document —
+    ``[HH:MM:SS.mmm --> HH:MM:SS.mmm] text`` over the asr spans in start
+    order (reference: phase 1/src/extract/asr.py:246-266). Pipe the `line`
+    column to ``df.write.text`` for the file artifact."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    def hms(ms_col):
+        return F.format_string(
+            "%02d:%02d:%02d.%03d",
+            (ms_col / 3600000).cast("long"),
+            ((ms_col / 60000).cast("long") % 60),
+            ((ms_col / 1000).cast("long") % 60),
+            (ms_col % 1000).cast("long"),
+        )
+
+    s = (
+        docs.select(
+            "doc_id",
+            F.explode(F.arrays_zip(F.col("spans").alias("s"), F.col("span_attrs").alias("a"))).alias("z"),
+        )
+        .where(F.col("z.s.kind") == "asr")
+        .select(
+            "doc_id",
+            F.col("z.s.offset").cast("long").alias("st"),
+            F.col("z.a.end_ms").cast("long").alias("en"),
+            F.col("z.s.text").alias("text"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy("st", "en", "text")
+    return s.select(
+        "doc_id",
+        F.row_number().over(w).cast("long").alias("seq"),
+        F.format_string("[%s --> %s] %s", hms(F.col("st")), hms(F.col("en")), F.col("text")).alias(
+            "line"
+        ),
+    )
+
+
 def read_jsonl(spark, path: str, schema=None) -> DataFrame:
     r = spark.read
     if schema is not None:

@@ -67,9 +67,15 @@ def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> np.ndarray:
     return rng.normal(size=(n_planes, dim)).astype(float)
 
 
-def lsh_bucket(emb: DataFrame, n_planes: int = 12, seed: int = 42) -> DataFrame:
-    """Sign-bucket id per vector: bit i = sign(v · plane_i)."""
-    dim = len(emb.select("embedding").head()[0])
+def lsh_bucket(emb: DataFrame, n_planes: int = 12, seed: int = 42, dim: int | None = None) -> DataFrame:
+    """Sign-bucket id per vector: bit i = sign(v · plane_i).
+
+    ``dim`` is sniffed from the first row when not given (one tiny driver
+    action); an empty table degrades to dim=1 (bucketing an empty set is
+    vacuous but must not crash)."""
+    if dim is None:
+        head = emb.select("embedding").head()
+        dim = len(head[0]) if head is not None and head[0] is not None else 1
     planes = _hyperplanes(dim, n_planes, seed)
     bucket = sum(
         (

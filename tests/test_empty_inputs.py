@@ -1,0 +1,65 @@
+"""Degenerate-input robustness: every operator must return an empty result
+(not crash) on empty tables — the 100 TB pipeline will see empty partitions,
+empty micro-batches, and filtered-to-nothing inputs constantly."""
+
+import pytest
+
+from graphical_context_extraction_pipeline_spark.datagen import SPANS_DDL
+from graphical_context_extraction_pipeline_spark.operators import (
+    boilerplate as BP,
+    dedup,
+    relational as R,
+    similarity,
+    text_analysis as TA,
+    validate as V,
+)
+from graphical_context_extraction_pipeline_spark.operators.extract import extract_documents
+
+FLAT_DDL = "doc_id long, text string, lang string, source string, n_chars long"
+EMB_DDL = "vec_id long, embedding array<float>, label string"
+
+
+@pytest.fixture(scope="module")
+def empties(spark):
+    return (
+        spark.createDataFrame([], SPANS_DDL),
+        spark.createDataFrame([], FLAT_DDL),
+        spark.createDataFrame([], EMB_DDL),
+    )
+
+
+OPS = {
+    "extract": lambda sp, fl, em: extract_documents(sp),
+    "chunk_segmentation": lambda sp, fl, em: R.chunk_segmentation(sp),
+    "chunk_asr_text": lambda sp, fl, em: R.chunk_asr_text(sp),
+    "chunk_chapter_assign": lambda sp, fl, em: R.chunk_chapter_assign(sp),
+    "chrome_tokens": lambda sp, fl, em: R.chrome_tokens(sp),
+    "timeline_interleave": lambda sp, fl, em: R.timeline_interleave(sp),
+    "sliding_windows": lambda sp, fl, em: R.sliding_window_chunks(sp),
+    "boilerplate_lines": lambda sp, fl, em: BP.boilerplate_lines(sp),
+    "strip_boilerplate": lambda sp, fl, em: BP.strip_boilerplate(sp),
+    "boilerplate_partition_local": lambda sp, fl, em: BP.boilerplate_lines_partition_local(sp),
+    "coverage": lambda sp, fl, em: V.coverage(sp),
+    "keyframe_gaps": lambda sp, fl, em: V.keyframe_gaps(sp),
+    "asr_gaps": lambda sp, fl, em: V.asr_gaps(sp),
+    "chapter_counts": lambda sp, fl, em: V.chapter_counts(sp),
+    "dedup_exact": lambda sp, fl, em: dedup.exact_duplicates(fl),
+    "ngram_jaccard": lambda sp, fl, em: dedup.ngram_jaccard_pairs(fl),
+    "minhash_lsh": lambda sp, fl, em: dedup.minhash_lsh_pairs(fl),
+    "simhash": lambda sp, fl, em: dedup.simhash(fl),
+    "simhash_near_pairs": lambda sp, fl, em: dedup.simhash_near_pairs(fl),
+    "token_stats": lambda sp, fl, em: TA.token_stats(fl),
+    "lang_id": lambda sp, fl, em: TA.lang_id(fl),
+    "quality_score": lambda sp, fl, em: TA.quality_score(fl),
+    "fingerprint": lambda sp, fl, em: TA.fingerprint(fl),
+    "cosine_topk": lambda sp, fl, em: similarity.cosine_topk(em, [0, 1]),
+    "ann_topk_lsh": lambda sp, fl, em: similarity.ann_topk_lsh(em, [0, 1]),
+    "embedding_cosine_dups": lambda sp, fl, em: similarity.embedding_cosine_dups(em),
+}
+
+
+@pytest.mark.parametrize("name", sorted(OPS))
+def test_empty_input_yields_empty_output(name, spark, empties):
+    df = OPS[name](*empties)
+    assert df.count() == 0
+    assert df.columns  # schema survives
