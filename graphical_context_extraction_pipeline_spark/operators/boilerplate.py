@@ -79,41 +79,33 @@ def strip_boilerplate(docs: DataFrame, min_doc_bp: int = DEFAULT_MIN_DOC_BP) -> 
 
     Plan shape: the boilerplate dimension (tiny) is aggregated into ONE row
     (collect_set) and broadcast-joined; membership is an array_contains
-    against that set — no shuffle touches the (huge) span stream beyond the
-    final per-doc window numbering.
+    against that set, the per-doc re-ordering is an intra-row ``array_sort``
+    and seq comes from ``posexplode`` — the (huge) span stream is never
+    shuffled at all.
     """
-    from .relational import KIND_PRIORITY_SQL
+    from .relational import sorted_span_rows
 
     bl = boilerplate_lines(docs, min_doc_bp).agg(
         F.collect_set("norm").alias("bl_set")
     )
-    s = (
+    kept = F.filter(
+        F.col("spans"),
+        lambda s: (s["kind"] != "ocr")
+        | s["text"].isNull()
+        | ~F.coalesce(F.array_contains(F.col("bl_set"), _norm_line(s["text"])), F.lit(False)),
+    )
+    return (
         docs.crossJoin(F.broadcast(bl))
-        .select("doc_id", "bl_set", F.explode("spans").alias("s"))
-        .where(
-            (F.col("s.kind") != "ocr")
-            | F.col("s.text").isNull()
-            | ~F.coalesce(
-                F.array_contains(F.col("bl_set"), _norm_line(F.col("s.text"))), F.lit(False)
-            )
-        )
+        .select("doc_id", F.posexplode(sorted_span_rows(kept)).alias("pos", "s"))
         .select(
             "doc_id",
             F.col("s.kind").alias("kind"),
             F.col("s.text").alias("text"),
             F.col("s.media_ref").alias("media_ref"),
-            F.col("s.offset").cast("long").alias("offset"),
+            F.col("s.offset").alias("offset"),
+            (F.col("pos") + 1).cast("long").alias("seq"),
         )
     )
-    from pyspark.sql import Window
-
-    w = Window.partitionBy("doc_id").orderBy(
-        "offset",
-        F.expr(KIND_PRIORITY_SQL),
-        F.coalesce("text", F.lit("")),
-        F.coalesce("media_ref", F.lit("")),
-    )
-    return s.withColumn("seq", F.row_number().over(w).cast("long"))
 
 
 _PL_SCHEMA = "part_id int, norm string, n_docs long, part_total_docs long"

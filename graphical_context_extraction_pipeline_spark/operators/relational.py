@@ -277,18 +277,52 @@ def sliding_window_chunks(
     )
 
 
+def _kind_pri(kind_col):
+    return (
+        F.when(kind_col == "chapter", 0)
+        .when(kind_col == "scene", 1)
+        .when(kind_col == "asr", 2)
+        .when(kind_col == "frame", 3)
+        .otherwise(4)
+    )
+
+
+def sorted_span_rows(spans_arr) -> F.Column:
+    """array<span-struct> → array sorted by the W7 stable order
+    (offset, kind-priority, text, media_ref), sort keys leading so plain
+    ``array_sort`` struct comparison realizes the ordering INSIDE the row."""
+    return F.array_sort(
+        F.transform(
+            spans_arr,
+            lambda s: F.struct(
+                s["offset"].cast("long").alias("offset"),
+                _kind_pri(s["kind"]).alias("pri"),
+                F.coalesce(s["text"], F.lit("")).alias("t"),
+                F.coalesce(s["media_ref"], F.lit("")).alias("m"),
+                s["kind"].alias("kind"),
+                s["text"].alias("text"),
+                s["media_ref"].alias("media_ref"),
+            ),
+        )
+    )
+
+
 def timeline_interleave(docs: DataFrame) -> DataFrame:
     """W7+O2: globally-ordered per-doc event sequence with the stable
-    kind-priority tiebreak (chapter<scene<asr<frame<ocr)."""
-    s = docs.select("doc_id", F.explode("spans").alias("s")).select(
+    kind-priority tiebreak (chapter<scene<asr<frame<ocr).
+
+    Zero-shuffle formulation: the per-doc sort happens INSIDE the row
+    (``array_sort`` over sort-key-leading structs), and seq comes from
+    ``posexplode`` — no window, so the (huge) span stream is never
+    shuffled. The previous row_number()-over-doc_id form repartitioned
+    every span at 100 TB just to number them."""
+    return docs.select(
+        "doc_id", F.posexplode(sorted_span_rows(F.col("spans"))).alias("pos", "s")
+    ).select(
         "doc_id",
         F.col("s.kind").alias("kind"),
         F.col("s.text").alias("text"),
         F.col("s.media_ref").alias("media_ref"),
-        F.col("s.offset").cast("long").alias("offset"),
+        F.col("s.offset").alias("offset"),
+        (F.col("pos") + 1).cast("long").alias("seq"),
     )
-    pri = F.expr(KIND_PRIORITY_SQL)
-    w = Window.partitionBy("doc_id").orderBy(
-        "offset", pri, F.coalesce("text", F.lit("")), F.coalesce("media_ref", F.lit(""))
-    )
-    return s.withColumn("seq", F.row_number().over(w).cast("long"))

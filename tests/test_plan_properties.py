@@ -40,6 +40,44 @@ def test_chapter_assign_broadcasts_dimension(spark, docs_path):
     assert plan.count("BroadcastExchange") >= 2, plan
 
 
+def test_timeline_interleave_is_shuffle_free(spark, docs_path):
+    """Per-doc ordering + seq numbering happen INSIDE the row (array_sort +
+    posexplode) — the span stream must never hit an Exchange."""
+    docs = spark.read.parquet(docs_path)
+    tl = R.timeline_interleave(docs)
+    assert count_exchanges(tl) == 0, physical_plan(tl)
+
+
+def test_strip_boilerplate_span_stream_not_shuffled(spark, docs_path):
+    """The boilerplate dimension may shuffle (it is tiny); the span stream
+    side reaches the output through broadcast + intra-row ops only. The
+    dimension aggregations account for every Exchange in the plan — the
+    same aggregations alone must show the same count."""
+    from graphical_context_extraction_pipeline_spark.operators import boilerplate as BP
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(docs_path)
+    stripped = BP.strip_boilerplate(docs)
+    dim_only = BP.boilerplate_lines(docs).agg(F.collect_set("norm"))
+    assert count_exchanges(stripped) == count_exchanges(dim_only), physical_plan(stripped)
+    assert has_broadcast_join(stripped) or "BroadcastExchange" in physical_plan(stripped)
+
+
+def test_chrome_tokens_single_shuffle(spark, docs_path):
+    """Single-scan chrome: one token-level aggregation shuffle, nothing else."""
+    docs = spark.read.parquet(docs_path)
+    ct = R.chrome_tokens(docs)
+    assert count_exchanges(ct) == 1, physical_plan(ct)
+
+
+def test_sliding_windows_single_shuffle(spark, docs_path):
+    """Arithmetic span→window fan-out: no window-dimension join; exactly the
+    one per-(doc,window) aggregation shuffle."""
+    docs = spark.read.parquet(docs_path)
+    sw = R.sliding_window_chunks(docs)
+    assert count_exchanges(sw) == 1, physical_plan(sw)
+
+
 def test_column_pruning_reaches_scan(spark, docs_path):
     """A doc_id-only projection must not read the fat spans column."""
     docs = spark.read.parquet(docs_path).select("doc_id")
