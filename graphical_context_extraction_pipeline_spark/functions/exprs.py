@@ -1,0 +1,38 @@
+"""Shared Spark SQL expression combinators."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+
+def bind(expr, f):
+    """Let-binding for Spark SQL array expressions: evaluate ``expr`` ONCE
+    and pass it to ``f`` as a higher-order-function lambda variable.
+
+    Load-bearing for performance: Catalyst's CollapseProject freely inlines
+    a projected column into every downstream reference, so an expensive
+    array expression (tokenize → hash → combine) referenced from N places
+    (size / slices / explode) gets evaluated N times. Wrapping it as the
+    element of a 1-element array and binding it through ``transform`` forces
+    single evaluation (measured 2-4× on the dedup shingle pipelines)."""
+    return F.element_at(F.transform(F.array(expr), f), 1)
+
+
+def consecutive_pairs(arr):
+    """array<T> → array<struct<a:T, b:T>> of consecutive element pairs of a
+    SORTED array — the intra-row equivalent of lead() over a per-key window
+    (zero shuffle). Empty/singleton arrays yield an empty pair array; the
+    empty branch is built from zero-length slices of the same array so both
+    CASE branches carry the element type without spelling it out."""
+
+    def pairs(a):
+        n = F.size(a) - 1
+        empty = F.zip_with(
+            F.slice(a, 1, 0), F.slice(a, 1, 0), lambda x, y: F.struct(x.alias("a"), y.alias("b"))
+        )
+        full = F.zip_with(
+            F.slice(a, 1, n), F.slice(a, 2, n), lambda x, y: F.struct(x.alias("a"), y.alias("b"))
+        )
+        return F.when(n >= 1, full).otherwise(empty)
+
+    return bind(arr, pairs)

@@ -24,17 +24,7 @@ def _tokens(col):
     return F.filter(F.split(F.lower(col), r"\s+"), lambda t: t != "")
 
 
-def _bind(expr, f):
-    """Let-binding for Spark SQL array expressions: evaluate ``expr`` ONCE
-    and pass it to ``f`` as a higher-order-function lambda variable.
-
-    Load-bearing for performance: Catalyst's CollapseProject freely inlines
-    a projected column into every downstream reference, so an expensive
-    array expression (tokenize → hash → combine) referenced from N places
-    (size / slices / explode) gets evaluated N times. Wrapping it as the
-    element of a 1-element array and binding it through ``transform`` forces
-    single evaluation (measured 2-4× on the shingle pipelines)."""
-    return F.element_at(F.transform(F.array(expr), f), 1)
+from ..functions.exprs import bind as _bind  # single-eval let-binding (see exprs.py)
 
 
 def _bucket_pairs(df, *keys: str):

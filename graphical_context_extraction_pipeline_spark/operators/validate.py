@@ -28,61 +28,62 @@ def _spans_of_kind(kind: str):
 def keyframe_gaps(docs: DataFrame) -> DataFrame:
     """W3: consecutive keyframe timestamp gaps > 15 s, severity high > 30 s.
 
-    Window(lead) over exploded frame spans — the per-doc sort is pushed into
-    the window's local sort; no extra shuffle beyond the doc partitioning.
+    Intra-row formulation: sort the doc's frame spans inside the row
+    (array_sort), pair consecutive elements (the zero-shuffle lead()
+    equivalent), filter, explode — the frame stream never shuffles.
     """
-    from pyspark.sql import Window
+    from ..functions.exprs import consecutive_pairs
 
-    frames = (
-        docs.select("doc_id", F.explode(_spans_of_kind("frame")).alias("s"))
-        .select("doc_id", F.col("s.offset").alias("ts"), F.col("s.media_ref").alias("path"))
-    )
-    w = Window.partitionBy("doc_id").orderBy("ts", "path")
-    return (
-        frames.withColumn("next_ts", F.lead("ts").over(w))
-        .where(F.col("next_ts") - F.col("ts") > KEYFRAME_GAP_MS)
-        .select(
-            "doc_id",
-            F.col("ts").cast("long").alias("gap_start_ms"),
-            F.col("next_ts").cast("long").alias("gap_end_ms"),
-            (F.col("next_ts") - F.col("ts")).cast("long").alias("gap_ms"),
-            F.when(F.col("next_ts") - F.col("ts") > KEYFRAME_GAP_HIGH_MS, "high")
-            .otherwise("medium")
-            .alias("severity"),
+    frames = F.array_sort(
+        F.transform(
+            _spans_of_kind("frame"),
+            lambda s: F.struct(
+                s["offset"].cast("long").alias("ts"),
+                F.coalesce(s["media_ref"], F.lit("")).alias("path"),
+            ),
         )
+    )
+    gaps = F.filter(
+        consecutive_pairs(frames), lambda p: p["b"]["ts"] - p["a"]["ts"] > KEYFRAME_GAP_MS
+    )
+    return docs.select("doc_id", F.explode(gaps).alias("g")).select(
+        "doc_id",
+        F.col("g.a.ts").alias("gap_start_ms"),
+        F.col("g.b.ts").alias("gap_end_ms"),
+        (F.col("g.b.ts") - F.col("g.a.ts")).alias("gap_ms"),
+        F.when(F.col("g.b.ts") - F.col("g.a.ts") > KEYFRAME_GAP_HIGH_MS, "high")
+        .otherwise("medium")
+        .alias("severity"),
     )
 
 
 def asr_gaps(docs: DataFrame) -> DataFrame:
-    """W4: silence gaps between consecutive ASR segments > 5 s (severity low)."""
-    from pyspark.sql import Window
+    """W4: silence gaps between consecutive ASR segments > 5 s (severity
+    low). Same intra-row sort + consecutive-pair shape as W3."""
+    from ..functions.exprs import consecutive_pairs
 
-    segs = (
-        docs.select(
-            "doc_id",
-            F.explode(
-                F.arrays_zip(F.col("spans").alias("s"), F.col("span_attrs").alias("a"))
-            ).alias("z"),
-        )
-        .where(F.col("z.s.kind") == "asr")
-        .select(
-            "doc_id",
-            F.col("z.s.offset").alias("start_ms"),
-            F.col("z.a.end_ms").alias("end_ms"),
-            F.col("z.s.text").alias("text"),
+    segs = F.array_sort(
+        F.transform(
+            F.filter(
+                F.arrays_zip(F.col("spans").alias("s"), F.col("span_attrs").alias("a")),
+                lambda z: z["s"]["kind"] == F.lit("asr"),
+            ),
+            lambda z: F.struct(
+                z["s"]["offset"].cast("long").alias("start_ms"),
+                z["a"]["end_ms"].cast("long").alias("end_ms"),
+                F.coalesce(z["s"]["text"], F.lit("")).alias("text"),
+            ),
         )
     )
-    w = Window.partitionBy("doc_id").orderBy("start_ms", "end_ms", "text")
-    return (
-        segs.withColumn("next_start", F.lead("start_ms").over(w))
-        .where(F.col("next_start") - F.col("end_ms") > ASR_GAP_MS)
-        .select(
-            "doc_id",
-            F.col("end_ms").cast("long").alias("gap_start_ms"),
-            F.col("next_start").cast("long").alias("gap_end_ms"),
-            (F.col("next_start") - F.col("end_ms")).cast("long").alias("gap_ms"),
-            F.lit("low").alias("severity"),
-        )
+    gaps = F.filter(
+        consecutive_pairs(segs), lambda p: p["b"]["start_ms"] - p["a"]["end_ms"] > ASR_GAP_MS
+    )
+    return docs.select("doc_id", F.explode(gaps).alias("g")).select(
+        "doc_id",
+        F.col("g.a.end_ms").alias("gap_start_ms"),
+        F.col("g.b.start_ms").alias("gap_end_ms"),
+        (F.col("g.b.start_ms") - F.col("g.a.end_ms")).alias("gap_ms"),
+        F.lit("low").alias("severity"),
     )
 
 

@@ -63,6 +63,14 @@ def test_strip_boilerplate_span_stream_not_shuffled(spark, docs_path):
     assert has_broadcast_join(stripped) or "BroadcastExchange" in physical_plan(stripped)
 
 
+def test_gap_detectors_are_shuffle_free(spark, docs_path):
+    """W3/W4 via intra-row consecutive pairs instead of lead() windows."""
+    docs = spark.read.parquet(docs_path)
+    for op in (V.keyframe_gaps, V.asr_gaps):
+        df = op(docs)
+        assert count_exchanges(df) == 0, physical_plan(df)
+
+
 def test_chrome_tokens_single_shuffle(spark, docs_path):
     """Single-scan chrome: one token-level aggregation shuffle, nothing else."""
     docs = spark.read.parquet(docs_path)
