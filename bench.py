@@ -114,9 +114,15 @@ def run_suite(cpus: int, sf_dir: str) -> dict:
     timings: dict[str, float] = {}
     extract_wall = None
     for name, fn in suite.items():
-        t0 = time.time()
-        fn()
-        timings[name] = round(time.time() - t0, 3)
+        # best-of-2: this box is multi-tenant and external load only ever
+        # slows a run; min is the faithful engine cost
+        best = None
+        for _ in range(2):
+            t0 = time.time()
+            fn()
+            w = time.time() - t0
+            best = w if best is None or w < best else best
+        timings[name] = round(best, 3)
         if name == "extract":
             extract_wall = timings[name]
     spark.stop()

@@ -45,14 +45,22 @@ def _norm_line(col):
 
 
 def _ocr_lines(docs: DataFrame) -> DataFrame:
-    """(doc_id, norm) pairs — one row per distinct OCR block text per doc."""
-    z = F.filter(F.col("spans"), lambda s: (s["kind"] == "ocr") & s["text"].isNotNull())
-    return (
-        docs.select("doc_id", F.explode(z).alias("s"))
-        .select("doc_id", _norm_line(F.col("s.text")).alias("norm"))
-        .where(F.col("norm") != "")
-        .distinct()
+    """(doc_id, norm) pairs — one row per distinct OCR block text per doc.
+
+    Per-doc distinctness is computed INSIDE the row (``array_distinct``
+    over the normalized OCR texts) — a relational ``.distinct()`` after
+    explode would be a second full shuffle of the line stream just to
+    dedup within documents."""
+    norms = F.array_distinct(
+        F.filter(
+            F.transform(
+                F.filter(F.col("spans"), lambda s: (s["kind"] == "ocr") & s["text"].isNotNull()),
+                lambda s: _norm_line(s["text"]),
+            ),
+            lambda n: n != "",
+        )
     )
+    return docs.select("doc_id", F.explode(norms).alias("norm"))
 
 
 def boilerplate_lines(docs: DataFrame, min_doc_bp: int = DEFAULT_MIN_DOC_BP) -> DataFrame:
