@@ -161,6 +161,12 @@ def write_baseline_md(lo: dict, hi: dict, efficiency: float, extra: list[dict]) 
         )
         for lv in extra:
             f.write(f"| {lv['cpus']} | {lv['docs_per_sec']} |\n")
+        f.write(
+            "\nCompanion measurement: `BENCH/SCALING_MULTI_JVM.md` "
+            "(scripts/scaling_run.py) emulates the two cluster sizes as separate\n"
+            "pinned executor JVMs — 1×local[8] vs 4×local[8] on disjoint core sets\n"
+            "processing crc32 shards of the same corpus concurrently.\n"
+        )
 
 
 def main() -> None:

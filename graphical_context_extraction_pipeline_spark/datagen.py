@@ -62,7 +62,7 @@ NOISE_CHARS = [" ", "​", "’", "“", "”", "﻿"]
 
 KIND_PRIORITY = {"chapter": 0, "scene": 1, "asr": 2, "frame": 3, "ocr": 4}
 
-DOCS_PER_SF = {"sf0.001": 20, "sf0.01": 200, "sf0.1": 2000}
+DOCS_PER_SF = {"sf0.001": 20, "sf0.01": 200, "sf0.1": 2000, "sf0.4": 8000}
 
 
 def _doc_seed(i: int) -> int:

@@ -1,0 +1,160 @@
+"""Stateful streaming document assembly (applyInPandasWithState).
+
+The batch engine assumes each input row is a COMPLETE document. Under
+continuous ingestion the reality is different: span events for one document
+arrive spread over multiple micro-batches (a long video's ASR lands before
+its OCR). This operator assembles documents incrementally:
+
+- input: a stream of span EVENTS (doc_id, kind, text, media_ref, offset,
+  end_ms, confidence, scene_id, n_words) — kind='eof' marks document end
+  (at cluster scale the ingest layer emits it when an upstream manifest
+  closes a document);
+- state per doc_id: the accumulated span events (Arrow-safe packed rows);
+- output: on eof, the document's chunks from the SAME kernel the batch
+  path uses (operators/extract._doc_chunks) — streaming and batch can
+  never drift because there is only one kernel.
+
+State is bounded per document and dropped on emit; at 10^12 docs the
+keyspace is large but the live state is only the in-flight documents.
+"""
+
+from __future__ import annotations
+
+import json
+from typing import Any, Iterator, Tuple
+
+import pandas as pd
+
+from ..operators.extract import _doc_chunks
+
+EVENTS_DDL = (
+    "doc_id string, kind string, text string, media_ref string, offset int, "
+    "end_ms int, confidence double, bbox array<double>, scene_id int, n_words int"
+)
+
+# state: accumulated events as one JSON blob (applyInPandasWithState state
+# columns must be Arrow-encodable scalars; JSON keeps this dependency-free
+# and deterministic)
+STATE_DDL = "events string"
+
+CHUNKS_OUT_DDL = (
+    "chunk_id string, doc_id string, t_start_ms int, t_end_ms int, "
+    "chapter_index int, scene_id int, asr_text string, ocr_text string, "
+    "merged_text string, n_out_spans int"
+)
+
+
+def _assemble(
+    key: Tuple[str], pdfs: Iterator[pd.DataFrame], state: Any
+) -> Iterator[pd.DataFrame]:
+    (doc_id,) = key
+    events: list[list] = json.loads(state.get[0]) if state.exists else []
+    saw_eof = False
+    for pdf in pdfs:
+        for row in pdf.itertuples(index=False):
+            if row.kind == "eof":
+                saw_eof = True
+            else:
+                events.append(
+                    [
+                        row.kind,
+                        row.text,
+                        row.media_ref,
+                        None if pd.isna(row.offset) else int(row.offset),
+                        None if pd.isna(row.end_ms) else int(row.end_ms),
+                        None if pd.isna(row.confidence) else float(row.confidence),
+                        None if row.bbox is None else [float(x) for x in row.bbox],
+                        None if pd.isna(row.scene_id) else int(row.scene_id),
+                        None if pd.isna(row.n_words) else int(row.n_words),
+                    ]
+                )
+    if not saw_eof:
+        state.update((json.dumps(events),))
+        return  # nothing to emit yet — document still in flight
+
+    spans = [
+        {"kind": e[0], "text": e[1], "media_ref": e[2], "offset": e[3]} for e in events
+    ]
+    attrs = [
+        {"end_ms": e[4], "confidence": e[5], "bbox": e[6], "scene_id": e[7], "n_words": e[8]}
+        for e in events
+    ]
+    rows = _doc_chunks(doc_id, spans, attrs, None)
+    out = [
+        (r[0], r[1], r[2], r[3], r[4], r[6], r[8], r[9], r[10], len(r[11]))
+        for r in rows
+    ]
+    state.remove()
+    yield pd.DataFrame(
+        out,
+        columns=[
+            "chunk_id", "doc_id", "t_start_ms", "t_end_ms", "chapter_index",
+            "scene_id", "asr_text", "ocr_text", "merged_text", "n_out_spans",
+        ],
+    )
+
+
+def stream_assemble_documents(
+    spark,
+    input_dir: str,
+    output_dir: str,
+    checkpoint_dir: str,
+    max_files_per_trigger: int = 4,
+):
+    """Span-event stream → stateful per-doc assembly → chunks parquet."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    stream = (
+        spark.readStream.schema(EVENTS_DDL)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(input_dir)
+    )
+    assembled = stream.groupBy("doc_id").applyInPandasWithState(
+        _assemble,
+        outputStructType=CHUNKS_OUT_DDL,
+        stateStructType=STATE_DDL,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    return (
+        assembled.writeStream.format("parquet")
+        .option("path", output_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def spans_to_events(docs_df, with_eof: bool = True):
+    """Batch helper: explode a spans-table DataFrame into the event-stream
+    shape (used by tests to stage streaming input files)."""
+    from pyspark.sql import functions as F
+
+    z = F.arrays_zip(F.col("spans").alias("s"), F.col("span_attrs").alias("a"))
+    ev = docs_df.select("doc_id", F.explode(z).alias("z")).select(
+        "doc_id",
+        F.col("z.s.kind").alias("kind"),
+        F.col("z.s.text").alias("text"),
+        F.col("z.s.media_ref").alias("media_ref"),
+        F.col("z.s.offset").alias("offset"),
+        F.col("z.a.end_ms").alias("end_ms"),
+        F.col("z.a.confidence").alias("confidence"),
+        F.col("z.a.bbox").alias("bbox"),
+        F.col("z.a.scene_id").alias("scene_id"),
+        F.col("z.a.n_words").alias("n_words"),
+    )
+    if not with_eof:
+        return ev
+    eof = docs_df.select(
+        "doc_id",
+        F.lit("eof").alias("kind"),
+        F.lit(None).cast("string").alias("text"),
+        F.lit(None).cast("string").alias("media_ref"),
+        F.lit(None).cast("int").alias("offset"),
+        F.lit(None).cast("int").alias("end_ms"),
+        F.lit(None).cast("double").alias("confidence"),
+        F.lit(None).cast("array<double>").alias("bbox"),
+        F.lit(None).cast("int").alias("scene_id"),
+        F.lit(None).cast("int").alias("n_words"),
+    )
+    return ev.unionByName(eof)
