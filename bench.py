@@ -7,9 +7,9 @@ $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) and prints ONE JSON line:
    "queries": {name: sec, ...}, "sf": ..., "docs_per_sec": ...}
 
 --scaling: additionally runs the extraction job at two parallelism levels
-(local[8] vs local[32] — the sandbox stand-in for N vs 4N executors), reports
-throughput at both plus scaling efficiency = (T_N / T_4N) / 4, and writes
-BENCH/BASELINE.md.
+(core-pinned local[1] vs local[4] — the sandbox stand-in for N vs 4N
+executors), reports throughput at both plus scaling efficiency
+= (thr_4N / thr_N) / 4, and writes BENCH/BASELINE.md.
 
 --cpus N --extract-only: subprocess mode used by --scaling (fresh JVM per
 parallelism level so executor-thread counts are honest).
@@ -52,10 +52,13 @@ def run_extract(cpus: int, sf_dir: str, iters: int = 3) -> dict:
     from graphical_context_extraction_pipeline_spark.operators.extract import extract_documents
 
     spark, docs, _tag = _setup(cpus, sf_dir)
-    # round-robin repartition: the local test corpus is a couple dozen MB, so
-    # file splits alone give too few partitions; on a real cluster the input
-    # files/manifests provide this parallelism natively
-    docs = docs.repartition(cpus * 4).cache()
+    # cost-balanced partitioning (operators/partitioning.py): the local test
+    # corpus is a couple dozen MB so file splits alone give too few
+    # partitions, and 10x media-heavy skew docs would straggle a plain
+    # round-robin split
+    from graphical_context_extraction_pipeline_spark.operators.partitioning import balance_by_cost
+
+    docs = balance_by_cost(docs, cpus * 4).cache()
     n_docs = docs.count()
     extract_documents(docs.limit(64)).count()  # JIT/codegen + worker warmup
     best = None
@@ -87,7 +90,9 @@ def run_suite(cpus: int, sf_dir: str) -> dict:
     from graphical_context_extraction_pipeline_spark.operators.extract import extract_documents
 
     spark, docs, tag = _setup(cpus, sf_dir)
-    docs = docs.repartition(cpus * 4).cache()
+    from graphical_context_extraction_pipeline_spark.operators.partitioning import balance_by_cost
+
+    docs = balance_by_cost(docs, cpus * 4).cache()
     n_docs = docs.count()
     flat = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
     emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
@@ -164,7 +169,7 @@ def write_baseline_md(lo: dict, hi: dict, efficiency: float, extra: list[dict]) 
         f.write(
             "\nCompanion measurement: `BENCH/SCALING_MULTI_JVM.md` "
             "(scripts/scaling_run.py) emulates the two cluster sizes as separate\n"
-            "pinned executor JVMs — 1×local[8] vs 4×local[8] on disjoint core sets\n"
+            "pinned executor JVMs — 1×local[2] vs 4×local[2] on disjoint core sets\n"
             "processing crc32 shards of the same corpus concurrently.\n"
         )
 

@@ -53,7 +53,9 @@ def main() -> None:
             .where((F.col("rn") - 1) % n_shards == shard)
             .drop("rn")
         )
-    docs = docs.repartition(cpus * 4).cache()
+    from graphical_context_extraction_pipeline_spark.operators.partitioning import balance_by_cost
+
+    docs = balance_by_cost(docs, cpus * 4).cache()
     n_docs = docs.count()
     extract_documents(docs.limit(64)).count()  # warm workers/codegen
 
