@@ -157,6 +157,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ---- similarity search ----------------------------------------------
         "cosine_topk": lambda s, d: similarity.cosine_topk(_emb(s, d), QUERY_IDS),
         "ann_topk_lsh": lambda s, d: similarity.ann_topk_lsh(_emb(s, d), QUERY_IDS),
+        "ivf_topk": lambda s, d: similarity.ivf_topk(_emb(s, d), QUERY_IDS),
         "embedding_cosine_dups": lambda s, d: similarity.embedding_cosine_dups(_emb(s, d)),
     }
 

@@ -88,22 +88,153 @@ def lsh_bucket(emb: DataFrame, n_planes: int = 12, seed: int = 42, dim: int | No
 
 
 def ann_topk_lsh(
-    emb: DataFrame, query_ids: list[int], k: int = 10, n_planes: int = 8, seed: int = 42
+    emb: DataFrame,
+    query_ids: list[int],
+    k: int = 10,
+    n_planes: int = 4,
+    n_tables: int = 8,
+    seed: int = 42,
 ) -> DataFrame:
-    """Approximate top-k: exact re-rank within the query's LSH bucket.
+    """Approximate top-k: exact re-rank within the query's LSH buckets.
 
-    Recall vs cosine_topk is measured in tests; at 100 TB this replaces the
-    full-scan join with a bucket-pruned one (bucket is a partition key).
+    Multi-table LSH (the standard recall lever): ``n_tables`` independent
+    hyperplane sets; a vector is a candidate if it shares a bucket with the
+    query in ANY table. Recall vs cosine_topk is measured in tests; at
+    100 TB this replaces the full-scan join with bucket-pruned ones
+    (table+bucket is a partition key), scanning ≈1-(1-2^-n_planes)^n_tables
+    of the corpus per query. Measured on the sf0.01 corpus: planes=4 →
+    recall 0.55 @ 6 tables, 0.73 @ 10; planes=3/tables=8 → 0.84 (but ~66%
+    scanned). Defaults trade ~40% scanned for ~0.65 recall; IVF (below) is
+    the sharper instrument when a codebook is affordable.
     """
-    bucketed = lsh_bucket(emb, n_planes, seed)
+    tables = [
+        lsh_bucket(emb, n_planes, seed + 1000 * t).withColumn("table", F.lit(t))
+        for t in range(n_tables)
+    ]
+    bucketed = tables[0]
+    for t in tables[1:]:
+        bucketed = bucketed.unionByName(t)
     queries = bucketed.where(F.col("vec_id").isin(query_ids)).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("qv"),
         F.col("bucket").alias("qbucket"),
+        F.col("table").alias("qtable"),
     )
     joined = bucketed.join(
         F.broadcast(queries),
-        (F.col("bucket") == F.col("qbucket")) & (F.col("vec_id") != F.col("query_id")),
+        (F.col("table") == F.col("qtable"))
+        & (F.col("bucket") == F.col("qbucket"))
+        & (F.col("vec_id") != F.col("query_id")),
+    ).dropDuplicates(["query_id", "vec_id"])
+    cos = _dot(F.col("embedding"), F.col("qv")) / (
+        _norm(F.col("embedding")) * _norm(F.col("qv"))
+    )
+    scored = joined.select(
+        "query_id", "vec_id", F.floor(cos * 10000).cast("long").alias("cos_e4")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_e4"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "vec_id", "cos_e4", "rank")
+    )
+
+
+def ivf_centroids(emb: DataFrame, n_centroids: int = 16, n_iters: int = 2) -> list[list[float]]:
+    """IVF coarse quantizer: deterministic init (evenly-strided vec_ids)
+    refined by ``n_iters`` Lloyd steps computed distributedly.
+
+    Each step is one small job: assign → posexplode → groupBy(cid, dim pos)
+    mean → collect (n_centroids × dim floats to the driver — KB-scale at any
+    corpus size; this is the standard IVF training shape where only the
+    codebook ever leaves the cluster)."""
+    n = emb.count()
+    if n == 0:
+        return []
+    stride = max(1, n // n_centroids)
+    init = (
+        emb.where(F.col("vec_id") % stride == 0).orderBy("vec_id").limit(n_centroids).collect()
+    )
+    cents = [[float(x) for x in r["embedding"]] for r in init]
+    for _ in range(n_iters):
+        assigned = ivf_assign(emb, cents)
+        new = (
+            assigned.select("cid", F.posexplode("embedding").alias("pos", "v"))
+            .groupBy("cid", "pos")
+            .agg(F.avg("v").alias("m"))
+            .collect()
+        )
+        by_cid: dict[int, dict[int, float]] = {}
+        for r in new:
+            by_cid.setdefault(r["cid"], {})[r["pos"]] = r["m"]
+        cents = [
+            [by_cid[c][p] for p in range(len(cents[0]))] if c in by_cid else cents[c]
+            for c in range(len(cents))
+        ]
+    return cents
+
+
+def ivf_assign(emb: DataFrame, centroids: list[list[float]]) -> DataFrame:
+    """Nearest-centroid id per vector (max dot product; centroids ride into
+    the plan as literals — the broadcast-side of IVF)."""
+    scored = F.array(
+        *[
+            F.struct(
+                _dot(F.col("embedding"), F.array(*[F.lit(float(x)) for x in c])).alias("dot"),
+                F.lit(i).alias("cid"),
+            )
+            for i, c in enumerate(centroids)
+        ]
+    )
+    return emb.withColumn("cid", F.array_max(scored)["cid"])
+
+
+def ivf_topk(
+    emb: DataFrame,
+    query_ids: list[int],
+    k: int = 10,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+) -> DataFrame:
+    """IVF approximate top-k: probe the query's ``n_probe`` nearest inverted
+    lists, exact cosine re-rank inside them.
+
+    At 100 TB the assignment is a write-time partition key (one list = one
+    partition family); a query then scans n_probe/n_centroids of the corpus
+    instead of all of it. Here the same plan shape appears as a broadcast
+    join of (query, probed-cid) pairs against the assigned corpus."""
+    cents = ivf_centroids(emb, n_centroids)
+    if not cents:  # empty corpus degrades to an empty (schema-stable) result
+        return emb.sparkSession.createDataFrame(
+            [], "query_id long, vec_id long, cos_e4 long, rank int"
+        )
+    assigned = ivf_assign(emb, cents)
+
+    probe_scored = F.array(
+        *[
+            F.struct(
+                _dot(F.col("qv"), F.array(*[F.lit(float(x)) for x in c])).alias("dot"),
+                F.lit(i).alias("cid"),
+            )
+            for i, c in enumerate(cents)
+        ]
+    )
+    probes = (
+        emb.where(F.col("vec_id").isin(query_ids))
+        .select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv"))
+        .withColumn(
+            "probe_cid",
+            F.explode(
+                F.transform(
+                    F.slice(F.reverse(F.array_sort(probe_scored)), 1, n_probe),
+                    lambda s: s["cid"],
+                )
+            ),
+        )
+    )
+    joined = assigned.join(
+        F.broadcast(probes),
+        (F.col("cid") == F.col("probe_cid")) & (F.col("vec_id") != F.col("query_id")),
     )
     cos = _dot(F.col("embedding"), F.col("qv")) / (
         _norm(F.col("embedding")) * _norm(F.col("qv"))

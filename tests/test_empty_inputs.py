@@ -54,6 +54,7 @@ OPS = {
     "fingerprint": lambda sp, fl, em: TA.fingerprint(fl),
     "cosine_topk": lambda sp, fl, em: similarity.cosine_topk(em, [0, 1]),
     "ann_topk_lsh": lambda sp, fl, em: similarity.ann_topk_lsh(em, [0, 1]),
+    "ivf_topk": lambda sp, fl, em: similarity.ivf_topk(em, [0, 1]),
     "embedding_cosine_dups": lambda sp, fl, em: similarity.embedding_cosine_dups(em),
 }
 
