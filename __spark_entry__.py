@@ -92,6 +92,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         boilerplate as BP,
         dedup,
         export as EX,
+        media,
         relational as R,
         similarity,
         text_analysis as TA,
@@ -155,6 +156,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_score": lambda s, d: TA.quality_score(_flat_docs(s, d)),
         "fingerprint": lambda s, d: TA.fingerprint(_flat_docs(s, d)),
         # ---- similarity search ----------------------------------------------
+        # ---- multimodal binary columns (decode behind deterministic fake) ----
+        "media_features": lambda s, d: media.extract_media_features(
+            media.synthesize_media(_spans_docs(s, d))
+        ),
         "cosine_topk": lambda s, d: similarity.cosine_topk(_emb(s, d), QUERY_IDS),
         "ann_topk_lsh": lambda s, d: similarity.ann_topk_lsh(_emb(s, d), QUERY_IDS),
         "ivf_topk": lambda s, d: similarity.ivf_topk(_emb(s, d), QUERY_IDS),
