@@ -181,9 +181,9 @@ _SEGMENTATION_CTE = f"""
 sc AS (SELECT doc_id, cast(split_part(s.text, ':', 1) AS bigint) AS sid,
               cast(s.offset AS bigint) AS st, cast(a.end_ms AS bigint) AS en
        FROM {_Z} WHERE s.kind = 'scene'),
-stt AS (SELECT *, CASE WHEN row_number() OVER (PARTITION BY doc_id ORDER BY st, en) = 1
+stt AS (SELECT *, CASE WHEN row_number() OVER (PARTITION BY doc_id ORDER BY st, en, sid) = 1
                         OR en - st >= 5000 THEN 1 ELSE 0 END AS starter FROM sc),
-cx AS (SELECT *, sum(starter) OVER (PARTITION BY doc_id ORDER BY st, en
+cx AS (SELECT *, sum(starter) OVER (PARTITION BY doc_id ORDER BY st, en, sid
                                     ROWS UNBOUNDED PRECEDING) AS chunk_seq FROM stt),
 chunks AS (SELECT doc_id, cast(chunk_seq AS bigint) AS chunk_seq,
                   min(st) AS t_start_ms, max(en) AS t_end_ms,

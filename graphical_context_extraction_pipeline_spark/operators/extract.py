@@ -117,7 +117,7 @@ def _doc_chunks(doc_id: str, spans, attrs, meta) -> list[tuple]:
 
     # ---- W1 fold, vectorized: a scene starts a new chunk iff it is the
     # first or long enough; chunk id = running count of starters -----------
-    order = np.lexsort((scn_e, scn_s))
+    order = np.lexsort((scn_id, scn_e, scn_s))  # (start, end, id) — fully determined
     scn_id_a = np.asarray(scn_id, dtype=np.int64)[order]
     scn_s_a = np.asarray(scn_s, dtype=np.int64)[order]
     scn_e_a = np.asarray(scn_e, dtype=np.int64)[order]
@@ -145,9 +145,9 @@ def _doc_chunks(doc_id: str, spans, attrs, meta) -> list[tuple]:
         thresh = CHROME_FRAME_FRACTION * total_frames
         chrome = {t for t, c in counts.items() if c >= thresh}
 
-    # ---- chapters sorted --------------------------------------------------
+    # ---- chapters sorted by the fully-determined key (start, end, title) --
     if chap_s:
-        ch_ord = np.argsort(np.asarray(chap_s), kind="stable")
+        ch_ord = sorted(range(len(chap_s)), key=lambda j: (chap_s[j], chap_e[j], chap_t[j]))
         chap_t = [chap_t[j] for j in ch_ord]
         chap_s_a = np.asarray(chap_s, dtype=np.int64)[ch_ord]
         chap_e_a = np.asarray(chap_e, dtype=np.int64)[ch_ord]
@@ -177,9 +177,17 @@ def _doc_chunks(doc_id: str, spans, attrs, meta) -> list[tuple]:
     frm_ts_a = np.asarray([frm_ts[j] for j in f_ord], dtype=np.int64)
     sid_to_cidx = {int(s): int(c) for s, c in zip(scn_id_a, cidx)}
     if len(frm_ts_a):
-        si = np.searchsorted(scn_s_a, frm_ts_a, side="right") - 1
-        valid = (si >= 0) & (frm_ts_a < scn_e_a[np.clip(si, 0, len(scn_e_a) - 1)])
-        contain_chunk = np.where(valid, cidx[np.clip(si, 0, len(cidx) - 1)], -1)
+        # FIRST containing scene in sorted order (the oracle scans the list
+        # front-to-back; overlapping scenes made "last starting ≤ ts"
+        # diverge — found by differential fuzzing). first j with end[j] > ts
+        # == first j where the prefix-max of ends crosses ts → binary search
+        # on the (non-decreasing) prefix max; containment additionally needs
+        # start[j] ≤ ts, i.e. j < hi.
+        pmax = np.maximum.accumulate(scn_e_a)
+        hi_arr = np.searchsorted(scn_s_a, frm_ts_a, side="right")
+        jstar = np.searchsorted(pmax, frm_ts_a, side="right")
+        valid = jstar < hi_arr
+        contain_chunk = np.where(valid, cidx[np.clip(jstar, 0, len(cidx) - 1)], -1)
         f_chunk = np.asarray(
             [
                 sid_to_cidx.get(int(sid), -1) if sid is not None else int(contain_chunk[j])
@@ -217,10 +225,18 @@ def _doc_chunks(doc_id: str, spans, attrs, meta) -> list[tuple]:
         t0 = int(starts_per_chunk[c])
         t1 = int(ends_per_chunk[c])
 
-        # J4 chapter containment, fallback last, else Unknown
+        # J4 chapter containment — FIRST containing chapter in sorted order
+        # (reference scans the chapter list front-to-back, chunker.py:196-209;
+        # with overlapping chapters "last starting ≤ t0" diverges — found by
+        # differential fuzzing), fallback last, else Unknown
         if chap_s_a is not None and len(chap_s_a):
-            ci = int(np.searchsorted(chap_s_a, t0, side="right")) - 1
-            if ci >= 0 and t0 < chap_e_a[ci]:
+            hi = int(np.searchsorted(chap_s_a, t0, side="right"))
+            ci = -1
+            for j in range(hi):  # chapters per doc are few; O(hi) is fine
+                if t0 < chap_e_a[j]:
+                    ci = j
+                    break
+            if ci >= 0:
                 chapter_index, chapter_title = ci, chap_t[ci]
             else:
                 chapter_index, chapter_title = len(chap_t) - 1, chap_t[-1]

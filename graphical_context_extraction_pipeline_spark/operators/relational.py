@@ -50,7 +50,7 @@ def chunk_segmentation(docs: DataFrame) -> DataFrame:
     immediately-previous chunk — reference: phase 2/src/chunker.py:104-150.)
     """
     sc = scenes_view(docs)
-    w = Window.partitionBy("doc_id").orderBy("st", "en")
+    w = Window.partitionBy("doc_id").orderBy("st", "en", "sid")
     wc = w.rowsBetween(Window.unboundedPreceding, 0)
     starter = (F.row_number().over(w) == 1) | ((F.col("en") - F.col("st")) >= MIN_SCENE_MS)
     return (

@@ -69,8 +69,11 @@ def _parse_doc(doc: dict) -> dict:
                     "bbox": attr["bbox"],
                 }
             )
-    chapters.sort(key=lambda c: c["start_ms"])
-    scenes.sort(key=lambda s: s["start_ms"])
+    chapters.sort(key=lambda c: (c["start_ms"], c["end_ms"], c["title"]))
+    # fully-determined key: (start, end, id) — a start_ms-only sort would
+    # leave equal-start scenes in input order, making chunking depend on
+    # span array order (found by differential fuzzing vs the kernel)
+    scenes.sort(key=lambda s: (s["start_ms"], s["end_ms"], s["scene_id"]))
     asr.sort(key=lambda a: (a["start_ms"], a["end_ms"], a["text"]))
     frames.sort(key=lambda f: (f["ts"], f["path"]))
     return {"chapters": chapters, "scenes": scenes, "asr": asr, "frames": frames, "ocr": ocr}
@@ -163,10 +166,15 @@ def extract_chunks(doc: dict) -> list[dict]:
         # drop chrome-only blocks, then run the near-dup keep-chain
         frame_entries = []
         for f in cframes:
-            blocks = sorted(
-                ocr_by_path.get(f["path"], []),
-                key=lambda b: (b["bbox"][1], b["bbox"][0], b["text"], -b["confidence"]),
-            )
+            def _order_key(b: dict):
+                # missing/short bbox → (0, 0) reading-order key, same as the
+                # kernel's default (reading order only needs a total order)
+                bb = b["bbox"]
+                y = bb[1] if bb is not None and len(bb) > 1 else 0.0
+                x = bb[0] if bb is not None and len(bb) > 0 else 0.0
+                return (y, x, b["text"], -b["confidence"])
+
+            blocks = sorted(ocr_by_path.get(f["path"], []), key=_order_key)
             kept = []
             for b in blocks:
                 toks = tokens(b["text"])
