@@ -185,10 +185,15 @@ stt AS (SELECT *, CASE WHEN row_number() OVER (PARTITION BY doc_id ORDER BY st, 
                         OR en - st >= 5000 THEN 1 ELSE 0 END AS starter FROM sc),
 cx AS (SELECT *, sum(starter) OVER (PARTITION BY doc_id ORDER BY st, en, sid
                                     ROWS UNBOUNDED PRECEDING) AS chunk_seq FROM stt),
+cx2 AS (SELECT *, first_value(sid) OVER (PARTITION BY doc_id, chunk_seq
+                                         ORDER BY st, en, sid) AS psid,
+                  first_value(en) OVER (PARTITION BY doc_id, chunk_seq
+                                        ORDER BY st DESC, en DESC, sid DESC) AS lend
+        FROM cx),
 chunks AS (SELECT doc_id, cast(chunk_seq AS bigint) AS chunk_seq,
-                  min(st) AS t_start_ms, max(en) AS t_end_ms,
-                  arg_min(sid, st) AS primary_scene, count(*) AS n_merged
-           FROM cx GROUP BY doc_id, chunk_seq)
+                  min(st) AS t_start_ms, min(lend) AS t_end_ms,
+                  min(psid) AS primary_scene, count(*) AS n_merged
+           FROM cx2 GROUP BY doc_id, chunk_seq)
 """
 
 _CORPUS_EXACT = (

@@ -58,8 +58,12 @@ def chunk_segmentation(docs: DataFrame) -> DataFrame:
         .groupBy("doc_id", "chunk_seq")
         .agg(
             F.min("st").alias("t_start_ms"),
-            F.max("en").alias("t_end_ms"),
-            F.min_by("sid", F.struct("st", "sid")).alias("primary_scene"),
+            # reference semantics: each merge SETS the chunk end to the
+            # merged scene's end, so the final end is the LAST scene's en in
+            # (st, en, sid) order — not max(en); they differ when scenes
+            # overlap (found by relational-vs-kernel fuzzing)
+            F.max_by("en", F.struct("st", "en", "sid")).alias("t_end_ms"),
+            F.min_by("sid", F.struct("st", "en", "sid")).alias("primary_scene"),
             F.count("*").cast("long").alias("n_merged"),
         )
     )
