@@ -208,7 +208,7 @@ def main() -> None:
 
         # primary: N=1 vs 4N=4 cores, pinned, interleaved rounds, best-of
         best: dict[int, dict] = {}
-        for _round in range(2):
+        for _round in range(3):
             for cpus, pin in ((1, "0"), (4, "0-3")):
                 r = spawn(cpus, pin)
                 if cpus not in best or r["wall_s"] < best[cpus]["wall_s"]:
