@@ -269,6 +269,12 @@ sim AS (SELECT doc_id, ({bits}) AS simhash FROM bs)
 
 
 def oracle_sql() -> dict[str, str]:
+    # the SQL strings below read the generated spans corpus — make sure it
+    # exists even if no Spark query has run yet (Spark-free pyarrow writer)
+    from graphical_context_extraction_pipeline_spark.datagen import ensure_documents_local
+
+    ensure_documents_local(SPANS_SF, base_dir=os.path.join(REPO, "data"))
+
     q: dict[str, str] = {}
 
     q["span_kind_counts"] = f"""

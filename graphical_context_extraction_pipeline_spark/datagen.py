@@ -388,6 +388,62 @@ def ensure_documents(spark, sf_tag: str, base_dir: str = "/root/repo/data") -> s
     return path
 
 
+def ensure_documents_local(sf_tag: str, base_dir: str = "/root/repo/data") -> str:
+    """Spark-free twin of ensure_documents (pyarrow writer) for consumers
+    that must not depend on a SparkSession — e.g. ``oracle_sql()`` whose
+    DuckDB strings read this corpus and may run before any Spark query has
+    had the chance to synthesize it. Byte-layout differs from the Spark
+    writer but rows are identical (both materialize generate_doc), and both
+    paths honor the _SUCCESS marker so whichever runs first wins."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    n = DOCS_PER_SF[sf_tag]
+    path = os.path.join(base_dir, sf_tag, "documents_spans.parquet")
+    marker = os.path.join(path, "_SUCCESS")
+    if os.path.exists(marker):
+        return path
+
+    docs = [generate_doc(i) for i in range(n)]
+    span_t = pa.struct(
+        [("kind", pa.string()), ("text", pa.string()), ("media_ref", pa.string()), ("offset", pa.int32())]
+    )
+    attr_t = pa.struct(
+        [
+            ("end_ms", pa.int32()),
+            ("confidence", pa.float64()),
+            ("bbox", pa.list_(pa.float64())),
+            ("scene_id", pa.int32()),
+            ("n_words", pa.int32()),
+        ]
+    )
+    meta_t = pa.struct(
+        [
+            ("title", pa.string()),
+            ("channel", pa.string()),
+            ("description", pa.string()),
+            ("tags", pa.list_(pa.string())),
+            ("upload_date", pa.string()),
+            ("duration_ms", pa.int64()),
+        ]
+    )
+    table = pa.table(
+        {
+            "doc_id": pa.array([d["doc_id"] for d in docs], pa.string()),
+            "spans": pa.array([d["spans"] for d in docs], pa.list_(span_t)),
+            "span_attrs": pa.array([d["span_attrs"] for d in docs], pa.list_(attr_t)),
+            "meta": pa.array([d["meta"] for d in docs], meta_t),
+        }
+    )
+    os.makedirs(path, exist_ok=True)
+    pq.write_table(table, os.path.join(path, "part-00000.parquet"))
+    with open(marker, "w"):
+        pass
+    return path
+
+
 def sf_tag_from_dir(sf_dir: str) -> str:
     """Map a driver sf dir (/root/testdata/sf0.01) to a generator tag."""
     tag = sf_dir.rstrip("/").rsplit("/", 1)[-1]
