@@ -115,7 +115,7 @@ def doc_st(draw):
     return {"doc_id": "fuzz", "spans": spans, "span_attrs": attrs, "meta": meta}
 
 
-@settings(max_examples=250, deadline=None)
+@settings(max_examples=250, deadline=None, derandomize=True)
 @given(doc_st())
 def test_kernel_matches_oracle_on_random_docs(doc):
     expected = extract_chunks(doc)

@@ -40,6 +40,7 @@ def _to_rows(docs):
 @settings(
     max_examples=3,
     deadline=None,
+    derandomize=True,
     suppress_health_check=[HealthCheck.too_slow, HealthCheck.data_too_large],
 )
 @given(st.lists(doc_st(), min_size=20, max_size=30))

@@ -18,14 +18,14 @@ text_st = st.text(
 )
 
 
-@settings(max_examples=300, deadline=None)
+@settings(max_examples=300, deadline=None, derandomize=True)
 @given(text_st)
 def test_normalize_idempotent(s):
     once = normalize_text(s)
     assert normalize_text(once) == once
 
 
-@settings(max_examples=300, deadline=None)
+@settings(max_examples=300, deadline=None, derandomize=True)
 @given(text_st)
 def test_normalize_no_edge_or_double_spaces(s):
     n = normalize_text(s)
@@ -35,13 +35,13 @@ def test_normalize_no_edge_or_double_spaces(s):
     assert "\t" not in n and "\n" not in n
 
 
-@settings(max_examples=200, deadline=None)
+@settings(max_examples=200, deadline=None, derandomize=True)
 @given(text_st)
 def test_tokens_match_python_split(s):
     assert tokens(normalize_text(s)) == normalize_text(s).lower().split()
 
 
-@settings(max_examples=200, deadline=None)
+@settings(max_examples=200, deadline=None, derandomize=True)
 @given(text_st, text_st)
 def test_tfidf_cosine_symmetric_and_bounded(a, b):
     c = tfidf_cosine(a, b)
@@ -49,7 +49,7 @@ def test_tfidf_cosine_symmetric_and_bounded(a, b):
     assert abs(c - tfidf_cosine(b, a)) < 1e-12
 
 
-@settings(max_examples=200, deadline=None)
+@settings(max_examples=200, deadline=None, derandomize=True)
 @given(text_st)
 def test_tfidf_cosine_self_is_one_when_tokenizable(a):
     c = tfidf_cosine(a, a)
