@@ -579,9 +579,16 @@ SELECT doc_id, n_chars, n_tokens,
 FROM t
 """
 
+    # rolling fold mirrors text_analysis.fingerprint: h ← (h·C + md5₃₂) mod P
+    # with init 0 (prepended — DuckDB's list_reduce seeds from the first
+    # element)
     q["fingerprint"] = f"""
 SELECT doc_id, md5(lower(text)) AS md5_full,
        md5(array_to_string(list_slice({_TOKS}, 1, 16), ' ')) AS md5_head16,
+       list_reduce(
+         list_prepend(cast(0 AS bigint),
+           list_transform({_TOKS}, t -> cast(('0x' || substr(md5(t), 1, 8)) AS bigint))),
+         (acc, h) -> (acc * 1000003 + h) % 2147483647) AS rolling_fp,
        cast(len({_TOKS}) AS bigint) AS n_tokens
 FROM documents
 """

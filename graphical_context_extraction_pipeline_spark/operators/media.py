@@ -105,6 +105,41 @@ def extract_media_features(media: DataFrame) -> DataFrame:
     return media.mapInPandas(_feature_batches, schema=FEATURES_DDL)
 
 
+RESIZED_DDL = (
+    "media_ref string, width int, height int, payload binary, "
+    "media_meta struct<mime:string, width:int, height:int, duration_ms:long>"
+)
+
+
+def _resize_batches(target_w: int, target_h: int):
+    def fn(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for ref, payload, meta in zip(pdf["media_ref"], pdf["payload"], pdf["media_meta"]):
+                payload = bytes(payload) if payload is not None else b""
+                img = _decode_image(payload, (meta or {}).get("mime") or "")
+                # deterministic nearest-neighbour downsample of the decoded
+                # (possibly fake) image; re-encode is stubbed as raw bytes —
+                # swapping in Pillow changes _decode_image + this encode only
+                ys = np.linspace(0, img.shape[0] - 1, target_h).astype(int)
+                xs = np.linspace(0, img.shape[1] - 1, target_w).astype(int)
+                small = img[np.ix_(ys, xs)]
+                rows.append((ref, target_w, target_h, small.tobytes(), meta))
+            yield pd.DataFrame(
+                rows, columns=["media_ref", "width", "height", "payload", "media_meta"]
+            )
+
+    return fn
+
+
+def resize_media(media: DataFrame, target_w: int = 8, target_h: int = 8) -> DataFrame:
+    """Resize stage for binary image columns (Arrow-batched map, zero
+    shuffle). The decode/encode kernels are the deterministic stubs of
+    `_decode_image` — the distributed plumbing (schema, batching,
+    independence per asset) is the real, tested part."""
+    return media.mapInPandas(_resize_batches(target_w, target_h), schema=RESIZED_DDL)
+
+
 def frame_sample_plan(docs: DataFrame, every_ms: int = 5000) -> DataFrame:
     """Frame-sampling plan for video spans: which timestamps a decoder would
     sample, per doc (sequence HOF — plan is computable without any codec)."""

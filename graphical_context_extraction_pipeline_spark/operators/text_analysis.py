@@ -119,13 +119,26 @@ def quality_score(docs: DataFrame) -> DataFrame:
     )
 
 
+FP_P = 2147483647  # rolling-hash modulus (2^31 − 1)
+FP_C = 1000003  # rolling-hash multiplier
+
+
 def fingerprint(docs: DataFrame) -> DataFrame:
-    """Document fingerprinting: full-text md5 + prefix fingerprint over the
-    first 16 whitespace tokens (cheap near-head dedup key)."""
+    """Document fingerprinting: full-text md5, prefix fingerprint over the
+    first 16 whitespace tokens (cheap near-head dedup key), and a
+    token-level ROLLING hash — h ← (h·C + md5₃₂(tok)) mod P folded over the
+    whole token stream (order-sensitive, unlike a bag-of-tokens hash; the
+    DuckDB oracle replays the same fold)."""
     toks = _tokens(F.col("text"))
+    rolling = F.aggregate(
+        F.transform(toks, lambda t: F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, h: F.pmod(acc * F.lit(FP_C) + h, F.lit(FP_P)),
+    )
     return docs.select(
         "doc_id",
         F.md5(F.lower("text")).alias("md5_full"),
         F.md5(F.array_join(F.slice(toks, 1, 16), " ")).alias("md5_head16"),
+        rolling.alias("rolling_fp"),
         F.size(toks).cast("long").alias("n_tokens"),
     )

@@ -61,3 +61,26 @@ def test_frame_sample_plan(spark, docs_path):
     r = plan.head()
     assert r.sample_ts[0] == 0
     assert all(b - a == 5000 for a, b in zip(r.sample_ts, r.sample_ts[1:]))
+
+
+def test_media_resize_plumbing(spark, docs_path):
+    """resize stage: deterministic output dims/bytes, zero shuffle, one row
+    per asset (decode is the documented deterministic fake)."""
+    from graphical_context_extraction_pipeline_spark.operators.media import (
+        resize_media,
+        synthesize_media,
+    )
+    from graphical_context_extraction_pipeline_spark.plans.explain import count_exchanges
+
+    docs = spark.read.parquet(docs_path)
+    media = synthesize_media(docs)
+    resized = resize_media(media, target_w=8, target_h=8)
+    rows = resized.collect()
+    assert len(rows) == media.count()
+    for r in rows[:20]:
+        assert r["width"] == 8 and r["height"] == 8
+        assert len(r["payload"]) == 8 * 8  # uint8 8x8 fake image
+    # determinism: same input -> same bytes
+    again = {r["media_ref"]: bytes(r["payload"]) for r in resized.collect()}
+    assert all(bytes(r["payload"]) == again[r["media_ref"]] for r in rows)
+    assert count_exchanges(resize_media(media)) == count_exchanges(media)
