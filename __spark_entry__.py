@@ -112,6 +112,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_chapter_assign": lambda s, d: R.chunk_chapter_assign(_spans_docs(s, d)),
         "chrome_tokens": lambda s, d: R.chrome_tokens(_spans_docs(s, d)),
         "timeline_interleave": lambda s, d: R.timeline_interleave(_spans_docs(s, d)),
+        "ocr_frame_dedup": lambda s, d: R.ocr_frame_dedup(_spans_docs(s, d)),
         "sliding_windows": lambda s, d: R.sliding_window_chunks(_spans_docs(s, d)),
         "transcript_lines": lambda s, d: EX.transcript_lines(_spans_docs(s, d)),
         # ---- cross-doc boilerplate model (north-star per-partition heuristic) --
@@ -335,6 +336,11 @@ FROM cnt JOIN tot ON tot.doc_id = cnt.doc_id
 WHERE cnt.n_occ * 10 >= tot.total_frames * 8
 """
 
+    # NOTE: ocr_frame_dedup deliberately has NO DuckDB oracle — DuckDB
+    # 1.0.0's list_reduce returns wrong results for folds over a few hundred
+    # elements (kept-count shrinks as input grows, which a fold cannot do;
+    # verified with a size sweep). The op is pinned instead against a
+    # pure-Python fold reference in tests/test_ocr_frame_dedup.py.
     q["timeline_interleave"] = f"""
 WITH s AS (SELECT doc_id, s.kind AS kind, s.text AS text, s.media_ref AS media_ref,
                   cast(s.offset AS bigint) AS "offset" FROM {_S1})

@@ -193,6 +193,102 @@ def chrome_tokens(docs: DataFrame) -> DataFrame:
     )
 
 
+NEAR_DUP_BP = 9000  # 0.9 token-set overlap, basis points
+
+
+def ocr_frame_dedup(docs: DataFrame) -> DataFrame:
+    """W2 — the reference's hardest stateful operator (consecutive near-dup
+    frame dedup against the last KEPT frame, ocr_cleanup.py:82-115) —
+    expressed PURELY relationally: the keep-chain is an ``aggregate`` fold
+    over the per-doc frame array, entirely inside the row (zero shuffle,
+    zero Python). The DuckDB oracle replays the identical fold with
+    ``list_reduce``.
+
+    Semantics per doc: P1-filter OCR blocks (conf ≥ 0.5), group by frame
+    path, reading-order concat per frame, frames in (ts, path) order, then:
+    ≥90% token-set overlap with the last kept frame → keep the
+    higher-confidence of the two (replace-in-place), else append.
+    Confidence means are integer e4 (block confs are 4-decimal by
+    construction) so the tiebreak is float-free across engines.
+
+    This is the demonstration form — the production path remains the pandas
+    kernel (the per-path block grouping here is O(paths·blocks) per row).
+    Output: kept frames (doc_id, rank, ts, path, full_text, conf_e4).
+    """
+    z = F.filter(
+        F.arrays_zip(F.col("spans").alias("s"), F.col("span_attrs").alias("a")),
+        lambda y: (y["s"]["kind"] == "ocr")
+        & (y["a"]["confidence"] >= OCR_CONF_MIN)
+        & y["s"]["text"].isNotNull(),
+    )
+    paths = F.array_distinct(F.transform(z, lambda y: y["s"]["media_ref"]))
+
+    def frame_struct(p, zz):
+        blocks = F.filter(zz, lambda y: y["s"]["media_ref"] == p)
+        ordered = F.array_sort(
+            F.transform(
+                blocks,
+                lambda y: F.struct(
+                    F.coalesce(F.element_at(y["a"]["bbox"], 2), F.lit(0.0)).alias("y"),
+                    F.coalesce(F.element_at(y["a"]["bbox"], 1), F.lit(0.0)).alias("x"),
+                    y["s"]["text"].alias("text"),
+                    (-F.round(y["a"]["confidence"] * 10000).cast("long")).alias("negc"),
+                ),
+            )
+        )
+        n = F.size(blocks)
+        conf_e4 = F.floor(
+            F.aggregate(
+                blocks,
+                F.lit(0).cast("long"),
+                lambda acc, y: acc + F.round(y["a"]["confidence"] * 10000).cast("long"),
+            )
+            / n
+        ).cast("long")
+        ts = F.array_min(F.transform(blocks, lambda y: y["s"]["offset"])).cast("long")
+        return F.struct(
+            ts.alias("ts"),
+            p.alias("path"),
+            F.array_join(F.transform(ordered, lambda b: b["text"]), " ").alias("text"),
+            conf_e4.alias("conf_e4"),
+        )
+
+    frames = F.array_sort(F.transform(paths, lambda p: frame_struct(p, z)))
+
+    def toks(txt):
+        return F.array_distinct(F.filter(F.split(F.lower(txt), r"\s+"), lambda t: t != ""))
+
+    def step(acc, f):
+        cur_t = toks(f["text"])
+        last = F.element_at(acc, -1)
+        last_t = toks(last["text"])
+        denom = F.greatest(F.size(cur_t), F.size(last_t))
+        near = (denom > 0) & (
+            F.size(F.array_intersect(cur_t, last_t)) * 10000 >= denom * NEAR_DUP_BP
+        )
+        replaced = F.concat(F.slice(acc, 1, F.size(acc) - 1), F.array(f))
+        return (
+            F.when(F.size(acc) == 0, F.array(f))
+            .when(near & (f["conf_e4"] > last["conf_e4"]), replaced)
+            .when(near, acc)
+            .otherwise(F.concat(acc, F.array(f)))
+        )
+
+    kept = F.aggregate(
+        F.filter(frames, lambda f: f["text"] != ""),
+        F.array().cast("array<struct<ts:bigint,path:string,text:string,conf_e4:bigint>>"),
+        step,
+    )
+    return docs.select("doc_id", F.posexplode(kept).alias("rank", "f")).select(
+        "doc_id",
+        (F.col("rank") + 1).cast("long").alias("rank"),
+        F.col("f.ts").alias("ts"),
+        F.col("f.path").alias("path"),
+        F.col("f.text").alias("full_text"),
+        F.col("f.conf_e4").alias("conf_e4"),
+    )
+
+
 def sliding_window_chunks(
     docs: DataFrame, window_ms: int = 30000, stride_ms: int = 15000
 ) -> DataFrame:
