@@ -64,3 +64,18 @@ def test_empty_input_yields_empty_output(name, spark, empties):
     df = OPS[name](*empties)
     assert df.count() == 0
     assert df.columns  # schema survives
+
+
+def test_null_spans_row(spark):
+    """A row with spans = NULL (not empty array) flows through extraction
+    and the intra-row relational ops without crashing."""
+    from graphical_context_extraction_pipeline_spark.operators import relational as R
+
+    df = spark.createDataFrame(
+        [("doc_null", None, None, None)], SPANS_DDL
+    )
+    assert extract_documents(df).count() == 0
+    assert R.timeline_interleave(df).count() == 0
+    assert R.sliding_window_chunks(df).count() == 0
+    assert R.ocr_frame_dedup(df).count() == 0
+    assert BP.strip_boilerplate(df).count() == 0
