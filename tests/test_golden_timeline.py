@@ -122,3 +122,18 @@ def test_per_frame_full_text_matches_reference(golden, ref_events):
             ), name
             checked += 1
     assert checked == len(_by_type(ref_events, "ocr_block"))
+
+
+def test_validator_reproduces_published_metrics(golden):
+    """The reference's README/EXECUTIVE_SUMMARY publish 97.8% extraction
+    coverage and 4 keyframe gaps for the golden video; the engine's
+    validator reproduces both exactly (45/46 five-second windows covered →
+    9782 basis points)."""
+    from graphical_context_extraction_pipeline_spark.operators import validate as V
+
+    _, df = golden
+    cov = V.coverage(df).first()
+    assert cov["n_windows"] == 46
+    assert cov["n_covered"] == 45
+    assert cov["coverage_bp"] == 9782  # == the published 97.8%
+    assert V.keyframe_gaps(df).count() == 4  # published "4 gaps"
