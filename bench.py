@@ -119,10 +119,10 @@ def run_suite(cpus: int, sf_dir: str) -> dict:
     timings: dict[str, float] = {}
     extract_wall = None
     for name, fn in suite.items():
-        # best-of-2: this box is multi-tenant and external load only ever
+        # best-of-3: this box is multi-tenant and external load only ever
         # slows a run; min is the faithful engine cost
         best = None
-        for _ in range(2):
+        for _ in range(3):
             t0 = time.time()
             fn()
             w = time.time() - t0
