@@ -590,7 +590,7 @@ FROM t
     # element)
     q["fingerprint"] = f"""
 SELECT doc_id, md5(lower(text)) AS md5_full,
-       md5(array_to_string(list_slice({_TOKS}, 1, 16), ' ')) AS md5_head16,
+       md5(coalesce(array_to_string(list_slice({_TOKS}, 1, 16), ' '), '')) AS md5_head16,
        list_reduce(
          list_prepend(cast(0 AS bigint),
            list_transform({_TOKS}, t -> cast(('0x' || substr(md5(t), 1, 8)) AS bigint))),
