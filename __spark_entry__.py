@@ -80,6 +80,28 @@ def _planted_near(docs: DataFrame) -> DataFrame:
     return base.unionAll(near)
 
 
+def _planted_emb(emb: DataFrame) -> DataFrame:
+    """Embedding near-dup plants: float32-perturbed copies of every 40th
+    vector (+0.02 / +0.05 per component, exact float32 arithmetic that the
+    DuckDB oracle replays bit-for-bit). Perturbed — not exact — copies are
+    deliberate: an identical copy has cosine exactly 1.0, ON the e4 floor
+    boundary, where a last-ulp cross-engine difference in the dot product
+    could flip 10000↔9999; the perturbed cosines sit strictly inside their
+    e4 cell. (The natural corpus has no pair above cos 0.52, so plants are
+    the operator's entire expected output.)"""
+
+    def shifted(mod_match: int, id_off: int, delta: float) -> DataFrame:
+        return emb.where(F.col("vec_id") % 40 == mod_match).select(
+            (F.col("vec_id") + id_off).alias("vec_id"),
+            F.transform(
+                "embedding", lambda x: x + F.lit(delta).cast("float")
+            ).alias("embedding"),
+            "label",
+        )
+
+    return emb.unionByName(shifted(1, 600000, 0.02)).unionByName(shifted(21, 700000, 0.05))
+
+
 QUERY_IDS = list(range(10))
 
 
@@ -118,16 +140,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ---- cross-doc boilerplate model (north-star per-partition heuristic) --
         "boilerplate_lines": lambda s, d: BP.boilerplate_lines(_spans_docs(s, d)),
         "strip_boilerplate": lambda s, d: BP.strip_boilerplate(_spans_docs(s, d)),
+        # registered in its deterministic 1-partition configuration (the
+        # driver's oracle is the global frequency model, which the
+        # partition-local heuristic equals exactly at 1 partition); the
+        # multi-partition behavior is pinned by tests/test_boilerplate_sliding
         "boilerplate_partition_local": lambda s, d: BP.boilerplate_lines_partition_local(
-            _spans_docs(s, d)
+            _spans_docs(s, d).repartition(1)
         ),
         # ---- validator analytics (SURVEY §2.5, phase-3 rebuild) ------------
         "keyframe_gaps": lambda s, d: V.keyframe_gaps(_spans_docs(s, d)),
         "asr_silence_gaps": lambda s, d: V.asr_gaps(_spans_docs(s, d)),
         "coverage_windows": lambda s, d: V.coverage(_spans_docs(s, d)),
         "chapter_counts": lambda s, d: V.chapter_counts(_spans_docs(s, d)),
-        # ---- full pipeline (pandas-UDF path; oracle: rows-only) ------------
-        "extract_chunks": ex,
+        # ---- full pipeline (pandas-UDF path; oracled against the pure-
+        # Python executable spec via parquet artifacts, see oracle_sql) ------
+        "extract_chunks": lambda s, d: EX.chunks_canonical(ex(s, d)),
         "quality_flags": lambda s, d: V.quality_flags(
             extract_documents(_spans_docs(s, d))
         ),
@@ -158,13 +185,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint": lambda s, d: TA.fingerprint(_flat_docs(s, d)),
         # ---- similarity search ----------------------------------------------
         # ---- multimodal binary columns (decode behind deterministic fake) ----
-        "media_features": lambda s, d: media.extract_media_features(
-            media.synthesize_media(_spans_docs(s, d))
+        "media_features": lambda s, d: media.media_features_canonical(
+            media.extract_media_features(media.synthesize_media(_spans_docs(s, d)))
         ),
         "cosine_topk": lambda s, d: similarity.cosine_topk(_emb(s, d), QUERY_IDS),
         "ann_topk_lsh": lambda s, d: similarity.ann_topk_lsh(_emb(s, d), QUERY_IDS),
-        "ivf_topk": lambda s, d: similarity.ivf_topk(_emb(s, d), QUERY_IDS),
-        "embedding_cosine_dups": lambda s, d: similarity.embedding_cosine_dups(_emb(s, d)),
+        # n_iters=0: seeded-reservoir centroids, exactly DuckDB-oracled;
+        # Lloyd-refined quality is pinned by tests/test_ann_recall.py
+        "ivf_topk": lambda s, d: similarity.ivf_topk(_emb(s, d), QUERY_IDS, n_iters=0),
+        "embedding_cosine_dups": lambda s, d: similarity.embedding_cosine_dups(
+            _planted_emb(_emb(s, d))
+        ),
     }
 
 
@@ -256,6 +287,157 @@ FROM banded a JOIN banded b ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id 
 """
 
 
+def _emb_dim(default: int = 64) -> int:
+    """Embedding dimensionality of the driver's test tables (needed to
+    regenerate the LSH hyperplane literals inside the oracle SQL)."""
+    try:
+        import pyarrow.parquet as pq
+
+        f = pq.ParquetFile("/root/testdata/sf0.01/embeddings.parquet")
+        batch = next(f.iter_batches(batch_size=1))
+        return len(batch.column("embedding")[0])
+    except Exception:
+        return default
+
+
+def _bucket_expr_sql(planes) -> str:
+    """DuckDB sign-bucket expression over a DOUBLE[] column ``v`` for one
+    hyperplane table — bit i = (v · planeᵢ > 0), identical to
+    similarity.lsh_bucket (the plane literals round-trip exactly through
+    repr, and the ±1e-16 dot accumulation difference between DuckDB's
+    list_dot_product and Spark's sequential fold cannot flip a sign at any
+    realistic magnitude)."""
+    terms = []
+    for i, p in enumerate(planes):
+        lits = ",".join(repr(float(x)) for x in p)
+        terms.append(f"(CASE WHEN list_dot_product(v, [{lits}]) > 0 THEN {2**i} ELSE 0 END)")
+    return " + ".join(terms)
+
+
+def _banded_sql(n_planes: int, n_tables: int, seed: int, dim: int) -> str:
+    """UNION ALL of per-table (vec_id, tbl, bucket) selects over CTE ``e``."""
+    from graphical_context_extraction_pipeline_spark.operators.similarity import _hyperplanes
+
+    selects = []
+    for t in range(n_tables):
+        planes = _hyperplanes(dim, n_planes, seed + 1000 * t)
+        selects.append(f"SELECT vec_id, {t} AS tbl, {_bucket_expr_sql(planes)} AS bucket FROM e")
+    return "\nUNION ALL\n".join(selects)
+
+
+_COS_SQL = (
+    "list_dot_product(ea.v, eb.v)"
+    " / (sqrt(list_dot_product(ea.v, ea.v)) * sqrt(list_dot_product(eb.v, eb.v)))"
+)
+
+
+def _ann_lsh_oracle(ids: str, k: int = 10, n_planes: int = 4, n_tables: int = 8, seed: int = 42) -> str:
+    """Replays similarity.ann_topk_lsh exactly: same hyperplane literals,
+    same multi-table candidate union, same exact cosine re-rank."""
+    banded = _banded_sql(n_planes, n_tables, seed, _emb_dim())
+    return f"""
+WITH e AS (SELECT vec_id, cast(embedding AS DOUBLE[]) AS v FROM embeddings),
+b AS (
+{banded}
+),
+q AS (SELECT vec_id AS query_id, tbl, bucket FROM b WHERE vec_id IN ({ids})),
+cand AS (SELECT DISTINCT q.query_id, b.vec_id
+         FROM b JOIN q ON b.tbl = q.tbl AND b.bucket = q.bucket AND b.vec_id <> q.query_id),
+scored AS (SELECT c.query_id, c.vec_id,
+                  cast(floor(({_COS_SQL}) * 10000) AS bigint) AS cos_e4
+           FROM cand c
+           JOIN e ea ON ea.vec_id = c.vec_id
+           JOIN e eb ON eb.vec_id = c.query_id),
+ranked AS (SELECT query_id, vec_id, cos_e4,
+                  cast(row_number() OVER (PARTITION BY query_id
+                       ORDER BY cos_e4 DESC, vec_id) AS bigint) AS rank
+           FROM scored)
+SELECT query_id, vec_id, cos_e4, rank FROM ranked WHERE rank <= {k}
+"""
+
+
+def _ivf_oracle(ids: str, k: int = 10, n_centroids: int = 16, n_probe: int = 4) -> str:
+    """Replays similarity.ivf_topk(n_iters=0) exactly: seeded-reservoir
+    centroid choice (md5-priority order statistics), argmax assignment with
+    the (dot DESC, cid DESC) tiebreak of Spark's array_max on
+    struct(dot, cid), probe selection with the same tiebreak, exact cosine
+    re-rank."""
+    return f"""
+WITH e AS (SELECT vec_id, cast(embedding AS DOUBLE[]) AS v FROM embeddings),
+pri AS (SELECT vec_id,
+               cast(('0x' || substr(md5('ivf:' || cast(vec_id AS varchar)), 1, 15)) AS bigint) AS pri
+        FROM e),
+cent AS (SELECT vec_id, cv, cid FROM (
+           SELECT e.vec_id, e.v AS cv,
+                  row_number() OVER (ORDER BY p.pri, p.vec_id) - 1 AS cid
+           FROM pri p JOIN e ON e.vec_id = p.vec_id)
+         WHERE cid < {n_centroids}),
+asg AS (SELECT vec_id, cid FROM (
+          SELECT e.vec_id, c.cid,
+                 row_number() OVER (PARTITION BY e.vec_id
+                     ORDER BY list_dot_product(e.v, c.cv) DESC, c.cid DESC) AS rn
+          FROM e CROSS JOIN cent c)
+        WHERE rn = 1),
+probes AS (SELECT query_id, cid FROM (
+             SELECT q.vec_id AS query_id, c.cid,
+                    row_number() OVER (PARTITION BY q.vec_id
+                        ORDER BY list_dot_product(q.v, c.cv) DESC, c.cid DESC) AS rn
+             FROM e q CROSS JOIN cent c WHERE q.vec_id IN ({ids}))
+           WHERE rn <= {n_probe}),
+cand AS (SELECT p.query_id, a.vec_id FROM asg a JOIN probes p ON a.cid = p.cid
+         WHERE a.vec_id <> p.query_id),
+scored AS (SELECT c.query_id, c.vec_id,
+                  cast(floor(({_COS_SQL}) * 10000) AS bigint) AS cos_e4
+           FROM cand c
+           JOIN e ea ON ea.vec_id = c.vec_id
+           JOIN e eb ON eb.vec_id = c.query_id),
+ranked AS (SELECT query_id, vec_id, cos_e4,
+                  cast(row_number() OVER (PARTITION BY query_id
+                       ORDER BY cos_e4 DESC, vec_id) AS bigint) AS rank
+           FROM scored)
+SELECT query_id, vec_id, cos_e4, rank FROM ranked WHERE rank <= {k}
+"""
+
+
+def _emb_dups_oracle(min_cos_e4: int = 9000) -> str:
+    """Replays similarity.embedding_cosine_dups over the _planted_emb corpus:
+    same float32 perturbation plants, same hyperplane tables, same banded
+    candidate dedup, same exact cosine threshold."""
+    from graphical_context_extraction_pipeline_spark.operators.similarity import (
+        EMB_DUP_PLANES,
+        EMB_DUP_SEED,
+        EMB_DUP_TABLES,
+    )
+
+    banded = _banded_sql(EMB_DUP_PLANES, EMB_DUP_TABLES, EMB_DUP_SEED, _emb_dim())
+    return f"""
+WITH corpus AS (
+  SELECT vec_id, embedding FROM embeddings
+  UNION ALL
+  SELECT vec_id + 600000 AS vec_id,
+         list_transform(embedding, x -> cast(x + cast(0.02 AS REAL) AS REAL)) AS embedding
+  FROM embeddings WHERE vec_id % 40 = 1
+  UNION ALL
+  SELECT vec_id + 700000 AS vec_id,
+         list_transform(embedding, x -> cast(x + cast(0.05 AS REAL) AS REAL)) AS embedding
+  FROM embeddings WHERE vec_id % 40 = 21
+),
+e AS (SELECT vec_id, cast(embedding AS DOUBLE[]) AS v FROM corpus),
+b AS (
+{banded}
+),
+cand AS (SELECT DISTINCT a.vec_id AS vec_a, b2.vec_id AS vec_b
+         FROM b a JOIN b b2 ON a.tbl = b2.tbl AND a.bucket = b2.bucket
+              AND a.vec_id < b2.vec_id),
+scored AS (SELECT c.vec_a, c.vec_b,
+                  cast(floor(({_COS_SQL}) * 10000) AS bigint) AS cos_e4
+           FROM cand c
+           JOIN e ea ON ea.vec_id = c.vec_a
+           JOIN e eb ON eb.vec_id = c.vec_b)
+SELECT vec_a, vec_b, cos_e4 FROM scored WHERE cos_e4 >= {min_cos_e4}
+"""
+
+
 def _simhash_cte(corpus_sql: str) -> str:
     sums = ", ".join(
         f"sum(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS s{b}" for b in range(60)
@@ -270,11 +452,21 @@ sim AS (SELECT doc_id, ({bits}) AS simhash FROM bs)
 
 
 def oracle_sql() -> dict[str, str]:
-    # the SQL strings below read the generated spans corpus — make sure it
-    # exists even if no Spark query has run yet (Spark-free pyarrow writer)
+    # the SQL strings below read (a) the generated spans corpus and (b) the
+    # pure-Python oracle artifacts for the pandas-kernel pipeline — make
+    # sure both exist even if no Spark query has run yet (Spark-free
+    # pyarrow writers; see oracle_artifacts.py for the protocol rationale)
     from graphical_context_extraction_pipeline_spark.datagen import ensure_documents_local
+    from graphical_context_extraction_pipeline_spark.oracle_artifacts import (
+        ensure_oracle_artifacts,
+    )
 
     ensure_documents_local(SPANS_SF, base_dir=os.path.join(REPO, "data"))
+    art_dir = ensure_oracle_artifacts(SPANS_SF, base_dir=os.path.join(REPO, "data"))
+    OC = f"read_parquet('{art_dir}/oracle_chunks.parquet')"
+    OCW = f"read_parquet('{art_dir}/oracle_context_windows.parquet')"
+    OFD = f"read_parquet('{art_dir}/oracle_frame_dedup.parquet')"
+    OMF = f"read_parquet('{art_dir}/oracle_media_features.parquet')"
 
     q: dict[str, str] = {}
 
@@ -286,8 +478,8 @@ SELECT doc_id, s.kind AS kind, count(*) AS n FROM {_S1} GROUP BY doc_id, s.kind
 WITH o AS (SELECT doc_id, cast(round(a.confidence * 10000) AS bigint) AS conf_e4
            FROM {_Z} WHERE s.kind = 'ocr')
 SELECT doc_id, count(*) AS n_blocks,
-       sum(CASE WHEN conf_e4 >= 5000 THEN 1 ELSE 0 END) AS n_kept,
-       sum(CASE WHEN conf_e4 >= 5000 THEN conf_e4 ELSE 0 END) AS sum_kept_conf_e4
+       cast(sum(CASE WHEN conf_e4 >= 5000 THEN 1 ELSE 0 END) AS bigint) AS n_kept,
+       cast(sum(CASE WHEN conf_e4 >= 5000 THEN conf_e4 ELSE 0 END) AS bigint) AS sum_kept_conf_e4
 FROM o GROUP BY doc_id
 """
 
@@ -387,7 +579,7 @@ cov AS (SELECT w.doc_id,
                            AND frm.ts >= w.w0 AND frm.ts < least(w.w0 + 5000, w.dur))) AS c
         FROM w)
 SELECT doc_id, count(*) AS n_windows,
-       sum(CASE WHEN c THEN 1 ELSE 0 END) AS n_covered,
+       cast(sum(CASE WHEN c THEN 1 ELSE 0 END) AS bigint) AS n_covered,
        cast(floor(sum(CASE WHEN c THEN 1 ELSE 0 END) * 10000.0 / count(*)) AS bigint) AS coverage_bp
 FROM cov GROUP BY doc_id
 """
@@ -435,7 +627,7 @@ fan AS (SELECT doc_id, kind, text, media_ref, "offset",
         FROM rng WHERE k_lo <= k_hi)
 SELECT doc_id, win_seq, win_seq * {S} AS w_start_ms, win_seq * {S} + {W} AS w_end_ms,
        count(*) AS n_spans,
-       sum(CASE WHEN kind IN ('asr', 'ocr') THEN 1 ELSE 0 END) AS n_text_spans,
+       cast(sum(CASE WHEN kind IN ('asr', 'ocr') THEN 1 ELSE 0 END) AS bigint) AS n_text_spans,
        coalesce(string_agg(
          CASE WHEN kind IN ('asr', 'ocr') AND coalesce(text, '') <> '' THEN text END, ' '
          ORDER BY "offset", {_PRI}, coalesce(text, ''), coalesce(media_ref, '')), '') AS text,
@@ -497,12 +689,20 @@ SELECT md5(lower(text)) AS dup_key, count(*) AS n_members,
 FROM corpus GROUP BY 1 HAVING count(*) > 1
 """
 
+    from graphical_context_extraction_pipeline_spark.operators.dedup import MAX_DOCS_PER_SHINGLE
+
+    # sizes use the FULL per-doc shingle set; blocking (and therefore
+    # n_shared) excludes hot shingles (> MAX_DOCS_PER_SHINGLE docs) exactly
+    # as the Spark operator's stop-shingle cutoff does
     q["ngram_jaccard_pairs"] = f"""
 WITH {_CORPUS_NEAR},
 {_SHINGLES_CTE},
 sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+ok AS (SELECT shingle FROM sh GROUP BY shingle
+       HAVING count(*) <= {MAX_DOCS_PER_SHINGLE}),
+shc AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN ok USING (shingle)),
 pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared
-          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+          FROM shc a JOIN shc b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
           GROUP BY 1, 2)
 SELECT doc_a, doc_b, n_shared,
        sa.n_sh + sb.n_sh - n_shared AS n_union,
@@ -599,7 +799,68 @@ SELECT doc_id, md5(lower(text)) AS md5_full,
 FROM documents
 """
 
+    # ---- pandas-kernel pipeline: oracled via the pure-Python executable
+    # spec (oracle.py) materialized to parquet by oracle_artifacts.py.
+    # DuckDB is the transport; the independent computation is the
+    # transcribed reference semantics with file:line citations. ----------
+    q["extract_chunks"] = f"SELECT * FROM {OC}"
+
+    q["context_windows"] = f"SELECT chunk_id, kind, \"offset\", nearest_frame FROM {OCW}"
+
+    # W2 relational fold — DuckDB list_reduce is defective for folds of this
+    # size (NOTES_STATE.md), so the oracle is the independent Python fold
+    # written to parquet (same protocol the W2 kernel tests use)
+    q["ocr_frame_dedup"] = f'SELECT doc_id, "rank", ts, path, full_text, conf_e4 FROM {OFD}'
+
+    q["media_features"] = (
+        f"SELECT media_ref, mime, n_bytes, sha256, width, height, feature_e8_s FROM {OMF}"
+    )
+
+    # genuine SQL logic over the oracle chunk table
+    q["quality_flags"] = f"""
+WITH c AS (SELECT doc_id, chunk_id, ocr_text, has_visual, has_speech FROM {OC})
+SELECT doc_id, chunk_id, 'no_ocr_text' AS flag FROM c WHERE length(ocr_text) = 0
+UNION ALL
+SELECT doc_id, chunk_id, 'low_ocr_text' AS flag FROM c
+WHERE length(ocr_text) > 0 AND length(ocr_text) < 10
+UNION ALL
+SELECT doc_id, chunk_id, 'no_visual' AS flag FROM c WHERE NOT has_visual
+UNION ALL
+SELECT doc_id, chunk_id, 'no_speech' AS flag FROM c WHERE NOT has_speech
+"""
+
+    q["density_topk"] = f"""
+WITH c AS (SELECT doc_id, chunk_id,
+                  cast(length(asr_text) + length(ocr_text) AS bigint) AS content_chars,
+                  greatest(t_end_ms - t_start_ms, 1) AS dur_ms
+           FROM {OC}),
+s AS (SELECT doc_id, chunk_id, content_chars,
+             cast(content_chars * 1000000000 // dur_ms AS bigint) AS density_e6,
+             row_number() OVER (PARTITION BY doc_id
+                 ORDER BY content_chars DESC, chunk_id) AS rich_rank,
+             row_number() OVER (PARTITION BY doc_id
+                 ORDER BY content_chars ASC, chunk_id) AS thin_rank
+      FROM c)
+SELECT doc_id, chunk_id, content_chars, density_e6,
+       cast(CASE WHEN rich_rank <= 3 THEN rich_rank ELSE 0 END AS bigint) AS rich_rank,
+       cast(CASE WHEN thin_rank <= 3 THEN thin_rank ELSE 0 END AS bigint) AS thin_rank
+FROM s WHERE rich_rank <= 3 OR thin_rank <= 3
+"""
+
+    # partition-local boilerplate, 1-partition configuration == the global
+    # frequency model with part_id 0
+    q["boilerplate_partition_local"] = f"""
+WITH {_BL}
+SELECT cast(0 AS integer) AS part_id, norm, n_docs,
+       cast(total_docs AS bigint) AS part_total_docs
+FROM bl
+"""
+
     ids = ", ".join(str(i) for i in QUERY_IDS)
+    q["ann_topk_lsh"] = _ann_lsh_oracle(ids)
+    q["ivf_topk"] = _ivf_oracle(ids)
+    q["embedding_cosine_dups"] = _emb_dups_oracle()
+
     q["cosine_topk"] = f"""
 WITH qv AS (SELECT vec_id AS query_id, cast(embedding AS DOUBLE[]) AS qv
             FROM embeddings WHERE vec_id IN ({ids})),

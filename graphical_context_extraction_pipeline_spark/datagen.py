@@ -291,6 +291,7 @@ def generate_doc(i: int) -> dict:
                 # phase 2/src/chunker.py:220-226)
                 "scene_id": None if scene_id is None else int(scene_id),
                 "n_words": None if n_words is None else int(n_words),
+                "words": None,
             }
         )
 
@@ -332,7 +333,11 @@ def generate_doc(i: int) -> dict:
 SPANS_DDL = (
     "doc_id string, "
     "spans array<struct<kind:string,text:string,media_ref:string,offset:int>>, "
-    "span_attrs array<struct<end_ms:int,confidence:double,bbox:array<double>,scene_id:int,n_words:int>>, "
+    "span_attrs array<struct<end_ms:int,confidence:double,bbox:array<double>,scene_id:int,n_words:int,"
+    # per-word ASR detail (reference phase 2/src/loader.py:12-18); the
+    # synthetic generator leaves it NULL (segment-level confidence/n_words
+    # carry the same information), the golden loader fills it from asr.json
+    "words:array<struct<word:string,start_ms:int,end_ms:int,score:double>>>>, "
     "meta struct<title:string,channel:string,description:string,"
     "tags:array<string>,upload_date:string,duration_ms:long>"
 )
@@ -351,7 +356,10 @@ def _gen_batches(it):
                     for r in rows
                 ],
                 "span_attrs": [
-                    [(a["end_ms"], a["confidence"], a["bbox"], a["scene_id"], a["n_words"]) for a in r["span_attrs"]]
+                    [
+                        (a["end_ms"], a["confidence"], a["bbox"], a["scene_id"], a["n_words"], a.get("words"))
+                        for a in r["span_attrs"]
+                    ]
                     for r in rows
                 ],
                 "meta": [
@@ -417,6 +425,19 @@ def ensure_documents_local(sf_tag: str, base_dir: str = "/root/repo/data") -> st
             ("bbox", pa.list_(pa.float64())),
             ("scene_id", pa.int32()),
             ("n_words", pa.int32()),
+            (
+                "words",
+                pa.list_(
+                    pa.struct(
+                        [
+                            ("word", pa.string()),
+                            ("start_ms", pa.int32()),
+                            ("end_ms", pa.int32()),
+                            ("score", pa.float64()),
+                        ]
+                    )
+                ),
+            ),
         ]
     )
     meta_t = pa.struct(

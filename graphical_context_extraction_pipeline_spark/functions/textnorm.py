@@ -79,7 +79,10 @@ def tfidf_cosine(a: str | None, b: str | None) -> float:
         ca[t] = ca.get(t, 0) + 1
     for t in tb:
         cb[t] = cb.get(t, 0) + 1
-    vocab = set(ca) | set(cb)
+    # sorted iteration: float accumulation order is fixed, so the score is
+    # bit-identical across processes regardless of PYTHONHASHSEED (the
+    # canonical chunk projection floors this to e6 for oracle hashing)
+    vocab = sorted(set(ca) | set(cb))
     dot = 0.0
     na = 0.0
     nb = 0.0

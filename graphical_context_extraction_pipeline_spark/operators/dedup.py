@@ -100,7 +100,15 @@ def exact_duplicates(docs: DataFrame) -> DataFrame:
     )
 
 
-def ngram_jaccard_pairs(docs: DataFrame, n: int = 3, min_jaccard_bp: int = 6000) -> DataFrame:
+MAX_DOCS_PER_SHINGLE = 64  # stop-shingle cutoff (see ngram_jaccard_pairs)
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    n: int = 3,
+    min_jaccard_bp: int = 6000,
+    max_docs_per_shingle: int = MAX_DOCS_PER_SHINGLE,
+) -> DataFrame:
     """Near-dup pairs by word-n-gram Jaccard ≥ threshold (basis points).
 
     Blocking: explode distinct shingle hashes → bucket-grouped pair
@@ -112,12 +120,40 @@ def ngram_jaccard_pairs(docs: DataFrame, n: int = 3, min_jaccard_bp: int = 6000)
     post-hoc join against a sizes table is needed — the whole operator is
     two shuffles (explode→groupBy(shingle), pair groupBy) with map-side
     partial aggregation on both.
+
+    Hot-shingle cap: a shingle appearing in more than ``max_docs_per_shingle``
+    documents (a stop-phrase) is dropped from blocking entirely — its
+    within-bucket pair expansion is quadratic while the shingle itself
+    carries almost no Jaccard signal (a 3-gram shared by >K docs contributes
+    ≤1/|union| to each pair). This bounds every bucket's expansion at
+    K(K−1)/2 regardless of corpus size; the documented alternative for
+    exact near-dup sets dominated by stop-phrases is MinHash banding
+    (minhash_lsh_pairs), whose band buckets are probabilistically balanced.
+    The DuckDB oracle applies the identical cutoff, and the reported
+    jaccard_bp is exact inclusion-exclusion over NON-hot shingles — a
+    conservative (under-) estimate for pairs that additionally share hot
+    shingles.
+
+    The cutoff is applied BEFORE any bucket is materialized (a post-hoc
+    ``where(size(ds) ≤ K)`` would still buffer the 10⁹-member bucket inside
+    collect_list): a count aggregation (map-side partial, 16-byte rows)
+    finds hot shingles, an anti-join (AQE broadcasts it when tiny — and the
+    hot set is tiny by construction at sane K) removes their occurrences,
+    and only then are buckets collected — every aggregation buffer is
+    bounded by K structs.
     """
     base = docs.select(
         "doc_id", F.explode(_with_sizes(_hashed_shingles(F.col("text"), n))).alias("z")
     ).select("doc_id", F.col("z.shingle").alias("shingle"), F.col("z.n_sh").alias("n_sh"))
-    grouped = (
+    hot = (
         base.groupBy("shingle")
+        .agg(F.count("*").alias("n_docs"))
+        .where(F.col("n_docs") > max_docs_per_shingle)
+        .select("shingle")
+    )
+    grouped = (
+        base.join(hot, "shingle", "left_anti")
+        .groupBy("shingle")
         .agg(F.collect_list(F.struct("doc_id", "n_sh")).alias("ds"))
         .where(F.size("ds") > 1)
     )

@@ -84,6 +84,75 @@ def transcript_lines(docs: DataFrame) -> DataFrame:
     )
 
 
+# canonical serialization separators (control chars that cannot occur in
+# span text: normalize_text collapses all whitespace and the corpora carry
+# no other control characters)
+CANON_FIELD_SEP = "\x1f"
+CANON_ROW_SEP = "\x1e"
+
+
+def chunks_canonical(chunks: DataFrame) -> DataFrame:
+    """Hash-stable flat projection of the chunk table: every column is
+    string / bigint / boolean so any engine (or the driver's pandas
+    canonicalizer) hashes it identically — array columns are serialized
+    with control-char separators, float confidences floored to e6 ints.
+
+    ``part_id`` is deliberately excluded: it is execution lineage (which
+    task produced the row), not chunk content.
+    """
+    from pyspark.sql import functions as F
+
+    US, RS = CANON_FIELD_SEP, CANON_ROW_SEP
+
+    out_spans_s = F.array_join(
+        F.transform(
+            F.col("out_spans"),
+            lambda s: F.concat_ws(
+                US,
+                s["kind"],
+                F.coalesce(s["text"], F.lit("")),
+                F.coalesce(s["media_ref"], F.lit("")),
+                s["offset"].cast("string"),
+            ),
+        ),
+        RS,
+    )
+    return chunks.select(
+        "chunk_id",
+        "doc_id",
+        "source",
+        F.col("t_start_ms").cast("long").alias("t_start_ms"),
+        F.col("t_end_ms").cast("long").alias("t_end_ms"),
+        F.col("chapter_index").cast("long").alias("chapter_index"),
+        "chapter_title",
+        F.col("scene_id").cast("long").alias("scene_id"),
+        F.array_join(F.transform("merged_scene_ids", lambda x: x.cast("string")), ",").alias(
+            "merged_scene_ids_s"
+        ),
+        "asr_text",
+        "ocr_text",
+        "merged_text",
+        out_spans_s.alias("out_spans_s"),
+        F.array_join(F.col("span_ctx"), RS, "").alias("span_ctx_s"),
+        F.array_join(F.transform("keyframe_ids", lambda x: x.cast("string")), ",").alias(
+            "keyframe_ids_s"
+        ),
+        F.array_join(F.col("keyframe_paths"), RS).alias("keyframe_paths_s"),
+        "has_keyframe",
+        F.floor(F.col("asr_confidence") * 1000000.0).cast("long").alias("asr_conf_e6"),
+        F.floor(F.col("ocr_confidence") * 1000000.0).cast("long").alias("ocr_conf_e6"),
+        F.floor(F.col("alignment_score") * 1000000.0).cast("long").alias("alignment_e6"),
+        F.col("completeness.has_speech").alias("has_speech"),
+        F.col("completeness.has_visual").alias("has_visual"),
+        F.col("completeness.has_ocr_text").alias("has_ocr_text"),
+        F.coalesce(F.col("provenance.video_title"), F.lit("")).alias("video_title"),
+        F.coalesce(F.col("provenance.channel"), F.lit("")).alias("channel"),
+        F.coalesce(F.col("provenance.video_description"), F.lit("")).alias("video_description"),
+        F.array_join(F.coalesce(F.col("provenance.tags"), F.array().cast("array<string>")), RS).alias("tags_s"),
+        F.coalesce(F.col("provenance.publish_date"), F.lit("")).alias("publish_date"),
+    )
+
+
 def read_jsonl(spark, path: str, schema=None) -> DataFrame:
     r = spark.read
     if schema is not None:

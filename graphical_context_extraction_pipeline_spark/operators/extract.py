@@ -36,8 +36,10 @@ CHROME_FRAME_FRACTION = 0.8
 NEAR_DUP_OVERLAP = 0.9
 KIND_PRIORITY = {"chapter": 0, "scene": 1, "asr": 2, "frame": 3, "ocr": 4}
 
+CHUNK_SOURCE = "youtube"  # reference Chunk.source (phase 2/src/chunker.py:18,179)
+
 CHUNKS_DDL = (
-    "chunk_id string, doc_id string, t_start_ms int, t_end_ms int, "
+    "chunk_id string, doc_id string, source string, t_start_ms int, t_end_ms int, "
     "chapter_index int, chapter_title string, scene_id int, "
     "merged_scene_ids array<int>, "
     "asr_text string, ocr_text string, merged_text string, "
@@ -52,7 +54,7 @@ CHUNKS_DDL = (
 )
 
 CHUNK_COLUMNS = [
-    "chunk_id", "doc_id", "t_start_ms", "t_end_ms", "chapter_index",
+    "chunk_id", "doc_id", "source", "t_start_ms", "t_end_ms", "chapter_index",
     "chapter_title", "scene_id", "merged_scene_ids", "asr_text", "ocr_text",
     "merged_text", "out_spans", "span_ctx", "keyframe_ids", "keyframe_paths",
     "has_keyframe", "asr_confidence", "ocr_confidence", "alignment_score",
@@ -87,8 +89,23 @@ def _doc_chunks(doc_id: str, spans, attrs, meta) -> list[tuple]:
             asr_t.append(normalize_text(sp["text"]) or "")
             asr_s.append(sp["offset"])
             asr_e.append(at["end_ms"])
-            asr_c.append(at["confidence"])
-            asr_w.append(at["n_words"] or 0)
+            # A3 word fidelity: when the contract carries per-word
+            # (word, start, end, score) structs (reference phase 2/src/
+            # loader.py:12-18), the chunk confidence is the mean over the
+            # RAW word scores (enricher.py:51-68) — asr_c holds the
+            # per-segment score SUM so the chunk mean is Σsums/Σcounts.
+            # Sources without word detail fall back to confidence × n_words
+            # (arithmetically the same quantity, one extra rounding).
+            try:
+                words = at["words"]
+            except (KeyError, ValueError, IndexError):
+                words = None
+            if words is not None and len(words) > 0:
+                asr_c.append(sum(w["score"] for w in words))
+                asr_w.append(len(words))
+            else:
+                asr_c.append((at["confidence"] or 0.0) * (at["n_words"] or 0))
+                asr_w.append(at["n_words"] or 0)
         elif kind == "ocr":
             conf = at["confidence"]
             if conf is None or conf < OCR_CONF_MIN:
@@ -291,11 +308,12 @@ def _doc_chunks(doc_id: str, spans, attrs, meta) -> list[tuple]:
         else:
             merged_text = ""
 
-        # word-weighted mean = reference's mean-over-all-words (enricher.py:51-68);
-        # sequential sums match the oracle exactly
+        # mean over all words of the chunk's segments (enricher.py:51-68):
+        # asr_c_a already holds per-segment word-score sums; sequential sums
+        # match the pure-Python oracle bit-for-bit
         tot_w = sum(int(asr_w_a[j]) for j in seg_idx)
         asr_conf = (
-            sum(float(asr_c_a[j]) * int(asr_w_a[j]) for j in seg_idx) / tot_w if tot_w else 0.0
+            sum(float(asr_c_a[j]) for j in seg_idx) / tot_w if tot_w else 0.0
         )
         chunk_block_confs = [ocr_c[j] for p in kf_paths for j in blocks_by_path.get(p, [])]
         ocr_conf = sum(chunk_block_confs) / len(chunk_block_confs) if chunk_block_confs else 0.0
@@ -333,6 +351,7 @@ def _doc_chunks(doc_id: str, spans, attrs, meta) -> list[tuple]:
             (
                 f"{doc_id}_ch{chapter_index}_sc{int(primary_scene[c])}",
                 doc_id,
+                CHUNK_SOURCE,
                 t0,
                 t1,
                 chapter_index,

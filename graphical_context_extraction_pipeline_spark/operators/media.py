@@ -105,6 +105,29 @@ def extract_media_features(media: DataFrame) -> DataFrame:
     return media.mapInPandas(_feature_batches, schema=FEATURES_DDL)
 
 
+def media_features_canonical(features: DataFrame) -> DataFrame:
+    """Hash-stable projection of the feature table: the float32 feature
+    vector is serialized as comma-joined e8 integers (floor(x·1e8 + 0.5) on
+    the exact float32→double value — identical in any engine), everything
+    else already scalar."""
+    feature_e8_s = F.array_join(
+        F.transform(
+            F.col("feature"),
+            lambda x: F.floor(x.cast("double") * 100000000.0 + 0.5).cast("long").cast("string"),
+        ),
+        ",",
+    )
+    return features.select(
+        "media_ref",
+        "mime",
+        F.col("n_bytes").cast("long").alias("n_bytes"),
+        "sha256",
+        F.col("width").cast("long").alias("width"),
+        F.col("height").cast("long").alias("height"),
+        feature_e8_s.alias("feature_e8_s"),
+    )
+
+
 RESIZED_DDL = (
     "media_ref string, width int, height int, payload binary, "
     "media_meta struct<mime:string, width:int, height:int, duration_ms:long>"

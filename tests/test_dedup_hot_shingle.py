@@ -1,0 +1,56 @@
+"""Hot-shingle (stop-phrase) cap for ngram_jaccard_pairs: a shingle shared
+by more than MAX_DOCS_PER_SHINGLE documents must not drive quadratic bucket
+expansion — it is excluded from blocking BEFORE any bucket is collected."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from graphical_context_extraction_pipeline_spark.operators.dedup import (
+    MAX_DOCS_PER_SHINGLE,
+    ngram_jaccard_pairs,
+)
+
+
+@pytest.fixture(scope="module")
+def hot_corpus(spark):
+    """1000 docs all sharing one hot stop-phrase ("subscribe like and" ...)
+    plus unique content; docs 0/1 are true near-duplicates of each other."""
+    stop = "please remember to subscribe and like this video"
+    rows = []
+    for i in range(1000):
+        uniq = " ".join(f"tok{i}x{j}" for j in range(30))
+        rows.append((i, f"{stop} {uniq}"))
+    # a true near-dup pair: same long unique body, tiny tail difference
+    body = " ".join(f"shared{j}" for j in range(60))
+    rows.append((2001, f"{stop} {body}"))
+    rows.append((2002, f"{stop} {body} extra"))
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_hot_shingle_pairs_bounded(hot_corpus):
+    got = ngram_jaccard_pairs(hot_corpus, min_jaccard_bp=5000).collect()
+    pairs = {(r.doc_a, r.doc_b) for r in got}
+    # the planted near-dup pair survives (its signal is in non-hot shingles)
+    assert (2001, 2002) in pairs
+    # no pair exists purely because of the stop-phrase: any such pair would
+    # have jaccard ≈ 6/66 ≈ 900bp anyway, but more importantly the blocking
+    # never expanded the 1002-doc bucket at all
+    assert all(a == 2001 for a, _ in pairs), sorted(pairs)[:5]
+
+
+def test_hot_shingle_removed_before_collect(hot_corpus):
+    """Plan property: the hot-shingle exclusion is an anti-join upstream of
+    the bucket collect_list — the cap is structural, not post-hoc."""
+    plan = (
+        ngram_jaccard_pairs(hot_corpus)
+        ._jdf.queryExecution()
+        .optimizedPlan()
+        .toString()
+    )
+    assert "LeftAnti" in plan, plan
+
+
+def test_cap_is_mirrored_in_threshold():
+    # documents appearing in ≤ K docs are unaffected: with 3 docs sharing a
+    # shingle and K=64 nothing is dropped (sanity of the default)
+    assert MAX_DOCS_PER_SHINGLE >= 8

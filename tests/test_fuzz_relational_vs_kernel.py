@@ -25,7 +25,7 @@ def _to_rows(docs):
                 f"doc_{i:04d}",
                 [(s["kind"], s["text"], s["media_ref"], s["offset"]) for s in d["spans"]],
                 [
-                    (a["end_ms"], a["confidence"], a["bbox"], a["scene_id"], a["n_words"])
+                    (a["end_ms"], a["confidence"], a["bbox"], a["scene_id"], a["n_words"], a.get("words"))
                     for a in d["span_attrs"]
                 ],
                 (

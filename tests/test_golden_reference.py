@@ -47,6 +47,7 @@ def _check(mine: list[dict], ref: list[dict]):
     for m, r in zip(mine, ref):
         for k in [
             "chunk_id",
+            "source",
             "t_start_ms",
             "t_end_ms",
             "chapter_index",
@@ -77,7 +78,16 @@ def test_spark_matches_reference_output(spark, golden_doc, ref_chunks):
         golden_doc["doc_id"],
         [(s["kind"], s["text"], s["media_ref"], s["offset"]) for s in golden_doc["spans"]],
         [
-            (a["end_ms"], a["confidence"], a["bbox"], a["scene_id"], a["n_words"])
+            (
+                a["end_ms"],
+                a["confidence"],
+                a["bbox"],
+                a["scene_id"],
+                a["n_words"],
+                None
+                if a.get("words") is None
+                else [(w["word"], w["start_ms"], w["end_ms"], w["score"]) for w in a["words"]],
+            )
             for a in golden_doc["span_attrs"]
         ],
         (
@@ -95,6 +105,7 @@ def test_spark_matches_reference_output(spark, golden_doc, ref_chunks):
     mine = [
         {
             "chunk_id": x.chunk_id,
+            "source": x.source,
             "t_start_ms": x.t_start_ms,
             "t_end_ms": x.t_end_ms,
             "chapter_index": x.chapter_index,

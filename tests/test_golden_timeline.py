@@ -37,7 +37,7 @@ def golden(spark):
         doc["doc_id"],
         [(s["kind"], s["text"], s["media_ref"], s["offset"]) for s in doc["spans"]],
         [
-            (a["end_ms"], a["confidence"], a["bbox"], a["scene_id"], a["n_words"])
+            (a["end_ms"], a["confidence"], a["bbox"], a["scene_id"], a["n_words"], a.get("words"))
             for a in doc["span_attrs"]
         ],
         (

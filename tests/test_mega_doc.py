@@ -16,17 +16,17 @@ def _mega_doc(n_scenes=2000, frames_per_scene=5, blocks_per_frame=8):
     for sid in range(n_scenes):
         dur = 6000
         spans.append(("scene", f"{sid}:{t + dur}", None, t))
-        attrs.append((t + dur, None, None, None, None))
+        attrs.append((t + dur, None, None, None, None, None))
         spans.append(("asr", f"speech {sid} tokens here", None, t + 10))
-        attrs.append((t + 3000, 0.9, None, None, 4))
+        attrs.append((t + 3000, 0.9, None, None, 4, None))
         for k in range(frames_per_scene):
             path = f"frames/mega/frame_{fid:06d}.jpg"
             ts = t + 100 + k * 1000
             spans.append(("frame", None, path, ts))
-            attrs.append((None, None, None, sid, None))
+            attrs.append((None, None, None, sid, None, None))
             for b in range(blocks_per_frame):
                 spans.append(("ocr", f"block {sid} {k} {b}", path, ts + b))
-                attrs.append((None, 0.8, [0.0, float(b), 10.0, float(b) + 1], None, None))
+                attrs.append((None, 0.8, [0.0, float(b), 10.0, float(b) + 1], None, None, None))
             fid += 1
         t += dur
     meta = ("mega", "ch", "d", ["t"], "20250101", t)

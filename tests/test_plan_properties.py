@@ -71,11 +71,13 @@ def test_gap_detectors_are_shuffle_free(spark, docs_path):
         assert count_exchanges(df) == 0, physical_plan(df)
 
 
-def test_chrome_tokens_single_shuffle(spark, docs_path):
-    """Single-scan chrome: one token-level aggregation shuffle, nothing else."""
+def test_chrome_tokens_shuffle_free(spark, docs_path):
+    """Chrome token counting happens INSIDE the row (sorted-run detection
+    over the per-doc token array) — zero Exchanges; only the few surviving
+    chrome tokens are ever exploded."""
     docs = spark.read.parquet(docs_path)
     ct = R.chrome_tokens(docs)
-    assert count_exchanges(ct) == 1, physical_plan(ct)
+    assert count_exchanges(ct) == 0, physical_plan(ct)
 
 
 def test_sliding_windows_single_shuffle(spark, docs_path):
