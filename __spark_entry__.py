@@ -135,6 +135,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chrome_tokens": lambda s, d: R.chrome_tokens(_spans_docs(s, d)),
         "timeline_interleave": lambda s, d: R.timeline_interleave(_spans_docs(s, d)),
         "ocr_frame_dedup": lambda s, d: R.ocr_frame_dedup(_spans_docs(s, d)),
+        "frame_ocr_basename": lambda s, d: R.frame_ocr_basename_join(_spans_docs(s, d)),
         "sliding_windows": lambda s, d: R.sliding_window_chunks(_spans_docs(s, d)),
         "transcript_lines": lambda s, d: EX.transcript_lines(_spans_docs(s, d)),
         # ---- cross-doc boilerplate model (north-star per-partition heuristic) --
@@ -528,11 +529,30 @@ FROM cnt JOIN tot ON tot.doc_id = cnt.doc_id
 WHERE cnt.n_occ * 10 >= tot.total_frames * 8
 """
 
-    # NOTE: ocr_frame_dedup deliberately has NO DuckDB oracle — DuckDB
-    # 1.0.0's list_reduce returns wrong results for folds over a few hundred
+    q["frame_ocr_basename"] = f"""
+WITH fr AS (SELECT doc_id, regexp_extract(s.media_ref, '([^/]+)$', 1) AS frame_basename,
+                   cast(s.offset AS bigint) AS ts
+            FROM {_S1} WHERE s.kind = 'frame'),
+fr2 AS (SELECT doc_id, frame_basename, ts,
+               coalesce(try_cast(regexp_extract(frame_basename, '([0-9]+)', 1) AS bigint),
+                        -1) AS frame_number
+        FROM fr),
+o AS (SELECT doc_id, regexp_extract(s.media_ref, '([^/]+)$', 1) AS frame_basename,
+             cast(round(a.confidence * 10000) AS bigint) AS conf_e4
+      FROM {_Z} WHERE s.kind = 'ocr' AND a.confidence >= 0.5)
+SELECT f.doc_id, f.frame_basename, f.frame_number, f.ts,
+       cast(count(o.conf_e4) AS bigint) AS n_blocks,
+       cast(coalesce(sum(o.conf_e4), 0) AS bigint) AS sum_conf_e4
+FROM fr2 f LEFT JOIN o ON o.doc_id = f.doc_id AND o.frame_basename = f.frame_basename
+GROUP BY 1, 2, 3, 4
+"""
+
+    # NOTE: ocr_frame_dedup cannot be recomputed in DuckDB SQL — its 1.0.0
+    # list_reduce returns wrong results for folds over a few hundred
     # elements (kept-count shrinks as input grows, which a fold cannot do;
-    # verified with a size sweep). The op is pinned instead against a
-    # pure-Python fold reference in tests/test_ocr_frame_dedup.py.
+    # verified with a size sweep). Its oracle below reads the independent
+    # Python-fold reference materialized to parquet (oracle_artifacts.py),
+    # with tests/test_ocr_frame_dedup.py pinning the fold semantics.
     q["timeline_interleave"] = f"""
 WITH s AS (SELECT doc_id, s.kind AS kind, s.text AS text, s.media_ref AS media_ref,
                   cast(s.offset AS bigint) AS "offset" FROM {_S1})

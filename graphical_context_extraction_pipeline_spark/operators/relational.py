@@ -223,6 +223,58 @@ def chrome_tokens(docs: DataFrame) -> DataFrame:
     )
 
 
+def frame_ocr_basename_join(docs: DataFrame) -> DataFrame:
+    """J6 + F6 + F9 as a first-class relational form: keyframes associated
+    to their OCR blocks by media BASENAME equi join (the reference keys OCR
+    results to keyframes through the frame image filename), with the frame
+    number re-derived by regex from the basename (reference parses
+    ``frame_00042.jpg`` → 42).
+
+    Output per frame: (doc_id, frame_basename, frame_number, ts, n_blocks,
+    sum_conf_e4) — LEFT join, so frames with no (conf ≥ 0.5) OCR appear
+    with zero blocks.
+
+    Scale: both sides are span streams keyed by (doc_id, basename) — an
+    equi join with perfectly co-partitionable keys (doc_id leading), no
+    fan-out beyond the true block multiplicity; AQE picks the strategy.
+    """
+    frames = (
+        docs.select("doc_id", F.explode("spans").alias("s"))
+        .where(F.col("s.kind") == "frame")
+        .select(
+            "doc_id",
+            F.substring_index(F.col("s.media_ref"), "/", -1).alias("frame_basename"),
+            F.col("s.offset").cast("long").alias("ts"),
+        )
+        .withColumn(
+            "frame_number",
+            F.coalesce(
+                F.nullif(
+                    F.regexp_extract(F.col("frame_basename"), r"(\d+)", 1), F.lit("")
+                ).cast("long"),
+                F.lit(-1).cast("long"),
+            ),
+        )
+    )
+    ocr = (
+        _zipped(docs, "ocr")
+        .where(F.col("z.a.confidence") >= OCR_CONF_MIN)
+        .select(
+            "doc_id",
+            F.substring_index(F.col("z.s.media_ref"), "/", -1).alias("frame_basename"),
+            F.round(F.col("z.a.confidence") * 10000).cast("long").alias("conf_e4"),
+        )
+    )
+    return (
+        frames.join(ocr, ["doc_id", "frame_basename"], "left")
+        .groupBy("doc_id", "frame_basename", "frame_number", "ts")
+        .agg(
+            F.count("conf_e4").cast("long").alias("n_blocks"),
+            F.coalesce(F.sum("conf_e4"), F.lit(0)).cast("long").alias("sum_conf_e4"),
+        )
+    )
+
+
 NEAR_DUP_BP = 9000  # 0.9 token-set overlap, basis points
 
 

@@ -24,6 +24,18 @@ import os
 KIND_PRIORITY = {"chapter": 0, "scene": 1, "asr": 2, "frame": 3, "ocr": 4}
 
 
+def polygon_to_rect(points) -> list[float] | None:
+    """P2: 4-point OCR polygon → [x_min, y_min, x_max, y_max], re-derived
+    exactly as the reference does at artifact-write time (phase 1/src/
+    extract/ocr.py:186-195). Returns None for missing/degenerate input so
+    the caller can fall back to a precomputed rect."""
+    if not points:
+        return None
+    xs = [float(p[0]) for p in points]
+    ys = [float(p[1]) for p in points]
+    return [min(xs), min(ys), max(xs), max(ys)]
+
+
 def load_reference_doc(artifact_dir: str) -> dict:
     """phase-1 artifact directory → one datagen-shaped document dict."""
 
@@ -97,7 +109,14 @@ def load_reference_doc(artifact_dir: str) -> dict:
         path = frame_path.get(res["frame_id"], res.get("image_path"))
         ts = res["timestamp_ms"]
         for arrival, b in enumerate(res.get("text_blocks") or []):
-            add("ocr", b["text"], path, ts + arrival, conf=b["confidence"], bbox=list(b["bbox"]))
+            add(
+                "ocr",
+                b["text"],
+                path,
+                ts + arrival,
+                conf=b["confidence"],
+                bbox=polygon_to_rect(b.get("bbox_polygon")) or list(b["bbox"]),
+            )
 
     order = sorted(
         range(len(spans)),
