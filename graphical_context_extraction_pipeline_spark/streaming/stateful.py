@@ -40,38 +40,11 @@ STATE_DDL = "events string"
 CHUNKS_OUT_DDL = (
     "chunk_id string, doc_id string, t_start_ms int, t_end_ms int, "
     "chapter_index int, scene_id int, asr_text string, ocr_text string, "
-    "merged_text string, n_out_spans int"
+    "merged_text string, n_out_spans int, complete boolean"
 )
 
 
-def _assemble(
-    key: Tuple[str], pdfs: Iterator[pd.DataFrame], state: Any
-) -> Iterator[pd.DataFrame]:
-    (doc_id,) = key
-    events: list[list] = json.loads(state.get[0]) if state.exists else []
-    saw_eof = False
-    for pdf in pdfs:
-        for row in pdf.itertuples(index=False):
-            if row.kind == "eof":
-                saw_eof = True
-            else:
-                events.append(
-                    [
-                        row.kind,
-                        row.text,
-                        row.media_ref,
-                        None if pd.isna(row.offset) else int(row.offset),
-                        None if pd.isna(row.end_ms) else int(row.end_ms),
-                        None if pd.isna(row.confidence) else float(row.confidence),
-                        None if row.bbox is None else [float(x) for x in row.bbox],
-                        None if pd.isna(row.scene_id) else int(row.scene_id),
-                        None if pd.isna(row.n_words) else int(row.n_words),
-                    ]
-                )
-    if not saw_eof:
-        state.update((json.dumps(events),))
-        return  # nothing to emit yet — document still in flight
-
+def _emit_chunks(doc_id: str, events: list[list], complete: bool) -> pd.DataFrame:
     spans = [
         {"kind": e[0], "text": e[1], "media_ref": e[2], "offset": e[3]} for e in events
     ]
@@ -89,17 +62,66 @@ def _assemble(
         "scene_id", "asr_text", "ocr_text", "merged_text",
     ]
     out = [
-        tuple(r[idx[name]] for name in pick) + (len(r[idx["out_spans"]]),)
+        tuple(r[idx[name]] for name in pick) + (len(r[idx["out_spans"]]), complete)
         for r in rows
     ]
-    state.remove()
-    yield pd.DataFrame(
+    return pd.DataFrame(
         out,
         columns=[
             "chunk_id", "doc_id", "t_start_ms", "t_end_ms", "chapter_index",
             "scene_id", "asr_text", "ocr_text", "merged_text", "n_out_spans",
+            "complete",
         ],
     )
+
+
+def _make_assemble(flush_timeout_ms: int | None):
+    """Build the stateful assembly function. With ``flush_timeout_ms`` set,
+    a document whose eof never arrives is flushed (complete=False) once no
+    new events have arrived for that long — bounding state for abandoned /
+    truncated upstream documents; without it, state waits for eof forever
+    (NoTimeout)."""
+
+    def _assemble(
+        key: Tuple[str], pdfs: Iterator[pd.DataFrame], state: Any
+    ) -> Iterator[pd.DataFrame]:
+        (doc_id,) = key
+        if getattr(state, "hasTimedOut", False):
+            events: list[list] = json.loads(state.get[0]) if state.exists else []
+            state.remove()
+            if events:
+                yield _emit_chunks(doc_id, events, complete=False)
+            return
+        events = json.loads(state.get[0]) if state.exists else []
+        saw_eof = False
+        for pdf in pdfs:
+            for row in pdf.itertuples(index=False):
+                if row.kind == "eof":
+                    saw_eof = True
+                else:
+                    events.append(
+                        [
+                            row.kind,
+                            row.text,
+                            row.media_ref,
+                            None if pd.isna(row.offset) else int(row.offset),
+                            None if pd.isna(row.end_ms) else int(row.end_ms),
+                            None if pd.isna(row.confidence) else float(row.confidence),
+                            None if row.bbox is None else [float(x) for x in row.bbox],
+                            None if pd.isna(row.scene_id) else int(row.scene_id),
+                            None if pd.isna(row.n_words) else int(row.n_words),
+                        ]
+                    )
+        if not saw_eof:
+            state.update((json.dumps(events),))
+            if flush_timeout_ms is not None:
+                state.setTimeoutDuration(flush_timeout_ms)
+            return  # nothing to emit yet — document still in flight
+
+        state.remove()
+        yield _emit_chunks(doc_id, events, complete=True)
+
+    return _assemble
 
 
 def stream_assemble_documents(
@@ -108,8 +130,16 @@ def stream_assemble_documents(
     output_dir: str,
     checkpoint_dir: str,
     max_files_per_trigger: int = 4,
+    flush_timeout_ms: int | None = None,
 ):
-    """Span-event stream → stateful per-doc assembly → chunks parquet."""
+    """Span-event stream → stateful per-doc assembly → chunks parquet.
+
+    ``flush_timeout_ms``: processing-time timeout after which an in-flight
+    document (no eof yet) is emitted with complete=False and its state
+    dropped — the state-boundedness lever for 10^12-doc streams where some
+    upstream manifests never close. Timeout firing requires a subsequent
+    micro-batch, including one after a checkpoint restart (state and
+    timeout timestamps are recovered from the checkpoint)."""
     from pyspark.sql.streaming.state import GroupStateTimeout
 
     stream = (
@@ -118,11 +148,15 @@ def stream_assemble_documents(
         .parquet(input_dir)
     )
     assembled = stream.groupBy("doc_id").applyInPandasWithState(
-        _assemble,
+        _make_assemble(flush_timeout_ms),
         outputStructType=CHUNKS_OUT_DDL,
         stateStructType=STATE_DDL,
         outputMode="append",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+        timeoutConf=(
+            GroupStateTimeout.ProcessingTimeTimeout
+            if flush_timeout_ms is not None
+            else GroupStateTimeout.NoTimeout
+        ),
     )
     return (
         assembled.writeStream.format("parquet")

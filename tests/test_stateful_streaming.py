@@ -51,20 +51,15 @@ def test_streaming_assembly_matches_batch(spark, docs_path, tmp_path):
     q = stream_assemble_documents(spark, in_dir, out_dir, ckpt, max_files_per_trigger=1)
     q.awaitTermination(180)
 
-    got = (
-        spark.read.schema(
-            "chunk_id string, doc_id string, t_start_ms int, t_end_ms int, "
-            "chapter_index int, scene_id int, asr_text string, ocr_text string, "
-            "merged_text string, n_out_spans int"
-        )
-        .parquet(out_dir)
-        .collect()
-    )
+    from graphical_context_extraction_pipeline_spark.streaming.stateful import CHUNKS_OUT_DDL
+
+    got = spark.read.schema(CHUNKS_OUT_DDL).parquet(out_dir).collect()
     want = extract_documents(docs).collect()
 
     got_m = {r["chunk_id"]: r for r in got}
     want_m = {r["chunk_id"]: r for r in want}
     assert set(got_m) == set(want_m)
+    assert all(r["complete"] for r in got)
     for cid, w in want_m.items():
         g = got_m[cid]
         assert g["asr_text"] == w["asr_text"], cid
@@ -72,3 +67,43 @@ def test_streaming_assembly_matches_batch(spark, docs_path, tmp_path):
         assert g["merged_text"] == w["merged_text"], cid
         assert g["t_start_ms"] == w["t_start_ms"] and g["t_end_ms"] == w["t_end_ms"]
         assert g["n_out_spans"] == len(w["out_spans"]), cid
+
+
+def test_timeout_flushes_docs_without_eof(spark, docs_path, tmp_path):
+    """A document whose eof never arrives is flushed complete=False by the
+    processing-time timeout (availableNow runs a trailing timer batch after
+    the data batches, so the short timeout fires within the query); docs
+    with eof emit complete=True as usual."""
+    from graphical_context_extraction_pipeline_spark.streaming.stateful import CHUNKS_OUT_DDL
+
+    docs = spark.read.parquet(docs_path).where(
+        F.col("doc_id").isin([f"doc_{i:08d}" for i in range(5, 8)])
+    )
+    orphan = "doc_00000005"  # never gets an eof marker
+
+    in_dir = str(tmp_path / "events")
+    out_dir = str(tmp_path / "chunks")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(in_dir)
+
+    ev = spans_to_events(docs, with_eof=False)
+    eof_rows = spans_to_events(docs).where(
+        (F.col("kind") == "eof") & (F.col("doc_id") != orphan)
+    )
+
+    _stage_file(ev.unionByName(eof_rows), str(tmp_path / "s1"), os.path.join(in_dir, "f1.parquet"))
+    q = stream_assemble_documents(spark, in_dir, out_dir, ckpt, flush_timeout_ms=500)
+    q.awaitTermination(180)
+
+    got = spark.read.schema(CHUNKS_OUT_DDL).parquet(out_dir).collect()
+    by_doc = {}
+    for r in got:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert set(by_doc) == {f"doc_{i:08d}" for i in (5, 6, 7)}
+    assert all(r["complete"] for d in (6, 7) for r in by_doc[f"doc_{d:08d}"])
+    flushed = by_doc[orphan]
+    assert all(not r["complete"] for r in flushed)
+    # flushed content equals batch extraction of the same (complete) spans —
+    # every span event did arrive, only the eof didn't
+    want = {r["chunk_id"] for r in extract_documents(docs).collect() if r["doc_id"] == orphan}
+    assert {r["chunk_id"] for r in flushed} == want
