@@ -80,6 +80,27 @@ def _planted_near(docs: DataFrame) -> DataFrame:
     return base.unionAll(near)
 
 
+_FRESH_TAIL = " fresh batch suffix"
+
+
+def _planted_batch(docs: DataFrame) -> DataFrame:
+    """A synthetic ingest batch for incremental dedup: exact copies of seen
+    docs (pure duplicates), fresh texts, and an in-batch duplicate pair of
+    some fresh texts."""
+    dups = docs.where(F.col("doc_id") % 50 == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"), "text"
+    )
+    fresh = docs.where(F.col("doc_id") % 30 == 2).select(
+        (F.col("doc_id") + 300000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(_FRESH_TAIL)).alias("text"),
+    )
+    fresh_dup = docs.where(F.col("doc_id") % 60 == 2).select(
+        (F.col("doc_id") + 400000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(_FRESH_TAIL)).alias("text"),
+    )
+    return dups.unionAll(fresh).unionAll(fresh_dup)
+
+
 def _planted_emb(emb: DataFrame) -> DataFrame:
     """Embedding near-dup plants: float32-perturbed copies of every 40th
     vector (+0.02 / +0.05 per component, exact float32 arithmetic that the
@@ -175,6 +196,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         # ---- training-data ops: dedup ---------------------------------------
         "dedup_exact": lambda s, d: dedup.exact_duplicates(_planted_exact(_flat_docs(s, d))),
+        "dedup_keep_first": lambda s, d: dedup.dedup_keep_first(_planted_exact(_flat_docs(s, d))),
+        # incremental: a synthetic "new batch" (copies of seen docs + fresh
+        # texts + an in-batch duplicate pair) against the original corpus —
+        # survivors are exactly the distinct fresh texts
+        "dedup_incremental": lambda s, d: dedup.dedup_incremental(
+            _planted_batch(_flat_docs(s, d)), _flat_docs(s, d)
+        ),
         "ngram_jaccard_pairs": lambda s, d: dedup.ngram_jaccard_pairs(_planted_near(_flat_docs(s, d))),
         "minhash_lsh_pairs": lambda s, d: dedup.minhash_lsh_pairs(_planted_near(_flat_docs(s, d))),
         "simhash": lambda s, d: dedup.simhash(_flat_docs(s, d)),
@@ -714,6 +742,31 @@ FROM corpus GROUP BY 1 HAVING count(*) > 1
     # sizes use the FULL per-doc shingle set; blocking (and therefore
     # n_shared) excludes hot shingles (> MAX_DOCS_PER_SHINGLE docs) exactly
     # as the Spark operator's stop-shingle cutoff does
+    q["dedup_keep_first"] = f"""
+WITH {_CORPUS_EXACT},
+k AS (SELECT doc_id, md5(lower(text)) AS dup_key FROM corpus)
+SELECT min(doc_id) AS doc_id, dup_key, cast(count(*) AS bigint) AS n_members
+FROM k GROUP BY dup_key
+"""
+
+    q["dedup_incremental"] = f"""
+WITH batch AS (
+  SELECT doc_id + 100000 AS doc_id, text FROM documents WHERE doc_id % 50 = 0
+  UNION ALL
+  SELECT doc_id + 300000 AS doc_id, text || '{_FRESH_TAIL}' AS text
+  FROM documents WHERE doc_id % 30 = 2
+  UNION ALL
+  SELECT doc_id + 400000 AS doc_id, text || '{_FRESH_TAIL}' AS text
+  FROM documents WHERE doc_id % 60 = 2
+),
+newk AS (SELECT doc_id, md5(lower(text)) AS dup_key FROM batch),
+seen AS (SELECT DISTINCT md5(lower(text)) AS dup_key FROM documents)
+SELECT min(n.doc_id) AS doc_id, n.dup_key, cast(count(*) AS bigint) AS n_batch_dups
+FROM newk n LEFT JOIN seen s ON s.dup_key = n.dup_key
+WHERE s.dup_key IS NULL
+GROUP BY n.dup_key
+"""
+
     q["ngram_jaccard_pairs"] = f"""
 WITH {_CORPUS_NEAR},
 {_SHINGLES_CTE},

@@ -103,6 +103,48 @@ def exact_duplicates(docs: DataFrame) -> DataFrame:
 MAX_DOCS_PER_SHINGLE = 64  # stop-shingle cutoff (see ngram_jaccard_pairs)
 
 
+def dedup_keep_first(docs: DataFrame) -> DataFrame:
+    """Materialize the exact-deduplicated corpus: one surviving row per
+    distinct normalized text — the member with the smallest doc_id (the
+    reference-style canonical-keep policy).
+
+    Plan: single hash aggregation on the md5 key with min_by carrying the
+    kept doc — one shuffle of (16-byte key, id) pairs with map-side partial
+    min, never a self-join; at 100 TB this is the cheapest possible shape
+    for global exact dedup."""
+    keyed = docs.select("doc_id", F.md5(F.lower("text")).alias("dup_key"))
+    return (
+        keyed.groupBy("dup_key")
+        .agg(
+            F.min("doc_id").alias("doc_id"),
+            F.count("*").cast("long").alias("n_members"),
+        )
+        .select("doc_id", "dup_key", "n_members")
+    )
+
+
+def dedup_incremental(new_docs: DataFrame, seen_docs: DataFrame) -> DataFrame:
+    """Incremental exact dedup: rows of ``new_docs`` whose normalized text
+    was NOT already present in ``seen_docs`` AND is the first among the new
+    batch's own duplicates — the shape of a daily ingest against an
+    existing 100 TB corpus.
+
+    Plan: the seen side reduces to distinct 16-byte keys before the
+    LEFT ANTI join (broadcast by AQE when the day's key set is small, hash
+    join otherwise — never the raw seen corpus), then the within-batch
+    keep-first aggregation. At scale the seen-keys relation is the
+    incrementally-maintained dedup index (or a bloom-filter pre-pass feeding
+    this exact join)."""
+    seen_keys = seen_docs.select(F.md5(F.lower("text")).alias("dup_key")).distinct()
+    new_keyed = new_docs.select("doc_id", F.md5(F.lower("text")).alias("dup_key"))
+    fresh = new_keyed.join(seen_keys, "dup_key", "left_anti")
+    return (
+        fresh.groupBy("dup_key")
+        .agg(F.min("doc_id").alias("doc_id"), F.count("*").cast("long").alias("n_batch_dups"))
+        .select("doc_id", "dup_key", "n_batch_dups")
+    )
+
+
 def ngram_jaccard_pairs(
     docs: DataFrame,
     n: int = 3,
