@@ -9,8 +9,23 @@ oracle_sql()   — DuckDB-runnable ANSI SQL equivalents. Spans-table queries
                  /root/repo/data/sf0.01 (synthesized by datagen, seeded);
                  testdata queries use the pre-registered views.
 
+Oracle protocols, by query family:
+- relational / analytics / dedup / text ops: recomputed from scratch in
+  DuckDB SQL over the same parquet.
+- pandas-kernel pipeline (extract_chunks, context_windows,
+  ocr_frame_dedup, media_features) and SQL derivations over chunks
+  (quality_flags, density_topk): the INDEPENDENT computation is the
+  pure-Python executable spec (oracle.py, transcribed reference semantics
+  with file:line citations) materialized to parquet by
+  oracle_artifacts.py; DuckDB is the comparison transport.
+- ANN family (ann_topk_lsh, ivf_topk, embedding_cosine_dups): the SQL
+  replays the algorithm exactly — hyperplane literals / md5-priority
+  centroid selection — so blocking decisions cannot diverge.
+
 All oracle-compared outputs are integer/string/boolean typed (ratios as
-basis points via floor) so value hashes are immune to float formatting.
+basis points via floor, confidences as fixed-point ints, arrays serialized
+with control-char separators) so value hashes are immune to float
+formatting and engine float-accumulation ulps.
 """
 
 from __future__ import annotations
