@@ -43,7 +43,11 @@ OPS = {
     "keyframe_gaps": lambda sp, fl, em: V.keyframe_gaps(sp),
     "asr_gaps": lambda sp, fl, em: V.asr_gaps(sp),
     "chapter_counts": lambda sp, fl, em: V.chapter_counts(sp),
+    "ocr_frame_dedup": lambda sp, fl, em: R.ocr_frame_dedup(sp),
+    "frame_ocr_basename": lambda sp, fl, em: R.frame_ocr_basename_join(sp),
     "dedup_exact": lambda sp, fl, em: dedup.exact_duplicates(fl),
+    "dedup_keep_first": lambda sp, fl, em: dedup.dedup_keep_first(fl),
+    "dedup_incremental": lambda sp, fl, em: dedup.dedup_incremental(fl, fl),
     "ngram_jaccard": lambda sp, fl, em: dedup.ngram_jaccard_pairs(fl),
     "minhash_lsh": lambda sp, fl, em: dedup.minhash_lsh_pairs(fl),
     "simhash": lambda sp, fl, em: dedup.simhash(fl),

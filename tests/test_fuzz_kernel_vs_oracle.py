@@ -42,6 +42,22 @@ def doc_st(draw):
     for _ in range(n_asr):
         a0 = draw(st.integers(0, 200_000))
         a1 = a0 + draw(st.integers(0, 12_000))
+        # optionally carry per-word detail (A3 must then derive from the raw
+        # scores; None/empty exercises the segment-level fallback)
+        words = draw(
+            st.one_of(
+                st.none(),
+                st.lists(
+                    st.tuples(
+                        word_st,
+                        st.integers(0, 200_000),
+                        st.integers(0, 200_000),
+                        st.floats(0.0, 1.0, allow_nan=False),
+                    ),
+                    max_size=5,
+                ),
+            )
+        )
         asr.append(
             (
                 draw(text_st),
@@ -49,6 +65,12 @@ def doc_st(draw):
                 a1,
                 round(draw(st.floats(0.0, 1.0, allow_nan=False)), 4),
                 draw(st.integers(0, 20)),
+                None
+                if words is None
+                else [
+                    {"word": w, "start_ms": ws, "end_ms": we, "score": s}
+                    for w, ws, we, s in words
+                ],
             )
         )
 
@@ -83,18 +105,19 @@ def doc_st(draw):
 
     spans, attrs = [], []
 
-    def add(kind, text, media_ref, offset, end_ms=None, conf=None, bbox=None, scene_id=None, n_words=None):
+    def add(kind, text, media_ref, offset, end_ms=None, conf=None, bbox=None, scene_id=None, n_words=None, words=None):
         spans.append({"kind": kind, "text": text, "media_ref": media_ref, "offset": offset})
         attrs.append(
-            {"end_ms": end_ms, "confidence": conf, "bbox": bbox, "scene_id": scene_id, "n_words": n_words}
+            {"end_ms": end_ms, "confidence": conf, "bbox": bbox, "scene_id": scene_id,
+             "n_words": n_words, "words": words}
         )
 
     for t, c0, c1 in chapters:
         add("chapter", t, None, c0, end_ms=c1)
     for sid, s0, s1 in scenes:
         add("scene", f"{sid}:{s1}", None, s0, end_ms=s1)
-    for t, a0, a1, c, w in asr:
-        add("asr", t, None, a0, end_ms=a1, conf=c, n_words=w)
+    for t, a0, a1, c, w, words in asr:
+        add("asr", t, None, a0, end_ms=a1, conf=c, n_words=w, words=words)
     for p, ts, sid in frames:
         add("frame", None, p, ts, scene_id=sid)
     for p, t, c, bbox, ts in ocr:
@@ -130,9 +153,9 @@ def test_kernel_matches_oracle_on_random_docs(doc):
         ]
         assert act_seq == exp_seq, exp["chunk_id"]
         for f in (
-            "chunk_id", "t_start_ms", "t_end_ms", "chapter_index", "chapter_title",
-            "scene_id", "merged_scene_ids", "asr_text", "ocr_text", "merged_text",
-            "keyframe_ids", "keyframe_paths", "has_keyframe", "span_ctx",
+            "chunk_id", "source", "t_start_ms", "t_end_ms", "chapter_index",
+            "chapter_title", "scene_id", "merged_scene_ids", "asr_text", "ocr_text",
+            "merged_text", "keyframe_ids", "keyframe_paths", "has_keyframe", "span_ctx",
         ):
             assert act[f] == exp[f], (exp["chunk_id"], f)
         for f in ("asr_confidence", "ocr_confidence", "alignment_score"):
