@@ -41,7 +41,10 @@ if REPO not in sys.path:
 from pyspark.sql import DataFrame, SparkSession  # noqa: E402
 from pyspark.sql import functions as F  # noqa: E402
 
-SPANS_SF = "sf0.01"
+# driver gate runs at sf0.01; SPARK_GRAFT_ORACLE_SF=sf0.1 lets the test
+# suite re-verify full oracle parity at 10× that scale (overflow-sensitive
+# hash/sum paths) without editing this module
+SPANS_SF = os.environ.get("SPARK_GRAFT_ORACLE_SF", "sf0.01")
 SPANS_GLOB = f"{REPO}/data/{SPANS_SF}/documents_spans.parquet/*.parquet"
 
 

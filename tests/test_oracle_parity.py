@@ -12,7 +12,9 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import __spark_entry__ as entrymod
 
-SF_DIR = "/root/testdata/sf0.01"
+# SPARK_GRAFT_ORACLE_SF=sf0.1 re-runs the whole parity suite at 10× the
+# driver's gate scale (both sides switch corpora together)
+SF_DIR = f"/root/testdata/{os.environ.get('SPARK_GRAFT_ORACLE_SF', 'sf0.01')}"
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders", "lineitem",
           "events", "documents", "embeddings"]
 

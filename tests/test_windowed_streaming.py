@@ -1,0 +1,84 @@
+"""Watermarked windowed aggregation: late events beyond the watermark are
+dropped; append mode emits each closed window exactly once with its final
+count.
+
+Deterministic 3-batch construction (watermark advances at batch END, so
+the drop is observable only once a LATER batch runs with it active):
+  batch 0 — f1: the full on-time stream (advances the watermark on commit)
+  batch 1 — f2: one dummy far-future event (runs WITH f1's watermark
+             active → emits/evicts all f1 windows, advances further)
+  batch 2 — f3: late re-sends of f1's earliest events (now far behind the
+             active watermark → dropped entirely)
+Expected sink: exactly the f1 windows with on-time-only counts; the dummy's
+own window stays open (past the final watermark) and is never emitted."""
+
+import glob
+import os
+import shutil
+import time
+
+from pyspark.sql import functions as F
+
+from graphical_context_extraction_pipeline_spark.streaming.stateful import (
+    EVENTS_DDL,
+    spans_to_events,
+)
+from graphical_context_extraction_pipeline_spark.streaming.windowed import (
+    stream_windowed_span_counts,
+    windowed_span_counts,
+    with_event_time,
+)
+
+OUT_DDL = "w_start timestamp, w_end timestamp, kind string, n_events long"
+
+
+def _stage_file(df, staging_dir: str, dest_path: str) -> None:
+    df.coalesce(1).write.mode("overwrite").parquet(staging_dir)
+    part = glob.glob(os.path.join(staging_dir, "part-*.parquet"))[0]
+    shutil.copy(part, dest_path)
+
+
+def test_late_events_dropped_and_windows_final(spark, docs_path, tmp_path):
+    docs = spark.read.parquet(docs_path).where(
+        F.col("doc_id").isin([f"doc_{i:08d}" for i in range(5, 8)])
+    )
+    ev = spans_to_events(docs, with_eof=False).where(F.col("offset").isNotNull())
+    late = ev.where(F.col("offset") < 10_000)
+    assert late.count() > 0
+
+    # dummy far beyond every real event: keeps its own window open (never
+    # emitted) while pushing the watermark far past all f1 windows
+    hi = ev.agg(F.max("offset")).collect()[0][0]
+    dummy_off = int(hi) + 600_000
+    dummy = spark.createDataFrame(
+        [("doc_dummy", "scene", "0:1", None, dummy_off, 1, None, None, None, None)],
+        EVENTS_DDL,
+    )
+
+    in_dir = str(tmp_path / "events")
+    out_dir = str(tmp_path / "win")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(in_dir)
+    _stage_file(ev, str(tmp_path / "s1"), os.path.join(in_dir, "f1.parquet"))
+    time.sleep(1.1)
+    _stage_file(dummy, str(tmp_path / "s2"), os.path.join(in_dir, "f2.parquet"))
+    time.sleep(1.1)
+    _stage_file(late, str(tmp_path / "s3"), os.path.join(in_dir, "f3.parquet"))
+
+    q = stream_windowed_span_counts(spark, in_dir, out_dir, ckpt)
+    q.awaitTermination(180)
+
+    got = spark.read.schema(OUT_DDL).parquet(out_dir).collect()
+    got_m = {(r["w_start"], r["kind"]): r["n_events"] for r in got}
+    assert len(got_m) == len(got), "append mode must emit each window exactly once"
+
+    want = {
+        (r["w_start"], r["kind"]): r["n_events"]
+        for r in windowed_span_counts(with_event_time(ev)).collect()
+    }
+    # every f1 window emitted with its on-time-only count (late re-sends
+    # dropped); the dummy's window (past the final watermark) not emitted
+    assert got_m == want, {
+        k: (got_m.get(k), want.get(k))
+        for k in set(got_m) ^ set(want) | {k for k in got_m if got_m[k] != want.get(k)}
+    }
