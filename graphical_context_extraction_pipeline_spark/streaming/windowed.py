@@ -58,6 +58,49 @@ def windowed_span_counts(
     )
 
 
+def dedup_events_within_watermark(
+    events_with_time: DataFrame, watermark: str = "30 seconds"
+) -> DataFrame:
+    """Streaming exactly-once event delivery: duplicate span events (ingest
+    retries, at-least-once upstream queues) are suppressed on the natural
+    event identity (doc_id, kind, offset, text) for as long as the
+    watermark keeps their dedup state alive — Spark's bounded-state
+    streaming dedup (dropDuplicatesWithinWatermark), the streaming
+    counterpart of the batch exact-dedup family in operators/dedup.py.
+    A duplicate arriving later than the watermark re-emits (state for its
+    identity has been evicted) — the standard bounded-state tradeoff; size
+    the watermark to the upstream's maximum redelivery lag."""
+    return events_with_time.withWatermark("event_time", watermark).dropDuplicatesWithinWatermark(
+        ["doc_id", "kind", "offset", "text"]
+    )
+
+
+def stream_dedup_events(
+    spark,
+    input_dir: str,
+    output_dir: str,
+    checkpoint_dir: str,
+    watermark: str = "30 seconds",
+    max_files_per_trigger: int = 1,
+):
+    """File-source events → watermark-bounded dedup → parquet (append)."""
+    stream = (
+        spark.readStream.schema(EVENTS_DDL)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(input_dir)
+    )
+    deduped = dedup_events_within_watermark(with_event_time(stream), watermark)
+    return (
+        deduped.drop("event_time")
+        .writeStream.format("parquet")
+        .outputMode("append")
+        .option("path", output_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def stream_windowed_span_counts(
     spark,
     input_dir: str,

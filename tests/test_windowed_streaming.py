@@ -24,6 +24,7 @@ from graphical_context_extraction_pipeline_spark.streaming.stateful import (
     spans_to_events,
 )
 from graphical_context_extraction_pipeline_spark.streaming.windowed import (
+    stream_dedup_events,
     stream_windowed_span_counts,
     windowed_span_counts,
     with_event_time,
@@ -82,3 +83,29 @@ def test_late_events_dropped_and_windows_final(spark, docs_path, tmp_path):
         k: (got_m.get(k), want.get(k))
         for k in set(got_m) ^ set(want) | {k for k in got_m if got_m[k] != want.get(k)}
     }
+
+
+def test_streaming_dedup_suppresses_redelivery(spark, docs_path, tmp_path):
+    """At-least-once upstream redelivery collapses to exactly-once output:
+    a full re-send of earlier events in a later micro-batch (within the
+    watermark) emits nothing new."""
+    docs = spark.read.parquet(docs_path).where(F.col("doc_id") == "doc_00000005")
+    ev = spans_to_events(docs, with_eof=False).where(F.col("offset").isNotNull())
+    n_distinct = ev.dropDuplicates(["doc_id", "kind", "offset", "text"]).count()
+
+    in_dir = str(tmp_path / "events")
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(in_dir)
+    _stage_file(ev, str(tmp_path / "s1"), os.path.join(in_dir, "f1.parquet"))
+    time.sleep(1.1)
+    _stage_file(ev, str(tmp_path / "s2"), os.path.join(in_dir, "f2.parquet"))  # full re-send
+
+    # watermark far larger than the event-time span → all dedup state lives
+    # for the whole (short) stream
+    q = stream_dedup_events(spark, in_dir, out_dir, ckpt, watermark="2 hours")
+    q.awaitTermination(180)
+
+    got = spark.read.schema(EVENTS_DDL).parquet(out_dir)
+    assert got.count() == n_distinct
+    assert got.dropDuplicates(["doc_id", "kind", "offset", "text"]).count() == n_distinct
