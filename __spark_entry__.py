@@ -299,6 +299,9 @@ def _minhash_oracle() -> str:
     32-bit digest slices polynomial-combined across each 3-gram into
     (h1, h2) mod P=2³¹−1, minhash family mhᵢ = min((h1 + i·h2 + i²) % P),
     band key = polynomial combine of 4 signature rows."""
+    from graphical_context_extraction_pipeline_spark.operators.dedup import MAX_DOCS_PER_BUCKET
+
+    max_bucket = MAX_DOCS_PER_BUCKET
     P, C = 2147483647, 1000003
 
     def poly(arr):
@@ -328,9 +331,23 @@ hh AS (SELECT doc_id, unnest(list_distinct(
          ELSE []::BIGINT[] END)) AS hh FROM th),
 sh AS (SELECT doc_id, hh >> 31 AS h1, hh & {P} AS h2 FROM hh),
 sig AS (SELECT doc_id, {mins} FROM sh GROUP BY doc_id),
-banded AS ({bands})
-SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-FROM banded a JOIN banded b ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+banded AS ({bands}),
+-- hot-bucket cap mirrored from dedup._bucket_pairs: buckets with more than
+-- MAX_DOCS_PER_BUCKET members expand as a hub star (member, min-doc hub)
+-- instead of all pairs
+bstats AS (SELECT band, bkey, count(*) AS n_members, min(doc_id) AS hub
+           FROM banded GROUP BY band, bkey)
+SELECT DISTINCT doc_a, doc_b FROM (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM banded a
+  JOIN banded b ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+  JOIN bstats s ON s.band = a.band AND s.bkey = a.bkey
+  WHERE s.n_members <= {max_bucket}
+  UNION ALL
+  SELECT s.hub AS doc_a, m.doc_id AS doc_b
+  FROM banded m JOIN bstats s ON s.band = m.band AND s.bkey = m.bkey
+  WHERE s.n_members > {max_bucket} AND m.doc_id <> s.hub
+)
 """
 
 
@@ -506,6 +523,10 @@ def oracle_sql() -> dict[str, str]:
     from graphical_context_extraction_pipeline_spark.datagen import ensure_documents_local
     from graphical_context_extraction_pipeline_spark.oracle_artifacts import (
         ensure_oracle_artifacts,
+    )
+
+    from graphical_context_extraction_pipeline_spark.operators.dedup import (
+        MAX_DOCS_PER_BUCKET as max_bucket,  # hot-bucket cap mirrored in LSH-pair oracles
     )
 
     ensure_documents_local(SPANS_SF, base_dir=os.path.join(REPO, "data"))
@@ -820,10 +841,23 @@ sb AS (SELECT doc_id, simhash, unnest([0, 1, 2, 3]) AS band,
                (simhash >> 30) & 32767, (simhash >> 45) & 32767] AS keys
        FROM sim),
 banded AS (SELECT doc_id, simhash, band, keys[band + 1] AS bkey FROM sb),
-cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
-                a.simhash AS ha, b.simhash AS hb
-         FROM banded a JOIN banded b ON a.band = b.band AND a.bkey = b.bkey
-              AND a.doc_id < b.doc_id)
+-- hot-bucket cap mirrored from dedup._bucket_pairs (hub-star for buckets
+-- with more than MAX_DOCS_PER_BUCKET members)
+bstats AS (SELECT band, bkey, count(*) AS n_members,
+                  min(doc_id) AS hub,
+                  arg_min(simhash, doc_id) AS hub_sim
+           FROM banded GROUP BY band, bkey),
+cand AS (SELECT DISTINCT doc_a, doc_b, ha, hb FROM (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.simhash AS ha, b.simhash AS hb
+  FROM banded a
+  JOIN banded b ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+  JOIN bstats s ON s.band = a.band AND s.bkey = a.bkey
+  WHERE s.n_members <= {max_bucket}
+  UNION ALL
+  SELECT s.hub AS doc_a, m.doc_id AS doc_b, s.hub_sim AS ha, m.simhash AS hb
+  FROM banded m JOIN bstats s ON s.band = m.band AND s.bkey = m.bkey
+  WHERE s.n_members > {max_bucket} AND m.doc_id <> s.hub
+))
 SELECT doc_a, doc_b, cast(bit_count(xor(ha, hb)) AS bigint) AS hamming
 FROM cand WHERE bit_count(xor(ha, hb)) <= 8
 """

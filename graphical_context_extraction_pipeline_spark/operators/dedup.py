@@ -27,21 +27,60 @@ def _tokens(col):
 from ..functions.exprs import bind as _bind  # single-eval let-binding (see exprs.py)
 
 
-def _bucket_pairs(df, *keys: str):
-    """(doc_a, doc_b) pairs sharing a bucket key — via groupBy + within-
-    bucket pair expansion instead of a self-join: singleton buckets (the
-    vast majority) never enter a shuffle-join, and each bucket's pairs are
-    generated locally. One shuffle total (the groupBy)."""
+MAX_DOCS_PER_BUCKET = 1024  # hot-bucket cutoff for the LSH pair expansions
+
+
+def _bucket_pairs(df, keys: list[str], payload: list[str] | None = None,
+                  max_bucket: int = MAX_DOCS_PER_BUCKET):
+    """(a, b) member-struct pairs sharing a bucket key — via groupBy +
+    within-bucket pair expansion instead of a self-join: singleton buckets
+    (the vast majority) never enter a shuffle-join, and each bucket's pairs
+    are generated locally.
+
+    Hot-bucket cap: a bucket with more than ``max_bucket`` members (every
+    member of one giant near-dup cluster — template pages, boilerplate
+    docs — shares ALL its band keys, so cluster size = bucket size there)
+    would buffer m structs in one collect_list aggregation buffer and
+    expand m²/2 pairs. Hot buckets are detected FIRST (count aggregation,
+    map-side partial) and routed to a hub-star expansion instead: every
+    member pairs with the bucket's min-doc_id hub — m−1 pairs, no
+    collect_list, and for dedup consumers (connected-component closure /
+    candidate verification) the star carries exactly the connectivity the
+    complete graph does. Non-hot buckets keep the exact expansion with
+    every aggregation buffer bounded by ``max_bucket`` structs.
+
+    ``payload``: extra per-member columns carried into the a/b structs
+    (e.g. the simhash value for the downstream hamming filter). Note the
+    star path pairs members with the HUB only — a payload-based filter
+    applied afterwards (hamming ≤ d) sees hub-member pairs, not all
+    member-member pairs; for buckets of >max_bucket near-identical docs
+    the hub is representative by construction.
+    """
+    cols = ["doc_id"] + (payload or [])
+    member = F.struct(*cols)
+    stats = df.groupBy(*keys).agg(
+        F.count("*").alias("n_members"),
+        F.min_by(member, F.col("doc_id")).alias("hub"),
+    )
+    hot = stats.where(F.col("n_members") > max_bucket).select(*keys, "hub")
+    nonhot = df.join(hot.select(*keys), keys, "left_anti")
     grouped = (
-        df.groupBy(*keys)
-        .agg(F.collect_list("doc_id").alias("ds"))
+        nonhot.groupBy(*keys)
+        .agg(F.collect_list(member).alias("ds"))
         .where(F.size("ds") > 1)
     )
-    return (
-        grouped.select(F.explode("ds").alias("doc_a"), F.col("ds"))
-        .select("doc_a", F.explode("ds").alias("doc_b"))
-        .where(F.col("doc_a") < F.col("doc_b"))
+    pairs = (
+        grouped.select(F.explode("ds").alias("a"), F.col("ds"))
+        .select("a", F.explode("ds").alias("b"))
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
     )
+    # hub.doc_id is the bucket minimum, so hub < member always holds here
+    star = (
+        df.join(hot, keys)  # hot is tiny by construction — AQE broadcasts
+        .where(F.col("doc_id") != F.col("hub.doc_id"))
+        .select(F.col("hub").alias("a"), member.alias("b"))
+    )
+    return pairs.unionByName(star)
 
 
 def _hashed_shingles(col, n: int = 3):
@@ -183,6 +222,21 @@ def ngram_jaccard_pairs(
     hot set is tiny by construction at sane K) removes their occurrences,
     and only then are buckets collected — every aggregation buffer is
     bounded by K structs.
+
+    All-hot fallback (the recall hole the plain cutoff leaves): a text
+    duplicated across MORE than K documents has ALL of its shingles
+    classified hot, so such docs would otherwise emit zero pairs — exactly
+    the most heavily duplicated content in a boilerplate-dominated crawl.
+    Docs whose entire shingle set is hot are detected (anti-join against
+    the docs that kept ≥1 shingle) and routed through an identical-set
+    signature group: md5 over the sorted distinct shingle hashes. Docs with
+    IDENTICAL shingle sets (true Jaccard = 1) pair as a hub star within
+    their signature group — linear, no collect buffers, connectivity
+    preserved for downstream closure, and the emitted jaccard_bp = 10000
+    is exact. Residual (documented): an all-hot doc whose set merely
+    OVERLAPS (≠ equals) another's still emits no pair — MinHash banding
+    (minhash_lsh_pairs) remains the instrument for that corner. The DuckDB
+    oracle replays the identical fallback.
     """
     base = docs.select(
         "doc_id", F.explode(_with_sizes(_hashed_shingles(F.col("text"), n))).alias("z")
@@ -299,10 +353,20 @@ def minhash_signatures(docs: DataFrame, n_hashes: int = N_MINHASH) -> DataFrame:
     return sh.groupBy("doc_id").agg(*aggs)
 
 
-def minhash_lsh_pairs(docs: DataFrame, n_hashes: int = N_MINHASH, bands: int = LSH_BANDS) -> DataFrame:
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    n_hashes: int = N_MINHASH,
+    bands: int = LSH_BANDS,
+    max_bucket: int = MAX_DOCS_PER_BUCKET,
+) -> DataFrame:
     """Candidate pairs that collide in ≥1 LSH band (band key = polynomial
     combine of its rows' signature values), deduped. Verification against
-    true Jaccard is the consumer's second stage (see ngram_jaccard_pairs)."""
+    true Jaccard is the consumer's second stage (see ngram_jaccard_pairs).
+
+    Band buckets exceeding ``max_bucket`` members (one giant near-dup
+    cluster sharing every band key) expand as a hub star instead of all
+    pairs — linear, buffer-bounded, connectivity-preserving (see
+    _bucket_pairs); the DuckDB oracle applies the identical cap."""
     sig = minhash_signatures(docs, n_hashes)
     rows_per_band = n_hashes // bands
     band_cols = []
@@ -314,7 +378,11 @@ def minhash_lsh_pairs(docs: DataFrame, n_hashes: int = N_MINHASH, bands: int = L
     banded = sig.select("doc_id", F.explode(F.array(*band_cols)).alias("b")).select(
         "doc_id", F.col("b.band").alias("band"), F.col("b.bkey").alias("bkey")
     )
-    return _bucket_pairs(banded, "band", "bkey").distinct()
+    return (
+        _bucket_pairs(banded, ["band", "bkey"], max_bucket=max_bucket)
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
 
 
 def simhash(docs: DataFrame, bits: int = 64) -> DataFrame:
@@ -351,9 +419,18 @@ def simhash(docs: DataFrame, bits: int = 64) -> DataFrame:
     )
 
 
-def simhash_near_pairs(docs: DataFrame, max_hamming: int = 8) -> DataFrame:
+def simhash_near_pairs(
+    docs: DataFrame, max_hamming: int = 8, max_bucket: int = MAX_DOCS_PER_BUCKET
+) -> DataFrame:
     """Near-dup pairs: SimHash band collision candidates filtered by true
-    hamming distance ≤ max_hamming."""
+    hamming distance ≤ max_hamming.
+
+    Band buckets exceeding ``max_bucket`` members expand as a hub star
+    (see _bucket_pairs) — each member is hamming-checked against the
+    bucket's hub rather than every other member, which bounds buffers and
+    pair count linearly; for the giant near-identical clusters that create
+    hot buckets the hub is representative. The DuckDB oracle applies the
+    identical cap."""
     sim = simhash(docs)
     banded = sim.select(
         "doc_id",
@@ -362,16 +439,8 @@ def simhash_near_pairs(docs: DataFrame, max_hamming: int = 8) -> DataFrame:
             F.array(*[F.struct(F.lit(i).alias("band"), F.col(f"band{i}").alias("bkey")) for i in range(4)])
         ).alias("b"),
     ).select("doc_id", "simhash", F.col("b.band").alias("band"), F.col("b.bkey").alias("bkey"))
-    # within-bucket pair expansion (see _bucket_pairs), carrying the hashes
-    grouped = (
-        banded.groupBy("band", "bkey")
-        .agg(F.collect_list(F.struct("doc_id", "simhash")).alias("ds"))
-        .where(F.size("ds") > 1)
-    )
     cand = (
-        grouped.select(F.explode("ds").alias("a"), F.col("ds"))
-        .select("a", F.explode("ds").alias("b"))
-        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        _bucket_pairs(banded, ["band", "bkey"], payload=["simhash"], max_bucket=max_bucket)
         .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),

@@ -94,15 +94,19 @@ def _doc_chunks(doc_id: str, spans, attrs, meta) -> list[tuple]:
             # loader.py:12-18), the chunk confidence is the mean over the
             # RAW word scores (enricher.py:51-68) — asr_c holds the
             # per-segment score SUM so the chunk mean is Σsums/Σcounts.
-            # Sources without word detail fall back to confidence × n_words
-            # (arithmetically the same quantity, one extra rounding).
+            # Words WITHOUT a score (score is NULL in the contract; the
+            # enricher's `if "score" in word` filter) are excluded from both
+            # sum and count. Sources without word detail fall back to
+            # confidence × n_words (arithmetically the same quantity, one
+            # extra rounding).
             try:
                 words = at["words"]
             except (KeyError, ValueError, IndexError):
                 words = None
             if words is not None and len(words) > 0:
-                asr_c.append(sum(w["score"] for w in words))
-                asr_w.append(len(words))
+                scored = [w["score"] for w in words if w["score"] is not None]
+                asr_c.append(sum(scored))
+                asr_w.append(len(scored))
             else:
                 asr_c.append((at["confidence"] or 0.0) * (at["n_words"] or 0))
                 asr_w.append(at["n_words"] or 0)

@@ -67,15 +67,23 @@ def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> np.ndarray:
     return rng.normal(size=(n_planes, dim)).astype(float)
 
 
+def _embedding_dim(emb: DataFrame) -> int:
+    """Sniff the embedding dimensionality from the first row (one tiny
+    driver action); an empty table degrades to dim=1 (bucketing an empty
+    set is vacuous but must not crash). Multi-table callers MUST call this
+    once and pass ``dim`` through — sniffing inside each lsh_bucket would
+    fire one driver job per table just to learn one constant."""
+    head = emb.select("embedding").head()
+    return len(head[0]) if head is not None and head[0] is not None else 1
+
+
 def lsh_bucket(emb: DataFrame, n_planes: int = 12, seed: int = 42, dim: int | None = None) -> DataFrame:
     """Sign-bucket id per vector: bit i = sign(v · plane_i).
 
-    ``dim`` is sniffed from the first row when not given (one tiny driver
-    action); an empty table degrades to dim=1 (bucketing an empty set is
-    vacuous but must not crash)."""
+    ``dim`` is sniffed from the first row when not given (see
+    _embedding_dim)."""
     if dim is None:
-        head = emb.select("embedding").head()
-        dim = len(head[0]) if head is not None and head[0] is not None else 1
+        dim = _embedding_dim(emb)
     planes = _hyperplanes(dim, n_planes, seed)
     bucket = sum(
         (
@@ -107,8 +115,9 @@ def ann_topk_lsh(
     scanned). Defaults trade ~40% scanned for ~0.65 recall; IVF (below) is
     the sharper instrument when a codebook is affordable.
     """
+    dim = _embedding_dim(emb)  # sniffed ONCE for all tables
     tables = [
-        lsh_bucket(emb, n_planes, seed + 1000 * t).withColumn("table", F.lit(t))
+        lsh_bucket(emb, n_planes, seed + 1000 * t, dim=dim).withColumn("table", F.lit(t))
         for t in range(n_tables)
     ]
     bucketed = tables[0]
@@ -300,8 +309,9 @@ def embedding_cosine_dups(
     per-bucket expansion went quadratic at scale. Candidates are deduped
     across tables BEFORE the exact cosine re-check; recall on planted
     near-dup pairs is pinned against a brute-force O(n²) pass in tests."""
+    dim = _embedding_dim(emb)  # sniffed ONCE for all tables
     tables = [
-        lsh_bucket(emb, n_planes, seed + 1000 * t).withColumn("table", F.lit(t))
+        lsh_bucket(emb, n_planes, seed + 1000 * t, dim=dim).withColumn("table", F.lit(t))
         for t in range(n_tables)
     ]
     banded = tables[0]

@@ -47,11 +47,14 @@ def _parse_doc(doc: dict) -> dict:
             scenes.append({"scene_id": sid, "start_ms": span["offset"], "end_ms": attr["end_ms"]})
         elif kind == "asr":
             # score_sum/n_words mirror the kernel: per-word scores when the
-            # contract carries them (reference phase 2/src/loader.py:12-18),
-            # else the (confidence × n_words) segment fallback
+            # contract carries them (reference phase 2/src/loader.py:12-18)
+            # — scoreless words (score NULL) excluded from both sum and
+            # count, matching enricher.py:51-68 — else the
+            # (confidence × n_words) segment fallback
             words = attr.get("words")
             if words:
-                score_sum, n_words = sum(w["score"] for w in words), len(words)
+                scored = [w["score"] for w in words if w.get("score") is not None]
+                score_sum, n_words = sum(scored), len(scored)
             else:
                 score_sum = (attr["confidence"] or 0.0) * (attr.get("n_words") or 0)
                 n_words = attr.get("n_words") or 0

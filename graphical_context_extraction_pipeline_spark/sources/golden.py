@@ -77,7 +77,13 @@ def load_reference_doc(artifact_dir: str) -> dict:
         add("scene", f"{sc['scene_id']}:{sc['end_ms']}", None, sc["start_ms"], end_ms=sc["end_ms"])
     for seg in asr:
         words = seg.get("words") or []
-        conf = sum(w.get("score", 0.0) for w in words) / len(words) if words else 0.0
+        # The reference enricher (phase 2/src/enricher.py:51-68) skips words
+        # WITHOUT a 'score' key from both numerator and denominator (common
+        # in WhisperX output for numerals/punctuation tokens), so the loader
+        # must preserve "missing" as None — filling 0.0 would deflate the
+        # chunk asr_confidence vs the reference.
+        scored = [w["score"] for w in words if "score" in w]
+        conf = sum(scored) / len(scored) if scored else 0.0
         add(
             "asr",
             seg["text"].strip(),
@@ -94,7 +100,7 @@ def load_reference_doc(artifact_dir: str) -> dict:
                     "word": w.get("word"),
                     "start_ms": int(w["start"]) if w.get("start") is not None else None,
                     "end_ms": int(w["end"]) if w.get("end") is not None else None,
-                    "score": float(w.get("score", 0.0)),
+                    "score": float(w["score"]) if "score" in w else None,
                 }
                 for w in words
             ]

@@ -75,24 +75,52 @@ def _emit_chunks(doc_id: str, events: list[list], complete: bool) -> pd.DataFram
     )
 
 
+_TOMBSTONE = json.dumps({"flushed": 1})
+
+
 def _make_assemble(flush_timeout_ms: int | None):
     """Build the stateful assembly function. With ``flush_timeout_ms`` set,
     a document whose eof never arrives is flushed (complete=False) once no
     new events have arrived for that long — bounding state for abandoned /
     truncated upstream documents; without it, state waits for eof forever
-    (NoTimeout)."""
+    (NoTimeout).
+
+    Tombstone after a timeout flush: the flush REPLACES the doc's state
+    with a flushed marker (no events) holding its own ``flush_timeout_ms``
+    TTL, so stragglers or a late eof arriving after the flush are
+    SUPPRESSED instead of re-accumulating and re-emitting the same
+    chunk_ids with conflicting ``complete`` flags — the append sink holds
+    each chunk_id at most once while the tombstone lives. Every straggler
+    extends the tombstone TTL. A straggler arriving after the tombstone
+    itself expires recreates state (unavoidable with bounded state; at
+    that point 2×timeout has passed with no traffic) — consumers that
+    must tolerate arbitrarily-late redelivery keep the last /
+    complete=True row per chunk_id."""
 
     def _assemble(
         key: Tuple[str], pdfs: Iterator[pd.DataFrame], state: Any
     ) -> Iterator[pd.DataFrame]:
         (doc_id,) = key
         if getattr(state, "hasTimedOut", False):
-            events: list[list] = json.loads(state.get[0]) if state.exists else []
-            state.remove()
-            if events:
-                yield _emit_chunks(doc_id, events, complete=False)
+            stored = json.loads(state.get[0]) if state.exists else []
+            if isinstance(stored, dict) or not stored:
+                # tombstone TTL expired (or empty state) — drop it
+                state.remove()
+                return
+            # flush, then tombstone the doc for one more timeout period
+            state.update((_TOMBSTONE,))
+            state.setTimeoutDuration(flush_timeout_ms)
+            yield _emit_chunks(doc_id, stored, complete=False)
             return
-        events = json.loads(state.get[0]) if state.exists else []
+        stored = json.loads(state.get[0]) if state.exists else []
+        if isinstance(stored, dict):
+            # doc already timeout-flushed: suppress stragglers/late eof and
+            # extend the suppression window
+            state.update((_TOMBSTONE,))
+            if flush_timeout_ms is not None:
+                state.setTimeoutDuration(flush_timeout_ms)
+            return
+        events: list[list] = stored
         saw_eof = False
         for pdf in pdfs:
             for row in pdf.itertuples(index=False):

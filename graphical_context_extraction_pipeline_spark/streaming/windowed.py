@@ -62,16 +62,27 @@ def dedup_events_within_watermark(
     events_with_time: DataFrame, watermark: str = "30 seconds"
 ) -> DataFrame:
     """Streaming exactly-once event delivery: duplicate span events (ingest
-    retries, at-least-once upstream queues) are suppressed on the natural
-    event identity (doc_id, kind, offset, text) for as long as the
-    watermark keeps their dedup state alive — Spark's bounded-state
-    streaming dedup (dropDuplicatesWithinWatermark), the streaming
-    counterpart of the batch exact-dedup family in operators/dedup.py.
+    retries, at-least-once upstream queues) are suppressed on the full
+    natural event identity (doc_id, kind, offset, text, media_ref, end_ms,
+    scene_id) for as long as the watermark keeps their dedup state alive —
+    Spark's bounded-state streaming dedup (dropDuplicatesWithinWatermark),
+    the streaming counterpart of the batch exact-dedup family in
+    operators/dedup.py.
+
+    The identity MUST include media_ref/end_ms/scene_id, not just
+    (doc_id, kind, offset, text): frame events carry text=NULL and are
+    distinguished only by media_ref, and two chrome-OCR blocks with
+    identical text on different frames can collide on (ts + arrival)
+    offset — keying on the text-only subset would drop genuine spans
+    before downstream assembly. (confidence/bbox are span *attributes*,
+    not identity: a redelivery with a re-scored confidence is still the
+    same event.)
+
     A duplicate arriving later than the watermark re-emits (state for its
     identity has been evicted) — the standard bounded-state tradeoff; size
     the watermark to the upstream's maximum redelivery lag."""
     return events_with_time.withWatermark("event_time", watermark).dropDuplicatesWithinWatermark(
-        ["doc_id", "kind", "offset", "text"]
+        ["doc_id", "kind", "offset", "text", "media_ref", "end_ms", "scene_id"]
     )
 
 

@@ -52,7 +52,10 @@ def doc_st(draw):
                         word_st,
                         st.integers(0, 200_000),
                         st.integers(0, 200_000),
-                        st.floats(0.0, 1.0, allow_nan=False),
+                        # None = word without a 'score' key (WhisperX emits
+                        # these for numerals) — must be excluded from the
+                        # chunk-confidence sum AND count (enricher.py:51-68)
+                        st.one_of(st.none(), st.floats(0.0, 1.0, allow_nan=False)),
                     ),
                     max_size=5,
                 ),

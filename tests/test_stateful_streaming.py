@@ -107,3 +107,89 @@ def test_timeout_flushes_docs_without_eof(spark, docs_path, tmp_path):
     # every span event did arrive, only the eof didn't
     want = {r["chunk_id"] for r in extract_documents(docs).collect() if r["doc_id"] == orphan}
     assert {r["chunk_id"] for r in flushed} == want
+
+
+class _MockState:
+    """Minimal stand-in for GroupState — drives _make_assemble directly so
+    the tombstone state machine is tested deterministically (the
+    availableNow trailing-batch scheduling of real timeouts is timing-
+    dependent)."""
+
+    def __init__(self):
+        self._v = None
+        self.hasTimedOut = False
+        self.timeout_set = None
+
+    @property
+    def exists(self):
+        return self._v is not None
+
+    @property
+    def get(self):
+        return self._v
+
+    def update(self, v):
+        self._v = tuple(v)
+
+    def remove(self):
+        self._v = None
+
+    def setTimeoutDuration(self, ms):
+        self.timeout_set = ms
+
+
+def _pdf_events(rows):
+    import pandas as pd
+
+    return iter(
+        [
+            pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "kind", "text", "media_ref", "offset", "end_ms",
+                    "confidence", "bbox", "scene_id", "n_words",
+                ],
+            )
+        ]
+    )
+
+
+def test_timeout_tombstone_suppresses_stragglers():
+    """After a timeout flush the doc's state becomes a tombstone: stragglers
+    and a late eof are suppressed (no duplicate chunk_ids with conflicting
+    complete flags), each arrival extends the tombstone TTL, and the
+    tombstone's own expiry removes state without emitting."""
+    from graphical_context_extraction_pipeline_spark.streaming.stateful import _make_assemble
+
+    fn = _make_assemble(500)
+    st = _MockState()
+    scene = ("d1", "scene", "0:10000", None, 0, 10000, None, None, 0, None)
+    ev = ("d1", "asr", "hello world", None, 1000, 2000, 0.9, None, None, 2)
+
+    # 1. events arrive, no eof → accumulate, arm timeout, emit nothing
+    assert list(fn(("d1",), _pdf_events([scene, ev]), st)) == []
+    assert st.exists and st.timeout_set == 500
+
+    # 2. timeout fires → flush complete=False, state becomes tombstone
+    st.hasTimedOut = True
+    out = list(fn(("d1",), iter([]), st))
+    assert len(out) == 1 and len(out[0]) > 0 and (~out[0]["complete"]).all()
+    assert st.exists, "tombstone must be kept after the flush"
+    flushed_ids = set(out[0]["chunk_id"])
+
+    # 3. straggler arrives while tombstoned → suppressed, TTL extended
+    st.hasTimedOut = False
+    st.timeout_set = None
+    assert list(fn(("d1",), _pdf_events([scene, ev]), st)) == []
+    assert st.exists and st.timeout_set == 500
+
+    # 4. late eof while tombstoned → suppressed (no complete=True re-emit)
+    eof = ("d1", "eof", None, None, None, None, None, None, None, None)
+    assert list(fn(("d1",), _pdf_events([eof]), st)) == []
+    assert st.exists
+
+    # 5. tombstone TTL expires with no traffic → state removed, no emit
+    st.hasTimedOut = True
+    assert list(fn(("d1",), iter([]), st)) == []
+    assert not st.exists
+    assert flushed_ids  # the one flush is the only emission in the episode

@@ -91,7 +91,8 @@ def test_streaming_dedup_suppresses_redelivery(spark, docs_path, tmp_path):
     watermark) emits nothing new."""
     docs = spark.read.parquet(docs_path).where(F.col("doc_id") == "doc_00000005")
     ev = spans_to_events(docs, with_eof=False).where(F.col("offset").isNotNull())
-    n_distinct = ev.dropDuplicates(["doc_id", "kind", "offset", "text"]).count()
+    identity = ["doc_id", "kind", "offset", "text", "media_ref", "end_ms", "scene_id"]
+    n_distinct = ev.dropDuplicates(identity).count()
 
     in_dir = str(tmp_path / "events")
     out_dir = str(tmp_path / "out")
@@ -108,4 +109,43 @@ def test_streaming_dedup_suppresses_redelivery(spark, docs_path, tmp_path):
 
     got = spark.read.schema(EVENTS_DDL).parquet(out_dir)
     assert got.count() == n_distinct
-    assert got.dropDuplicates(["doc_id", "kind", "offset", "text"]).count() == n_distinct
+    assert got.dropDuplicates(identity).count() == n_distinct
+
+
+def test_streaming_dedup_identity_covers_media_ref(spark, tmp_path):
+    """Distinct spans that collide on (doc_id, kind, offset, text) but
+    differ in media_ref / end_ms / scene_id are NOT merged: two keyframes
+    of one doc at the same timestamp (text=NULL, different frame paths)
+    and identical chrome-OCR text on different frames must all survive —
+    the text-only identity subset would silently drop genuine spans."""
+    rows = [
+        # two frames, same offset, different media_ref, text NULL
+        ("d1", "frame", None, "frames/f_0001.jpg", 5000, None, None, None, None),
+        ("d1", "frame", None, "frames/f_0002.jpg", 5000, None, None, None, None),
+        # identical OCR text on two different frames, colliding offset
+        ("d1", "ocr", "Subscribe", "frames/f_0001.jpg", 7000, None, 0.9, None, None),
+        ("d1", "ocr", "Subscribe", "frames/f_0002.jpg", 7000, None, 0.9, None, None),
+        # a TRUE duplicate (redelivery) — must collapse
+        ("d1", "ocr", "Subscribe", "frames/f_0001.jpg", 7000, None, 0.9, None, None),
+    ]
+    ev = spark.createDataFrame(
+        [
+            {
+                "doc_id": r[0], "kind": r[1], "text": r[2], "media_ref": r[3],
+                "offset": r[4], "end_ms": r[5], "confidence": r[6],
+                "bbox": r[7], "scene_id": r[8],
+            }
+            for r in rows
+        ],
+        schema=EVENTS_DDL,
+    )
+    in_dir = str(tmp_path / "events")
+    os.makedirs(in_dir)
+    _stage_file(ev, str(tmp_path / "s1"), os.path.join(in_dir, "f1.parquet"))
+    out_dir, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    q = stream_dedup_events(spark, in_dir, out_dir, ckpt, watermark="2 hours")
+    q.awaitTermination(180)
+    got = spark.read.schema(EVENTS_DDL).parquet(out_dir)
+    assert got.count() == 4  # 5 staged − 1 true duplicate
+    assert got.where(F.col("kind") == "frame").count() == 2
+    assert got.where(F.col("kind") == "ocr").count() == 2
