@@ -815,12 +815,28 @@ ok AS (SELECT shingle FROM sh GROUP BY shingle
 shc AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN ok USING (shingle)),
 pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared
           FROM shc a JOIN shc b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-          GROUP BY 1, 2)
+          GROUP BY 1, 2),
+-- all-hot fallback mirrored from dedup.ngram_jaccard_pairs: docs that kept
+-- no shingle pair as a hub star within identical-shingle-set groups
+allhot AS (SELECT doc_id,
+                  md5(array_to_string(list_sort(list(shingle)), ',')) AS sig,
+                  count(*) AS n_sh
+           FROM sh WHERE doc_id NOT IN (SELECT DISTINCT doc_id FROM shc)
+           GROUP BY doc_id),
+sigstats AS (SELECT sig, count(*) AS n_members, min(doc_id) AS hub
+             FROM allhot GROUP BY sig)
 SELECT doc_a, doc_b, n_shared,
        sa.n_sh + sb.n_sh - n_shared AS n_union,
        cast(floor(n_shared * 10000.0 / (sa.n_sh + sb.n_sh - n_shared)) AS bigint) AS jaccard_bp
 FROM pairs JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b
 WHERE cast(floor(n_shared * 10000.0 / (sa.n_sh + sb.n_sh - n_shared)) AS bigint) >= 6000
+UNION ALL
+SELECT s.hub AS doc_a, a.doc_id AS doc_b,
+       cast(a.n_sh AS bigint) AS n_shared,
+       cast(a.n_sh AS bigint) AS n_union,
+       cast(10000 AS bigint) AS jaccard_bp
+FROM allhot a JOIN sigstats s USING (sig)
+WHERE s.n_members > 1 AND a.doc_id <> s.hub
 """
 
     q["minhash_lsh_pairs"] = _minhash_oracle()

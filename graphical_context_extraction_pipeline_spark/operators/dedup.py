@@ -247,8 +247,9 @@ def ngram_jaccard_pairs(
         .where(F.col("n_docs") > max_docs_per_shingle)
         .select("shingle")
     )
+    surviving = base.join(hot, "shingle", "left_anti")
     grouped = (
-        base.join(hot, "shingle", "left_anti")
+        surviving
         .groupBy("shingle")
         .agg(F.collect_list(F.struct("doc_id", "n_sh")).alias("ds"))
         .where(F.size("ds") > 1)
@@ -265,7 +266,7 @@ def ngram_jaccard_pairs(
         )
         .agg(F.count("*").alias("n_shared"))
     )
-    return pairs.select(
+    main = pairs.select(
         "doc_a",
         "doc_b",
         "n_shared",
@@ -276,6 +277,42 @@ def ngram_jaccard_pairs(
         .cast("long")
         .alias("jaccard_bp"),
     ).where(F.col("jaccard_bp") >= min_jaccard_bp)
+
+    # --- all-hot fallback (see docstring): docs that kept NO shingle ---
+    # per-doc buffers only (a doc's own distinct shingles — bounded by doc
+    # length, never by corpus size); signature groups expand as hub stars.
+    all_hot = (
+        base.join(surviving.select("doc_id").distinct(), "doc_id", "left_anti")
+        .groupBy("doc_id")
+        .agg(
+            F.md5(
+                F.concat_ws(
+                    ",",
+                    F.transform(
+                        F.array_sort(F.collect_set("shingle")), lambda x: x.cast("string")
+                    ),
+                )
+            ).alias("sig"),
+            F.first("n_sh").alias("n_sh"),
+        )
+    )
+    sig_stats = all_hot.groupBy("sig").agg(
+        F.count("*").alias("n_members"), F.min("doc_id").alias("hub")
+    )
+    star = (
+        all_hot.join(sig_stats.where(F.col("n_members") > 1), "sig")
+        .where(F.col("doc_id") != F.col("hub"))
+        .select(
+            F.col("hub").alias("doc_a"),
+            F.col("doc_id").alias("doc_b"),
+            F.col("n_sh").cast("long").alias("n_shared"),
+            F.col("n_sh").cast("long").alias("n_union"),
+            F.lit(10000).cast("long").alias("jaccard_bp"),
+        )
+    )
+    if min_jaccard_bp > 10000:  # degenerate threshold excludes even exact dups
+        return main
+    return main.unionByName(star)
 
 
 N_MINHASH = 16

@@ -54,3 +54,36 @@ def test_cap_is_mirrored_in_threshold():
     # documents appearing in ≤ K docs are unaffected: with 3 docs sharing a
     # shingle and K=64 nothing is dropped (sanity of the default)
     assert MAX_DOCS_PER_SHINGLE >= 8
+
+
+@pytest.fixture(scope="module")
+def all_hot_corpus(spark):
+    """Two clusters of 70 IDENTICAL docs each: with K=64 every shingle of
+    both texts is hot, so before the all-hot fallback these docs emitted
+    zero pairs — the exact recall hole for boilerplate-dominated corpora."""
+    text_a = "please like share and subscribe to this fantastic channel today"
+    text_b = "click the bell icon to never miss another upload from us folks"
+    rows = [(i, text_a) for i in range(70)] + [(100 + i, text_b) for i in range(70)]
+    # one pair of sub-cap near-dups as a control for the main path
+    body = " ".join(f"w{j}" for j in range(40))
+    rows += [(900, body), (901, body + " tail")]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_all_hot_docs_pair_via_signature_star(all_hot_corpus):
+    got = ngram_jaccard_pairs(all_hot_corpus).collect()
+    pairs = {(r.doc_a, r.doc_b) for r in got}
+    jac = {(r.doc_a, r.doc_b): r.jaccard_bp for r in got}
+    # each identical cluster forms a hub star anchored at its min doc_id,
+    # with exact jaccard 10000
+    star_a = {(0, i) for i in range(1, 70)}
+    star_b = {(100, 100 + i) for i in range(1, 70)}
+    assert star_a <= pairs and star_b <= pairs
+    assert all(jac[p] == 10000 for p in star_a | star_b)
+    # no cross-cluster pairs (different shingle sets stay unpaired)
+    assert not any(a < 100 <= b for a, b in pairs if b < 900)
+    # the sub-cap control pair still flows through the main path
+    assert (900, 901) in pairs
+    # star pairs carry n_shared == n_union == the doc's shingle-set size
+    row = next(r for r in got if (r.doc_a, r.doc_b) == (0, 1))
+    assert row.n_shared == row.n_union > 0
