@@ -151,6 +151,7 @@ QUERY_IDS = list(range(10))
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from graphical_context_extraction_pipeline_spark.operators import (
         boilerplate as BP,
+        cluster as CL,
         dedup,
         export as EX,
         media,
@@ -225,6 +226,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh_pairs": lambda s, d: dedup.minhash_lsh_pairs(_planted_near(_flat_docs(s, d))),
         "simhash": lambda s, d: dedup.simhash(_flat_docs(s, d)),
         "simhash_near_pairs": lambda s, d: dedup.simhash_near_pairs(_planted_near(_flat_docs(s, d))),
+        # ---- near-dup cluster resolution (pairs → transitive closure) -------
+        "neardup_clusters": lambda s, d: CL.neardup_clusters(
+            dedup.ngram_jaccard_pairs(_planted_near(_flat_docs(s, d)))
+        ),
+        "neardup_survivors": lambda s, d: CL.neardup_survivors(
+            _planted_near(_flat_docs(s, d)),
+            dedup.ngram_jaccard_pairs(_planted_near(_flat_docs(s, d))),
+        ),
         # ---- training-data ops: text analysis -------------------------------
         "token_stats": lambda s, d: TA.token_stats(_flat_docs(s, d)),
         "lang_id": lambda s, d: TA.lang_id(_flat_docs(s, d)),
@@ -806,8 +815,10 @@ WHERE s.dup_key IS NULL
 GROUP BY n.dup_key
 """
 
-    q["ngram_jaccard_pairs"] = f"""
-WITH {_CORPUS_NEAR},
+    # the full ngram-pairs pipeline as a reusable CTE chain (consumed
+    # verbatim by the cluster-resolution oracles below, which close the
+    # pairs transitively)
+    ngram_cte = f"""{_CORPUS_NEAR},
 {_SHINGLES_CTE},
 sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
 ok AS (SELECT shingle FROM sh GROUP BY shingle
@@ -824,8 +835,8 @@ allhot AS (SELECT doc_id,
            FROM sh WHERE doc_id NOT IN (SELECT DISTINCT doc_id FROM shc)
            GROUP BY doc_id),
 sigstats AS (SELECT sig, count(*) AS n_members, min(doc_id) AS hub
-             FROM allhot GROUP BY sig)
-SELECT doc_a, doc_b, n_shared,
+             FROM allhot GROUP BY sig),
+np AS (SELECT doc_a, doc_b, n_shared,
        sa.n_sh + sb.n_sh - n_shared AS n_union,
        cast(floor(n_shared * 10000.0 / (sa.n_sh + sb.n_sh - n_shared)) AS bigint) AS jaccard_bp
 FROM pairs JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b
@@ -836,7 +847,41 @@ SELECT s.hub AS doc_a, a.doc_id AS doc_b,
        cast(a.n_sh AS bigint) AS n_union,
        cast(10000 AS bigint) AS jaccard_bp
 FROM allhot a JOIN sigstats s USING (sig)
-WHERE s.n_members > 1 AND a.doc_id <> s.hub
+WHERE s.n_members > 1 AND a.doc_id <> s.hub)
+"""
+
+    q["ngram_jaccard_pairs"] = f"WITH {ngram_cte}\nSELECT * FROM np"
+
+    # connected components over the ngram pair edges: min-reachable-label
+    # via a recursive CTE — labels only propagate downhill (w.l < e.d), so
+    # the walk enumerates exactly the (node, smaller-reachable-label)
+    # pairs and min() per node is the component id, mirroring
+    # operators/cluster.connected_components
+    cc_cte = f"""{ngram_cte},
+edges AS (SELECT doc_a AS s, doc_b AS d FROM np
+          UNION SELECT doc_b AS s, doc_a AS d FROM np),
+walk(n, l) AS (
+  SELECT DISTINCT s, s FROM edges
+  UNION
+  SELECT e.d, w.l FROM walk w JOIN edges e ON e.s = w.n WHERE w.l < e.d
+),
+cc AS (SELECT n AS doc_id, min(l) AS component FROM walk GROUP BY n),
+szs AS (SELECT component, count(*) AS n_members FROM cc GROUP BY component)"""
+
+    q["neardup_clusters"] = f"""
+WITH RECURSIVE {cc_cte}
+SELECT cc.doc_id, cc.component, cast(szs.n_members AS bigint) AS n_members
+FROM cc JOIN szs USING (component)
+"""
+
+    q["neardup_survivors"] = f"""
+WITH RECURSIVE {cc_cte}
+SELECT c.doc_id,
+       cast(coalesce(szs.n_members, 1) AS bigint) AS n_merged
+FROM corpus c
+LEFT JOIN cc ON cc.doc_id = c.doc_id
+LEFT JOIN szs ON szs.component = cc.component
+WHERE cc.component IS NULL OR cc.component = c.doc_id
 """
 
     q["minhash_lsh_pairs"] = _minhash_oracle()

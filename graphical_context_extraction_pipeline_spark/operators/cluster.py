@@ -1,0 +1,118 @@
+"""Near-dup cluster resolution: pair edges → transitive closure →
+canonical-per-cluster surviving corpus.
+
+The dedup family (ngram_jaccard_pairs / minhash_lsh_pairs /
+simhash_near_pairs / embedding_cosine_dups) emits *pairs*; a training-data
+pipeline's end product is the corpus deduplicated under the pairs'
+TRANSITIVE closure (A~B, B~C ⇒ keep one of {A,B,C}). This module closes
+that gap — the Spark-side counterpart of the reference's per-video
+keep-chain dedup (phase 2/src/chunker.py frame dedup keeps one
+representative per near-dup chain), lifted to corpus scale.
+
+Scale design (min-label propagation):
+- `connected_components` iterates  label ← min(label, min over neighbours'
+  labels)  to a fixpoint. Each round is ONE shuffle join (edges ⋈ labels on
+  the source node) plus ONE groupBy(dst).min — both with map-side partial
+  aggregation; convergence is detected with a count of changed labels.
+- Round count is the graph DIAMETER, and near-dup similarity graphs are
+  shallow by construction: clusters produced by LSH blocking are cliques or
+  hub stars (see dedup._bucket_pairs), so 2-4 rounds close real corpora.
+  The classic O(log n) alternating large-star/small-star rewriting
+  (Kiveris et al., "Connected Components in MapReduce and Beyond", SoCC'14)
+  drops in here if a pathological chain-shaped graph ever appears; the
+  propagation loop is the same join+min shape either way.
+- Lineage is truncated every round (localCheckpoint) — an iterative plan
+  otherwise doubles in depth per round and OOMs the planner long before the
+  data is the problem. On a real cluster prefer reliable checkpointing
+  (spark.sparkContext.setCheckpointDir on durable storage) so a lost
+  executor does not recompute the whole iteration history.
+- Skew: a giant cluster's hub node appears in m edges; AQE skew-join
+  splitting handles the join side, and the min aggregation is associative
+  so the combiner absorbs the rest.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _symmetric_edges(pairs: DataFrame, src: str, dst: str) -> DataFrame:
+    a = pairs.select(F.col(src).alias("s"), F.col(dst).alias("d"))
+    b = pairs.select(F.col(dst).alias("s"), F.col(src).alias("d"))
+    return a.unionAll(b).distinct()
+
+
+def connected_components(
+    pairs: DataFrame,
+    src: str = "doc_a",
+    dst: str = "doc_b",
+    max_iters: int = 25,
+) -> DataFrame:
+    """(doc_id, component) for every node appearing in ``pairs``, where
+    component = the minimum doc_id reachable through the pair graph —
+    a deterministic canonical cluster id.
+
+    Only nodes that occur in at least one pair are returned (every other
+    doc is its own trivial component; callers join against the corpus for
+    the survivor view, see neardup_survivors)."""
+    edges = _symmetric_edges(pairs, src, dst)
+    # cache the (static) edge relation — it is re-joined every round
+    edges = edges.localCheckpoint(eager=True)
+    labels = edges.select(F.col("s").alias("node")).distinct().select(
+        "node", F.col("node").alias("label")
+    )
+    for _ in range(max_iters):
+        nbr_min = (
+            edges.join(labels, edges["s"] == labels["node"])
+            .groupBy(F.col("d").alias("node2"))
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        new_labels = (
+            labels.join(nbr_min, labels["node"] == nbr_min["node2"], "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
+                ).alias("label"),
+                (F.col("nbr_label") < F.col("label")).alias("changed"),
+            )
+        )
+        new_labels = new_labels.localCheckpoint(eager=True)  # truncate lineage
+        n_changed = new_labels.where(F.col("changed")).count()
+        labels = new_labels.drop("changed")
+        if n_changed == 0:
+            break
+    return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("component"))
+
+
+def neardup_clusters(pairs: DataFrame, src: str = "doc_a", dst: str = "doc_b") -> DataFrame:
+    """Cluster membership table: (doc_id, component, n_members) for every
+    doc that belongs to a non-trivial near-dup cluster. n_members is the
+    cluster size — one extra groupBy on the component key (map-side
+    partial count) joined back along the same key."""
+    cc = connected_components(pairs, src, dst)
+    sizes = cc.groupBy("component").agg(F.count("*").cast("long").alias("n_members"))
+    return cc.join(sizes, "component").select("doc_id", "component", "n_members")
+
+
+def neardup_survivors(
+    docs: DataFrame, pairs: DataFrame, src: str = "doc_a", dst: str = "doc_b"
+) -> DataFrame:
+    """The deduplicated corpus under transitive near-dup closure: every doc
+    that is not in any cluster, plus each cluster's canonical (minimum
+    doc_id) member. Output (doc_id, n_merged): n_merged = how many corpus
+    docs this survivor represents (cluster size; 1 for unclustered docs).
+
+    Plan: components over the pairs (iterative, see connected_components),
+    then ONE left join of the corpus against the membership table — the
+    corpus is never shuffled more than once, which is the property that
+    matters at 100 TB (the membership table is |clustered docs| rows,
+    orders of magnitude smaller than the corpus)."""
+    members = neardup_clusters(pairs, src, dst)
+    return (
+        docs.select("doc_id")
+        .join(members, "doc_id", "left")
+        .where(F.col("component").isNull() | (F.col("doc_id") == F.col("component")))
+        .select("doc_id", F.coalesce(F.col("n_members"), F.lit(1)).cast("long").alias("n_merged"))
+    )
