@@ -190,6 +190,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         # ---- validator analytics (SURVEY §2.5, phase-3 rebuild) ------------
         "keyframe_gaps": lambda s, d: V.keyframe_gaps(_spans_docs(s, d)),
+        "validation_report": lambda s, d: V.validation_report(
+            _spans_docs(s, d), extract_documents(_spans_docs(s, d))
+        ),
         "asr_silence_gaps": lambda s, d: V.asr_gaps(_spans_docs(s, d)),
         "coverage_windows": lambda s, d: V.coverage(_spans_docs(s, d)),
         "chapter_counts": lambda s, d: V.chapter_counts(_spans_docs(s, d)),
@@ -1013,6 +1016,69 @@ UNION ALL
 SELECT doc_id, chunk_id, 'no_visual' AS flag FROM c WHERE NOT has_visual
 UNION ALL
 SELECT doc_id, chunk_id, 'no_speech' AS flag FROM c WHERE NOT has_speech
+"""
+
+    q["validation_report"] = f"""
+WITH d AS (SELECT doc_id, meta.duration_ms AS dur, spans, span_attrs FROM {_SD}
+           WHERE meta.duration_ms > 0),
+z AS (SELECT doc_id, unnest(spans) AS s, unnest(span_attrs) AS a FROM d),
+asr AS (SELECT doc_id, s.offset AS st, a.end_ms AS en, coalesce(s.text, '') AS text
+        FROM z WHERE s.kind = 'asr'),
+frm AS (SELECT doc_id, s.offset AS ts FROM z WHERE s.kind = 'frame'),
+w AS (SELECT doc_id, dur, unnest(generate_series(0, dur - 1, 5000)) AS w0 FROM d),
+cov AS (SELECT w.doc_id,
+               (EXISTS (SELECT 1 FROM asr WHERE asr.doc_id = w.doc_id
+                        AND asr.st < least(w.w0 + 5000, w.dur) AND asr.en > w.w0)
+                OR EXISTS (SELECT 1 FROM frm WHERE frm.doc_id = w.doc_id
+                           AND frm.ts >= w.w0 AND frm.ts < least(w.w0 + 5000, w.dur))) AS c
+        FROM w),
+covstats AS (SELECT doc_id, count(*) AS n_windows,
+                    sum(CASE WHEN c THEN 1 ELSE 0 END) AS n_covered,
+                    floor(sum(CASE WHEN c THEN 1 ELSE 0 END) * 10000.0 / count(*)) AS coverage_bp
+             FROM cov GROUP BY doc_id),
+kfled AS (SELECT doc_id, ts, lead(ts) OVER (PARTITION BY doc_id ORDER BY ts) AS nxt FROM frm),
+kfstats AS (SELECT doc_id,
+                   count(*) FILTER (WHERE nxt - ts > 15000) AS n_keyframe_gaps,
+                   count(*) FILTER (WHERE nxt - ts > 30000) AS n_high_keyframe_gaps
+            FROM kfled GROUP BY doc_id),
+asrled AS (SELECT doc_id, en,
+                  lead(st) OVER (PARTITION BY doc_id ORDER BY st, en, text) AS nxt
+           FROM asr),
+asrstats AS (SELECT doc_id, count(*) FILTER (WHERE nxt - en > 5000) AS n_asr_gaps
+             FROM asrled GROUP BY doc_id),
+tot AS (SELECT doc_id,
+               count(*) FILTER (WHERE s.kind = 'frame') AS n_keyframes,
+               count(*) FILTER (WHERE s.kind = 'asr') AS n_asr_segments,
+               count(*) FILTER (WHERE s.kind = 'ocr' AND a.confidence IS NOT NULL
+                                AND a.confidence >= 0.5) AS n_ocr_blocks
+        FROM z GROUP BY doc_id),
+ch AS (SELECT doc_id, count(*) AS n_chunks,
+              sum((CASE WHEN length(ocr_text) = 0 THEN 1 ELSE 0 END)
+                + (CASE WHEN length(ocr_text) > 0 AND length(ocr_text) < 10 THEN 1 ELSE 0 END)
+                + (CASE WHEN NOT has_visual THEN 1 ELSE 0 END)
+                + (CASE WHEN NOT has_speech THEN 1 ELSE 0 END)) AS n_quality_flags
+       FROM {OC} GROUP BY doc_id)
+SELECT d.doc_id, cast(d.dur AS bigint) AS duration_ms,
+       cast(cs.n_windows AS bigint) AS n_windows,
+       cast(cs.n_covered AS bigint) AS n_covered,
+       cast(cs.coverage_bp AS bigint) AS coverage_bp,
+       CASE WHEN cs.coverage_bp >= 9000 THEN 'pass'
+            WHEN cs.coverage_bp >= 7000 THEN 'partial'
+            ELSE 'fail' END AS verdict,
+       cast(coalesce(kf.n_keyframe_gaps, 0) AS bigint) AS n_keyframe_gaps,
+       cast(coalesce(kf.n_high_keyframe_gaps, 0) AS bigint) AS n_high_keyframe_gaps,
+       cast(coalesce(ag.n_asr_gaps, 0) AS bigint) AS n_asr_gaps,
+       cast(coalesce(t.n_keyframes, 0) AS bigint) AS n_keyframes,
+       cast(coalesce(t.n_asr_segments, 0) AS bigint) AS n_asr_segments,
+       cast(coalesce(t.n_ocr_blocks, 0) AS bigint) AS n_ocr_blocks,
+       cast(coalesce(ch.n_chunks, 0) AS bigint) AS n_chunks,
+       cast(coalesce(ch.n_quality_flags, 0) AS bigint) AS n_quality_flags
+FROM d
+JOIN covstats cs ON cs.doc_id = d.doc_id
+LEFT JOIN kfstats kf ON kf.doc_id = d.doc_id
+LEFT JOIN asrstats ag ON ag.doc_id = d.doc_id
+LEFT JOIN tot t ON t.doc_id = d.doc_id
+LEFT JOIN ch ON ch.doc_id = d.doc_id
 """
 
     q["density_topk"] = f"""

@@ -211,3 +211,117 @@ def density_topk(chunks: DataFrame, k: int = 3) -> DataFrame:
             F.when(F.col("thin_rank") <= k, F.col("thin_rank")).otherwise(0).cast("long").alias("thin_rank"),
         )
     )
+
+
+def validation_report(docs: DataFrame, chunks: DataFrame) -> DataFrame:
+    """The reference's per-video ValidationReport rollup (phase 3/src/
+    validator.py:56-81,101-142) as ONE per-doc row: overall coverage with
+    the report generator's pass/partial/fail verdict (report_generator.py:
+    80-81 — pass ≥90 %, partial 70-89 %, fail <70 %), gap counts, artifact
+    totals, chunk count, and quality-flag count.
+
+    Scale design: every spans-side ingredient (coverage windows, gap
+    counts, kind totals) is intra-row over the document's own arrays —
+    zero shuffle, whole-stage codegen; the chunk-side ingredients
+    aggregate the (already small) chunks relation per doc_id and join back
+    along that key — one shuffle each, both map-side combined. n_ocr_blocks
+    counts OCR spans at confidence ≥ 0.5, matching what the reference's
+    phase-1 writer persists (extract/ocr.py conf filter) and therefore what
+    its validator ever sees."""
+    from ..functions.exprs import consecutive_pairs
+    from .extract import OCR_CONF_MIN
+
+    dur = F.col("meta.duration_ms")
+    zipped = F.arrays_zip(F.col("spans").alias("s"), F.col("span_attrs").alias("a"))
+    frames = _spans_of_kind("frame")
+    frame_ts = F.array_sort(F.transform(frames, lambda s: s["offset"].cast("long")))
+    kf_deltas = F.transform(consecutive_pairs(frame_ts), lambda p: p["b"] - p["a"])
+    asr_zip = F.filter(zipped, lambda z: z["s"]["kind"] == F.lit("asr"))
+    asr_sorted = F.array_sort(
+        F.transform(
+            asr_zip,
+            lambda z: F.struct(
+                z["s"]["offset"].cast("long").alias("start_ms"),
+                z["a"]["end_ms"].cast("long").alias("end_ms"),
+                F.coalesce(z["s"]["text"], F.lit("")).alias("text"),
+            ),
+        )
+    )
+    asr_deltas = F.transform(
+        consecutive_pairs(asr_sorted), lambda p: p["b"]["start_ms"] - p["a"]["end_ms"]
+    )
+    ocr_blocks = F.filter(
+        zipped,
+        lambda z: (z["s"]["kind"] == F.lit("ocr"))
+        & z["a"]["confidence"].isNotNull()
+        & (z["a"]["confidence"] >= F.lit(OCR_CONF_MIN)),
+    )
+
+    # coverage: same construction as coverage() above
+    win_starts = F.sequence(F.lit(0).cast("long"), dur - 1, F.lit(WINDOW_MS).cast("long"))
+
+    def covered(w0):
+        w1 = F.least(w0 + WINDOW_MS, dur)
+        has_asr = F.exists(
+            asr_zip, lambda z: (z["s"]["offset"] < w1) & (z["a"]["end_ms"] > w0)
+        )
+        has_kf = F.exists(frames, lambda s: (s["offset"] >= w0) & (s["offset"] < w1))
+        return has_asr | has_kf
+
+    cov_flags = F.transform(win_starts, covered)
+    n_windows = F.size(cov_flags)
+    n_covered = F.size(F.filter(cov_flags, lambda c: c))
+    coverage_bp = F.floor(n_covered * 10000.0 / n_windows).cast("long")
+
+    base = docs.where(dur > 0).select(
+        "doc_id",
+        dur.cast("long").alias("duration_ms"),
+        n_windows.cast("long").alias("n_windows"),
+        n_covered.cast("long").alias("n_covered"),
+        coverage_bp.alias("coverage_bp"),
+        # pct ≥ 90 ⇔ bp ≥ 9000 exactly (floor cannot cross the boundary)
+        F.when(coverage_bp >= 9000, "pass")
+        .when(coverage_bp >= 7000, "partial")
+        .otherwise("fail")
+        .alias("verdict"),
+        F.size(F.filter(kf_deltas, lambda d: d > KEYFRAME_GAP_MS)).cast("long").alias("n_keyframe_gaps"),
+        F.size(F.filter(kf_deltas, lambda d: d > KEYFRAME_GAP_HIGH_MS)).cast("long").alias("n_high_keyframe_gaps"),
+        F.size(F.filter(asr_deltas, lambda d: d > ASR_GAP_MS)).cast("long").alias("n_asr_gaps"),
+        F.size(frames).cast("long").alias("n_keyframes"),
+        F.size(asr_zip).cast("long").alias("n_asr_segments"),
+        F.size(ocr_blocks).cast("long").alias("n_ocr_blocks"),
+    )
+
+    flag_count = F.size(
+        F.array_compact(
+            F.array(
+                F.when(F.length("ocr_text") == 0, F.lit("no_ocr_text")),
+                F.when(
+                    (F.length("ocr_text") > 0) & (F.length("ocr_text") < 10),
+                    F.lit("low_ocr_text"),
+                ),
+                F.when(~F.col("completeness.has_visual"), F.lit("no_visual")),
+                F.when(~F.col("completeness.has_speech"), F.lit("no_speech")),
+            )
+        )
+    )
+    chunk_agg = chunks.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_chunks"),
+        F.sum(flag_count).cast("long").alias("n_quality_flags"),
+    )
+    return base.join(chunk_agg, "doc_id", "left").select(
+        base["doc_id"],
+        "duration_ms",
+        "n_windows",
+        "n_covered",
+        "coverage_bp",
+        "verdict",
+        "n_keyframe_gaps",
+        "n_high_keyframe_gaps",
+        "n_asr_gaps",
+        "n_keyframes",
+        "n_asr_segments",
+        "n_ocr_blocks",
+        F.coalesce(F.col("n_chunks"), F.lit(0)).cast("long").alias("n_chunks"),
+        F.coalesce(F.col("n_quality_flags"), F.lit(0)).cast("long").alias("n_quality_flags"),
+    )
