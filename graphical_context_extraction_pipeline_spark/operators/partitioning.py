@@ -46,6 +46,53 @@ def balance_by_cost(df: DataFrame, n_partitions: int, cost=None) -> DataFrame:
     return dealt.repartitionByRange(n_partitions, "_deal").drop("_deal")
 
 
+def balance_by_cost_scalable(
+    df: DataFrame,
+    n_partitions: int,
+    cost=None,
+    heavy_fraction: float = 0.01,
+) -> DataFrame:
+    """The 100 TB variant of balance_by_cost: NO global sort.
+
+    balance_by_cost's exact global rank funnels every row through one
+    partition for the row_number window — correct and cheap at test scale,
+    a single-partition bottleneck at 10^12 docs. This variant splits the
+    corpus at the (1 − heavy_fraction) cost quantile (one approxQuantile
+    pass — an aggregate, returns a scalar):
+
+    - LIGHT rows (≈99 %): placed by doc_id hash. With millions of light
+      docs per partition their cost sums concentrate tightly around the
+      mean (law of large numbers) — no coordination needed.
+    - HEAVY tail (≈1 %): the docs that actually cause stragglers are
+      snake-dealt in descending-cost order. The rank window runs over only
+      the tail, so its sort partition holds heavy_fraction of the rows.
+
+    Both halves land in the same ``repartitionByRange`` on the dense deal
+    value, so the exchange count equals a plain repartition's. A uniform
+    corpus degrades gracefully: the strict > threshold test makes the
+    heavy set empty and everything places by hash."""
+    cost = cost if cost is not None else F.size("spans")
+    with_cost = df.withColumn("_cost", cost.cast("long"))
+    thresh = with_cost.stat.approxQuantile("_cost", [1.0 - heavy_fraction], 0.001)[0]
+    light = with_cost.where(F.col("_cost") <= thresh).withColumn(
+        "_deal", F.pmod(F.xxhash64("doc_id"), F.lit(n_partitions))
+    )
+    heavy = with_cost.where(F.col("_cost") > thresh)
+    w = Window.orderBy(F.desc("_cost"), "doc_id")
+    rn = F.row_number().over(w) - 1
+    pos = rn % n_partitions
+    block = F.floor(rn / n_partitions)
+    heavy = heavy.withColumn(
+        "_deal",
+        F.when(block % 2 == 0, pos).otherwise(F.lit(n_partitions - 1) - pos).cast("bigint"),
+    )
+    return (
+        light.unionByName(heavy)
+        .repartitionByRange(n_partitions, "_deal")
+        .drop("_deal", "_cost")
+    )
+
+
 def partition_cost_stats(df: DataFrame, cost=None) -> DataFrame:
     """Per-partition cost totals (observability for the balance claim)."""
     cost = cost if cost is not None else F.size("spans")

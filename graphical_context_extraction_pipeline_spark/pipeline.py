@@ -33,6 +33,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .operators.extract import extract_documents
+from .operators.partitioning import balance_by_cost
 
 PROCESSED_DDL = "doc_id string"
 
@@ -73,18 +74,32 @@ class ExtractionPipeline:
         return self.spark.read.parquet(*paths) if paths else None
 
     # ---------------- run ------------------------------------------------
-    def run(self, docs: DataFrame, fail_before_commit: bool = False) -> DataFrame | None:
+    def run(
+        self,
+        docs: DataFrame,
+        fail_before_commit: bool = False,
+        balance_partitions: int | None = 0,
+    ) -> DataFrame | None:
         """Process all not-yet-processed documents; returns the full
         committed chunks table (or None if the corpus is empty).
 
         ``fail_before_commit`` simulates a crash after data is written but
         before the audit commit — used by the resume tests.
-        """
+
+        ``balance_partitions``: cost-balance the to-do set across this many
+        partitions before extraction (operators/partitioning.balance_by_cost
+        — snake deal in descending span-count order), so media-heavy skew
+        docs spread evenly and no straggler partition sets the stage wall.
+        0 (default) = cluster default parallelism; None = skip balancing
+        (keep the input's partitioning)."""
         run_id = uuid.uuid4().hex[:12]
         t0 = time.time()
 
         processed = self._read_processed()
         todo = docs.join(processed, "doc_id", "left_anti") if processed is not None else docs
+        if balance_partitions is not None:
+            n_parts = balance_partitions or self.spark.sparkContext.defaultParallelism
+            todo = balance_by_cost(todo, n_parts)
 
         run_chunks_path = os.path.join(self.chunks_dir, f"run={run_id}")
         run_processed_path = os.path.join(self.processed_dir, f"run={run_id}")

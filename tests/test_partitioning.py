@@ -53,3 +53,72 @@ def test_balance_preserves_rows(spark):
     assert out.count() == docs.count()
     assert sorted(out.columns) == sorted(docs.columns)
     assert out.rdd.getNumPartitions() == N_PARTS
+
+
+def test_pipeline_runs_balanced(spark, tmp_path):
+    """ExtractionPipeline.run cost-balances the to-do set by default: the
+    audit record's per-partition lineage shows every populated extraction
+    partition within a tight band of the mean output-span cost, and the
+    run's results are identical to an unbalanced run."""
+    from graphical_context_extraction_pipeline_spark.pipeline import ExtractionPipeline
+
+    docs = _docs(spark)
+    p1 = ExtractionPipeline(spark, str(tmp_path / "bal"))
+    got = p1.run(docs, balance_partitions=N_PARTS)
+    rec = p1.committed_runs()[-1]
+    metrics = rec["partition_metrics"]
+    assert len(metrics) == N_PARTS
+    costs = [m["n_out_spans"] for m in metrics]
+    mean = sum(costs) / len(costs)
+    assert max(costs) <= 1.35 * mean, costs  # no straggler partition
+
+    p2 = ExtractionPipeline(spark, str(tmp_path / "unbal"))
+    got2 = p2.run(docs, balance_partitions=None)
+    a = sorted(repr(r) for r in got.drop("part_id").collect())
+    b = sorted(repr(r) for r in got2.drop("part_id").collect())
+    assert a == b  # balancing never changes results, only placement
+
+
+def test_balance_scalable_tames_skew(spark):
+    """The no-global-sort variant: heavy tail dealt exactly, light mass
+    hashed. On the skewed corpus the heavy docs must spread across
+    partitions (never two mega-docs colliding) and total cost must stay
+    within a loose band of the mean — without any full-corpus window."""
+    from graphical_context_extraction_pipeline_spark.operators.partitioning import (
+        balance_by_cost_scalable,
+    )
+
+    docs = _docs(spark)
+    balanced = balance_by_cost_scalable(docs, N_PARTS, heavy_fraction=0.05)
+    stats = partition_cost_stats(balanced).collect()
+    assert len(stats) == N_PARTS
+    costs = [r["total_cost"] for r in stats]
+    total, mx = sum(costs), max(costs)
+    # the heaviest doc lower-bounds any partitioner; allow slack for the
+    # hashed light mass at this small scale (200 docs → LLN is weak here)
+    heaviest = docs.select(F.max(F.size("spans"))).first()[0]
+    assert mx <= max(1.9 * total / N_PARTS, heaviest + total / N_PARTS), costs
+    # row preservation
+    assert sum(r["n_rows"] for r in stats) == docs.count()
+
+
+def test_balance_scalable_uniform_degrades_to_hash(spark):
+    """Uniform costs → empty heavy set → pure hash placement, no crash."""
+    from graphical_context_extraction_pipeline_spark.operators.partitioning import (
+        balance_by_cost_scalable,
+    )
+
+    uni = spark.range(500).select(
+        F.concat(F.lit("u"), F.col("id")).alias("doc_id"),
+        F.array_repeat(
+            F.struct(
+                F.lit("asr").alias("kind"), F.lit("x").alias("text"),
+                F.lit(None).cast("string").alias("media_ref"), F.lit(0).alias("offset"),
+            ),
+            5,
+        ).alias("spans"),
+    )
+    out = balance_by_cost_scalable(uni, N_PARTS)
+    assert out.count() == 500
+    stats = partition_cost_stats(out).collect()
+    assert sum(r["n_rows"] for r in stats) == 500
