@@ -152,6 +152,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from graphical_context_extraction_pipeline_spark.operators import (
         boilerplate as BP,
         cluster as CL,
+        curate as CU,
         dedup,
         export as EX,
         media,
@@ -232,6 +233,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ---- near-dup cluster resolution (pairs → transitive closure) -------
         "neardup_clusters": lambda s, d: CL.neardup_clusters(
             dedup.ngram_jaccard_pairs(_planted_near(_flat_docs(s, d)))
+        ),
+        "curate_corpus": lambda s, d: CU.curate_corpus(
+            _planted_exact(_planted_near(_flat_docs(s, d)))
         ),
         "neardup_survivors": lambda s, d: CL.neardup_survivors(
             _planted_near(_flat_docs(s, d)),
@@ -821,8 +825,10 @@ GROUP BY n.dup_key
     # the full ngram-pairs pipeline as a reusable CTE chain (consumed
     # verbatim by the cluster-resolution oracles below, which close the
     # pairs transitively)
-    ngram_cte = f"""{_CORPUS_NEAR},
-{_SHINGLES_CTE},
+    # the chain below reads a CTE named `corpus` — callers prepend their own
+    # corpus definition (the planted near corpus here; the exact-survivor
+    # set in the curation oracle)
+    ngram_chain = f"""{_SHINGLES_CTE},
 sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
 ok AS (SELECT shingle FROM sh GROUP BY shingle
        HAVING count(*) <= {MAX_DOCS_PER_SHINGLE}),
@@ -852,6 +858,7 @@ SELECT s.hub AS doc_a, a.doc_id AS doc_b,
 FROM allhot a JOIN sigstats s USING (sig)
 WHERE s.n_members > 1 AND a.doc_id <> s.hub)
 """
+    ngram_cte = f"{_CORPUS_NEAR},\n{ngram_chain}"
 
     q["ngram_jaccard_pairs"] = f"WITH {ngram_cte}\nSELECT * FROM np"
 
@@ -860,8 +867,7 @@ WHERE s.n_members > 1 AND a.doc_id <> s.hub)
     # the walk enumerates exactly the (node, smaller-reachable-label)
     # pairs and min() per node is the component id, mirroring
     # operators/cluster.connected_components
-    cc_cte = f"""{ngram_cte},
-edges AS (SELECT doc_a AS s, doc_b AS d FROM np
+    cc_chain = """edges AS (SELECT doc_a AS s, doc_b AS d FROM np
           UNION SELECT doc_b AS s, doc_a AS d FROM np),
 walk(n, l) AS (
   SELECT DISTINCT s, s FROM edges
@@ -870,6 +876,7 @@ walk(n, l) AS (
 ),
 cc AS (SELECT n AS doc_id, min(l) AS component FROM walk GROUP BY n),
 szs AS (SELECT component, count(*) AS n_members FROM cc GROUP BY component)"""
+    cc_cte = f"{ngram_cte},\n{cc_chain}"
 
     q["neardup_clusters"] = f"""
 WITH RECURSIVE {cc_cte}
@@ -972,6 +979,45 @@ SELECT doc_id, n_chars, n_tokens,
         AND floor(n_punct * 10000.0 / greatest(n_chars, 1)) < 1500
         AND floor(n_stop * 10000.0 / greatest(n_tokens, 1)) > 0) AS passes_quality
 FROM t
+"""
+
+    # end-to-end curation verdicts: quality gate -> exact dedup -> ngram
+    # near-dup transitive closure, mirroring operators/curate.curate_corpus.
+    # The exact-survivor set is bound to the CTE name `corpus` so the
+    # shared ngram + closure chains apply verbatim.
+    qual_ok = (
+        "(cast(length(text) AS bigint) >= 64"
+        f" AND cast(len({_TOKS}) AS bigint) >= 12"
+        " AND floor((length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')))"
+        " * 10000.0 / greatest(length(text), 1)) < 1500"
+        f" AND floor(({en_hits}) * 10000.0 / greatest(len({_TOKS}), 1)) > 0)"
+    )
+    q["curate_corpus"] = f"""
+WITH RECURSIVE
+corpus0 AS (SELECT doc_id, text FROM documents UNION ALL
+            SELECT doc_id + 200000 AS doc_id, text || '{_NEAR_TAIL}' AS text
+            FROM documents WHERE doc_id % 70 = 3),
+corpusx AS (SELECT doc_id, text FROM corpus0 UNION ALL
+            SELECT doc_id + 100000 AS doc_id, text FROM corpus0 WHERE doc_id % 50 = 0),
+qual AS (SELECT doc_id, text, {qual_ok} AS ok FROM corpusx),
+passing AS (SELECT doc_id, text, md5(lower(text)) AS dup_key FROM qual WHERE ok),
+canon AS (SELECT dup_key, min(doc_id) AS ec FROM passing GROUP BY dup_key),
+keyed AS (SELECT p.doc_id, p.text, c.ec FROM passing p JOIN canon c USING (dup_key)),
+corpus AS (SELECT doc_id, text FROM keyed WHERE doc_id = ec),
+{ngram_chain},
+{cc_chain}
+SELECT doc_id, 'rejected_quality' AS status, cast(-1 AS bigint) AS canonical_doc_id
+FROM qual WHERE NOT ok
+UNION ALL
+SELECT doc_id, 'exact_duplicate' AS status, ec AS canonical_doc_id
+FROM keyed WHERE doc_id <> ec
+UNION ALL
+SELECT doc_id, 'near_duplicate' AS status, component AS canonical_doc_id
+FROM cc WHERE doc_id <> component
+UNION ALL
+SELECT c.doc_id, 'kept' AS status, c.doc_id AS canonical_doc_id
+FROM corpus c
+WHERE c.doc_id NOT IN (SELECT doc_id FROM cc WHERE doc_id <> component)
 """
 
     # rolling fold mirrors text_analysis.fingerprint: h ← (h·C + md5₃₂) mod P

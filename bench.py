@@ -81,6 +81,7 @@ def run_extract(cpus: int, sf_dir: str, iters: int = 3) -> dict:
 def run_suite(cpus: int, sf_dir: str) -> dict:
     from graphical_context_extraction_pipeline_spark.operators import (
         boilerplate as BP,
+        cluster as CL,
         dedup,
         relational as R,
         similarity,
@@ -115,6 +116,13 @@ def run_suite(cpus: int, sf_dir: str) -> dict:
         "token_stats": lambda: TA.token_stats(flat).count(),
         "lang_id": lambda: TA.lang_id(flat).count(),
         "cosine_topk": lambda: similarity.cosine_topk(emb, list(range(10))).count(),
+        # round 3 additions: transitive near-dup closure over the ngram
+        # pair edges (iterative components + one corpus join) and the
+        # per-doc ValidationReport rollup (spans intra-row + chunk join)
+        "neardup_survivors": lambda: CL.neardup_survivors(
+            flat, dedup.ngram_jaccard_pairs(flat)
+        ).count(),
+        "validation_report": lambda: V.validation_report(docs, extract_documents(docs)).count(),
     }
     timings: dict[str, float] = {}
     extract_wall = None

@@ -1,0 +1,89 @@
+"""End-to-end corpus curation: the composition a training-data user
+actually runs — quality gate → exact dedup → near-dup transitive closure —
+emitting one verdict row per input document.
+
+Stages (each reusing the already-oracled operator underneath):
+1. quality gate      text_analysis.quality_score.passes_quality
+2. exact dedup       md5(lower(text)) keep-first (dedup.dedup_keep_first's
+                     aggregation shape)
+3. near-dup closure  dedup.ngram_jaccard_pairs over the exact survivors →
+                     cluster.connected_components → canonical per cluster
+
+Output: (doc_id, status, canonical_doc_id) where status ∈
+  'rejected_quality' — failed the quality gate (canonical −1: folded
+                       into nothing — the sentinel keeps the column
+                       non-null for hash-stable engine comparison)
+  'exact_duplicate'  — same normalized text as a smaller-id doc
+                       (canonical = that doc)
+  'near_duplicate'   — in a near-dup cluster, not its minimum
+                       (canonical = cluster minimum)
+  'kept'             — survives curation (canonical = itself)
+Canonicals are STAGE-LOCAL: an exact duplicate points at its exact
+canonical even if that canonical is later folded as a near-duplicate —
+consumers wanting full resolution follow the (tiny) canonical chain.
+
+Scale design: one quality scan (intra-row, zero shuffle), one 16-byte-key
+hash aggregation + co-keyed join for exact dedup, and the ngram/closure
+machinery documented in dedup.py / cluster.py over the (already reduced)
+exact survivors only. The final verdict table is assembled with unions of
+disjoint row sets — every doc appears in exactly one branch.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .cluster import neardup_clusters
+from .dedup import ngram_jaccard_pairs
+from .text_analysis import passes_quality_expr
+
+
+def curate_corpus(docs: DataFrame, min_jaccard_bp: int = 6000) -> DataFrame:
+    """One verdict row per input doc (see module docstring)."""
+    # the gate is applied INLINE on the scan (passes_quality_expr), never
+    # via a join of the corpus against its own score table
+    base = docs.select("doc_id", "text", passes_quality_expr().alias("passes_quality"))
+
+    id_type = docs.schema["doc_id"].dataType  # verdicts keep the corpus' id type
+    rejected = base.where(~F.col("passes_quality")).select(
+        "doc_id",
+        F.lit("rejected_quality").alias("status"),
+        F.lit(-1).cast(id_type).alias("canonical_doc_id"),
+    )
+
+    passing = base.where(F.col("passes_quality")).select(
+        "doc_id", "text", F.md5(F.lower("text")).alias("dup_key")
+    )
+    exact_canon = passing.groupBy("dup_key").agg(F.min("doc_id").alias("exact_canon"))
+    keyed = passing.join(exact_canon, "dup_key")
+    exact_dups = keyed.where(F.col("doc_id") != F.col("exact_canon")).select(
+        "doc_id",
+        F.lit("exact_duplicate").alias("status"),
+        F.col("exact_canon").alias("canonical_doc_id"),
+    )
+    exact_survivors = keyed.where(F.col("doc_id") == F.col("exact_canon")).select(
+        "doc_id", "text"
+    )
+
+    pairs = ngram_jaccard_pairs(exact_survivors, min_jaccard_bp=min_jaccard_bp)
+    members = neardup_clusters(pairs).select("doc_id", "component")
+    near_dups = members.where(F.col("doc_id") != F.col("component")).select(
+        "doc_id",
+        F.lit("near_duplicate").alias("status"),
+        F.col("component").alias("canonical_doc_id"),
+    )
+    kept = exact_survivors.join(
+        near_dups.select("doc_id"), "doc_id", "left_anti"
+    ).select(
+        "doc_id",
+        F.lit("kept").alias("status"),
+        F.col("doc_id").alias("canonical_doc_id"),
+    )
+    return rejected.unionByName(exact_dups).unionByName(near_dups).unionByName(kept)
+
+
+def curation_metrics(verdicts: DataFrame) -> DataFrame:
+    """Per-stage counts from the verdict table — the run-report rollup
+    (one tiny groupBy on the 4-value status column)."""
+    return verdicts.groupBy("status").agg(F.count("*").cast("long").alias("n_docs"))

@@ -82,6 +82,28 @@ def lang_id(docs: DataFrame) -> DataFrame:
     )
 
 
+def passes_quality_expr(text_col="text"):
+    """The quality-gate boolean as a standalone Column over ``text`` —
+    shared by quality_score and the curation pipeline so the gate can be
+    applied inline (no self-join of the corpus against its own scores)."""
+    toks = _tokens(F.col(text_col))
+    n_tokens = F.size(toks)
+    n_chars = F.length(text_col)
+    n_punct = n_chars - F.length(F.regexp_replace(text_col, r"\p{Punct}", ""))
+    punct_bp = F.floor(n_punct * 10000.0 / F.greatest(n_chars, F.lit(1)))
+    en = LANG_STOPWORDS["en"]
+
+    def _member(t):
+        cond = t == F.lit(en[0])
+        for w in en[1:]:
+            cond = cond | (t == F.lit(w))
+        return cond
+
+    n_stop = F.size(F.filter(toks, _member))
+    stop_bp = F.floor(n_stop * 10000.0 / F.greatest(n_tokens, F.lit(1)))
+    return (n_chars >= 64) & (n_tokens >= 12) & (punct_bp < 1500) & (stop_bp > 0)
+
+
 def quality_score(docs: DataFrame) -> DataFrame:
     """Quality signals: length, punctuation ratio, stopword ratio, mean token
     length — integerized (basis points) for oracle stability."""
@@ -110,12 +132,7 @@ def quality_score(docs: DataFrame) -> DataFrame:
         punct_bp.alias("punct_bp"),
         stop_bp.alias("stopword_bp"),
         mean_tok_len_e2.alias("mean_token_len_e2"),
-        (
-            (n_chars >= 64)
-            & (n_tokens >= 12)
-            & (punct_bp < 1500)
-            & (stop_bp > 0)
-        ).alias("passes_quality"),
+        passes_quality_expr().alias("passes_quality"),
     )
 
 

@@ -104,6 +104,24 @@ def main() -> None:
             "runs on the deduped candidate set.",
         ),
         (
+            "validation_report",
+            V.validation_report(docs, extract_documents(docs)),
+            "spans-side ingredients (coverage, gap counts, totals) intra-row "
+            "with zero Exchange; only the chunk rollup aggregates and joins "
+            "on doc_id (map-side combined).",
+        ),
+        (
+            "neardup_survivors (post-closure corpus)",
+            __import__(
+                "graphical_context_extraction_pipeline_spark.operators.cluster",
+                fromlist=["cluster"],
+            ).neardup_survivors(flat, dedup.ngram_jaccard_pairs(flat)),
+            "the corpus is scanned ONCE and left-joined against the small "
+            "cluster-membership table (components computed iteratively "
+            "beforehand, lineage truncated per round via localCheckpoint — "
+            "the checkpoint scan below is that truncation).",
+        ),
+        (
             "pushdown probe: flat filter",
             flat.where(F.col("lang") == "en").select("doc_id"),
             "PushedFilters shows the lang predicate reaching the parquet scan; "

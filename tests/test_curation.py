@@ -1,0 +1,66 @@
+"""End-to-end corpus curation verdicts: quality gate → exact dedup →
+near-dup transitive closure, one stage-labelled row per input doc."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from graphical_context_extraction_pipeline_spark.operators.curate import (
+    curate_corpus,
+    curation_metrics,
+)
+
+GOOD_A = (
+    "the quick brown fox jumps over the lazy dog while a calm river flows "
+    "past the quiet village and children play near the old wooden bridge"
+)
+GOOD_B = (
+    "spark executes declarative plans and the catalyst optimizer prunes "
+    "columns pushes filters and is able to reorder joins for the engine"
+)
+
+
+@pytest.fixture(scope="module")
+def verdicts(spark):
+    rows = [
+        (1, GOOD_A),
+        (2, GOOD_A),                       # exact duplicate of 1
+        (3, GOOD_A + " with extra tail"),  # near duplicate of 1
+        (4, GOOD_B),                       # distinct, kept
+        (5, "too short"),                  # fails quality gate
+        (6, GOOD_A),                       # second exact duplicate of 1
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    return {r["doc_id"]: r for r in curate_corpus(docs).collect()}
+
+
+def test_one_verdict_per_doc(verdicts):
+    assert set(verdicts) == {1, 2, 3, 4, 5, 6}
+
+
+def test_stage_verdicts(verdicts):
+    assert verdicts[5]["status"] == "rejected_quality"
+    assert verdicts[5]["canonical_doc_id"] == -1
+    assert verdicts[2]["status"] == "exact_duplicate"
+    assert verdicts[2]["canonical_doc_id"] == 1
+    assert verdicts[6]["status"] == "exact_duplicate"
+    assert verdicts[6]["canonical_doc_id"] == 1
+    assert verdicts[3]["status"] == "near_duplicate"
+    assert verdicts[3]["canonical_doc_id"] == 1
+    assert verdicts[1]["status"] == "kept"
+    assert verdicts[1]["canonical_doc_id"] == 1
+    assert verdicts[4]["status"] == "kept"
+    assert verdicts[4]["canonical_doc_id"] == 4
+
+
+def test_metrics_rollup(spark, verdicts):
+    vdf = spark.createDataFrame(
+        [(v["doc_id"], v["status"], v["canonical_doc_id"]) for v in verdicts.values()],
+        "doc_id long, status string, canonical_doc_id long",
+    )
+    m = {r["status"]: r["n_docs"] for r in curation_metrics(vdf).collect()}
+    assert m == {
+        "rejected_quality": 1,
+        "exact_duplicate": 2,
+        "near_duplicate": 1,
+        "kept": 2,
+    }
