@@ -104,3 +104,40 @@ def test_flat_filter_pushdown(spark):
     q = flat.where(F.col("lang") == "en").select("doc_id")
     pf = pushed_filters(q)
     assert "lang" in pf, pf
+
+
+def test_validation_report_single_shuffle(spark, docs_path):
+    """The rollup's spans-side ingredients are intra-row; the only shuffle
+    is the chunk-side aggregation joined back on doc_id (the chunks arrive
+    shuffle-free from extract)."""
+    docs = spark.read.parquet(docs_path)
+    rep = V.validation_report(docs, extract_documents(docs))
+    assert count_exchanges(rep) <= 2, physical_plan(rep)
+
+
+def test_curation_quality_gate_inline(spark, docs_path):
+    """The quality gate must be an inline predicate on the scan, not a join
+    of the corpus against its own score table: the rejected branch alone
+    (scan + filter) carries zero Exchange."""
+    from graphical_context_extraction_pipeline_spark.operators.text_analysis import (
+        passes_quality_expr,
+    )
+
+    flat = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    rejected = flat.select("doc_id", "text").where(~passes_quality_expr())
+    assert count_exchanges(rejected) == 0, physical_plan(rejected)
+
+
+def test_survivors_corpus_scanned_once(spark):
+    """neardup_survivors: the corpus side appears exactly once in the plan
+    (one scan, one join against the membership table)."""
+    from graphical_context_extraction_pipeline_spark.operators import cluster as CL
+    from graphical_context_extraction_pipeline_spark.operators import dedup
+
+    flat = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    pairs = dedup.ngram_jaccard_pairs(flat)
+    surv = CL.neardup_survivors(flat, pairs)
+    plan = physical_plan(surv)
+    # the final assembly joins ONE corpus scan against the (checkpointed)
+    # membership relation; the pair machinery is behind the checkpoint
+    assert plan.count("Scan ExistingRDD") <= 2, plan
