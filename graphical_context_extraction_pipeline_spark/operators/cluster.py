@@ -55,13 +55,20 @@ def connected_components(
 
     Only nodes that occur in at least one pair are returned (every other
     doc is its own trivial component; callers join against the corpus for
-    the survivor view, see neardup_survivors)."""
+    the survivor view, see neardup_survivors).
+
+    Raises RuntimeError if the propagation has not converged after
+    ``max_iters`` rounds (a graph with diameter > max_iters — pathological
+    for near-dup graphs, whose LSH-blocked clusters are cliques/stars).
+    Silently returning partial labels would be WRONG components; raise the
+    cap or switch to large-star/small-star rewriting for such graphs."""
     edges = _symmetric_edges(pairs, src, dst)
     # cache the (static) edge relation — it is re-joined every round
     edges = edges.localCheckpoint(eager=True)
     labels = edges.select(F.col("s").alias("node")).distinct().select(
         "node", F.col("node").alias("label")
     )
+    n_changed = 0
     for _ in range(max_iters):
         nbr_min = (
             edges.join(labels, edges["s"] == labels["node"])
@@ -83,6 +90,12 @@ def connected_components(
         labels = new_labels.drop("changed")
         if n_changed == 0:
             break
+    if n_changed != 0:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iters} rounds "
+            f"({n_changed} labels still changing) — graph diameter exceeds "
+            "max_iters; raise it or use star-rewriting for chain-shaped graphs"
+        )
     return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("component"))
 
 

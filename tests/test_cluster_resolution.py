@@ -63,3 +63,16 @@ def test_empty_pairs(spark, docs):
     surv = neardup_survivors(docs, empty)
     assert surv.count() == 30
     assert surv.agg(F.sum("n_merged")).first()[0] == 30
+
+
+def test_nonconvergence_raises(spark):
+    """A chain whose diameter exceeds max_iters must RAISE, not silently
+    return partial (wrong) components."""
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 12)], "doc_a long, doc_b long"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(chain, max_iters=2)
+    # and with enough rounds the same chain resolves to one component
+    got = {r["component"] for r in connected_components(chain, max_iters=15).collect()}
+    assert got == {1}
