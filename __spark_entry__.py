@@ -178,6 +178,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ocr_frame_dedup": lambda s, d: R.ocr_frame_dedup(_spans_docs(s, d)),
         "frame_ocr_basename": lambda s, d: R.frame_ocr_basename_join(_spans_docs(s, d)),
         "sliding_windows": lambda s, d: R.sliding_window_chunks(_spans_docs(s, d)),
+        # per-word ASR detail re-emitted for downstream consumers
+        # (reference phase 2/src/loader.py:12-18)
+        "word_spans": lambda s, d: R.word_spans(_spans_docs(s, d)),
         "transcript_lines": lambda s, d: EX.transcript_lines(_spans_docs(s, d)),
         # ---- cross-doc boilerplate model (north-star per-partition heuristic) --
         "boilerplate_lines": lambda s, d: BP.boilerplate_lines(_spans_docs(s, d)),
@@ -628,6 +631,22 @@ SELECT f.doc_id, f.frame_basename, f.frame_number, f.ts,
        cast(coalesce(sum(o.conf_e4), 0) AS bigint) AS sum_conf_e4
 FROM fr2 f LEFT JOIN o ON o.doc_id = f.doc_id AND o.frame_basename = f.frame_basename
 GROUP BY 1, 2, 3, 4
+"""
+
+    q["word_spans"] = f"""
+WITH seg AS (SELECT doc_id, cast(s.offset AS bigint) AS seg_start_ms,
+                    cast(a.end_ms AS bigint) AS seg_end_ms, a.words AS words
+             FROM {_Z}
+             WHERE s.kind = 'asr' AND a.words IS NOT NULL AND len(a.words) > 0),
+w AS (SELECT doc_id, seg_start_ms, seg_end_ms,
+             unnest(words) AS w,
+             generate_subscripts(words, 1) - 1 AS word_idx
+      FROM seg)
+SELECT doc_id, seg_start_ms, seg_end_ms, cast(word_idx AS bigint) AS word_idx,
+       w.word AS word, cast(w.start_ms AS bigint) AS start_ms,
+       cast(w.end_ms AS bigint) AS end_ms,
+       coalesce(cast(floor(w.score * 10000) AS bigint), -1) AS score_e4
+FROM w
 """
 
     # NOTE: ocr_frame_dedup cannot be recomputed in DuckDB SQL — its 1.0.0

@@ -123,6 +123,8 @@ def run_suite(cpus: int, sf_dir: str) -> dict:
             flat, dedup.ngram_jaccard_pairs(flat)
         ).count(),
         "validation_report": lambda: V.validation_report(docs, extract_documents(docs)).count(),
+        # round 3: word-level span re-emission (zero-shuffle double explode)
+        "word_spans": lambda: R.word_spans(docs).count(),
     }
     timings: dict[str, float] = {}
     extract_wall = None

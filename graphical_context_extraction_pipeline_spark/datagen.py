@@ -73,6 +73,24 @@ def _doc_seed(i: int) -> int:
     return (x ^ (x >> 31)) & 0x7FFFFFFF
 
 
+def _asr_words(rng, toks, start_ms: int, end_ms: int) -> list[dict]:
+    """Per-word timing/score structs (reference phase 2/src/loader.py:12-18:
+    ASRSegment.words carries WhisperX word dicts). ~1 in 8 words is
+    scoreless — WhisperX omits 'score' for some tokens (numerals etc.) —
+    and the enricher (phase 2/src/enricher.py:51-68) excludes those from
+    BOTH the numerator and denominator of the confidence mean; generating
+    them here pins that filter through the driver's oracle gate."""
+    n = len(toks)
+    cuts = np.sort(rng.uniform(0.0, 1.0, size=n - 1)) if n > 1 else np.array([])
+    inner = (start_ms + cuts * (end_ms - start_ms)).astype(np.int64).tolist()
+    bounds = [int(start_ms), *[int(b) for b in inner], int(end_ms)]
+    out = []
+    for k, w in enumerate(toks):
+        score = None if rng.rand() < 0.12 else round(float(rng.uniform(0.3, 1.0)), 4)
+        out.append({"word": str(w), "start_ms": bounds[k], "end_ms": bounds[k + 1], "score": score})
+    return out
+
+
 def generate_doc(i: int) -> dict:
     """Generate one document as plain-Python dict (shared by Spark gen and
     the pure-Python oracle tests)."""
@@ -142,6 +160,9 @@ def generate_doc(i: int) -> dict:
                     "text": " ".join(toks),
                     "confidence": round(float(rng.uniform(0.5, 1.0)), 4),
                     "n_words": n_tok,
+                    # ~1 in 4 segments carries no word detail at all — the
+                    # confidence × n_words fallback path stays exercised
+                    "words": _asr_words(rng, toks, t, end) if rng.rand() >= 0.25 else None,
                 }
             )
             gap = int(rng.randint(0, 900))
@@ -155,13 +176,15 @@ def generate_doc(i: int) -> dict:
         if big_scenes and asr:
             pick = big_scenes[int(rng.randint(0, len(big_scenes)))]
             b = pick["start_ms"]
+            btoks = list(rng.choice(CONTENT_VOCAB, size=6))
             asr.append(
                 {
                     "start_ms": b - 2000,
                     "end_ms": b,
-                    "text": " ".join(rng.choice(CONTENT_VOCAB, size=6)),
+                    "text": " ".join(btoks),
                     "confidence": round(float(rng.uniform(0.5, 1.0)), 4),
                     "n_words": 6,
+                    "words": _asr_words(rng, btoks, b - 2000, b) if rng.rand() >= 0.25 else None,
                 }
             )
         asr.sort(key=lambda a: (a["start_ms"], a["end_ms"], a["text"]))
@@ -279,7 +302,7 @@ def generate_doc(i: int) -> dict:
     # ---- assemble interleaved spans -------------------------------------
     spans, attrs = [], []
 
-    def add(kind, text, media_ref, offset, end_ms=None, conf=None, bbox=None, scene_id=None, n_words=None):
+    def add(kind, text, media_ref, offset, end_ms=None, conf=None, bbox=None, scene_id=None, n_words=None, words=None):
         spans.append({"kind": kind, "text": text, "media_ref": media_ref, "offset": int(offset)})
         attrs.append(
             {
@@ -291,7 +314,7 @@ def generate_doc(i: int) -> dict:
                 # phase 2/src/chunker.py:220-226)
                 "scene_id": None if scene_id is None else int(scene_id),
                 "n_words": None if n_words is None else int(n_words),
-                "words": None,
+                "words": words,
             }
         )
 
@@ -300,7 +323,10 @@ def generate_doc(i: int) -> dict:
     for sc in scenes:
         add("scene", f"{sc['scene_id']}:{sc['end_ms']}", None, sc["start_ms"], end_ms=sc["end_ms"])
     for a in asr:
-        add("asr", a["text"], None, a["start_ms"], end_ms=a["end_ms"], conf=a["confidence"], n_words=a["n_words"])
+        add(
+            "asr", a["text"], None, a["start_ms"],
+            end_ms=a["end_ms"], conf=a["confidence"], n_words=a["n_words"], words=a.get("words"),
+        )
     for fr in frames:
         add("frame", None, fr["path"], fr["ts"], scene_id=fr["scene_id"])
     for o in ocr:
@@ -357,7 +383,12 @@ def _gen_batches(it):
                 ],
                 "span_attrs": [
                     [
-                        (a["end_ms"], a["confidence"], a["bbox"], a["scene_id"], a["n_words"], a.get("words"))
+                        (
+                            a["end_ms"], a["confidence"], a["bbox"], a["scene_id"], a["n_words"],
+                            None if a.get("words") is None else [
+                                (w["word"], w["start_ms"], w["end_ms"], w["score"]) for w in a["words"]
+                            ],
+                        )
                         for a in r["span_attrs"]
                     ]
                     for r in rows

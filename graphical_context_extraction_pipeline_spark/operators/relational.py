@@ -508,3 +508,42 @@ def timeline_interleave(docs: DataFrame) -> DataFrame:
         F.col("s.offset").alias("offset"),
         (F.col("pos") + 1).cast("long").alias("seq"),
     )
+
+
+def word_spans(docs: DataFrame) -> DataFrame:
+    """Word-level span table: re-emits the contract's per-word ASR detail
+    (word, start_ms, end_ms, score — reference phase 2/src/loader.py:12-18,
+    ASRSegment.words) as one row per word for downstream consumers
+    (word-aligned subtitles, token-time supervision). Segments without word
+    detail contribute nothing — the segment-level fallback stays inside the
+    chunk confidence (A3, operators/extract.py).
+
+    Zero shuffle: two nested lateral explodes of the already-colocated
+    span arrays; scores emitted as e4 fixed-point with a -1 sentinel for
+    scoreless words (the enricher filter's subjects, enricher.py:51-68)
+    so every compared column is int/string."""
+    seg = _zipped(docs, "asr").where(
+        F.col("z.a.words").isNotNull() & (F.size("z.a.words") > 0)
+    ).select(
+        "doc_id",
+        F.col("z.s.offset").cast("long").alias("seg_start_ms"),
+        F.col("z.a.end_ms").cast("long").alias("seg_end_ms"),
+        F.col("z.a.words").alias("words"),
+    )
+    return seg.select(
+        "doc_id",
+        "seg_start_ms",
+        "seg_end_ms",
+        F.posexplode("words").alias("pos", "w"),
+    ).select(
+        "doc_id",
+        "seg_start_ms",
+        "seg_end_ms",
+        F.col("pos").cast("long").alias("word_idx"),
+        F.col("w.word").alias("word"),
+        F.col("w.start_ms").cast("long").alias("start_ms"),
+        F.col("w.end_ms").cast("long").alias("end_ms"),
+        F.coalesce(
+            F.floor(F.col("w.score") * 10000).cast("bigint"), F.lit(-1).cast("bigint")
+        ).alias("score_e4"),
+    )

@@ -27,7 +27,7 @@ import re
 
 # bump when any artifact's schema or semantics change — stale artifacts are
 # rebuilt automatically
-ARTIFACTS_VERSION = 3
+ARTIFACTS_VERSION = 4
 
 US = "\x1f"  # field separator inside a serialized span
 RS = "\x1e"  # separator between serialized spans / list elements

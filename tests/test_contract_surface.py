@@ -43,3 +43,27 @@ def test_oracle_sql_is_valid_duckdb():
             con.execute(f"EXPLAIN {sql}")
         except Exception as ex:  # pragma: no cover
             raise AssertionError(f"oracle {name} does not bind: {ex}") from ex
+
+
+def test_corpus_exercises_word_paths():
+    """The driver-gate corpus must keep BOTH A3 confidence paths live:
+    segments WITH per-word structs (incl. scoreless words — the enricher
+    filter's subjects, reference phase 2/src/enricher.py:51-68) and
+    segments WITHOUT word detail (confidence × n_words fallback)."""
+    from graphical_context_extraction_pipeline_spark.datagen import DOCS_PER_SF, generate_doc
+
+    with_words = without = scoreless = 0
+    for i in range(DOCS_PER_SF["sf0.001"]):
+        for sp, at in zip(*(lambda d: (d["spans"], d["span_attrs"]))(generate_doc(i))):
+            if sp["kind"] != "asr":
+                continue
+            w = at["words"]
+            if w is None:
+                without += 1
+            else:
+                assert len(w) == at["n_words"]
+                assert w[0]["start_ms"] == sp["offset"] and w[-1]["end_ms"] == at["end_ms"]
+                assert all(a["end_ms"] >= a["start_ms"] for a in w)
+                with_words += 1
+                scoreless += sum(1 for x in w if x["score"] is None)
+    assert with_words > 50 and without > 20 and scoreless > 100, (with_words, without, scoreless)

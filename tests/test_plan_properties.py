@@ -63,6 +63,13 @@ def test_strip_boilerplate_span_stream_not_shuffled(spark, docs_path):
     assert has_broadcast_join(stripped) or "BroadcastExchange" in physical_plan(stripped)
 
 
+def test_word_spans_shuffle_free(spark, docs_path):
+    """Word re-emission is two colocated lateral explodes — no Exchange."""
+    docs = spark.read.parquet(docs_path)
+    ws = R.word_spans(docs)
+    assert count_exchanges(ws) == 0, physical_plan(ws)
+
+
 def test_gap_detectors_are_shuffle_free(spark, docs_path):
     """W3/W4 via intra-row consecutive pairs instead of lead() windows."""
     docs = spark.read.parquet(docs_path)
