@@ -231,6 +231,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         "ngram_jaccard_pairs": lambda s, d: dedup.ngram_jaccard_pairs(_planted_near(_flat_docs(s, d))),
         "minhash_lsh_pairs": lambda s, d: dedup.minhash_lsh_pairs(_planted_near(_flat_docs(s, d))),
+        # incremental near-dup: the same synthetic ingest batch as
+        # dedup_incremental, against the seen corpus's banded LSH index
+        "minhash_incremental": lambda s, d: dedup.minhash_incremental_pairs(
+            _planted_batch(_flat_docs(s, d)), _flat_docs(s, d)
+        ),
+        "neardup_incr_survivors": lambda s, d: dedup.neardup_incremental_survivors(
+            _planted_batch(_flat_docs(s, d)), _flat_docs(s, d)
+        ),
         "simhash": lambda s, d: dedup.simhash(_flat_docs(s, d)),
         "simhash_near_pairs": lambda s, d: dedup.simhash_near_pairs(_planted_near(_flat_docs(s, d))),
         # ---- near-dup cluster resolution (pairs → transitive closure) -------
@@ -313,14 +321,13 @@ sh AS (SELECT doc_id, unnest(list_distinct(
 """
 
 
-def _minhash_oracle() -> str:
-    """Mirrors dedup.minhash_lsh_pairs bit-for-bit: one md5 per token, two
-    32-bit digest slices polynomial-combined across each 3-gram into
-    (h1, h2) mod P=2³¹−1, minhash family mhᵢ = min((h1 + i·h2 + i²) % P),
-    band key = polynomial combine of 4 signature rows."""
-    from graphical_context_extraction_pipeline_spark.operators.dedup import MAX_DOCS_PER_BUCKET
-
-    max_bucket = MAX_DOCS_PER_BUCKET
+def _minhash_sig_chain() -> str:
+    """CTE chain (reads a CTE named ``corpus``, ends at ``banded``:
+    (doc_id, band, bkey)) mirroring dedup.banded_signatures bit-for-bit:
+    one md5 per token, two 32-bit digest slices polynomial-combined across
+    each 3-gram into (h1, h2) mod P=2³¹−1, minhash family
+    mhᵢ = min((h1 + i·h2 + i²) % P), band key = polynomial combine of 4
+    signature rows."""
     P, C = 2147483647, 1000003
 
     def poly(arr):
@@ -335,9 +342,7 @@ def _minhash_oracle() -> str:
             key = f"(({key}) * {C} + mh{b * 4 + j}) % {P}"
         band_rows.append(f"SELECT doc_id, {b} AS band, {key} AS bkey FROM sig")
     bands = "\nUNION ALL\n".join(band_rows)
-    return f"""
-WITH {_CORPUS_NEAR},
-tk AS (SELECT doc_id, {_TOKS} AS toks FROM corpus),
+    return f"""tk AS (SELECT doc_id, {_TOKS} AS toks FROM corpus),
 tm AS (SELECT doc_id, len(toks) AS nt, list_transform(toks, t -> md5(t)) AS ds FROM tk),
 th AS (SELECT doc_id, nt,
          list_transform(ds, d -> cast(('0x' || substr(d, 1, 8)) AS bigint)) AS ta,
@@ -350,7 +355,18 @@ hh AS (SELECT doc_id, unnest(list_distinct(
          ELSE []::BIGINT[] END)) AS hh FROM th),
 sh AS (SELECT doc_id, hh >> 31 AS h1, hh & {P} AS h2 FROM hh),
 sig AS (SELECT doc_id, {mins} FROM sh GROUP BY doc_id),
-banded AS ({bands}),
+banded AS ({bands})"""
+
+
+def _minhash_oracle() -> str:
+    """dedup.minhash_lsh_pairs over the planted-near corpus (sig chain +
+    within-corpus band-bucket pair expansion with the hub-star hot cap)."""
+    from graphical_context_extraction_pipeline_spark.operators.dedup import MAX_DOCS_PER_BUCKET
+
+    max_bucket = MAX_DOCS_PER_BUCKET
+    return f"""
+WITH {_CORPUS_NEAR},
+{_minhash_sig_chain()},
 -- hot-bucket cap mirrored from dedup._bucket_pairs: buckets with more than
 -- MAX_DOCS_PER_BUCKET members expand as a hub star (member, min-doc hub)
 -- instead of all pairs
@@ -367,6 +383,107 @@ SELECT DISTINCT doc_a, doc_b FROM (
   FROM banded m JOIN bstats s ON s.band = m.band AND s.bkey = m.bkey
   WHERE s.n_members > {max_bucket} AND m.doc_id <> s.hub
 )
+"""
+
+
+# connected components over pair edges in a CTE named `np`: min-reachable-
+# label via a recursive CTE — labels only propagate downhill (w.l < e.d),
+# so the walk enumerates exactly the (node, smaller-reachable-label) pairs
+# and min() per node is the component id, mirroring
+# operators/cluster.connected_components
+_CC_CHAIN = """edges AS (SELECT doc_a AS s, doc_b AS d FROM np
+          UNION SELECT doc_b AS s, doc_a AS d FROM np),
+walk(n, l) AS (
+  SELECT DISTINCT s, s FROM edges
+  UNION
+  SELECT e.d, w.l FROM walk w JOIN edges e ON e.s = w.n WHERE w.l < e.d
+),
+cc AS (SELECT n AS doc_id, min(l) AS component FROM walk GROUP BY n),
+szs AS (SELECT component, count(*) AS n_members FROM cc GROUP BY component)"""
+
+
+# seen ∪ batch with disjoint id ranges: every batch id is ≥ 100000, every
+# seen (documents) id is < 100000, so `banded` splits by id range below
+_CORPUS_SEEN_PLUS_BATCH = f"""corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 100000 AS doc_id, text FROM documents WHERE doc_id % 50 = 0
+  UNION ALL
+  SELECT doc_id + 300000 AS doc_id, text || '{_FRESH_TAIL}' AS text
+  FROM documents WHERE doc_id % 30 = 2
+  UNION ALL
+  SELECT doc_id + 400000 AS doc_id, text || '{_FRESH_TAIL}' AS text
+  FROM documents WHERE doc_id % 60 = 2
+)"""
+
+
+def _minhash_incremental_chain() -> str:
+    """CTE chain for the batch-vs-seen LSH index join (reads ``banded``,
+    ends at ``hits``): the seen side's banded index with hot buckets
+    represented by their min-doc hub (dedup.minhash_incremental_pairs)."""
+    from graphical_context_extraction_pipeline_spark.operators.dedup import MAX_DOCS_PER_BUCKET
+
+    max_bucket = MAX_DOCS_PER_BUCKET
+    return f"""newb AS (SELECT * FROM banded WHERE doc_id >= 100000),
+seenb AS (SELECT * FROM banded WHERE doc_id < 100000),
+sstats AS (SELECT band, bkey, count(*) AS n_members, min(doc_id) AS hub
+           FROM seenb GROUP BY band, bkey),
+idx AS (SELECT s.band, s.bkey, s.doc_id
+        FROM seenb s JOIN sstats t ON t.band = s.band AND t.bkey = s.bkey
+        WHERE t.n_members <= {max_bucket}
+        UNION ALL
+        SELECT band, bkey, hub AS doc_id FROM sstats WHERE n_members > {max_bucket}),
+hits AS (SELECT DISTINCT n.doc_id AS doc_new, i.doc_id AS doc_seen
+         FROM newb n JOIN idx i ON i.band = n.band AND i.bkey = n.bkey)"""
+
+
+def _minhash_incremental_oracle() -> str:
+    """dedup.minhash_incremental_pairs: batch band keys joined against the
+    hub-capped seen index."""
+    return f"""
+WITH {_CORPUS_SEEN_PLUS_BATCH},
+{_minhash_sig_chain()},
+{_minhash_incremental_chain()}
+SELECT doc_new, doc_seen FROM hits
+"""
+
+
+def _minhash_incr_survivors_oracle() -> str:
+    """dedup.neardup_incremental_survivors: batch minus seen-collisions,
+    then within-batch LSH pairs (hub-star capped) closed transitively
+    (recursive min-label walk, as the neardup_clusters oracle) and reduced
+    to canonical-per-component."""
+    from graphical_context_extraction_pipeline_spark.operators.dedup import MAX_DOCS_PER_BUCKET
+
+    max_bucket = MAX_DOCS_PER_BUCKET
+    return f"""
+WITH RECURSIVE {_CORPUS_SEEN_PLUS_BATCH},
+{_minhash_sig_chain()},
+{_minhash_incremental_chain()},
+cleanb AS (SELECT * FROM newb
+           WHERE doc_id NOT IN (SELECT doc_new FROM hits)),
+cstats AS (SELECT band, bkey, count(*) AS n_members, min(doc_id) AS hub
+           FROM cleanb GROUP BY band, bkey),
+np AS (SELECT DISTINCT doc_a, doc_b FROM (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM cleanb a
+  JOIN cleanb b ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+  JOIN cstats s ON s.band = a.band AND s.bkey = a.bkey
+  WHERE s.n_members <= {max_bucket}
+  UNION ALL
+  SELECT s.hub AS doc_a, m.doc_id AS doc_b
+  FROM cleanb m JOIN cstats s ON s.band = m.band AND s.bkey = m.bkey
+  WHERE s.n_members > {max_bucket} AND m.doc_id <> s.hub
+)),
+{_CC_CHAIN},
+clean_docs AS (SELECT doc_id FROM corpus
+               WHERE doc_id >= 100000
+                 AND doc_id NOT IN (SELECT doc_new FROM hits))
+SELECT c.doc_id, cast(coalesce(szs.n_members, 1) AS bigint) AS n_merged
+FROM clean_docs c
+LEFT JOIN cc ON cc.doc_id = c.doc_id
+LEFT JOIN szs ON szs.component = cc.component
+WHERE cc.component IS NULL OR cc.component = c.doc_id
 """
 
 
@@ -881,21 +998,7 @@ WHERE s.n_members > 1 AND a.doc_id <> s.hub)
 
     q["ngram_jaccard_pairs"] = f"WITH {ngram_cte}\nSELECT * FROM np"
 
-    # connected components over the ngram pair edges: min-reachable-label
-    # via a recursive CTE — labels only propagate downhill (w.l < e.d), so
-    # the walk enumerates exactly the (node, smaller-reachable-label)
-    # pairs and min() per node is the component id, mirroring
-    # operators/cluster.connected_components
-    cc_chain = """edges AS (SELECT doc_a AS s, doc_b AS d FROM np
-          UNION SELECT doc_b AS s, doc_a AS d FROM np),
-walk(n, l) AS (
-  SELECT DISTINCT s, s FROM edges
-  UNION
-  SELECT e.d, w.l FROM walk w JOIN edges e ON e.s = w.n WHERE w.l < e.d
-),
-cc AS (SELECT n AS doc_id, min(l) AS component FROM walk GROUP BY n),
-szs AS (SELECT component, count(*) AS n_members FROM cc GROUP BY component)"""
-    cc_cte = f"{ngram_cte},\n{cc_chain}"
+    cc_cte = f"{ngram_cte},\n{_CC_CHAIN}"
 
     q["neardup_clusters"] = f"""
 WITH RECURSIVE {cc_cte}
@@ -914,6 +1017,8 @@ WHERE cc.component IS NULL OR cc.component = c.doc_id
 """
 
     q["minhash_lsh_pairs"] = _minhash_oracle()
+    q["minhash_incremental"] = _minhash_incremental_oracle()
+    q["neardup_incr_survivors"] = _minhash_incr_survivors_oracle()
 
     q["simhash"] = f"""
 WITH {_simhash_cte("documents")}
@@ -1024,7 +1129,7 @@ canon AS (SELECT dup_key, min(doc_id) AS ec FROM passing GROUP BY dup_key),
 keyed AS (SELECT p.doc_id, p.text, c.ec FROM passing p JOIN canon c USING (dup_key)),
 corpus AS (SELECT doc_id, text FROM keyed WHERE doc_id = ec),
 {ngram_chain},
-{cc_chain}
+{_CC_CHAIN}
 SELECT doc_id, 'rejected_quality' AS status, cast(-1 AS bigint) AS canonical_doc_id
 FROM qual WHERE NOT ok
 UNION ALL

@@ -390,6 +390,28 @@ def minhash_signatures(docs: DataFrame, n_hashes: int = N_MINHASH) -> DataFrame:
     return sh.groupBy("doc_id").agg(*aggs)
 
 
+def banded_signatures(
+    docs: DataFrame, n_hashes: int = N_MINHASH, bands: int = LSH_BANDS
+) -> DataFrame:
+    """(doc_id, band, bkey) LSH band keys — the banded signature INDEX.
+    Band key = polynomial combine of the band's signature rows. This is the
+    relation a production deployment materializes and maintains
+    incrementally (append the new batch's rows per ingest); both the
+    self-join dedup (minhash_lsh_pairs) and the batch-vs-corpus incremental
+    path (minhash_incremental_pairs) are joins over it."""
+    sig = minhash_signatures(docs, n_hashes)
+    rows_per_band = n_hashes // bands
+    band_cols = []
+    for bI in range(bands):
+        key = F.lit(0).cast("long")
+        for j in range(rows_per_band):
+            key = F.pmod(key * F.lit(MH_C) + F.col(f"mh{bI * rows_per_band + j}"), F.lit(MH_P))
+        band_cols.append(F.struct(F.lit(bI).alias("band"), key.alias("bkey")))
+    return sig.select("doc_id", F.explode(F.array(*band_cols)).alias("b")).select(
+        "doc_id", F.col("b.band").alias("band"), F.col("b.bkey").alias("bkey")
+    )
+
+
 def minhash_lsh_pairs(
     docs: DataFrame,
     n_hashes: int = N_MINHASH,
@@ -404,22 +426,83 @@ def minhash_lsh_pairs(
     cluster sharing every band key) expand as a hub star instead of all
     pairs — linear, buffer-bounded, connectivity-preserving (see
     _bucket_pairs); the DuckDB oracle applies the identical cap."""
-    sig = minhash_signatures(docs, n_hashes)
-    rows_per_band = n_hashes // bands
-    band_cols = []
-    for bI in range(bands):
-        key = F.lit(0).cast("long")
-        for j in range(rows_per_band):
-            key = F.pmod(key * F.lit(MH_C) + F.col(f"mh{bI * rows_per_band + j}"), F.lit(MH_P))
-        band_cols.append(F.struct(F.lit(bI).alias("band"), key.alias("bkey")))
-    banded = sig.select("doc_id", F.explode(F.array(*band_cols)).alias("b")).select(
-        "doc_id", F.col("b.band").alias("band"), F.col("b.bkey").alias("bkey")
-    )
+    banded = banded_signatures(docs, n_hashes, bands)
     return (
         _bucket_pairs(banded, ["band", "bkey"], max_bucket=max_bucket)
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
+
+
+def minhash_incremental_pairs(
+    new_docs: DataFrame,
+    seen_docs: DataFrame,
+    n_hashes: int = N_MINHASH,
+    bands: int = LSH_BANDS,
+    max_bucket: int = MAX_DOCS_PER_BUCKET,
+) -> DataFrame:
+    """Near-dup candidates of an ingest batch against the already-seen
+    corpus: (doc_new, doc_seen) pairs colliding in ≥1 LSH band —
+    ``dedup_incremental``'s daily-ingest shape lifted from exact to
+    near-duplicate.
+
+    Scale design: the seen side reduces to its banded signature index
+    (``banded_signatures`` — in production a MATERIALIZED (band, bkey,
+    doc_id) table appended to per ingest, so the 100 TB corpus text is
+    never re-read). Seen buckets larger than ``max_bucket`` (one giant
+    boilerplate cluster shares every band key) are represented in the
+    index by their min-doc_id hub alone: a batch doc hitting such a bucket
+    gains exactly one candidate — all an accept/reject decision needs —
+    and per-batch-row join fan-out stays bounded by ``max_bucket`` per
+    band. The batch side is a day's ingest (small); AQE broadcasts it into
+    the index join. The DuckDB oracle applies the identical hub cap."""
+    new_b = banded_signatures(new_docs, n_hashes, bands)
+    seen_b = banded_signatures(seen_docs, n_hashes, bands)
+    stats = seen_b.groupBy("band", "bkey").agg(
+        F.count("*").alias("n_members"), F.min("doc_id").alias("hub")
+    )
+    hot = stats.where(F.col("n_members") > max_bucket)
+    index = seen_b.join(hot.select("band", "bkey"), ["band", "bkey"], "left_anti").unionByName(
+        hot.select("band", "bkey", F.col("hub").alias("doc_id"))
+    )
+    return (
+        new_b.join(
+            index.select("band", "bkey", F.col("doc_id").alias("doc_seen")), ["band", "bkey"]
+        )
+        .select(F.col("doc_id").alias("doc_new"), "doc_seen")
+        .distinct()
+    )
+
+
+def neardup_incremental_survivors(
+    new_docs: DataFrame,
+    seen_docs: DataFrame,
+    n_hashes: int = N_MINHASH,
+    bands: int = LSH_BANDS,
+    max_bucket: int = MAX_DOCS_PER_BUCKET,
+) -> DataFrame:
+    """The ADMITTED subset of an ingest batch — what actually gets appended
+    to the corpus (and whose band keys get appended to the signature
+    index): batch docs with no near-dup candidate in the seen corpus,
+    resolved to one canonical (minimum doc_id) per within-batch near-dup
+    component. Output (doc_id, n_merged) as in cluster.neardup_survivors.
+
+    Candidate-level semantics (deliberate, mirroring dedup_incremental):
+    a batch doc is rejected iff it LSH-collides with the seen corpus;
+    batch docs colliding only with REJECTED batch docs (a chain through a
+    rejected doc, no direct seen collision) still survive. Consumers
+    wanting chain-through-rejected closure run the full corpus-wide
+    closure (cluster.neardup_survivors over seen ∪ batch) instead."""
+    from .cluster import neardup_survivors
+
+    hits = (
+        minhash_incremental_pairs(new_docs, seen_docs, n_hashes, bands, max_bucket)
+        .select(F.col("doc_new").alias("doc_id"))
+        .distinct()
+    )
+    clean = new_docs.join(hits, "doc_id", "left_anti")
+    in_batch = minhash_lsh_pairs(clean, n_hashes, bands, max_bucket)
+    return neardup_survivors(clean, in_batch)
 
 
 def simhash(docs: DataFrame, bits: int = 64) -> DataFrame:

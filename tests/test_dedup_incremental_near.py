@@ -1,0 +1,76 @@
+"""Incremental near-dup dedup (batch vs seen-corpus LSH index):
+construction-level guarantees that hold deterministically —
+
+- an EXACT copy of a seen doc has an identical minhash signature, so it
+  collides in every band and is always rejected;
+- a batch doc with a token set fully disjoint from every seen doc shares
+  no shingle hash, so (modulo an astronomically unlikely 31-bit band-key
+  accident, fixed by construction here) it never collides and survives;
+- in-batch exact duplicates resolve to one canonical (min doc_id)
+  survivor carrying the group size in n_merged;
+- a hot seen bucket (a >MAX_DOCS_PER_BUCKET identical-doc cluster) is
+  represented in the index by its min-doc hub ONLY: a colliding batch doc
+  gains exactly one candidate pair, not one per cluster member.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from graphical_context_extraction_pipeline_spark.operators import dedup
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def _vocab_text(i: int) -> str:
+    return " ".join(f"w{i}{c}" for c in "abcdefgh")
+
+
+@pytest.fixture(scope="module")
+def seen(spark):
+    return _docs(spark, [(i, _vocab_text(i)) for i in range(10)])
+
+
+def test_incremental_pairs_and_survivors(spark, seen):
+    batch = _docs(
+        spark,
+        [
+            (1000, _vocab_text(0)),   # exact copy of seen doc 0 → rejected
+            (1001, "f1a f1b f1c f1d f1e"),  # fresh → survives (canonical)
+            (1002, "f1a f1b f1c f1d f1e"),  # in-batch dup of 1001 → folded
+            (1003, "f3a f3b f3c f3d f3e"),  # fresh, distinct → survives
+        ],
+    )
+    pairs = dedup.minhash_incremental_pairs(batch, seen).collect()
+    assert (1000, 0) in {(r.doc_new, r.doc_seen) for r in pairs}
+    assert {r.doc_new for r in pairs} == {1000}  # fresh docs never collide
+
+    surv = {r.doc_id: r.n_merged for r in dedup.neardup_incremental_survivors(batch, seen).collect()}
+    assert surv == {1001: 2, 1003: 1}
+
+
+def test_hot_seen_bucket_represented_by_hub(spark):
+    """1500 identical seen docs > MAX_DOCS_PER_BUCKET=1024: every band
+    bucket is hot, the index keeps one hub row per band, and a colliding
+    batch doc emits exactly the (batch, hub) pair."""
+    hot_text = "hot cluster template page body text here"
+    seen = _docs(spark, [(i, hot_text) for i in range(1500)] + [(5000, _vocab_text(7))])
+    batch = _docs(spark, [(9000, hot_text), (9001, "q1a q1b q1c q1d q1e")])
+
+    pairs = [
+        (r.doc_new, r.doc_seen)
+        for r in dedup.minhash_incremental_pairs(batch, seen).collect()
+    ]
+    assert pairs == [(9000, 0)]  # hub only — never 1500 pairs
+
+    surv = {r.doc_id: r.n_merged for r in dedup.neardup_incremental_survivors(batch, seen).collect()}
+    assert surv == {9001: 1}
+
+
+def test_index_composes_from_banded_signatures(spark, seen):
+    """banded_signatures is the materialized-index relation: bands × docs
+    rows, 4 band keys per doc."""
+    idx = dedup.banded_signatures(seen)
+    counts = idx.groupBy("doc_id").agg(F.count("*").alias("n")).collect()
+    assert all(r.n == 4 for r in counts) and len(counts) == 10
