@@ -122,6 +122,22 @@ def main() -> None:
             "the checkpoint scan below is that truncation).",
         ),
         (
+            "word_spans (per-word re-emission)",
+            R.word_spans(docs),
+            "two colocated lateral explodes (segments, then words) — zero "
+            "Exchange; the word stream inherits the document partitioning.",
+        ),
+        (
+            "minhash_incremental (batch vs seen LSH index)",
+            dedup.minhash_incremental_pairs(
+                flat.where(F.col("doc_id") % 7 == 0), flat
+            ),
+            "the seen side reduces to its banded signature index with hot "
+            "buckets hub-represented (in production a materialized table); "
+            "the (small) batch band-key relation joins against it — the "
+            "seen corpus text is hashed once, never self-joined.",
+        ),
+        (
             "pushdown probe: flat filter",
             flat.where(F.col("lang") == "en").select("doc_id"),
             "PushedFilters shows the lang predicate reaching the parquet scan; "
