@@ -36,3 +36,22 @@ def consecutive_pairs(arr):
         return F.when(n >= 1, full).otherwise(empty)
 
     return bind(arr, pairs)
+
+
+def zip_spans(attrs: tuple[str, ...] = ("end_ms",)):
+    """arrays_zip of the spans array (as field ``s``) with INDIVIDUALLY
+    EXTRACTED span_attrs field arrays (each named after its attr field).
+
+    Load-bearing for scan cost: Catalyst's nested-schema pruning cannot see
+    through ``arrays_zip`` of a whole struct-array column, so zipping raw
+    ``span_attrs`` drags every attr field — including the heavy per-word
+    ``words`` arrays — through the parquet scan of queries that never touch
+    them (measured 2.6× on chrome_tokens at sf0.1 once the contract grew
+    word detail). ``span_attrs.f`` compiles to GetArrayStructFields, which
+    prunes exactly: ReadSchema carries only the named fields (asserted by
+    tests/test_plan_properties.py). Consumers address attr fields as
+    ``z.<field>``."""
+    return F.arrays_zip(
+        F.col("spans").alias("s"),
+        *[F.col(f"span_attrs.{f}").alias(f) for f in attrs],
+    )

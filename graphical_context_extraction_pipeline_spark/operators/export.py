@@ -61,16 +61,15 @@ def transcript_lines(docs: DataFrame) -> DataFrame:
             (ms_col % 1000).cast("long"),
         )
 
+    from ..functions.exprs import zip_spans
+
     s = (
-        docs.select(
-            "doc_id",
-            F.explode(F.arrays_zip(F.col("spans").alias("s"), F.col("span_attrs").alias("a"))).alias("z"),
-        )
+        docs.select("doc_id", F.explode(zip_spans(("end_ms",))).alias("z"))
         .where(F.col("z.s.kind") == "asr")
         .select(
             "doc_id",
             F.col("z.s.offset").cast("long").alias("st"),
-            F.col("z.a.end_ms").cast("long").alias("en"),
+            F.col("z.end_ms").cast("long").alias("en"),
             F.col("z.s.text").alias("text"),
         )
     )

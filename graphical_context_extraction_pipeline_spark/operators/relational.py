@@ -24,12 +24,15 @@ KIND_PRIORITY_SQL = (
 )
 
 
-def _zipped(docs: DataFrame, kind: str) -> DataFrame:
+def _zipped(docs: DataFrame, kind: str, attrs: tuple[str, ...] = ("end_ms",)) -> DataFrame:
+    """One row per span of ``kind`` with the NAMED attr fields zipped in as
+    z.<field> — attr fields ride as individually extracted arrays so the
+    parquet scan prunes span_attrs to exactly those fields (see
+    functions.exprs.zip_spans for why the raw-column zip must not return)."""
+    from ..functions.exprs import zip_spans
+
     return (
-        docs.select(
-            "doc_id",
-            F.explode(F.arrays_zip(F.col("spans").alias("s"), F.col("span_attrs").alias("a"))).alias("z"),
-        )
+        docs.select("doc_id", F.explode(zip_spans(attrs)).alias("z"))
         .where(F.col("z.s.kind") == kind)
     )
 
@@ -39,7 +42,7 @@ def scenes_view(docs: DataFrame) -> DataFrame:
         "doc_id",
         F.split(F.col("z.s.text"), ":")[0].cast("long").alias("sid"),
         F.col("z.s.offset").cast("long").alias("st"),
-        F.col("z.a.end_ms").cast("long").alias("en"),
+        F.col("z.end_ms").cast("long").alias("en"),
     )
 
 
@@ -76,7 +79,7 @@ def chunk_asr_text(docs: DataFrame) -> DataFrame:
     asr = _zipped(docs, "asr").select(
         "doc_id",
         F.col("z.s.offset").cast("long").alias("st"),
-        F.col("z.a.end_ms").cast("long").alias("en"),
+        F.col("z.end_ms").cast("long").alias("en"),
         F.col("z.s.text").alias("text"),
     )
     j = chunks.join(asr, "doc_id").where(
@@ -100,7 +103,7 @@ def chunk_chapter_assign(docs: DataFrame) -> DataFrame:
             "doc_id",
             F.col("z.s.text").alias("title"),
             F.col("z.s.offset").cast("long").alias("st"),
-            F.col("z.a.end_ms").cast("long").alias("en"),
+            F.col("z.end_ms").cast("long").alias("en"),
         )
         .withColumn("chapter_index", F.row_number().over(ch_w) - 1)
     )
@@ -146,8 +149,8 @@ def span_kind_counts(docs: DataFrame) -> DataFrame:
 def ocr_conf_stats(docs: DataFrame) -> DataFrame:
     """P1+A2: per-doc OCR block counts and exact integer confidence sums
     (confidences are 4-decimal by construction → e4 ints are lossless)."""
-    o = _zipped(docs, "ocr").select(
-        "doc_id", F.round(F.col("z.a.confidence") * 10000, 0).cast("long").alias("conf_e4")
+    o = _zipped(docs, "ocr", attrs=("confidence",)).select(
+        "doc_id", F.round(F.col("z.confidence") * 10000, 0).cast("long").alias("conf_e4")
     )
     return o.groupBy("doc_id").agg(
         F.count("*").cast("long").alias("n_blocks"),
@@ -170,13 +173,15 @@ def chrome_tokens(docs: DataFrame) -> DataFrame:
     exploded. This replaces the former explode → groupBy(doc, token)
     formulation whose token-level hash aggregation + shuffle was 28% of the
     benchmark suite wall; per-token state never leaves the row, so there is
-    no hot key at any corpus size. Scan-side the parquet reader still
-    prunes to (doc_id, spans.kind/text/media_ref, span_attrs.confidence)."""
+    no hot key at any corpus size. Scan-side the parquet reader prunes to
+    (doc_id, spans, span_attrs.confidence) — zip_spans keeps the heavy
+    `words` arrays out of the scan."""
     from ..functions.exprs import bind as _bind
+    from ..functions.exprs import zip_spans
 
     z = F.filter(
-        F.arrays_zip(F.col("spans").alias("s"), F.col("span_attrs").alias("a")),
-        lambda z: (z["s"]["kind"] == "ocr") & (z["a"]["confidence"] >= OCR_CONF_MIN),
+        zip_spans(("confidence",)),
+        lambda z: (z["s"]["kind"] == "ocr") & (z["confidence"] >= OCR_CONF_MIN),
     )
     base = docs.select(
         "doc_id",
@@ -257,12 +262,12 @@ def frame_ocr_basename_join(docs: DataFrame) -> DataFrame:
         )
     )
     ocr = (
-        _zipped(docs, "ocr")
-        .where(F.col("z.a.confidence") >= OCR_CONF_MIN)
+        _zipped(docs, "ocr", attrs=("confidence",))
+        .where(F.col("z.confidence") >= OCR_CONF_MIN)
         .select(
             "doc_id",
             F.substring_index(F.col("z.s.media_ref"), "/", -1).alias("frame_basename"),
-            F.round(F.col("z.a.confidence") * 10000).cast("long").alias("conf_e4"),
+            F.round(F.col("z.confidence") * 10000).cast("long").alias("conf_e4"),
         )
     )
     return (
@@ -297,10 +302,12 @@ def ocr_frame_dedup(docs: DataFrame) -> DataFrame:
     kernel (the per-path block grouping here is O(paths·blocks) per row).
     Output: kept frames (doc_id, rank, ts, path, full_text, conf_e4).
     """
+    from ..functions.exprs import zip_spans
+
     z = F.filter(
-        F.arrays_zip(F.col("spans").alias("s"), F.col("span_attrs").alias("a")),
+        zip_spans(("confidence", "bbox")),
         lambda y: (y["s"]["kind"] == "ocr")
-        & (y["a"]["confidence"] >= OCR_CONF_MIN)
+        & (y["confidence"] >= OCR_CONF_MIN)
         & y["s"]["text"].isNotNull(),
     )
     paths = F.array_distinct(F.transform(z, lambda y: y["s"]["media_ref"]))
@@ -311,10 +318,10 @@ def ocr_frame_dedup(docs: DataFrame) -> DataFrame:
             F.transform(
                 blocks,
                 lambda y: F.struct(
-                    F.coalesce(F.element_at(y["a"]["bbox"], 2), F.lit(0.0)).alias("y"),
-                    F.coalesce(F.element_at(y["a"]["bbox"], 1), F.lit(0.0)).alias("x"),
+                    F.coalesce(F.element_at(y["bbox"], 2), F.lit(0.0)).alias("y"),
+                    F.coalesce(F.element_at(y["bbox"], 1), F.lit(0.0)).alias("x"),
                     y["s"]["text"].alias("text"),
-                    (-F.round(y["a"]["confidence"] * 10000).cast("long")).alias("negc"),
+                    (-F.round(y["confidence"] * 10000).cast("long")).alias("negc"),
                 ),
             )
         )
@@ -323,7 +330,7 @@ def ocr_frame_dedup(docs: DataFrame) -> DataFrame:
             F.aggregate(
                 blocks,
                 F.lit(0).cast("long"),
-                lambda acc, y: acc + F.round(y["a"]["confidence"] * 10000).cast("long"),
+                lambda acc, y: acc + F.round(y["confidence"] * 10000).cast("long"),
             )
             / n
         ).cast("long")
@@ -522,13 +529,13 @@ def word_spans(docs: DataFrame) -> DataFrame:
     span arrays; scores emitted as e4 fixed-point with a -1 sentinel for
     scoreless words (the enricher filter's subjects, enricher.py:51-68)
     so every compared column is int/string."""
-    seg = _zipped(docs, "asr").where(
-        F.col("z.a.words").isNotNull() & (F.size("z.a.words") > 0)
+    seg = _zipped(docs, "asr", attrs=("end_ms", "words")).where(
+        F.col("z.words").isNotNull() & (F.size("z.words") > 0)
     ).select(
         "doc_id",
         F.col("z.s.offset").cast("long").alias("seg_start_ms"),
-        F.col("z.a.end_ms").cast("long").alias("seg_end_ms"),
-        F.col("z.a.words").alias("words"),
+        F.col("z.end_ms").cast("long").alias("seg_end_ms"),
+        F.col("z.words").alias("words"),
     )
     return seg.select(
         "doc_id",

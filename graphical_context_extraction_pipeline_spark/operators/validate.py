@@ -62,15 +62,14 @@ def asr_gaps(docs: DataFrame) -> DataFrame:
     low). Same intra-row sort + consecutive-pair shape as W3."""
     from ..functions.exprs import consecutive_pairs
 
+    from ..functions.exprs import zip_spans
+
     segs = F.array_sort(
         F.transform(
-            F.filter(
-                F.arrays_zip(F.col("spans").alias("s"), F.col("span_attrs").alias("a")),
-                lambda z: z["s"]["kind"] == F.lit("asr"),
-            ),
+            F.filter(zip_spans(("end_ms",)), lambda z: z["s"]["kind"] == F.lit("asr")),
             lambda z: F.struct(
                 z["s"]["offset"].cast("long").alias("start_ms"),
-                z["a"]["end_ms"].cast("long").alias("end_ms"),
+                z["end_ms"].cast("long").alias("end_ms"),
                 F.coalesce(z["s"]["text"], F.lit("")).alias("text"),
             ),
         )
@@ -91,18 +90,17 @@ def coverage(docs: DataFrame) -> DataFrame:
     """W6+A7: tumbling 5 s windows; covered iff an ASR segment overlaps or a
     keyframe falls inside. Entirely intra-row (sequence + exists HOFs) —
     zero shuffle at any scale."""
+    from ..functions.exprs import zip_spans
+
     dur = F.col("meta.duration_ms")
     win_starts = F.sequence(F.lit(0).cast("long"), dur - 1, F.lit(WINDOW_MS).cast("long"))
-    asr_zip = F.filter(
-        F.arrays_zip(F.col("spans").alias("s"), F.col("span_attrs").alias("a")),
-        lambda z: z["s"]["kind"] == F.lit("asr"),
-    )
+    asr_zip = F.filter(zip_spans(("end_ms",)), lambda z: z["s"]["kind"] == F.lit("asr"))
     frames = _spans_of_kind("frame")
 
     def covered(w0):
         w1 = F.least(w0 + WINDOW_MS, dur)
         has_asr = F.exists(
-            asr_zip, lambda z: (z["s"]["offset"] < w1) & (z["a"]["end_ms"] > w0)
+            asr_zip, lambda z: (z["s"]["offset"] < w1) & (z["end_ms"] > w0)
         )
         has_kf = F.exists(frames, lambda s: (s["offset"] >= w0) & (s["offset"] < w1))
         return has_asr | has_kf
@@ -125,7 +123,9 @@ def chapter_counts(docs: DataFrame) -> DataFrame:
     keyframes, and overlapping ASR segments; chapter coverage flag = 100 iff
     both a keyframe and an ASR segment exist. Intra-row transform over the
     chapter array, then one explode — no join, no shuffle."""
-    zipped = F.arrays_zip(F.col("spans").alias("s"), F.col("span_attrs").alias("a"))
+    from ..functions.exprs import zip_spans
+
+    zipped = zip_spans(("end_ms",))
     chapters = F.filter(zipped, lambda z: z["s"]["kind"] == F.lit("chapter"))
     scenes = F.filter(zipped, lambda z: z["s"]["kind"] == F.lit("scene"))
     asr = F.filter(zipped, lambda z: z["s"]["kind"] == F.lit("asr"))
@@ -133,12 +133,12 @@ def chapter_counts(docs: DataFrame) -> DataFrame:
 
     def per_chapter(ch, idx):
         c0 = ch["s"]["offset"]
-        c1 = ch["a"]["end_ms"]
+        c1 = ch["end_ms"]
         n_scenes = F.size(
-            F.filter(scenes, lambda z: (z["s"]["offset"] >= c0) & (z["a"]["end_ms"] <= c1))
+            F.filter(scenes, lambda z: (z["s"]["offset"] >= c0) & (z["end_ms"] <= c1))
         )
         n_frames = F.size(F.filter(frames, lambda s: (s["offset"] >= c0) & (s["offset"] < c1)))
-        n_asr = F.size(F.filter(asr, lambda z: (z["s"]["offset"] < c1) & (z["a"]["end_ms"] > c0)))
+        n_asr = F.size(F.filter(asr, lambda z: (z["s"]["offset"] < c1) & (z["end_ms"] > c0)))
         return F.struct(
             idx.cast("long").alias("chapter_index"),
             ch["s"]["text"].alias("chapter_title"),
@@ -228,11 +228,11 @@ def validation_report(docs: DataFrame, chunks: DataFrame) -> DataFrame:
     counts OCR spans at confidence ≥ 0.5, matching what the reference's
     phase-1 writer persists (extract/ocr.py conf filter) and therefore what
     its validator ever sees."""
-    from ..functions.exprs import consecutive_pairs
+    from ..functions.exprs import consecutive_pairs, zip_spans
     from .extract import OCR_CONF_MIN
 
     dur = F.col("meta.duration_ms")
-    zipped = F.arrays_zip(F.col("spans").alias("s"), F.col("span_attrs").alias("a"))
+    zipped = zip_spans(("end_ms", "confidence"))
     frames = _spans_of_kind("frame")
     frame_ts = F.array_sort(F.transform(frames, lambda s: s["offset"].cast("long")))
     kf_deltas = F.transform(consecutive_pairs(frame_ts), lambda p: p["b"] - p["a"])
@@ -242,7 +242,7 @@ def validation_report(docs: DataFrame, chunks: DataFrame) -> DataFrame:
             asr_zip,
             lambda z: F.struct(
                 z["s"]["offset"].cast("long").alias("start_ms"),
-                z["a"]["end_ms"].cast("long").alias("end_ms"),
+                z["end_ms"].cast("long").alias("end_ms"),
                 F.coalesce(z["s"]["text"], F.lit("")).alias("text"),
             ),
         )
@@ -253,8 +253,8 @@ def validation_report(docs: DataFrame, chunks: DataFrame) -> DataFrame:
     ocr_blocks = F.filter(
         zipped,
         lambda z: (z["s"]["kind"] == F.lit("ocr"))
-        & z["a"]["confidence"].isNotNull()
-        & (z["a"]["confidence"] >= F.lit(OCR_CONF_MIN)),
+        & z["confidence"].isNotNull()
+        & (z["confidence"] >= F.lit(OCR_CONF_MIN)),
     )
 
     # coverage: same construction as coverage() above
@@ -263,7 +263,7 @@ def validation_report(docs: DataFrame, chunks: DataFrame) -> DataFrame:
     def covered(w0):
         w1 = F.least(w0 + WINDOW_MS, dur)
         has_asr = F.exists(
-            asr_zip, lambda z: (z["s"]["offset"] < w1) & (z["a"]["end_ms"] > w0)
+            asr_zip, lambda z: (z["s"]["offset"] < w1) & (z["end_ms"] > w0)
         )
         has_kf = F.exists(frames, lambda s: (s["offset"] >= w0) & (s["offset"] < w1))
         return has_asr | has_kf

@@ -200,18 +200,20 @@ def spans_to_events(docs_df, with_eof: bool = True):
     shape (used by tests to stage streaming input files)."""
     from pyspark.sql import functions as F
 
-    z = F.arrays_zip(F.col("spans").alias("s"), F.col("span_attrs").alias("a"))
+    from ..functions.exprs import zip_spans
+
+    z = zip_spans(("end_ms", "confidence", "bbox", "scene_id", "n_words"))
     ev = docs_df.select("doc_id", F.explode(z).alias("z")).select(
         "doc_id",
         F.col("z.s.kind").alias("kind"),
         F.col("z.s.text").alias("text"),
         F.col("z.s.media_ref").alias("media_ref"),
         F.col("z.s.offset").alias("offset"),
-        F.col("z.a.end_ms").alias("end_ms"),
-        F.col("z.a.confidence").alias("confidence"),
-        F.col("z.a.bbox").alias("bbox"),
-        F.col("z.a.scene_id").alias("scene_id"),
-        F.col("z.a.n_words").alias("n_words"),
+        F.col("z.end_ms").alias("end_ms"),
+        F.col("z.confidence").alias("confidence"),
+        F.col("z.bbox").alias("bbox"),
+        F.col("z.scene_id").alias("scene_id"),
+        F.col("z.n_words").alias("n_words"),
     )
     if not with_eof:
         return ev

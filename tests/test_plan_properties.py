@@ -148,3 +148,49 @@ def test_survivors_corpus_scanned_once(spark):
     # the final assembly joins ONE corpus scan against the (checkpointed)
     # membership relation; the pair machinery is behind the checkpoint
     assert plan.count("Scan ExistingRDD") <= 2, plan
+
+
+def test_words_pruned_from_non_word_scans(spark, docs_path):
+    """The contract's per-word `words` arrays must never reach the parquet
+    scan of a query that doesn't touch them: nested-schema pruning cannot
+    see through arrays_zip of the raw span_attrs column, so operators zip
+    individually extracted attr-field arrays instead (functions.exprs.
+    zip_spans). A regression here silently multiplies every span query's
+    scan volume once word detail dominates span_attrs."""
+    from graphical_context_extraction_pipeline_spark.operators import export as EX
+    from graphical_context_extraction_pipeline_spark.plans.explain import formatted_plan
+
+    spark.conf.set("spark.sql.maxMetadataStringLength", 8000)
+    docs = spark.read.parquet(docs_path)
+    ops = [
+        R.chrome_tokens,
+        R.ocr_conf_stats,
+        R.chunk_segmentation,
+        R.chunk_asr_text,
+        R.ocr_frame_dedup,
+        R.frame_ocr_basename_join,
+        V.coverage,
+        V.asr_gaps,
+        V.chapter_counts,
+        EX.transcript_lines,
+    ]
+    for op in ops:
+        schemas = "\n".join(
+            line for line in formatted_plan(op(docs)).splitlines() if "ReadSchema" in line
+        )
+        assert "words:array" not in schemas, (op.__name__, schemas)
+
+
+def test_word_spans_scan_prunes_to_needed_fields(spark, docs_path):
+    """word_spans DOES need words (+end_ms) — and nothing else from
+    span_attrs."""
+    from graphical_context_extraction_pipeline_spark.plans.explain import formatted_plan
+
+    spark.conf.set("spark.sql.maxMetadataStringLength", 8000)
+    docs = spark.read.parquet(docs_path)
+    schemas = "\n".join(
+        line for line in formatted_plan(R.word_spans(docs)).splitlines() if "ReadSchema" in line
+    )
+    assert "words:array" in schemas, schemas
+    for absent in ("bbox", "confidence", "scene_id"):
+        assert absent not in schemas, (absent, schemas)
