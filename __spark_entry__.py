@@ -762,7 +762,7 @@ w AS (SELECT doc_id, seg_start_ms, seg_end_ms,
 SELECT doc_id, seg_start_ms, seg_end_ms, cast(word_idx AS bigint) AS word_idx,
        w.word AS word, cast(w.start_ms AS bigint) AS start_ms,
        cast(w.end_ms AS bigint) AS end_ms,
-       coalesce(cast(floor(w.score * 10000) AS bigint), -1) AS score_e4
+       coalesce(cast(round(w.score * 10000) AS bigint), -1) AS score_e4
 FROM w
 """
 
@@ -1036,22 +1036,37 @@ sb AS (SELECT doc_id, simhash, unnest([0, 1, 2, 3]) AS band,
                (simhash >> 30) & 32767, (simhash >> 45) & 32767] AS keys
        FROM sim),
 banded AS (SELECT doc_id, simhash, band, keys[band + 1] AS bkey FROM sb),
--- hot-bucket cap mirrored from dedup._bucket_pairs (hub-star for buckets
--- with more than MAX_DOCS_PER_BUCKET members)
-bstats AS (SELECT band, bkey, count(*) AS n_members,
-                  min(doc_id) AS hub,
-                  arg_min(simhash, doc_id) AS hub_sim
-           FROM banded GROUP BY band, bkey),
+-- two-tier hot-bucket handling mirrored from dedup.simhash_near_pairs:
+-- identical-simhash group stars (lossless, hamming 0), then the distinct
+-- group hubs through the standard bounded expansion
+bstats AS (SELECT band, bkey, count(*) AS n_members FROM banded GROUP BY band, bkey),
+nonhot AS (SELECT b.* FROM banded b JOIN bstats s ON s.band = b.band AND s.bkey = b.bkey
+           WHERE s.n_members <= {max_bucket}),
+hotm AS (SELECT b.* FROM banded b JOIN bstats s ON s.band = b.band AND s.bkey = b.bkey
+         WHERE s.n_members > {max_bucket}),
+g AS (SELECT band, bkey, simhash, min(doc_id) AS ghub
+      FROM hotm GROUP BY band, bkey, simhash),
+gstats AS (SELECT band, bkey, count(*) AS n_groups, min(ghub) AS bhub,
+                  arg_min(simhash, ghub) AS bsim
+           FROM g GROUP BY band, bkey),
 cand AS (SELECT DISTINCT doc_a, doc_b, ha, hb FROM (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.simhash AS ha, b.simhash AS hb
-  FROM banded a
-  JOIN banded b ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
-  JOIN bstats s ON s.band = a.band AND s.bkey = a.bkey
-  WHERE s.n_members <= {max_bucket}
+  FROM nonhot a
+  JOIN nonhot b ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
   UNION ALL
-  SELECT s.hub AS doc_a, m.doc_id AS doc_b, s.hub_sim AS ha, m.simhash AS hb
-  FROM banded m JOIN bstats s ON s.band = m.band AND s.bkey = m.bkey
-  WHERE s.n_members > {max_bucket} AND m.doc_id <> s.hub
+  SELECT g.ghub AS doc_a, m.doc_id AS doc_b, m.simhash AS ha, m.simhash AS hb
+  FROM hotm m JOIN g ON g.band = m.band AND g.bkey = m.bkey AND g.simhash = m.simhash
+  WHERE m.doc_id <> g.ghub
+  UNION ALL
+  SELECT a.ghub AS doc_a, b.ghub AS doc_b, a.simhash AS ha, b.simhash AS hb
+  FROM g a
+  JOIN g b ON a.band = b.band AND a.bkey = b.bkey AND a.ghub < b.ghub
+  JOIN gstats s ON s.band = a.band AND s.bkey = a.bkey
+  WHERE s.n_groups <= {max_bucket}
+  UNION ALL
+  SELECT s.bhub AS doc_a, g.ghub AS doc_b, s.bsim AS ha, g.simhash AS hb
+  FROM g JOIN gstats s ON s.band = g.band AND s.bkey = g.bkey
+  WHERE s.n_groups > {max_bucket} AND g.ghub <> s.bhub
 ))
 SELECT doc_a, doc_b, cast(bit_count(xor(ha, hb)) AS bigint) AS hamming
 FROM cand WHERE bit_count(xor(ha, hb)) <= 8

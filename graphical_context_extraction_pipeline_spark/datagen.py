@@ -360,9 +360,10 @@ SPANS_DDL = (
     "doc_id string, "
     "spans array<struct<kind:string,text:string,media_ref:string,offset:int>>, "
     "span_attrs array<struct<end_ms:int,confidence:double,bbox:array<double>,scene_id:int,n_words:int,"
-    # per-word ASR detail (reference phase 2/src/loader.py:12-18); the
-    # synthetic generator leaves it NULL (segment-level confidence/n_words
-    # carry the same information), the golden loader fills it from asr.json
+    # per-word ASR detail (reference phase 2/src/loader.py:12-18): the
+    # golden loader fills it from asr.json; the synthetic generator fills
+    # it for ~75% of ASR segments (~12% of words scoreless) and leaves the
+    # rest NULL so both A3 confidence paths stay exercised
     "words:array<struct<word:string,start_ms:int,end_ms:int,score:double>>>>, "
     "meta struct<title:string,channel:string,description:string,"
     "tags:array<string>,upload_date:string,duration_ms:long>"
@@ -408,21 +409,51 @@ def _gen_batches(it):
         )
 
 
+# Bump whenever generate_doc's OUTPUT changes (new fields, different RNG
+# draws, …): cached corpora under data/<sf>/ are regenerated when their
+# stamp doesn't match — the corpus-side analogue of
+# oracle_artifacts.ARTIFACTS_VERSION (a bare _SUCCESS check would pin a
+# checkout to whatever corpus generation it first materialized forever).
+CORPUS_VERSION = 2  # v2: per-word ASR structs (words arrays)
+
+
+def _corpus_current(path: str) -> bool:
+    import os
+
+    marker = os.path.join(path, "_SUCCESS")
+    stamp = os.path.join(path, "_CORPUS_VERSION")
+    if not os.path.exists(marker):
+        return False
+    try:
+        with open(stamp) as f:
+            return f.read().strip() == str(CORPUS_VERSION)
+    except OSError:
+        return False
+
+
+def _stamp_corpus(path: str) -> None:
+    import os
+
+    with open(os.path.join(path, "_CORPUS_VERSION"), "w") as f:
+        f.write(str(CORPUS_VERSION))
+
+
 def write_documents(spark, n_docs: int, out_path: str, partitions: int | None = None) -> None:
     """Distributed synthesis: spark.range → mapInPandas → parquet."""
     partitions = partitions or max(8, min(64, n_docs // 25 or 1))
     df = spark.range(0, n_docs, 1, partitions).mapInPandas(_gen_batches, schema=SPANS_DDL)
     df.write.mode("overwrite").parquet(out_path)
+    _stamp_corpus(out_path)
 
 
 def ensure_documents(spark, sf_tag: str, base_dir: str = "/root/repo/data") -> str:
-    """Idempotent: generate the spans table for a scale tag if absent."""
+    """Idempotent: generate the spans table for a scale tag if absent or
+    generated by an older datagen (see CORPUS_VERSION)."""
     import os
 
     n = DOCS_PER_SF[sf_tag]
     path = os.path.join(base_dir, sf_tag, "documents_spans.parquet")
-    marker = os.path.join(path, "_SUCCESS")
-    if not os.path.exists(marker):
+    if not _corpus_current(path):
         write_documents(spark, n, path)
     return path
 
@@ -441,8 +472,7 @@ def ensure_documents_local(sf_tag: str, base_dir: str = "/root/repo/data") -> st
 
     n = DOCS_PER_SF[sf_tag]
     path = os.path.join(base_dir, sf_tag, "documents_spans.parquet")
-    marker = os.path.join(path, "_SUCCESS")
-    if os.path.exists(marker):
+    if _corpus_current(path):
         return path
 
     docs = [generate_doc(i) for i in range(n)]
@@ -491,8 +521,9 @@ def ensure_documents_local(sf_tag: str, base_dir: str = "/root/repo/data") -> st
     )
     os.makedirs(path, exist_ok=True)
     pq.write_table(table, os.path.join(path, "part-00000.parquet"))
-    with open(marker, "w"):
+    with open(os.path.join(path, "_SUCCESS"), "w"):
         pass
+    _stamp_corpus(path)
     return path
 
 

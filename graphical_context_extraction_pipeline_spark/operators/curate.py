@@ -22,11 +22,14 @@ Canonicals are STAGE-LOCAL: an exact duplicate points at its exact
 canonical even if that canonical is later folded as a near-duplicate —
 consumers wanting full resolution follow the (tiny) canonical chain.
 
-Scale design: one quality scan (intra-row, zero shuffle), one 16-byte-key
-hash aggregation + co-keyed join for exact dedup, and the ngram/closure
-machinery documented in dedup.py / cluster.py over the (already reduced)
-exact survivors only. The final verdict table is assembled with unions of
-disjoint row sets — every doc appears in exactly one branch.
+Scale design: TWO corpus scans total — one for the rejected branch (scan +
+inline gate, zero shuffle) and one materialized into the keyed relation
+(gate + md5 aggregation + co-keyed join, localCheckpoint'd) that every
+other branch AND the ngram/closure machinery read, so the dedup shuffle
+runs once, not once per branch. Without the checkpoint each of the four
+union branches would lazily re-evaluate the scan/gate/dedup chain. The
+final verdict table is a union of disjoint row sets — every doc appears in
+exactly one branch.
 """
 
 from __future__ import annotations
@@ -56,7 +59,9 @@ def curate_corpus(docs: DataFrame, min_jaccard_bp: int = 6000) -> DataFrame:
         "doc_id", "text", F.md5(F.lower("text")).alias("dup_key")
     )
     exact_canon = passing.groupBy("dup_key").agg(F.min("doc_id").alias("exact_canon"))
-    keyed = passing.join(exact_canon, "dup_key")
+    # materialize once (lazily, on first action): exact_dups, survivors,
+    # kept, and the near-dup machinery all branch off this relation
+    keyed = passing.join(exact_canon, "dup_key").localCheckpoint(eager=False)
     exact_dups = keyed.where(F.col("doc_id") != F.col("exact_canon")).select(
         "doc_id",
         F.lit("exact_duplicate").alias("status"),

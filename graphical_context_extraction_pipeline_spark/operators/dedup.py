@@ -545,12 +545,29 @@ def simhash_near_pairs(
     """Near-dup pairs: SimHash band collision candidates filtered by true
     hamming distance ≤ max_hamming.
 
-    Band buckets exceeding ``max_bucket`` members expand as a hub star
-    (see _bucket_pairs) — each member is hamming-checked against the
-    bucket's hub rather than every other member, which bounds buffers and
-    pair count linearly; for the giant near-identical clusters that create
-    hot buckets the hub is representative. The DuckDB oracle applies the
-    identical cap."""
+    Hot buckets (> ``max_bucket`` members) are handled in two tiers —
+    NOT the plain hub star, because simhash band keys are only 15 bits
+    wide: past ~``max_bucket · 2¹⁵`` (~33 M) docs the average bucket is
+    hot even for mutually DISSIMILAR content, and a star around one
+    arbitrary hub would hamming-filter away almost every candidate:
+
+    1. members are grouped by their FULL simhash; each identical-simhash
+       group expands as a star around its own min-doc hub — hamming 0, so
+       the filter passes every pair: giant identical-content clusters
+       (the case that actually creates hot buckets below saturation) stay
+       LOSSLESS and linear;
+    2. the distinct group hubs — one row per distinct simhash in the
+       bucket — re-enter the standard bounded expansion (_bucket_pairs):
+       all hub×hub pairs while ≤ ``max_bucket`` groups, hub star beyond.
+
+    Every aggregation buffer stays ≤ ``max_bucket`` structs. Residual
+    (documented, information-theoretic): a bucket with more than
+    ``max_bucket`` DISTINCT simhashes still reduces to a star over group
+    hubs — at that corpus scale (≳10⁸ docs for the default layout) no
+    within-bucket algorithm avoids quadratic blowup; the fix is wider
+    blocking keys, i.e. re-band the 60-bit hash into fewer, wider bands
+    (Manku et al., WWW'07 permuted-table design) so expected bucket size
+    stays under the cap. The DuckDB oracle replays both tiers."""
     sim = simhash(docs)
     banded = sim.select(
         "doc_id",
@@ -559,8 +576,37 @@ def simhash_near_pairs(
             F.array(*[F.struct(F.lit(i).alias("band"), F.col(f"band{i}").alias("bkey")) for i in range(4)])
         ).alias("b"),
     ).select("doc_id", "simhash", F.col("b.band").alias("band"), F.col("b.bkey").alias("bkey"))
+
+    keys = ["band", "bkey"]
+    hot = (
+        banded.groupBy(*keys)
+        .agg(F.count("*").alias("n_members"))
+        .where(F.col("n_members") > max_bucket)
+        .select(*keys)
+    )
+    nonhot = banded.join(hot, keys, "left_anti")
+    # every nonhot bucket is ≤ max_bucket by construction: _bucket_pairs
+    # applies the pure exact expansion there
+    exact = _bucket_pairs(nonhot, keys, payload=["simhash"], max_bucket=max_bucket)
+
+    hot_members = banded.join(hot, keys)
+    groups = hot_members.groupBy("band", "bkey", "simhash").agg(
+        F.min("doc_id").alias("ghub")
+    )
+    member = F.struct("doc_id", "simhash")
+    intra = (
+        hot_members.join(groups, ["band", "bkey", "simhash"])
+        .where(F.col("doc_id") != F.col("ghub"))
+        .select(
+            F.struct(F.col("ghub").alias("doc_id"), F.col("simhash")).alias("a"),
+            member.alias("b"),
+        )
+    )
+    ghub_rel = groups.select(F.col("ghub").alias("doc_id"), "simhash", "band", "bkey")
+    cross = _bucket_pairs(ghub_rel, keys, payload=["simhash"], max_bucket=max_bucket)
+
     cand = (
-        _bucket_pairs(banded, ["band", "bkey"], payload=["simhash"], max_bucket=max_bucket)
+        exact.unionByName(intra).unionByName(cross)
         .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),

@@ -72,8 +72,14 @@ def balance_by_cost_scalable(
     corpus degrades gracefully: the strict > threshold test makes the
     heavy set empty and everything places by hash."""
     cost = cost if cost is not None else F.size("spans")
-    with_cost = df.withColumn("_cost", cost.cast("long"))
-    thresh = with_cost.stat.approxQuantile("_cost", [1.0 - heavy_fraction], 0.001)[0]
+    # NULL costs (a NULL spans column makes size() NULL) coalesce to 0 so
+    # every row satisfies exactly one of the light/heavy predicates — a
+    # raw NULL would fail both and silently vanish from the output
+    with_cost = df.withColumn("_cost", F.coalesce(cost.cast("long"), F.lit(0).cast("long")))
+    quantiles = with_cost.stat.approxQuantile("_cost", [1.0 - heavy_fraction], 0.001)
+    if not quantiles:  # empty corpus — nothing to balance
+        return df.repartition(n_partitions)
+    thresh = quantiles[0]
     light = with_cost.where(F.col("_cost") <= thresh).withColumn(
         "_deal", F.pmod(F.xxhash64("doc_id"), F.lit(n_partitions))
     )

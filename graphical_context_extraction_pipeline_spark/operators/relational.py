@@ -526,7 +526,10 @@ def word_spans(docs: DataFrame) -> DataFrame:
     chunk confidence (A3, operators/extract.py).
 
     Zero shuffle: two nested lateral explodes of the already-colocated
-    span arrays; scores emitted as e4 fixed-point with a -1 sentinel for
+    span arrays; scores emitted as e4 fixed-point (round, not floor — the
+    contract's scores are 4-decimal by construction so rounding is
+    lossless, while floor loses a unit whenever the stored double sits
+    just under the decimal, e.g. 0.29 → 2899) with a -1 sentinel for
     scoreless words (the enricher filter's subjects, enricher.py:51-68)
     so every compared column is int/string."""
     seg = _zipped(docs, "asr", attrs=("end_ms", "words")).where(
@@ -551,6 +554,6 @@ def word_spans(docs: DataFrame) -> DataFrame:
         F.col("w.start_ms").cast("long").alias("start_ms"),
         F.col("w.end_ms").cast("long").alias("end_ms"),
         F.coalesce(
-            F.floor(F.col("w.score") * 10000).cast("bigint"), F.lit(-1).cast("bigint")
+            F.round(F.col("w.score") * 10000, 0).cast("bigint"), F.lit(-1).cast("bigint")
         ).alias("score_e4"),
     )

@@ -33,7 +33,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .operators.extract import extract_documents
-from .operators.partitioning import balance_by_cost
+from .operators.partitioning import balance_by_cost_scalable
 
 PROCESSED_DDL = "doc_id string"
 
@@ -87,9 +87,12 @@ class ExtractionPipeline:
         before the audit commit — used by the resume tests.
 
         ``balance_partitions``: cost-balance the to-do set across this many
-        partitions before extraction (operators/partitioning.balance_by_cost
-        — snake deal in descending span-count order), so media-heavy skew
-        docs spread evenly and no straggler partition sets the stage wall.
+        partitions before extraction (operators/partitioning.
+        balance_by_cost_scalable — hash-placed light mass + snake-dealt
+        heavy tail above the cost quantile; the production default because
+        the exact-rank variant's global sort is a single-partition
+        bottleneck at corpus scale), so media-heavy skew docs spread evenly
+        and no straggler partition sets the stage wall.
         0 (default) = cluster default parallelism; None = skip balancing
         (keep the input's partitioning)."""
         run_id = uuid.uuid4().hex[:12]
@@ -99,7 +102,7 @@ class ExtractionPipeline:
         todo = docs.join(processed, "doc_id", "left_anti") if processed is not None else docs
         if balance_partitions is not None:
             n_parts = balance_partitions or self.spark.sparkContext.defaultParallelism
-            todo = balance_by_cost(todo, n_parts)
+            todo = balance_by_cost_scalable(todo, n_parts)
 
         run_chunks_path = os.path.join(self.chunks_dir, f"run={run_id}")
         run_processed_path = os.path.join(self.processed_dir, f"run={run_id}")

@@ -6,7 +6,7 @@ arrive spread over multiple micro-batches (a long video's ASR lands before
 its OCR). This operator assembles documents incrementally:
 
 - input: a stream of span EVENTS (doc_id, kind, text, media_ref, offset,
-  end_ms, confidence, scene_id, n_words) — kind='eof' marks document end
+  end_ms, confidence, scene_id, n_words, words) — kind='eof' marks document end
   (at cluster scale the ingest layer emits it when an upstream manifest
   closes a document);
 - state per doc_id: the accumulated span events (Arrow-safe packed rows);
@@ -29,7 +29,12 @@ from ..operators.extract import _doc_chunks
 
 EVENTS_DDL = (
     "doc_id string, kind string, text string, media_ref string, offset int, "
-    "end_ms int, confidence double, bbox array<double>, scene_id int, n_words int"
+    "end_ms int, confidence double, bbox array<double>, scene_id int, n_words int, "
+    # per-word ASR detail rides the event too: the kernel derives chunk
+    # asr_confidence from raw word scores when present (enricher filter),
+    # so dropping words here would silently flip streaming assembly onto
+    # the confidence×n_words fallback while batch uses word scores
+    "words array<struct<word:string,start_ms:int,end_ms:int,score:double>>"
 )
 
 # state: accumulated events as one JSON blob (applyInPandasWithState state
@@ -40,7 +45,7 @@ STATE_DDL = "events string"
 CHUNKS_OUT_DDL = (
     "chunk_id string, doc_id string, t_start_ms int, t_end_ms int, "
     "chapter_index int, scene_id int, asr_text string, ocr_text string, "
-    "merged_text string, n_out_spans int, complete boolean"
+    "merged_text string, asr_confidence double, n_out_spans int, complete boolean"
 )
 
 
@@ -49,7 +54,19 @@ def _emit_chunks(doc_id: str, events: list[list], complete: bool) -> pd.DataFram
         {"kind": e[0], "text": e[1], "media_ref": e[2], "offset": e[3]} for e in events
     ]
     attrs = [
-        {"end_ms": e[4], "confidence": e[5], "bbox": e[6], "scene_id": e[7], "n_words": e[8]}
+        {
+            "end_ms": e[4],
+            "confidence": e[5],
+            "bbox": e[6],
+            "scene_id": e[7],
+            "n_words": e[8],
+            "words": None
+            if e[9] is None
+            else [
+                {"word": w[0], "start_ms": w[1], "end_ms": w[2], "score": w[3]}
+                for w in e[9]
+            ],
+        }
         for e in events
     ]
     rows = _doc_chunks(doc_id, spans, attrs, None)
@@ -59,7 +76,7 @@ def _emit_chunks(doc_id: str, events: list[list], complete: bool) -> pd.DataFram
     idx = {name: i for i, name in enumerate(CHUNK_COLUMNS)}
     pick = [
         "chunk_id", "doc_id", "t_start_ms", "t_end_ms", "chapter_index",
-        "scene_id", "asr_text", "ocr_text", "merged_text",
+        "scene_id", "asr_text", "ocr_text", "merged_text", "asr_confidence",
     ]
     out = [
         tuple(r[idx[name]] for name in pick) + (len(r[idx["out_spans"]]), complete)
@@ -69,8 +86,8 @@ def _emit_chunks(doc_id: str, events: list[list], complete: bool) -> pd.DataFram
         out,
         columns=[
             "chunk_id", "doc_id", "t_start_ms", "t_end_ms", "chapter_index",
-            "scene_id", "asr_text", "ocr_text", "merged_text", "n_out_spans",
-            "complete",
+            "scene_id", "asr_text", "ocr_text", "merged_text", "asr_confidence",
+            "n_out_spans", "complete",
         ],
     )
 
@@ -138,6 +155,19 @@ def _make_assemble(flush_timeout_ms: int | None):
                             None if row.bbox is None else [float(x) for x in row.bbox],
                             None if pd.isna(row.scene_id) else int(row.scene_id),
                             None if pd.isna(row.n_words) else int(row.n_words),
+                            # words arrive as dicts (Arrow struct → pandas);
+                            # packed as JSON-safe lists, scoreless stays None
+                            None
+                            if row.words is None
+                            else [
+                                [
+                                    w["word"],
+                                    None if w["start_ms"] is None else int(w["start_ms"]),
+                                    None if w["end_ms"] is None else int(w["end_ms"]),
+                                    None if w["score"] is None else float(w["score"]),
+                                ]
+                                for w in row.words
+                            ],
                         ]
                     )
         if not saw_eof:
@@ -202,7 +232,8 @@ def spans_to_events(docs_df, with_eof: bool = True):
 
     from ..functions.exprs import zip_spans
 
-    z = zip_spans(("end_ms", "confidence", "bbox", "scene_id", "n_words"))
+    words_t = "array<struct<word:string,start_ms:int,end_ms:int,score:double>>"
+    z = zip_spans(("end_ms", "confidence", "bbox", "scene_id", "n_words", "words"))
     ev = docs_df.select("doc_id", F.explode(z).alias("z")).select(
         "doc_id",
         F.col("z.s.kind").alias("kind"),
@@ -214,6 +245,7 @@ def spans_to_events(docs_df, with_eof: bool = True):
         F.col("z.bbox").alias("bbox"),
         F.col("z.scene_id").alias("scene_id"),
         F.col("z.n_words").alias("n_words"),
+        F.col("z.words").alias("words"),
     )
     if not with_eof:
         return ev
@@ -228,5 +260,6 @@ def spans_to_events(docs_df, with_eof: bool = True):
         F.lit(None).cast("array<double>").alias("bbox"),
         F.lit(None).cast("int").alias("scene_id"),
         F.lit(None).cast("int").alias("n_words"),
+        F.lit(None).cast(words_t).alias("words"),
     )
     return ev.unionByName(eof)

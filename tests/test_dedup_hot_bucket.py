@@ -102,3 +102,46 @@ def test_simhash_payload_survives_star_path(docs):
     dups = {f"dup_{i:04d}" for i in range(CLUSTER)}
     cluster_pairs = {(r["doc_a"], r["doc_b"]) for r in got if r["doc_a"] in dups}
     assert len(cluster_pairs) == CLUSTER - 1
+
+
+def test_simhash_hot_bucket_mixed_content_two_tier(spark):
+    """A hot bucket holding TWO content groups (a giant identical cluster +
+    one near-variant that shares a band): tier 1 keeps every identical
+    pair lossless at hamming 0 around the GROUP hub, and tier 2 pairs the
+    distinct group hubs, so the near-variant is still found. This is the
+    bucket composition where a single arbitrary-hub star goes blind —
+    simhash band keys are 15 bits, so beyond ~cap·2^15 docs hot buckets
+    hold mutually dissimilar content."""
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    cands = [f"{base} variant {i}" for i in range(40)]
+    sims = {
+        r["doc_id"]: (r["simhash"], [r[f"band{j}"] for j in range(4)])
+        for r in dedup.simhash(
+            spark.createDataFrame(
+                [("base", base)] + [(f"c{i}", t) for i, t in enumerate(cands)],
+                "doc_id string, text string",
+            )
+        ).collect()
+    }
+    hb, bands_b = sims["base"]
+    pick = None
+    for i in range(40):
+        h, bands = sims[f"c{i}"]
+        hd = bin(hb ^ h).count("1")
+        if 0 < hd <= 8 and any(x == y for x, y in zip(bands, bands_b)):
+            pick = cands[i]
+            break
+    assert pick is not None, "no candidate shares a band with the base text"
+
+    rows = [(f"dup_{i:02d}", base) for i in range(20)] + [("variant", pick)]
+    got = dedup.simhash_near_pairs(
+        spark.createDataFrame(rows, "doc_id string, text string"), max_bucket=10
+    ).collect()
+    pairs = {(r["doc_a"], r["doc_b"]): r["hamming"] for r in got}
+    dups = {f"dup_{i:02d}" for i in range(20)}
+    hub = min(dups)
+    # tier 1: every identical member pairs with its group hub at hamming 0
+    assert {(hub, d) for d in dups - {hub}} <= set(pairs)
+    assert all(pairs[(hub, d)] == 0 for d in dups - {hub})
+    # tier 2: the two group hubs pair, at the true (nonzero) hamming
+    assert (hub, "variant") in pairs and pairs[(hub, "variant")] > 0

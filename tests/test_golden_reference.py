@@ -139,7 +139,6 @@ def test_word_spans_reference_parity(spark, golden_doc):
     (phase 1/XNQTWZ87K4I) comes through ``word_spans`` with its timing and
     score intact (reference ASRSegment.words, phase 2/src/loader.py:12-18)."""
     import json
-    import math
 
     from graphical_context_extraction_pipeline_spark.operators.relational import word_spans
 
@@ -152,7 +151,10 @@ def test_word_spans_reference_parity(spark, golden_doc):
                 w["word"],
                 int(w["start"]),
                 int(w["end"]),
-                -1 if score is None else math.floor(score * 10000),
+                # round, not floor: scores are 4-decimal, so the e4 int is
+                # exact under rounding (0.935 stored as 0.9349999... must
+                # emit 9350, not 9349)
+                -1 if score is None else round(score * 10000),
             )
     assert len(ref) >= 500  # the artifact carries substantial word detail
 

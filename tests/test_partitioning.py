@@ -56,9 +56,14 @@ def test_balance_preserves_rows(spark):
 
 
 def test_pipeline_runs_balanced(spark, tmp_path):
-    """ExtractionPipeline.run cost-balances the to-do set by default: the
-    audit record's per-partition lineage shows every populated extraction
-    partition within a tight band of the mean output-span cost, and the
+    """ExtractionPipeline.run cost-balances the to-do set by default
+    (balance_by_cost_scalable: hash-placed light mass + exactly-dealt
+    heavy tail — the exact-rank variant's global sort funnels the full
+    payload through ONE partition, a non-starter at corpus scale): the
+    audit record's per-partition lineage shows no straggler partition
+    (the hashed light mass is loose at this 200-doc scale — the law of
+    large numbers that tightens it needs millions of docs per partition,
+    so the band here is 2× mean, not the exact deal's 1.35×), and the
     run's results are identical to an unbalanced run."""
     from graphical_context_extraction_pipeline_spark.pipeline import ExtractionPipeline
 
@@ -70,7 +75,7 @@ def test_pipeline_runs_balanced(spark, tmp_path):
     assert len(metrics) == N_PARTS
     costs = [m["n_out_spans"] for m in metrics]
     mean = sum(costs) / len(costs)
-    assert max(costs) <= 1.35 * mean, costs  # no straggler partition
+    assert max(costs) <= 2.0 * mean, costs  # no straggler partition
 
     p2 = ExtractionPipeline(spark, str(tmp_path / "unbal"))
     got2 = p2.run(docs, balance_partitions=None)
@@ -122,3 +127,24 @@ def test_balance_scalable_uniform_degrades_to_hash(spark):
     assert out.count() == 500
     stats = partition_cost_stats(out).collect()
     assert sum(r["n_rows"] for r in stats) == 500
+
+
+def test_balance_scalable_empty_and_null_costs(spark):
+    """Degenerate inputs the quantile split must survive: an empty corpus
+    (approxQuantile returns [] — must not IndexError) and rows whose cost
+    expression is NULL (NULL spans → size() NULL — must coalesce to 0, not
+    silently fail both the light and heavy predicates and vanish)."""
+    from graphical_context_extraction_pipeline_spark.datagen import SPANS_DDL
+    from graphical_context_extraction_pipeline_spark.operators.partitioning import (
+        balance_by_cost_scalable,
+    )
+
+    empty = spark.createDataFrame([], schema=SPANS_DDL)
+    assert balance_by_cost_scalable(empty, 8).count() == 0
+
+    docs = spark.read.parquet(ensure_documents(spark, "sf0.001")).limit(5)
+    nullrow = spark.createDataFrame([("null_doc", None, None, None)], schema=SPANS_DDL)
+    mixed = docs.unionByName(nullrow)
+    out = balance_by_cost_scalable(mixed, 4)
+    assert out.count() == 6
+    assert out.where(F.col("doc_id") == "null_doc").count() == 1

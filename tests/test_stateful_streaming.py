@@ -20,10 +20,14 @@ from graphical_context_extraction_pipeline_spark.streaming.stateful import (
 N_DOCS = 6
 
 
-def _stage_file(df, staging_dir: str, dest_path: str) -> None:
+def _stage_file(df, staging_dir: str, dest_path: str, mtime: float | None = None) -> None:
     df.coalesce(1).write.mode("overwrite").parquet(staging_dir)
     part = glob.glob(os.path.join(staging_dir, "part-*.parquet"))[0]
     shutil.copy(part, dest_path)
+    if mtime is not None:
+        # the file source orders micro-batches by mtime; set it EXPLICITLY
+        # so ordering never depends on filesystem timestamp granularity
+        os.utime(dest_path, (mtime, mtime))
 
 
 def test_streaming_assembly_matches_batch(spark, docs_path, tmp_path):
@@ -44,9 +48,12 @@ def test_streaming_assembly_matches_batch(spark, docs_path, tmp_path):
     half2 = ev.where(split == 1)
     eof_rows = spans_to_events(docs).where(F.col("kind") == "eof")
 
-    _stage_file(half1, str(tmp_path / "s1"), os.path.join(in_dir, "f1.parquet"))
-    time.sleep(1.1)  # distinct mtimes → deterministic file-source ordering
-    _stage_file(half2.unionByName(eof_rows), str(tmp_path / "s2"), os.path.join(in_dir, "f2.parquet"))
+    t0 = time.time()
+    _stage_file(half1, str(tmp_path / "s1"), os.path.join(in_dir, "f1.parquet"), mtime=t0)
+    _stage_file(
+        half2.unionByName(eof_rows), str(tmp_path / "s2"),
+        os.path.join(in_dir, "f2.parquet"), mtime=t0 + 10,
+    )
 
     q = stream_assemble_documents(spark, in_dir, out_dir, ckpt, max_files_per_trigger=1)
     q.awaitTermination(180)
@@ -67,6 +74,11 @@ def test_streaming_assembly_matches_batch(spark, docs_path, tmp_path):
         assert g["merged_text"] == w["merged_text"], cid
         assert g["t_start_ms"] == w["t_start_ms"] and g["t_end_ms"] == w["t_end_ms"]
         assert g["n_out_spans"] == len(w["out_spans"]), cid
+        # exact float equality is the point: the per-word `words` structs
+        # ride the event schema, so streaming assembly derives chunk
+        # confidence from the SAME raw word scores the batch kernel uses
+        # (dropping words would silently fall back to confidence×n_words)
+        assert g["asr_confidence"] == w["asr_confidence"], cid
 
 
 def test_timeout_flushes_docs_without_eof(spark, docs_path, tmp_path):
@@ -147,7 +159,7 @@ def _pdf_events(rows):
                 rows,
                 columns=[
                     "doc_id", "kind", "text", "media_ref", "offset", "end_ms",
-                    "confidence", "bbox", "scene_id", "n_words",
+                    "confidence", "bbox", "scene_id", "n_words", "words",
                 ],
             )
         ]
@@ -163,8 +175,12 @@ def test_timeout_tombstone_suppresses_stragglers():
 
     fn = _make_assemble(500)
     st = _MockState()
-    scene = ("d1", "scene", "0:10000", None, 0, 10000, None, None, 0, None)
-    ev = ("d1", "asr", "hello world", None, 1000, 2000, 0.9, None, None, 2)
+    scene = ("d1", "scene", "0:10000", None, 0, 10000, None, None, 0, None, None)
+    ev = (
+        "d1", "asr", "hello world", None, 1000, 2000, 0.9, None, None, 2,
+        [{"word": "hello", "start_ms": 1000, "end_ms": 1500, "score": 0.91},
+         {"word": "world", "start_ms": 1500, "end_ms": 2000, "score": None}],
+    )
 
     # 1. events arrive, no eof → accumulate, arm timeout, emit nothing
     assert list(fn(("d1",), _pdf_events([scene, ev]), st)) == []
@@ -184,7 +200,7 @@ def test_timeout_tombstone_suppresses_stragglers():
     assert st.exists and st.timeout_set == 500
 
     # 4. late eof while tombstoned → suppressed (no complete=True re-emit)
-    eof = ("d1", "eof", None, None, None, None, None, None, None, None)
+    eof = ("d1", "eof", None, None, None, None, None, None, None, None, None)
     assert list(fn(("d1",), _pdf_events([eof]), st)) == []
     assert st.exists
 

@@ -33,10 +33,14 @@ from graphical_context_extraction_pipeline_spark.streaming.windowed import strea
 SF_DIR = "/root/testdata/sf0.001"
 
 
-def _stage_file(df, staging_dir: str, dest_path: str) -> None:
+def _stage_file(df, staging_dir: str, dest_path: str, mtime: float | None = None) -> None:
     df.coalesce(1).write.mode("overwrite").parquet(staging_dir)
     part = glob.glob(os.path.join(staging_dir, "part-*.parquet"))[0]
     shutil.copy(part, dest_path)
+    if mtime is not None:
+        # explicit mtimes: micro-batch order must not depend on filesystem
+        # timestamp granularity or wall-clock races
+        os.utime(dest_path, (mtime, mtime))
 
 
 def _doc_events(docs, provenance_conf: float):
@@ -64,9 +68,11 @@ def test_streaming_dedup_matches_batch_incremental(spark, tmp_path):
     ckpt = str(tmp_path / "ckpt")
     os.makedirs(in_dir)
     # micro-batch order = file modification-time order under availableNow
-    _stage_file(_doc_events(seen, 1.0), str(tmp_path / "s1"), os.path.join(in_dir, "f1.parquet"))
-    time.sleep(1.1)
-    _stage_file(_doc_events(batch, 2.0), str(tmp_path / "s2"), os.path.join(in_dir, "f2.parquet"))
+    t0 = time.time()
+    _stage_file(_doc_events(seen, 1.0), str(tmp_path / "s1"),
+                os.path.join(in_dir, "f1.parquet"), mtime=t0)
+    _stage_file(_doc_events(batch, 2.0), str(tmp_path / "s2"),
+                os.path.join(in_dir, "f2.parquet"), mtime=t0 + 10)
 
     q = stream_dedup_events(spark, in_dir, out_dir, ckpt, watermark="2 hours")
     q.awaitTermination(180)

@@ -52,7 +52,7 @@ def test_late_events_dropped_and_windows_final(spark, docs_path, tmp_path):
     hi = ev.agg(F.max("offset")).collect()[0][0]
     dummy_off = int(hi) + 600_000
     dummy = spark.createDataFrame(
-        [("doc_dummy", "scene", "0:1", None, dummy_off, 1, None, None, None, None)],
+        [("doc_dummy", "scene", "0:1", None, dummy_off, 1, None, None, None, None, None)],
         EVENTS_DDL,
     )
 
