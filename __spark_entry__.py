@@ -270,6 +270,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_cosine_dups": lambda s, d: similarity.embedding_cosine_dups(
             _planted_emb(_emb(s, d))
         ),
+        # cluster resolution composed over the embedding modality: the
+        # LSH pair graph closed transitively, one canonical vector kept
+        # per component (same neardup_survivors operator as the text path)
+        "embedding_neardup_survivors": lambda s, d: CL.neardup_survivors(
+            _planted_emb(_emb(s, d)).select(F.col("vec_id").alias("doc_id")),
+            similarity.embedding_cosine_dups(_planted_emb(_emb(s, d))),
+            src="vec_a",
+            dst="vec_b",
+        ),
     }
 
 
@@ -599,10 +608,12 @@ SELECT query_id, vec_id, cos_e4, rank FROM ranked WHERE rank <= {k}
 """
 
 
-def _emb_dups_oracle(min_cos_e4: int = 9000) -> str:
-    """Replays similarity.embedding_cosine_dups over the _planted_emb corpus:
-    same float32 perturbation plants, same hyperplane tables, same banded
-    candidate dedup, same exact cosine threshold."""
+def _emb_dups_chain() -> str:
+    """CTE chain replaying similarity.embedding_cosine_dups over the
+    _planted_emb corpus (ends at ``scored``): same float32 perturbation
+    plants, same hyperplane tables, same banded candidate dedup, same
+    exact cosine scoring. Shared by the pair oracle and the
+    embedding_neardup_survivors closure oracle."""
     from graphical_context_extraction_pipeline_spark.operators.similarity import (
         EMB_DUP_PLANES,
         EMB_DUP_SEED,
@@ -610,8 +621,7 @@ def _emb_dups_oracle(min_cos_e4: int = 9000) -> str:
     )
 
     banded = _banded_sql(EMB_DUP_PLANES, EMB_DUP_TABLES, EMB_DUP_SEED, _emb_dim())
-    return f"""
-WITH corpus AS (
+    return f"""corpus AS (
   SELECT vec_id, embedding FROM embeddings
   UNION ALL
   SELECT vec_id + 600000 AS vec_id,
@@ -633,8 +643,31 @@ scored AS (SELECT c.vec_a, c.vec_b,
                   cast(floor(({_COS_SQL}) * 10000) AS bigint) AS cos_e4
            FROM cand c
            JOIN e ea ON ea.vec_id = c.vec_a
-           JOIN e eb ON eb.vec_id = c.vec_b)
+           JOIN e eb ON eb.vec_id = c.vec_b)"""
+
+
+def _emb_dups_oracle(min_cos_e4: int = 9000) -> str:
+    return f"""
+WITH {_emb_dups_chain()}
 SELECT vec_a, vec_b, cos_e4 FROM scored WHERE cos_e4 >= {min_cos_e4}
+"""
+
+
+def _emb_neardup_survivors_oracle(min_cos_e4: int = 9000) -> str:
+    """cluster.neardup_survivors over the embedding_cosine_dups pair graph:
+    the planted embedding corpus reduced to one canonical vector per
+    transitive near-dup component (recursive min-label walk, as the
+    text-modality neardup_survivors oracle)."""
+    return f"""
+WITH RECURSIVE {_emb_dups_chain()},
+np AS (SELECT vec_a AS doc_a, vec_b AS doc_b FROM scored WHERE cos_e4 >= {min_cos_e4}),
+{_CC_CHAIN}
+SELECT c.doc_id,
+       cast(coalesce(szs.n_members, 1) AS bigint) AS n_merged
+FROM (SELECT vec_id AS doc_id FROM corpus) c
+LEFT JOIN cc ON cc.doc_id = c.doc_id
+LEFT JOIN szs ON szs.component = cc.component
+WHERE cc.component IS NULL OR cc.component = c.doc_id
 """
 
 
@@ -1297,6 +1330,7 @@ FROM bl
     q["ann_topk_lsh"] = _ann_lsh_oracle(ids)
     q["ivf_topk"] = _ivf_oracle(ids)
     q["embedding_cosine_dups"] = _emb_dups_oracle()
+    q["embedding_neardup_survivors"] = _emb_neardup_survivors_oracle()
 
     q["cosine_topk"] = f"""
 WITH qv AS (SELECT vec_id AS query_id, cast(embedding AS DOUBLE[]) AS qv
