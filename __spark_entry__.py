@@ -157,6 +157,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         export as EX,
         media,
         relational as R,
+        sampling as SA,
         similarity,
         text_analysis as TA,
         validate as V,
@@ -257,6 +258,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": lambda s, d: TA.lang_id(_flat_docs(s, d)),
         "quality_score": lambda s, d: TA.quality_score(_flat_docs(s, d)),
         "fingerprint": lambda s, d: TA.fingerprint(_flat_docs(s, d)),
+        "repetition_stats": lambda s, d: TA.repetition_stats(_flat_docs(s, d)),
+        "vocab_topk": lambda s, d: TA.vocab_topk(_flat_docs(s, d), k=100),
+        # ---- training-data ops: deterministic sampling & batch prep ---------
+        "hash_split": lambda s, d: SA.hash_split(_flat_docs(s, d)),
+        "stratified_sample": lambda s, d: SA.stratified_sample(
+            _flat_docs(s, d), {"en": 2500, "es": 7500}, default_bp=5000
+        ),
+        "pack_sequences": lambda s, d: SA.pack_sequences(
+            _flat_docs(s, d), budget=512, n_buckets=8
+        ),
         # ---- similarity search ----------------------------------------------
         # ---- multimodal binary columns (decode behind deterministic fake) ----
         "media_features": lambda s, d: media.media_features_canonical(
@@ -1113,6 +1124,97 @@ SELECT doc_id,
        cast(len(list_filter(regexp_split_to_array(text, '[^A-Za-z0-9]+'), x -> x <> ''))
             + length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS bigint) AS n_pieces
 FROM documents
+"""
+
+    # Gopher-style repetition signals: duplicate-line counting and modal
+    # word-2-gram share, recomputed from scratch (line split, per-line
+    # occurrence counts, list-comprehension 2-grams) — mirrors
+    # text_analysis.repetition_stats definitions exactly
+    q["repetition_stats"] = f"""
+WITH ln AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split(text, chr(10)), l -> trim(l) <> '')) AS line
+  FROM documents),
+lc AS (SELECT doc_id, line, count(*) AS cnt FROM ln GROUP BY doc_id, line),
+la AS (SELECT doc_id, sum(cnt) AS n_lines, count(*) AS n_distinct_lines,
+              sum((cnt - 1) * length(line)) AS dup_chars,
+              sum(cnt * length(line)) AS line_chars
+       FROM lc GROUP BY doc_id),
+gr AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1])) AS gram
+  FROM (SELECT doc_id, {_TOKS} AS toks FROM documents) WHERE len(toks) >= 2),
+gc AS (SELECT doc_id, gram, count(*) AS cnt FROM gr GROUP BY doc_id, gram),
+ga AS (SELECT doc_id, max(cnt) AS top2gram_cnt, sum(cnt) AS n_2grams FROM gc GROUP BY doc_id)
+SELECT d.doc_id,
+       cast(coalesce(la.n_lines, 0) AS bigint) AS n_lines,
+       cast(coalesce(la.n_distinct_lines, 0) AS bigint) AS n_distinct_lines,
+       cast(floor((coalesce(la.n_lines, 0) - coalesce(la.n_distinct_lines, 0)) * 10000.0
+                  / greatest(coalesce(la.n_lines, 0), 1)) AS bigint) AS dup_line_frac_bp,
+       cast(floor(coalesce(la.dup_chars, 0) * 10000.0
+                  / greatest(coalesce(la.line_chars, 0), 1)) AS bigint) AS dup_line_char_frac_bp,
+       cast(coalesce(ga.top2gram_cnt, 0) AS bigint) AS top2gram_cnt,
+       cast(floor(coalesce(ga.top2gram_cnt, 0) * 10000.0
+                  / greatest(coalesce(ga.n_2grams, 0), 1)) AS bigint) AS top2gram_frac_bp
+FROM documents d
+LEFT JOIN la ON la.doc_id = d.doc_id
+LEFT JOIN ga ON ga.doc_id = d.doc_id
+"""
+
+    q["vocab_topk"] = f"""
+WITH tok AS (SELECT unnest({_TOKS}) AS token FROM documents),
+c AS (SELECT token, count(*) AS cnt FROM tok GROUP BY token)
+SELECT token, cast(cnt AS bigint) AS cnt,
+       cast(row_number() OVER (ORDER BY cnt DESC, token ASC) AS bigint) AS rank
+FROM c ORDER BY cnt DESC, token ASC LIMIT 100
+"""
+
+    def _bucket_sql(salt: str, mod: int) -> str:
+        return (
+            f"cast(('0x' || substr(md5('{salt}' || cast(doc_id AS varchar)), 1, 15))"
+            f" AS bigint) % {mod}"
+        )
+
+    q["hash_split"] = f"""
+WITH b AS (SELECT doc_id, {_bucket_sql('split:', 10000)} AS bucket FROM documents)
+SELECT doc_id, cast(bucket AS bigint) AS bucket,
+       CASE WHEN bucket < 9600 THEN 'train'
+            WHEN bucket < 9800 THEN 'val'
+            ELSE 'test' END AS split
+FROM b
+"""
+
+    q["stratified_sample"] = f"""
+WITH b AS (SELECT doc_id, lang, {_bucket_sql('sample:', 10000)} AS bucket,
+                  CASE WHEN lang = 'en' THEN 2500
+                       WHEN lang = 'es' THEN 7500
+                       ELSE 5000 END AS rate_bp
+           FROM documents)
+SELECT doc_id, lang, cast(bucket AS bigint) AS bucket FROM b WHERE bucket < rate_bp
+"""
+
+    # first-fit-sequential packing fold replayed as a recursive CTE: each
+    # bucket's rows advance rn -> rn+1 carrying (seq_idx, fill) — the exact
+    # reset-on-overflow rule of sampling.pack_sequences' grouped-map kernel
+    q["pack_sequences"] = f"""
+WITH RECURSIVE base AS (
+  SELECT doc_id, {_bucket_sql('pack:', 8)} AS bucket,
+         cast(len({_TOKS}) AS bigint) AS n_tokens
+  FROM documents),
+t AS (SELECT doc_id, bucket, n_tokens,
+             row_number() OVER (PARTITION BY bucket ORDER BY doc_id) AS rn
+      FROM base),
+walk AS (
+  SELECT bucket, rn, doc_id, n_tokens, cast(0 AS bigint) AS seq_idx, n_tokens AS fill
+  FROM t WHERE rn = 1
+  UNION ALL
+  SELECT t.bucket, t.rn, t.doc_id, t.n_tokens,
+         CASE WHEN w.fill + t.n_tokens > 512 THEN w.seq_idx + 1 ELSE w.seq_idx END,
+         CASE WHEN w.fill + t.n_tokens > 512 THEN t.n_tokens ELSE w.fill + t.n_tokens END
+  FROM walk w JOIN t ON t.bucket = w.bucket AND t.rn = w.rn + 1)
+SELECT doc_id, cast(bucket AS bigint) AS bucket, n_tokens, seq_idx,
+       cast(fill AS bigint) AS fill
+FROM walk
 """
 
     def hits(sw: list[str]) -> str:

@@ -159,3 +159,110 @@ def fingerprint(docs: DataFrame) -> DataFrame:
         rolling.alias("rolling_fp"),
         F.size(toks).cast("long").alias("n_tokens"),
     )
+
+
+def repetition_stats(docs: DataFrame) -> DataFrame:
+    """Gopher-style intra-document repetition signals (Rae et al. 2021,
+    "Scaling Language Models", Table A1): duplicate-line fraction,
+    duplicate-line CHARACTER fraction, and top word-2-gram fraction — the
+    standard repetition filters a training-data pipeline runs before dedup.
+
+    Definitions (mirrored exactly by the DuckDB oracle):
+      - lines = text split on '\\n', dropping lines that are empty after
+        trim (the kept line itself stays untrimmed; char counts use its
+        raw length);
+      - dup_line_frac = (n_lines - n_distinct_lines) / n_lines — every
+        occurrence beyond a line's first counts as a duplicate;
+      - dup_line_char_frac = sum((cnt-1)*len(line)) / sum(cnt*len(line));
+      - top2gram_frac = count of the modal word-2-gram / total 2-grams
+        (tokens lowercased, whitespace-split — same _tokens as token_stats).
+    Ratios are emitted as floor()ed basis points (bigint) for hash-stable
+    comparison; docs with no lines / fewer than two tokens emit 0.
+
+    Scale: two keyed aggregations — groupBy(doc_id, line) and
+    groupBy(doc_id, gram) — whose keys all embed doc_id, so hot lines or
+    hot grams never concentrate on one reducer across documents; partial
+    (map-side) aggregation bounds shuffle volume by the distinct-per-doc
+    count. The final doc-keyed joins are AQE-broadcastable at small SF and
+    co-partitioned on doc_id at scale. No Python anywhere.
+    """
+    lines = F.filter(F.split(F.col("text"), "\n"), lambda l: F.trim(l) != "")
+    per_line = (
+        docs.select("doc_id", F.explode(lines).alias("line"))
+        .groupBy("doc_id", "line")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    line_agg = per_line.groupBy("doc_id").agg(
+        F.sum("cnt").alias("n_lines"),
+        F.count(F.lit(1)).alias("n_distinct_lines"),
+        F.sum((F.col("cnt") - 1) * F.length("line")).alias("dup_chars"),
+        F.sum(F.col("cnt") * F.length("line")).alias("line_chars"),
+    )
+    grams = (
+        docs.select("doc_id", _tokens(F.col("text")).alias("toks"))
+        .where(F.size("toks") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(toks)-1),"
+                    " i -> concat(element_at(toks, i), ' ', element_at(toks, i+1)))"
+                )
+            ).alias("gram"),
+        )
+    )
+    gram_agg = (
+        grams.groupBy("doc_id", "gram")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .groupBy("doc_id")
+        .agg(F.max("cnt").alias("top2gram_cnt"), F.sum("cnt").alias("n_2grams"))
+    )
+
+    def _bp(num, den):
+        return F.floor(num * 10000.0 / F.greatest(den, F.lit(1))).cast("long")
+
+    z = F.lit(0).cast("long")
+    return (
+        docs.select("doc_id")
+        .join(line_agg, "doc_id", "left")
+        .join(gram_agg, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_lines", z).alias("n_lines"),
+            F.coalesce("n_distinct_lines", z).alias("n_distinct_lines"),
+            _bp(
+                F.coalesce("n_lines", z) - F.coalesce("n_distinct_lines", z),
+                F.coalesce("n_lines", z),
+            ).alias("dup_line_frac_bp"),
+            _bp(F.coalesce("dup_chars", z), F.coalesce("line_chars", z)).alias(
+                "dup_line_char_frac_bp"
+            ),
+            F.coalesce("top2gram_cnt", z).alias("top2gram_cnt"),
+            _bp(F.coalesce("top2gram_cnt", z), F.coalesce("n_2grams", z)).alias(
+                "top2gram_frac_bp"
+            ),
+        )
+    )
+
+
+def vocab_topk(docs: DataFrame, k: int = 100) -> DataFrame:
+    """Global token-frequency top-k (corpus vocabulary head): explode the
+    lowercased whitespace tokens, count per token, keep the k most frequent
+    with deterministic total order (count desc, token asc).
+
+    Scale: partial aggregation combines per-partition before the single
+    count shuffle; the top-k itself is TakeOrderedAndProject (per-partition
+    heaps merged on the driver — never a full global sort). The rank
+    window runs on k rows only.
+    """
+    from pyspark.sql import Window
+
+    counts = (
+        docs.select(F.explode(_tokens(F.col("text"))).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("token"))
+        .limit(k)
+    )
+    w = Window.orderBy(F.desc("cnt"), F.asc("token"))
+    return counts.select("token", "cnt", F.row_number().over(w).cast("long").alias("rank"))

@@ -1,0 +1,128 @@
+"""Unit tests for the batch-prep operators (sampling.py) and the
+repetition/vocab text-analysis additions — hand-built expectations plus
+structural properties the parity oracle can't express (bin capacity,
+split-coverage, determinism under repartitioning)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from graphical_context_extraction_pipeline_spark.operators import sampling as SA
+from graphical_context_extraction_pipeline_spark.operators import text_analysis as TA
+
+
+@pytest.fixture(scope="module")
+def flat_docs(spark):
+    rows = [
+        # doc 1: 3 lines, one duplicated; "a b" 2-gram repeats
+        (1, "a b a b c\nx y\nx y", "en"),
+        # doc 2: no repetition at all
+        (2, "the quick brown fox", "en"),
+        # doc 3: single line, whitespace-only second line dropped
+        (3, "hola mundo\n   \n", "es"),
+        # doc 4: empty text
+        (4, "", "fr"),
+        # doc 5: one long repeated token stream
+        (5, "z z z z z z", "en"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string, lang string")
+
+
+def test_repetition_stats_hand_values(flat_docs):
+    got = {r["doc_id"]: r.asDict() for r in TA.repetition_stats(flat_docs).collect()}
+    d1 = got[1]
+    # lines: ["a b a b c", "x y", "x y"] -> 3 lines, 2 distinct
+    assert d1["n_lines"] == 3 and d1["n_distinct_lines"] == 2
+    assert d1["dup_line_frac_bp"] == 3333  # floor(1/3 * 10000)
+    # dup chars = 1*len("x y")=3; total line chars = 9 + 3 + 3 = 15
+    assert d1["dup_line_char_frac_bp"] == 2000
+    # 2-grams of [a b a b c x y x y]: "a b" x2, "x y" x2 of 8 total
+    assert d1["top2gram_cnt"] == 2 and d1["top2gram_frac_bp"] == 2500
+    d2 = got[2]
+    assert d2["dup_line_frac_bp"] == 0 and d2["top2gram_cnt"] == 1
+    assert got[3]["n_lines"] == 1 and got[3]["n_distinct_lines"] == 1
+    d4 = got[4]
+    assert all(
+        d4[c] == 0
+        for c in (
+            "n_lines",
+            "n_distinct_lines",
+            "dup_line_frac_bp",
+            "dup_line_char_frac_bp",
+            "top2gram_cnt",
+            "top2gram_frac_bp",
+        )
+    )
+    # doc 5: "z z" appears 5 times out of 5 2-grams
+    assert got[5]["top2gram_cnt"] == 5 and got[5]["top2gram_frac_bp"] == 10000
+
+
+def test_vocab_topk_order_and_ties(flat_docs):
+    rows = TA.vocab_topk(flat_docs, k=3).collect()
+    assert [r["rank"] for r in rows] == [1, 2, 3]
+    # z:6 > a:2 = b:2 = "x":2 = "y":2 -> ties broken token-asc
+    assert rows[0]["token"] == "z" and rows[0]["cnt"] == 6
+    assert rows[1]["token"] == "a" and rows[2]["token"] == "b"
+
+
+def test_hash_split_covers_and_is_deterministic(flat_docs):
+    out1 = {r["doc_id"]: (r["bucket"], r["split"]) for r in SA.hash_split(flat_docs).collect()}
+    out2 = {
+        r["doc_id"]: (r["bucket"], r["split"])
+        for r in SA.hash_split(flat_docs.repartition(5)).collect()
+    }
+    assert out1 == out2 and set(out1) == {1, 2, 3, 4, 5}
+    for bucket, split in out1.values():
+        assert 0 <= bucket < 10000
+        assert split == ("train" if bucket < 9600 else "val" if bucket < 9800 else "test")
+
+
+def test_stratified_sample_respects_rates(flat_docs):
+    out = SA.stratified_sample(flat_docs, {"en": 10000, "es": 0}, default_bp=10000).collect()
+    langs = {r["doc_id"]: r["lang"] for r in out}
+    # es fully excluded, en + default(fr) fully kept
+    assert 3 not in langs
+    assert {1, 2, 4, 5} <= set(langs)
+
+
+def _assert_packing_invariants(rows, budget):
+    # every doc exactly once
+    ids = [r["doc_id"] for r in rows]
+    assert len(ids) == len(set(ids))
+    bins = {}
+    for r in rows:
+        bins.setdefault((r["bucket"], r["seq_idx"]), []).append(r)
+    for (_, _), members in bins.items():
+        total = sum(m["n_tokens"] for m in members)
+        # capacity respected unless the bin is a singleton oversize doc
+        assert total <= budget or (len(members) == 1 and members[0]["n_tokens"] > budget)
+    # seq_idx contiguous from 0 and non-decreasing in doc_id per bucket
+    by_bucket = {}
+    for r in sorted(rows, key=lambda r: (r["bucket"], r["doc_id"])):
+        by_bucket.setdefault(r["bucket"], []).append(r["seq_idx"])
+    for seqs in by_bucket.values():
+        assert seqs[0] == 0
+        assert all(b - a in (0, 1) for a, b in zip(seqs, seqs[1:]))
+
+
+def test_pack_sequences_invariants_and_oversize(spark):
+    rows = [(i, "tok " * (700 if i == 7 else 100 + (i % 5) * 40)) for i in range(1, 40)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = SA.pack_sequences(docs, budget=512, n_buckets=4).collect()
+    assert len(out) == 39
+    _assert_packing_invariants(out, 512)
+    oversize = [r for r in out if r["doc_id"] == 7]
+    assert oversize[0]["n_tokens"] == 700  # sits alone in its bin
+    assert oversize[0]["fill"] == 700
+
+
+def test_pack_sequences_deterministic_under_repartition(spark):
+    rows = [(i, "w " * (50 + i)) for i in range(1, 60)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    a = sorted(map(tuple, SA.pack_sequences(docs, 512, 4).collect()))
+    b = sorted(map(tuple, SA.pack_sequences(docs.repartition(7), 512, 4).collect()))
+    assert a == b
+
+
+def test_pack_sequences_empty(spark):
+    docs = spark.createDataFrame([], "doc_id long, text string")
+    assert SA.pack_sequences(docs).count() == 0
