@@ -179,69 +179,79 @@ def repetition_stats(docs: DataFrame) -> DataFrame:
     Ratios are emitted as floor()ed basis points (bigint) for hash-stable
     comparison; docs with no lines / fewer than two tokens emit 0.
 
-    Scale: two keyed aggregations — groupBy(doc_id, line) and
-    groupBy(doc_id, gram) — whose keys all embed doc_id, so hot lines or
-    hot grams never concentrate on one reducer across documents; partial
-    (map-side) aggregation bounds shuffle volume by the distinct-per-doc
-    count. The final doc-keyed joins are AQE-broadcastable at small SF and
-    co-partitioned on doc_id at scale. No Python anywhere.
+    Scale: everything is INTRA-ROW — both duplicate-line counting and the
+    modal 2-gram reduce to sorted-run detection over per-doc arrays
+    (array_sort + an aggregate() fold over adjacent-equal runs, the same
+    shape that took chrome_tokens from a groupBy to zero shuffle). One
+    corpus scan, zero exchanges, whole-stage codegen end to end; per-row
+    memory is O(doc length), the same bound the text column already
+    imposes. A naive explode → groupBy(doc_id, line/gram) formulation
+    costs 3 scans + 4 shuffles for identical output.
     """
     lines = F.filter(F.split(F.col("text"), "\n"), lambda l: F.trim(l) != "")
-    per_line = (
-        docs.select("doc_id", F.explode(lines).alias("line"))
-        .groupBy("doc_id", "line")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-    )
-    line_agg = per_line.groupBy("doc_id").agg(
-        F.sum("cnt").alias("n_lines"),
-        F.count(F.lit(1)).alias("n_distinct_lines"),
-        F.sum((F.col("cnt") - 1) * F.length("line")).alias("dup_chars"),
-        F.sum(F.col("cnt") * F.length("line")).alias("line_chars"),
-    )
-    grams = (
-        docs.select("doc_id", _tokens(F.col("text")).alias("toks"))
-        .where(F.size("toks") >= 2)
-        .select(
-            "doc_id",
-            F.explode(
-                F.expr(
-                    "transform(sequence(1, size(toks)-1),"
-                    " i -> concat(element_at(toks, i), ' ', element_at(toks, i+1)))"
-                )
-            ).alias("gram"),
+    base = docs.select(
+        "doc_id",
+        F.array_sort(lines).alias("sl"),
+        F.size(lines).cast("long").alias("n_lines"),
+        F.size(F.array_distinct(lines)).cast("long").alias("n_distinct_lines"),
+        _tokens(F.col("text")).alias("toks"),
+    ).select(
+        "doc_id",
+        "n_lines",
+        "n_distinct_lines",
+        # every element equal to its sorted predecessor is one surplus copy
+        F.when(
+            F.col("n_lines") >= 2,
+            F.expr(
+                "aggregate(sequence(2, size(sl)), 0L, (acc, i) ->"
+                " acc + IF(element_at(sl, i) = element_at(sl, i-1),"
+                " cast(length(element_at(sl, i)) AS long), 0L))"
+            ),
         )
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("dup_chars"),
+        F.expr("aggregate(sl, 0L, (acc, l) -> acc + length(l))")
+        .cast("long")
+        .alias("line_chars"),
+        F.expr(
+            "sort_array(CASE WHEN size(toks) >= 2 THEN"
+            " transform(sequence(1, size(toks)-1),"
+            " i -> concat(element_at(toks, i), ' ', element_at(toks, i+1)))"
+            " ELSE array() END)"
+        ).alias("sg"),
     )
-    gram_agg = (
-        grams.groupBy("doc_id", "gram")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-        .groupBy("doc_id")
-        .agg(F.max("cnt").alias("top2gram_cnt"), F.sum("cnt").alias("n_2grams"))
+
+    # longest adjacent-equal run in the sorted 2-gram array = modal count
+    top_run = (
+        F.when(
+            F.size("sg") >= 2,
+            F.expr(
+                "aggregate(sequence(2, size(sg)),"
+                " named_struct('best', 1L, 'cur', 1L),"
+                " (s, i) -> IF(element_at(sg, i) = element_at(sg, i-1),"
+                " named_struct('best', greatest(s.best, s.cur + 1L), 'cur', s.cur + 1L),"
+                " named_struct('best', s.best, 'cur', 1L)),"
+                " s -> s.best)"
+            ),
+        )
+        .otherwise(F.size("sg").cast("long"))
+        .cast("long")
     )
 
     def _bp(num, den):
         return F.floor(num * 10000.0 / F.greatest(den, F.lit(1))).cast("long")
 
-    z = F.lit(0).cast("long")
-    return (
-        docs.select("doc_id")
-        .join(line_agg, "doc_id", "left")
-        .join(gram_agg, "doc_id", "left")
-        .select(
-            "doc_id",
-            F.coalesce("n_lines", z).alias("n_lines"),
-            F.coalesce("n_distinct_lines", z).alias("n_distinct_lines"),
-            _bp(
-                F.coalesce("n_lines", z) - F.coalesce("n_distinct_lines", z),
-                F.coalesce("n_lines", z),
-            ).alias("dup_line_frac_bp"),
-            _bp(F.coalesce("dup_chars", z), F.coalesce("line_chars", z)).alias(
-                "dup_line_char_frac_bp"
-            ),
-            F.coalesce("top2gram_cnt", z).alias("top2gram_cnt"),
-            _bp(F.coalesce("top2gram_cnt", z), F.coalesce("n_2grams", z)).alias(
-                "top2gram_frac_bp"
-            ),
-        )
+    return base.select(
+        "doc_id",
+        "n_lines",
+        "n_distinct_lines",
+        _bp(F.col("n_lines") - F.col("n_distinct_lines"), F.col("n_lines")).alias(
+            "dup_line_frac_bp"
+        ),
+        _bp(F.col("dup_chars"), F.col("line_chars")).alias("dup_line_char_frac_bp"),
+        top_run.alias("top2gram_cnt"),
+        _bp(top_run, F.size("sg").cast("long")).alias("top2gram_frac_bp"),
     )
 
 
