@@ -84,6 +84,7 @@ def run_suite(cpus: int, sf_dir: str) -> dict:
         cluster as CL,
         dedup,
         relational as R,
+        sampling as SA,
         similarity,
         text_analysis as TA,
         validate as V,
@@ -125,6 +126,11 @@ def run_suite(cpus: int, sf_dir: str) -> dict:
         "validation_report": lambda: V.validation_report(docs, extract_documents(docs)).count(),
         # round 3: word-level span re-emission (zero-shuffle double explode)
         "word_spans": lambda: R.word_spans(docs).count(),
+        # round 3: batch-prep family — intra-row repetition signals
+        # (zero shuffle) and first-fit sequence packing (one bucket shuffle
+        # + grouped-map fold)
+        "repetition_stats": lambda: TA.repetition_stats(flat).count(),
+        "pack_sequences": lambda: SA.pack_sequences(flat, budget=512, n_buckets=cpus * 2).count(),
     }
     timings: dict[str, float] = {}
     extract_wall = None
