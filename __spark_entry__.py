@@ -240,6 +240,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "neardup_incr_survivors": lambda s, d: dedup.neardup_incremental_survivors(
             _planted_batch(_flat_docs(s, d)), _flat_docs(s, d)
         ),
+        # eval-set decontamination: eval = the planted-near source docs,
+        # train = the rest of the planted corpus (so each planted near-copy
+        # contaminates against its eval source)
+        "contamination_pairs": lambda s, d: dedup.contamination_pairs(
+            _planted_near(_flat_docs(s, d)).where(F.col("doc_id") % 70 != 3),
+            _flat_docs(s, d).where(F.col("doc_id") % 70 == 3),
+        ),
+        "decontaminate": lambda s, d: dedup.decontaminate(
+            _planted_near(_flat_docs(s, d)).where(F.col("doc_id") % 70 != 3),
+            _flat_docs(s, d).where(F.col("doc_id") % 70 == 3),
+        ),
         "simhash": lambda s, d: dedup.simhash(_flat_docs(s, d)),
         "simhash_near_pairs": lambda s, d: dedup.simhash_near_pairs(_planted_near(_flat_docs(s, d))),
         # ---- near-dup cluster resolution (pairs → transitive closure) -------
@@ -1041,6 +1052,34 @@ WHERE s.n_members > 1 AND a.doc_id <> s.hub)
     ngram_cte = f"{_CORPUS_NEAR},\n{ngram_chain}"
 
     q["ngram_jaccard_pairs"] = f"WITH {ngram_cte}\nSELECT * FROM np"
+
+    # eval-set decontamination: string 3-gram shingles recomputed from
+    # scratch (the engine joins on 64-bit shingle hashes — distinct-count
+    # equality up to negligible collisions, same protocol as the ngram
+    # oracle); eval = planted-near sources, train = rest of planted corpus
+    def _sh_sel(src: str, idcol: str) -> str:
+        return f"""SELECT doc_id AS {idcol}, unnest(list_distinct(
+         CASE WHEN len(toks) >= 3
+              THEN list_transform(generate_series(1, len(toks) - 2),
+                                  i -> array_to_string(list_slice(toks, i, i + 2), ' '))
+              ELSE []::VARCHAR[] END)) AS shingle
+       FROM (SELECT doc_id, {_TOKS} AS toks FROM {src})"""
+
+    contam_chain = f"""{_CORPUS_NEAR},
+ev AS (SELECT doc_id, text FROM documents WHERE doc_id % 70 = 3),
+tr AS (SELECT doc_id, text FROM corpus WHERE doc_id % 70 <> 3),
+tsh AS ({_sh_sel('tr', 'train_doc')}),
+esh AS ({_sh_sel('ev', 'eval_doc')}),
+cp AS (SELECT t.train_doc, e.eval_doc, cast(count(*) AS bigint) AS n_shared
+       FROM tsh t JOIN esh e USING (shingle)
+       GROUP BY 1, 2 HAVING count(*) >= 2)"""
+
+    q["contamination_pairs"] = f"WITH {contam_chain}\nSELECT * FROM cp"
+    q["decontaminate"] = f"""
+WITH {contam_chain}
+SELECT doc_id FROM tr
+WHERE doc_id NOT IN (SELECT train_doc FROM cp)
+"""
 
     cc_cte = f"{ngram_cte},\n{_CC_CHAIN}"
 

@@ -619,3 +619,50 @@ def simhash_near_pairs(
     return cand.select("doc_a", "doc_b", hamming.alias("hamming")).where(
         hamming <= max_hamming
     )
+
+
+def contamination_pairs(
+    train: DataFrame, eval_docs: DataFrame, n: int = 3, min_shared: int = 2
+) -> DataFrame:
+    """Eval-set contamination scan: (train_doc, eval_doc, n_shared) for every
+    training document sharing ≥ ``min_shared`` distinct word-n-grams with a
+    benchmark/eval document — the decontamination pass an LLM training
+    pipeline runs so test sets don't leak into training data (GPT-3 appx C /
+    PaLM-style n-gram overlap; production uses n = 8–13, the knob is free).
+
+    Scale shape: the eval side is a benchmark suite — thousands of docs
+    against a 100 TB train corpus — so its exploded shingle relation is
+    broadcast and the train side is ONE scan feeding a map-side hash join;
+    the only shuffle is the (train_doc, eval_doc) count aggregation, whose
+    cardinality is bounded by the answer itself. No collect_list buffers:
+    a stop-phrase shingle inflates join output only linearly in its
+    train-side occurrences (cf. the quadratic bucket expansion the pair
+    dedup operators must cap).
+    """
+    t_sh = train.select(
+        F.col("doc_id").alias("train_doc"),
+        F.explode(_hashed_shingles(F.col("text"), n)).alias("shingle"),
+    )
+    e_sh = eval_docs.select(
+        F.col("doc_id").alias("eval_doc"),
+        F.explode(_hashed_shingles(F.col("text"), n)).alias("shingle"),
+    )
+    return (
+        t_sh.join(F.broadcast(e_sh), "shingle")
+        .groupBy("train_doc", "eval_doc")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
+        .where(F.col("n_shared") >= min_shared)
+    )
+
+
+def decontaminate(
+    train: DataFrame, eval_docs: DataFrame, n: int = 3, min_shared: int = 2
+) -> DataFrame:
+    """Training corpus with contaminated docs removed: train docs that hit
+    NO eval doc at the ``contamination_pairs`` threshold. One extra
+    doc_id-keyed LEFT ANTI join (the contaminated id set is small — AQE
+    broadcasts it) over the pairs plan."""
+    bad = contamination_pairs(train, eval_docs, n, min_shared).select(
+        F.col("train_doc").alias("doc_id")
+    ).distinct()
+    return train.select("doc_id").join(bad, "doc_id", "left_anti")

@@ -126,3 +126,28 @@ def test_pack_sequences_deterministic_under_repartition(spark):
 def test_pack_sequences_empty(spark):
     docs = spark.createDataFrame([], "doc_id long, text string")
     assert SA.pack_sequences(docs).count() == 0
+
+
+def test_contamination_and_decontaminate(spark):
+    from graphical_context_extraction_pipeline_spark.operators import dedup
+
+    eval_docs = spark.createDataFrame(
+        [(900, "the capital of france is paris obviously")],
+        "doc_id long, text string",
+    )
+    train = spark.createDataFrame(
+        [
+            # verbatim leak of the eval doc inside a longer train doc
+            (1, "prefix words here the capital of france is paris obviously suffix"),
+            # shares only one 3-gram ("capital of france") -> below min_shared=2
+            (2, "the grand capital of france has museums and parks and cafes"),
+            # clean
+            (3, "completely unrelated text about spark physical plans"),
+        ],
+        "doc_id long, text string",
+    )
+    pairs = dedup.contamination_pairs(train, eval_docs, n=3, min_shared=2).collect()
+    assert {(r["train_doc"], r["eval_doc"]) for r in pairs} == {(1, 900)}
+    assert pairs[0]["n_shared"] >= 5
+    survivors = {r["doc_id"] for r in dedup.decontaminate(train, eval_docs).collect()}
+    assert survivors == {2, 3}
