@@ -194,3 +194,46 @@ def test_word_spans_scan_prunes_to_needed_fields(spark, docs_path):
     assert "words:array" in schemas, schemas
     for absent in ("bbox", "confidence", "scene_id"):
         assert absent not in schemas, (absent, schemas)
+
+
+def test_repetition_stats_is_shuffle_free(spark):
+    """Repetition signals are intra-row sorted-run folds: one scan, zero
+    Exchange nodes (the explode+groupBy formulation costs 3 scans + 4
+    shuffles for identical output)."""
+    from graphical_context_extraction_pipeline_spark.operators import text_analysis as TA
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    rep = TA.repetition_stats(docs)
+    assert count_exchanges(rep) == 0, physical_plan(rep)
+    plan = physical_plan(rep)
+    assert plan.count("Scan parquet") <= 2, plan  # one scan (+detail echo)
+
+
+def test_hash_split_and_sample_are_shuffle_free(spark):
+    from graphical_context_extraction_pipeline_spark.operators import sampling as SA
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    for df in (SA.hash_split(docs), SA.stratified_sample(docs, {"en": 5000})):
+        assert count_exchanges(df) == 0, physical_plan(df)
+
+
+def test_pack_sequences_single_bucket_shuffle(spark):
+    from graphical_context_extraction_pipeline_spark.operators import sampling as SA
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    packed = SA.pack_sequences(docs, budget=512, n_buckets=4)
+    assert count_exchanges(packed) == 1, physical_plan(packed)
+
+
+def test_contamination_broadcasts_eval_side(spark):
+    """The benchmark/eval shingle relation must reach the join as a
+    broadcast — the 100 TB train side is never shuffled for the join; the
+    only Exchange is the pair-count aggregation."""
+    from graphical_context_extraction_pipeline_spark.operators import dedup
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    ev = docs.where(F.col("doc_id") % 50 == 0)
+    pairs = dedup.contamination_pairs(docs, ev)
+    assert has_broadcast_join(pairs), physical_plan(pairs)
+    assert not has_sort_merge_join(pairs), physical_plan(pairs)
+    assert count_exchanges(pairs) == 1, physical_plan(pairs)
