@@ -23,6 +23,7 @@ Spark-first design notes (scale rationale, SURVEY.md §7):
 
 from __future__ import annotations
 
+from functools import lru_cache
 from typing import Iterator
 
 import numpy as np
@@ -66,7 +67,10 @@ CHUNK_COLUMNS = [
 # support subscript access, used directly in the hot loop
 
 
+@lru_cache(maxsize=65536)
 def _frame_number(path: str) -> int:
+    # cached: every OCR block on a frame re-asks for the same path (~30×
+    # per frame), and worker processes are long-lived
     stem = path.rsplit("/", 1)[-1]
     digits = "".join(c for c in stem if c.isdigit())
     return int(digits) if digits else -1
