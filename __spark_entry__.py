@@ -119,6 +119,31 @@ def _planted_batch(docs: DataFrame) -> DataFrame:
     return dups.unionAll(fresh).unionAll(fresh_dup)
 
 
+def _planted_pii(docs: DataFrame) -> DataFrame:
+    """Plant deterministic PII (an email, an IPv4, a phone) into every 7th
+    doc's text — the synthetic corpus carries none, so the scrub operator
+    would otherwise be checked only on all-zero rows. Mirrored verbatim in
+    the oracle SQL."""
+    plant = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com via 10.0."),
+        (F.col("doc_id") % 200).cast("string"),
+        F.lit(".7 or +1-555-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+    )
+    return docs.withColumn(
+        "text", F.when(F.col("doc_id") % 7 == 0, plant).otherwise(F.col("text"))
+    )
+
+
+# target mixture for the mixture_sample query: src0 is the limiting source
+# (highest weight per available doc), so T = (25·10000) div 4000 at sf0.01
+# and every acceptance rate is a non-trivial integer below 10000
+_MIXTURE_WEIGHTS = {"src0": 4000, "src1": 2500, "src2": 2000, "src3": 1000, "src4": 500}
+
+
 def _planted_emb(emb: DataFrame) -> DataFrame:
     """Embedding near-dup plants: float32-perturbed copies of every 40th
     vector (+0.02 / +0.05 per component, exact float32 arithmetic that the
@@ -271,6 +296,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint": lambda s, d: TA.fingerprint(_flat_docs(s, d)),
         "repetition_stats": lambda s, d: TA.repetition_stats(_flat_docs(s, d)),
         "vocab_topk": lambda s, d: TA.vocab_topk(_flat_docs(s, d), k=100),
+        "corpus_stats": lambda s, d: TA.corpus_stats(_flat_docs(s, d)),
         # ---- training-data ops: deterministic sampling & batch prep ---------
         "hash_split": lambda s, d: SA.hash_split(_flat_docs(s, d)),
         "stratified_sample": lambda s, d: SA.stratified_sample(
@@ -279,6 +305,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_sequences": lambda s, d: SA.pack_sequences(
             _flat_docs(s, d), budget=512, n_buckets=8
         ),
+        "mixture_sample": lambda s, d: SA.mixture_sample(
+            _flat_docs(s, d), _MIXTURE_WEIGHTS
+        ),
+        "select_token_budget": lambda s, d: SA.select_token_budget(
+            _flat_docs(s, d), budget=12000
+        ),
+        "pii_scrub": lambda s, d: TA.pii_scrub(_planted_pii(_flat_docs(s, d))),
         # ---- similarity search ----------------------------------------------
         # ---- multimodal binary columns (decode behind deterministic fake) ----
         "media_features": lambda s, d: media.media_features_canonical(
@@ -1200,6 +1233,21 @@ LEFT JOIN la ON la.doc_id = d.doc_id
 LEFT JOIN ga ON ga.doc_id = d.doc_id
 """
 
+    # exact percentile_disc with the same (n_tokens, doc_id) total order
+    q["corpus_stats"] = f"""
+WITH tok AS (SELECT doc_id, source, cast(len({_TOKS}) AS bigint) AS n_tokens FROM documents),
+r AS (SELECT source, n_tokens,
+             row_number() OVER (PARTITION BY source ORDER BY n_tokens, doc_id) AS rn,
+             count(*) OVER (PARTITION BY source) AS cnt
+      FROM tok)
+SELECT source, cast(count(*) AS bigint) AS n_docs,
+       cast(sum(n_tokens) AS bigint) AS total_tokens,
+       cast(max(CASE WHEN rn = (5000 * (cnt - 1)) // 10000 + 1 THEN n_tokens END) AS bigint) AS p50_tokens,
+       cast(max(CASE WHEN rn = (9000 * (cnt - 1)) // 10000 + 1 THEN n_tokens END) AS bigint) AS p90_tokens,
+       cast(max(CASE WHEN rn = (9900 * (cnt - 1)) // 10000 + 1 THEN n_tokens END) AS bigint) AS p99_tokens
+FROM r GROUP BY source
+"""
+
     q["vocab_topk"] = f"""
 WITH tok AS (SELECT unnest({_TOKS}) AS token FROM documents),
 c AS (SELECT token, count(*) AS cnt FROM tok GROUP BY token)
@@ -1260,7 +1308,12 @@ FROM walk
         lst = ", ".join(f"'{w}'" for w in sw)
         return f"cast(len(list_filter({_TOKS}, x -> list_contains([{lst}], x))) AS bigint)"
 
-    from graphical_context_extraction_pipeline_spark.operators.text_analysis import LANG_STOPWORDS
+    from graphical_context_extraction_pipeline_spark.operators.text_analysis import (
+        LANG_STOPWORDS,
+        PII_EMAIL,
+        PII_IPV4,
+        PII_PHONE,
+    )
 
     he, hs_, hf, hd = (hits(LANG_STOPWORDS[lang]) for lang in ["en", "es", "fr", "de"])
     q["lang_id"] = f"""
@@ -1292,6 +1345,75 @@ SELECT doc_id, n_chars, n_tokens,
         AND floor(n_punct * 10000.0 / greatest(n_chars, 1)) < 1500
         AND floor(n_stop * 10000.0 / greatest(n_tokens, 1)) > 0) AS passes_quality
 FROM t
+"""
+
+    # greedy quality-first selection under a global token budget: the oracle
+    # computes the NAIVE single-ordering window cumsum; the engine's
+    # two-phase (bucket offsets + per-bucket running sums) must equal it
+    # row-for-row
+    q["select_token_budget"] = f"""
+WITH t AS (SELECT doc_id,
+                  cast(length(text) AS bigint) AS n_chars,
+                  cast(len({_TOKS}) AS bigint) AS n_tokens,
+                  cast(length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')) AS bigint) AS n_punct,
+                  {en_hits} AS n_stop
+           FROM documents),
+s AS (SELECT doc_id, n_tokens,
+             cast(floor(n_stop * 10000.0 / greatest(n_tokens, 1)) AS bigint) AS stopword_bp,
+             (n_chars >= 64 AND n_tokens >= 12
+              AND floor(n_punct * 10000.0 / greatest(n_chars, 1)) < 1500
+              AND floor(n_stop * 10000.0 / greatest(n_tokens, 1)) > 0) AS passes_quality
+      FROM t),
+c AS (SELECT doc_id, passes_quality, stopword_bp, n_tokens,
+             sum(n_tokens) OVER (ORDER BY passes_quality DESC, stopword_bp DESC, doc_id
+                                 ROWS UNBOUNDED PRECEDING) AS cum_tokens
+      FROM s)
+SELECT doc_id, passes_quality, stopword_bp, n_tokens,
+       cast(cum_tokens AS bigint) AS cum_tokens
+FROM c WHERE cum_tokens <= 12000
+"""
+
+    # mixture resampling: limiting-source feasible total + per-source md5
+    # acceptance, all integer arithmetic (same div semantics both engines)
+    _wcase = " ".join(
+        f"WHEN '{s}' THEN {bp}" for s, bp in sorted(_MIXTURE_WEIGHTS.items())
+    )
+    q["mixture_sample"] = f"""
+WITH c AS (SELECT source, cast(count(*) AS bigint) AS cnt,
+                  cast(CASE source {_wcase} ELSE 0 END AS bigint) AS w_bp
+           FROM documents GROUP BY source),
+cw AS (SELECT * FROM c WHERE w_bp > 0),
+t AS (SELECT min((cnt * 10000) // w_bp) AS t_total FROM cw),
+a AS (SELECT source, least(10000, (t.t_total * w_bp) // cnt) AS accept_bp FROM cw, t)
+SELECT d.doc_id, d.source,
+       cast({_bucket_sql('mix:', 10000)} AS bigint) AS bucket,
+       cast(a.accept_bp AS bigint) AS accept_bp
+FROM documents d JOIN a ON a.source = d.source
+WHERE {_bucket_sql('mix:', 10000)} < a.accept_bp
+"""
+
+    # PII scrub: staged replace (emails, then phones, then IPs) replayed in
+    # the same order; patterns live in the Java-regex ∩ RE2 portable subset
+    q["pii_scrub"] = f"""
+WITH pdocs AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 7 = 0 THEN text || ' contact user' || cast(doc_id AS varchar)
+                   || '@example.com via 10.0.' || cast(doc_id % 200 AS varchar)
+                   || '.7 or +1-555-' || lpad(cast(doc_id % 10000 AS varchar), 4, '0')
+              ELSE text END AS text
+  FROM documents),
+e AS (SELECT doc_id,
+             cast(len(regexp_extract_all(text, '{PII_EMAIL}')) AS bigint) AS n_emails,
+             regexp_replace(text, '{PII_EMAIL}', '<EMAIL>', 'g') AS t
+      FROM pdocs),
+p AS (SELECT doc_id, n_emails,
+             cast(len(regexp_extract_all(t, '{PII_PHONE}')) AS bigint) AS n_phones,
+             regexp_replace(t, '{PII_PHONE}', '<PHONE>', 'g') AS t
+      FROM e)
+SELECT doc_id, n_emails, n_phones,
+       cast(len(regexp_extract_all(t, '{PII_IPV4}')) AS bigint) AS n_ipv4,
+       regexp_replace(t, '{PII_IPV4}', '<IP>', 'g') AS clean_text
+FROM p
 """
 
     # end-to-end curation verdicts: quality gate -> exact dedup -> ngram

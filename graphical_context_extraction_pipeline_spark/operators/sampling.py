@@ -74,6 +74,90 @@ def stratified_sample(
     )
 
 
+def mixture_sample(docs: DataFrame, weights_bp: dict[str, int]) -> DataFrame:
+    """Resample the corpus to a target per-source mixture (weights in basis
+    points, e.g. {"web": 5000, "code": 3000, "wiki": 2000}): the largest
+    deterministic subsample whose expected composition matches the target.
+
+    The feasible total is set by the LIMITING source — T = min over weighted
+    sources of (count_s · 10000) div w_bp_s — and each source keeps
+    accept_bp_s = (T · w_bp_s) div count_s ≤ 10000 of its docs by md5
+    bucket (salt 'mix:'), so membership is reproducible and stable across
+    runs. Sources with no weight (or absent from `weights_bp`) are dropped.
+    Integer-only arithmetic: T·w_bp ≤ 10^16 even at the 10^12-doc contract
+    scale, two orders of magnitude inside int64.
+
+    Scale: per-source counts are one partial-aggregated shuffle collapsing
+    to ≤|sources| rows; the acceptance table (|sources| rows) broadcasts
+    back, so the corpus itself is scanned once and never shuffled."""
+    wcol = F.lit(0).cast("long")
+    for src, bp in sorted(weights_bp.items()):
+        wcol = F.when(F.col("source") == src, F.lit(bp).cast("long")).otherwise(wcol)
+    counts = (
+        docs.groupBy("source")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        .select("source", "cnt", wcol.alias("w_bp"))
+        .where(F.col("w_bp") > 0)
+    )
+    total = counts.agg(F.min(F.expr("(cnt * 10000) div w_bp")).alias("t_total"))
+    accept = counts.crossJoin(F.broadcast(total)).select(
+        "source",
+        F.least(F.lit(10000).cast("long"), F.expr("(t_total * w_bp) div cnt")).alias(
+            "accept_bp"
+        ),
+    )
+    b = hash_bucket(F.col("doc_id"), "mix:", 10000)
+    return (
+        docs.join(F.broadcast(accept), "source")
+        .select("doc_id", "source", b.alias("bucket"), "accept_bp")
+        .where(F.col("bucket") < F.col("accept_bp"))
+    )
+
+
+def select_token_budget(docs: DataFrame, budget: int) -> DataFrame:
+    """Greedy quality-first corpus selection under a global token budget:
+    visit docs in (passes_quality desc, stopword_bp desc, doc_id asc) order
+    and keep each doc whose inclusive cumulative token count stays ≤
+    `budget` — the standard "best docs until the budget runs out" cut.
+
+    The global prefix sum is computed WITHOUT a global sort: the ordering
+    key's leading components (passes_quality, stopword_bp) become a coarse
+    bucket, per-bucket token totals (≤ 2·10001 rows) get their running
+    offsets on the aggregated side, and each doc adds a WITHIN-bucket
+    running sum partitioned by its bucket. Because the bucket IS the prefix
+    of the sort key and the intra-bucket order (doc_id) is its suffix, the
+    two-phase sum equals the single-ordering cumsum exactly — the DuckDB
+    oracle computes the naive global window and must match row-for-row.
+
+    Scale: one corpus shuffle (the per-bucket window); the only unbounded
+    window orders the KB-scale bucket relation. A bucket heavy in one
+    stopword_bp value sorts externally (spills, not OOMs)."""
+    from pyspark.sql import Window
+
+    from .text_analysis import quality_score
+
+    q = quality_score(docs).select(
+        "doc_id", "n_tokens", "stopword_bp", F.col("passes_quality").cast("int").alias("pq")
+    )
+    bucket_tot = q.groupBy("pq", "stopword_bp").agg(F.sum("n_tokens").alias("btok"))
+    wb = Window.orderBy(F.desc("pq"), F.desc("stopword_bp"))
+    offsets = bucket_tot.select(
+        "pq", "stopword_bp", (F.sum("btok").over(wb) - F.col("btok")).alias("offset")
+    )
+    ww = Window.partitionBy("pq", "stopword_bp").orderBy("doc_id")
+    return (
+        q.join(F.broadcast(offsets), ["pq", "stopword_bp"])
+        .select(
+            "doc_id",
+            F.col("pq").cast("boolean").alias("passes_quality"),
+            "stopword_bp",
+            "n_tokens",
+            (F.col("offset") + F.sum("n_tokens").over(ww)).cast("long").alias("cum_tokens"),
+        )
+        .where(F.col("cum_tokens") <= budget)
+    )
+
+
 def pack_sequences(docs: DataFrame, budget: int = 512, n_buckets: int = 8) -> DataFrame:
     """Greedy first-fit-sequential sequence packing: assign docs to fixed
     token-budget training sequences (bins). Docs are dealt to `n_buckets`

@@ -276,3 +276,79 @@ def vocab_topk(docs: DataFrame, k: int = 100) -> DataFrame:
     )
     w = Window.orderBy(F.desc("cnt"), F.asc("token"))
     return counts.select("token", "cnt", F.row_number().over(w).cast("long").alias("rank"))
+
+
+# PII patterns written in the portable subset shared by Java regex (Spark)
+# and RE2 (DuckDB): character classes, bounded repetition, \b — no
+# lookarounds, no backreferences, so both engines match identical spans.
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_PHONE = r"\+[0-9]{1,3}-[0-9]{3}-[0-9]{4}"
+PII_IPV4 = r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"
+
+
+def pii_scrub(docs: DataFrame) -> DataFrame:
+    """PII detection + redaction: count and mask emails, phone numbers, and
+    IPv4 literals, emitting per-doc counts and the scrubbed text — the
+    privacy pass a training-data pipeline runs before packaging.
+
+    Replacement order is part of the spec (emails first — their domains
+    would otherwise be visible to the looser patterns; then phones; then
+    IPs over the email-free text). Patterns use the Java-regex ∩ RE2
+    portable subset so the DuckDB oracle reproduces every span; masks are
+    literal tokens (<EMAIL>/<PHONE>/<IP>) with no regex metacharacters.
+
+    Scale: one narrow projection — regexp_count/replace are JVM codegen'd,
+    zero shuffle, and the scan only reads (doc_id, text)."""
+    after_email = F.regexp_replace("text", PII_EMAIL, "<EMAIL>")
+    after_phone = F.regexp_replace(after_email, F.lit(PII_PHONE), F.lit("<PHONE>"))
+    return docs.select(
+        "doc_id",
+        F.regexp_count("text", F.lit(PII_EMAIL)).cast("long").alias("n_emails"),
+        F.regexp_count(after_email, F.lit(PII_PHONE)).cast("long").alias("n_phones"),
+        F.regexp_count(after_phone, F.lit(PII_IPV4)).cast("long").alias("n_ipv4"),
+        F.regexp_replace(after_phone, F.lit(PII_IPV4), F.lit("<IP>")).alias("clean_text"),
+    )
+
+
+def corpus_stats(docs: DataFrame) -> DataFrame:
+    """Per-source corpus profile: doc count, total token mass, and EXACT
+    discrete token-count percentiles (p50/p90/p99 = the value at sorted
+    index floor(q·(n−1)), percentile_disc semantics with (n_tokens, doc_id)
+    total order so ties break deterministically).
+
+    Scale: one shuffle on `source` feeding both the window rank and the
+    grouped rollup; the within-source sort is Spark's external
+    (spill-capable) sort, so a dominant source degrades to disk, not OOM.
+    At 100 TB the cheap alternative is approx_percentile (t-digest sketch,
+    map-side mergeable, no sort) — this operator keeps the exact form
+    because sketches are not bit-reproducible across engines; swap in
+    approx_percentile when profiling, not gating.
+    """
+    from pyspark.sql import Window
+
+    tok = docs.select(
+        "doc_id", "source", F.size(_tokens(F.col("text"))).cast("long").alias("n_tokens")
+    )
+    w = Window.partitionBy("source").orderBy("n_tokens", "doc_id")
+    ws = Window.partitionBy("source")
+    r = tok.select(
+        "source",
+        "n_tokens",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(ws).alias("cnt"),
+    )
+
+    def _pick(q_bp: int):
+        # integer arithmetic only: floor(q·(n−1)) as (q_bp·(n−1)) div 10000
+        # — double 0.99·(n−1) floors one low when the product is an exact
+        # integer, and the DuckDB oracle's DECIMAL literal would not
+        idx = F.expr(f"({q_bp} * (cnt - 1)) div 10000") + 1
+        return F.max(F.when(F.col("rn") == idx, F.col("n_tokens"))).cast("long")
+
+    return r.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("total_tokens"),
+        _pick(5000).alias("p50_tokens"),
+        _pick(9000).alias("p90_tokens"),
+        _pick(9900).alias("p99_tokens"),
+    )

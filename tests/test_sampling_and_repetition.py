@@ -151,3 +151,87 @@ def test_contamination_and_decontaminate(spark):
     assert pairs[0]["n_shared"] >= 5
     survivors = {r["doc_id"] for r in dedup.decontaminate(train, eval_docs).collect()}
     assert survivors == {2, 3}
+
+
+def test_mixture_sample_limiting_source(spark):
+    # a: 10 docs, b: 40 docs, c: unweighted -> dropped.
+    # equal weights make a the limiting source: T = (10*10000)//5000 = 20,
+    # accept(a) = (20*5000)//10 = 10000 (keep all), accept(b) = 2500.
+    rows = [(i, "a") for i in range(10)]
+    rows += [(100 + i, "b") for i in range(40)]
+    rows += [(500 + i, "c") for i in range(5)]
+    docs = spark.createDataFrame(rows, "doc_id long, source string")
+    out = SA.mixture_sample(docs, {"a": 5000, "b": 5000}).collect()
+    by_src = {}
+    for r in out:
+        by_src.setdefault(r["source"], []).append(r)
+    assert "c" not in by_src
+    assert len(by_src["a"]) == 10  # accept_bp 10000 keeps every a-doc
+    assert {r["accept_bp"] for r in by_src["a"]} == {10000}
+    assert {r["accept_bp"] for r in by_src["b"]} == {2500}
+    assert all(r["bucket"] < 2500 for r in by_src["b"])
+    # membership is hash-deterministic: repartitioning changes nothing
+    again = SA.mixture_sample(docs.repartition(7), {"a": 5000, "b": 5000}).collect()
+    assert sorted(r["doc_id"] for r in again) == sorted(r["doc_id"] for r in out)
+
+
+def test_select_token_budget_matches_naive_greedy(spark):
+    # mixed passing/failing docs with distinct stopword ratios; the
+    # two-phase engine selection must equal the naive Python greedy walk
+    passing = "the quick brown fox jumps over the lazy dog and runs far away today"
+    rows = [(i, passing + " word" * (i % 5), "en") for i in range(1, 9)]
+    rows += [(20 + i, "tiny text", "en") for i in range(4)]  # fails the gate
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    budget = 60
+    q = {
+        r["doc_id"]: r.asDict()
+        for r in TA.quality_score(docs).collect()
+    }
+    order = sorted(
+        q.values(),
+        key=lambda r: (-int(r["passes_quality"]), -r["stopword_bp"], r["doc_id"]),
+    )
+    expected, cum = {}, 0
+    for r in order:
+        cum += r["n_tokens"]
+        if cum > budget:
+            break
+        expected[r["doc_id"]] = cum
+    got = {r["doc_id"]: r["cum_tokens"] for r in SA.select_token_budget(docs, budget).collect()}
+    assert got == expected and expected  # non-trivial selection
+
+
+def test_pii_scrub_hand_values(spark):
+    rows = [
+        (1, "write to bob@x.io or +44-123-4567; server 192.168.0.1 says hi bob@x.io"),
+        # the IP-looking octets sit inside an email domain: the email pass
+        # consumes them first, so n_ipv4 must be 0 (replacement order is spec)
+        (2, "mail a@10.0.0.1info.com please"),
+        (3, "no pii here at all"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r.asDict() for r in TA.pii_scrub(docs).collect()}
+    d1 = got[1]
+    assert (d1["n_emails"], d1["n_phones"], d1["n_ipv4"]) == (2, 1, 1)
+    assert (
+        d1["clean_text"]
+        == "write to <EMAIL> or <PHONE>; server <IP> says hi <EMAIL>"
+    )
+    d2 = got[2]
+    assert (d2["n_emails"], d2["n_ipv4"]) == (1, 0)
+    assert got[3]["clean_text"] == "no pii here at all"
+    assert (got[3]["n_emails"], got[3]["n_phones"], got[3]["n_ipv4"]) == (0, 0, 0)
+
+
+def test_corpus_stats_exact_percentiles(spark):
+    # source "a": token counts 1..11 -> p50 = idx floor(.5*10)+1 = 6th = 6,
+    # p90 = floor(9)+1 = 10th = 10, p99 = floor(9.9)+1 = 10th = 10
+    rows = [(i, "t " * i, "a") for i in range(1, 12)]
+    rows += [(100, "x y z", "b")]  # singleton source: all percentiles = 3
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    got = {r["source"]: r.asDict() for r in TA.corpus_stats(docs).collect()}
+    a = got["a"]
+    assert (a["n_docs"], a["total_tokens"]) == (11, 66)
+    assert (a["p50_tokens"], a["p90_tokens"], a["p99_tokens"]) == (6, 10, 10)
+    b = got["b"]
+    assert (b["n_docs"], b["p50_tokens"], b["p99_tokens"]) == (1, 3, 3)
