@@ -138,6 +138,27 @@ def _planted_pii(docs: DataFrame) -> DataFrame:
     )
 
 
+def _mutated_corpus(docs: DataFrame) -> DataFrame:
+    """Deterministic 'next snapshot' for the corpus_diff query: drop every
+    doc with doc_id % 17 == 3, append a revision marker where % 13 == 0,
+    and add fresh docs (doc_id + 1_000_000) for % 23 == 0. Mirrored
+    verbatim in the oracle SQL."""
+    base = docs.select("doc_id", "text")
+    kept = base.where(F.col("doc_id") % 17 != 3).select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 13 == 0, F.concat(F.col("text"), F.lit(" [rev2]"))
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    added = base.where(F.col("doc_id") % 23 == 0).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        F.concat(F.lit("new doc "), F.col("text")).alias("text"),
+    )
+    return kept.unionByName(added)
+
+
 # target mixture for the mixture_sample query: src0 is the limiting source
 # (highest weight per available doc), so T = (25·10000) div 4000 at sf0.01
 # and every acceptance rate is a non-trivial integer below 10000
@@ -177,6 +198,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from graphical_context_extraction_pipeline_spark.operators import (
         boilerplate as BP,
         cluster as CL,
+        corpus as CO,
         curate as CU,
         dedup,
         export as EX,
@@ -312,6 +334,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _flat_docs(s, d), budget=12000
         ),
         "pii_scrub": lambda s, d: TA.pii_scrub(_planted_pii(_flat_docs(s, d))),
+        # ---- corpus management: passage dup scan, snapshot diff, profile ----
+        "duplicate_passages": lambda s, d: dedup.duplicate_passages(_flat_docs(s, d)),
+        "corpus_diff": lambda s, d: CO.corpus_diff(
+            _flat_docs(s, d), _mutated_corpus(_flat_docs(s, d))
+        ),
+        "length_histogram": lambda s, d: CO.length_histogram(_flat_docs(s, d)),
         # ---- similarity search ----------------------------------------------
         # ---- multimodal binary columns (decode behind deterministic fake) ----
         "media_features": lambda s, d: media.media_features_canonical(
@@ -1414,6 +1442,48 @@ SELECT doc_id, n_emails, n_phones,
        cast(len(regexp_extract_all(t, '{PII_IPV4}')) AS bigint) AS n_ipv4,
        regexp_replace(t, '{PII_IPV4}', '<IP>', 'g') AS clean_text
 FROM p
+"""
+
+    # passage-level dup scan: 8-gram strings via list comprehension over
+    # 1-based inclusive slices (toks[i:i+7] = tokens i..i+7)
+    q["duplicate_passages"] = f"""
+WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+p AS (SELECT doc_id, unnest(list_distinct(CASE WHEN len(toks) >= 8
+        THEN [array_to_string(toks[i:i+7], ' ') FOR i IN range(1, len(toks) - 6)]
+        ELSE []::varchar[] END)) AS passage FROM t)
+SELECT passage, cast(count(*) AS bigint) AS n_docs,
+       cast(min(doc_id) AS bigint) AS example_doc_id
+FROM p GROUP BY passage HAVING count(*) >= 2
+"""
+
+    # snapshot diff vs the deterministically mutated corpus (_mutated_corpus)
+    q["corpus_diff"] = """
+WITH newsnap AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 13 = 0 THEN text || ' [rev2]' ELSE text END AS text
+  FROM documents WHERE doc_id % 17 <> 3
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, 'new doc ' || text AS text
+  FROM documents WHERE doc_id % 23 = 0),
+o AS (SELECT doc_id, md5(coalesce(text, '')) AS h_old FROM documents),
+n AS (SELECT doc_id, md5(coalesce(text, '')) AS h_new FROM newsnap),
+j AS (SELECT cast(coalesce(o.doc_id, n.doc_id) AS bigint) AS doc_id,
+             CASE WHEN o.doc_id IS NULL THEN 'added'
+                  WHEN n.doc_id IS NULL THEN 'removed'
+                  WHEN h_old <> h_new THEN 'changed'
+                  ELSE 'unchanged' END AS status
+      FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id)
+SELECT doc_id, status FROM j WHERE status <> 'unchanged'
+"""
+
+    # log2 length histogram: integer bit length via length(bin(n+1)) — no
+    # floating-point log on either engine
+    q["length_histogram"] = f"""
+WITH t AS (SELECT source, cast(len({_TOKS}) AS bigint) AS n_tokens FROM documents)
+SELECT source, cast(length(bin(n_tokens + 1)) AS bigint) AS bucket,
+       cast(count(*) AS bigint) AS n_docs,
+       cast(sum(n_tokens) AS bigint) AS total_tokens
+FROM t GROUP BY source, length(bin(n_tokens + 1))
 """
 
     # end-to-end curation verdicts: quality gate -> exact dedup -> ngram

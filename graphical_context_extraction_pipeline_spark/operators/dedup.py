@@ -666,3 +666,55 @@ def decontaminate(
         F.col("train_doc").alias("doc_id")
     ).distinct()
     return train.select("doc_id").join(bad, "doc_id", "left_anti")
+
+
+def _string_shingles(col, n: int):
+    """Distinct space-joined word n-grams as STRINGS (the human-readable
+    counterpart of ``_hashed_shingles``): consecutive-token concat via the
+    same shifted-slice ``zip_with`` fold, no per-index element_at."""
+
+    def fold(ts):
+        m = F.size(ts) - (n - 1)
+        acc = F.zip_with(
+            F.slice(ts, 1, m), F.slice(ts, 2, m), lambda x, y: F.concat(x, F.lit(" "), y)
+        )
+        for k in range(2, n):
+            acc = F.zip_with(acc, F.slice(ts, k + 1, m), lambda x, y: F.concat(x, F.lit(" "), y))
+        return acc
+
+    return _bind(
+        _tokens(col),
+        lambda ts: F.when(F.size(ts) >= n, F.array_distinct(fold(ts))).otherwise(
+            F.array().cast("array<string>")
+        ),
+    )
+
+
+def duplicate_passages(docs: DataFrame, n: int = 8, min_docs: int = 2) -> DataFrame:
+    """Passage-level duplication scan: every word ``n``-gram that appears in
+    ≥ ``min_docs`` DISTINCT documents, with its document frequency and the
+    smallest containing doc_id — the sub-document signal behind
+    "deduplicating training data" passage removal (doc-level pair dedup
+    misses a boilerplate paragraph shared by otherwise-unrelated pages).
+
+    Each doc contributes each of its distinct passages once (array_distinct
+    before explode), so count(*) per passage IS the document frequency —
+    a plain partial-aggregated count, no collect_list, no per-key buffer:
+    a passage in 10^7 docs costs exactly one combiner cell per map task.
+
+    Scale: one shuffle keyed by the passage string. At 100 TB, shuffle the
+    8-byte ``_hashed_shingles`` key instead and drop the text column (the
+    hash is the removal key; Jaccard-of-hashes ≡ Jaccard-of-strings up to
+    2^-64 collisions) — the string form is kept here because the passage
+    text is the useful survey output and the oracle replays it verbatim."""
+    p = docs.select(
+        "doc_id", F.explode(_string_shingles(F.col("text"), n)).alias("passage")
+    )
+    return (
+        p.groupBy("passage")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.min("doc_id").cast("long").alias("example_doc_id"),
+        )
+        .where(F.col("n_docs") >= min_docs)
+    )

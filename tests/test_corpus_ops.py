@@ -1,0 +1,69 @@
+"""Hand-value tests for the corpus-management operators: passage-level
+duplicate scan, snapshot diff, and the log2 length histogram."""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from graphical_context_extraction_pipeline_spark.operators import corpus as CO
+from graphical_context_extraction_pipeline_spark.operators import dedup
+
+
+def test_duplicate_passages_hand_values(spark):
+    shared = "alpha beta gamma delta"  # the 4-gram shared by docs 1..3
+    rows = [
+        (1, f"intro {shared} one tail"),
+        (2, f"other lead {shared} two"),
+        (3, f"{shared} opener here now"),
+        (4, "completely different text with nothing shared"),
+        # repeats of the passage WITHIN one doc count once (array_distinct)
+        (5, f"{shared} and again {shared}"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["passage"]: r.asDict() for r in
+           dedup.duplicate_passages(docs, n=4, min_docs=2).collect()}
+    assert shared in out
+    assert out[shared]["n_docs"] == 4  # docs 1,2,3,5 — doc 5 once
+    assert out[shared]["example_doc_id"] == 1
+    # no passage from doc 4 survives, and sub-passages shared by only the
+    # same 4 docs are also reported (e.g. "beta gamma delta" extensions) —
+    # but nothing with n_docs < 2
+    assert all(r["n_docs"] >= 2 for r in out.values())
+
+
+def test_duplicate_passages_short_docs(spark):
+    # docs shorter than n contribute nothing and do not crash the fold
+    docs = spark.createDataFrame(
+        [(1, "one two"), (2, "one two"), (3, "")], "doc_id long, text string"
+    )
+    assert dedup.duplicate_passages(docs, n=4).count() == 0
+    # at n=2 the shared bigram is found
+    out = dedup.duplicate_passages(docs, n=2).collect()
+    assert [(r["passage"], r["n_docs"]) for r in out] == [("one two", 2)]
+
+
+def test_corpus_diff_statuses(spark):
+    old = spark.createDataFrame(
+        [(1, "same"), (2, "will change"), (3, "will vanish")],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [(1, "same"), (2, "changed!"), (4, "brand new")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r["status"] for r in CO.corpus_diff(old, new).collect()}
+    assert got == {2: "changed", 3: "removed", 4: "added"}  # doc 1 filtered
+
+
+def test_length_histogram_buckets(spark):
+    # n_tokens 0 -> bucket 1; 1 -> 2; 2,3 -> 2..? bit_length(n+1):
+    # 0->1, 1->2, 3->3, 7->3? bin(8)=1000 len 4. Check concrete values.
+    rows = [(1, "", "a"), (2, "t", "a"), (3, "t t t", "a"), (4, "t t t t t t t", "a")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    got = {r["bucket"]: r.asDict() for r in CO.length_histogram(docs).collect()}
+    # doc1: n=0 -> bin(1)='1' -> bucket 1; doc2: n=1 -> bin(2)='10' -> 2
+    # doc3: n=3 -> bin(4)='100' -> 3; doc4: n=7 -> bin(8)='1000' -> 4
+    assert set(got) == {1, 2, 3, 4}
+    assert got[3]["n_docs"] == 1 and got[3]["total_tokens"] == 3
+    assert got[4]["total_tokens"] == 7
