@@ -237,3 +237,96 @@ def test_contamination_broadcasts_eval_side(spark):
     assert has_broadcast_join(pairs), physical_plan(pairs)
     assert not has_sort_merge_join(pairs), physical_plan(pairs)
     assert count_exchanges(pairs) == 1, physical_plan(pairs)
+
+
+def test_pii_scrub_shuffle_free_and_pruned(spark):
+    """PII scrub is one narrow codegen projection: zero Exchanges, and the
+    scan reads only (doc_id, text)."""
+    from graphical_context_extraction_pipeline_spark.operators import text_analysis as TA
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    out = TA.pii_scrub(docs)
+    assert count_exchanges(out) == 0, physical_plan(out)
+    assert set(read_schema_columns(out)) <= {"doc_id", "text"}, physical_plan(out)
+
+
+def test_mixture_sample_corpus_side_not_shuffled(spark):
+    """The corpus is scanned once and joined to the broadcast acceptance
+    table — every Exchange in the plan belongs to the tiny per-source count
+    aggregation (same count as the counts relation alone), never the corpus."""
+    from graphical_context_extraction_pipeline_spark.operators import sampling as SA
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    out = SA.mixture_sample(docs, {"src0": 5000, "src1": 5000})
+    counts_only = docs.groupBy("source").agg(F.count(F.lit(1)).alias("cnt"))
+    assert has_broadcast_join(out), physical_plan(out)
+    assert not has_sort_merge_join(out), physical_plan(out)
+    # corpus-side join input must not add shuffles beyond the dimension aggs
+    assert count_exchanges(out) <= 2 * count_exchanges(counts_only) + 1, physical_plan(out)
+
+
+def test_select_token_budget_no_global_sort_of_corpus(spark):
+    """The two-phase prefix sum must not contain a global (non-partitioned)
+    sort of the doc relation: the only Window.orderBy-without-partition
+    runs over the aggregated bucket relation. Detect via Exchange
+    SinglePartition feeding a Sort of the FULL corpus: the plan is allowed
+    one rangepartitioning/SinglePartition exchange only on the aggregated
+    side (which follows a HashAggregate)."""
+    from graphical_context_extraction_pipeline_spark.operators import sampling as SA
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    out = SA.select_token_budget(docs, budget=10_000)
+    plan = physical_plan(out)
+    # doc-side window is partitioned by bucket -> a hashpartitioning
+    # exchange must exist; exactly one SinglePartition exchange (bucket
+    # offsets) is tolerated
+    assert plan.count("SinglePartition") <= 1, plan
+    assert "hashpartitioning(pq" in plan or "hashpartitioning(" in plan, plan
+
+
+def test_duplicate_passages_single_shuffle_no_collect(spark):
+    """Passage DF counting is one partial-aggregated groupBy: a single
+    Exchange and no collect_list buffers anywhere in the plan."""
+    from graphical_context_extraction_pipeline_spark.operators import dedup
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    out = dedup.duplicate_passages(docs)
+    plan = physical_plan(out)
+    assert count_exchanges(out) == 1, plan
+    assert "collect_list" not in plan, plan
+    assert "partial_count" in plan or "HashAggregate" in plan, plan
+
+
+def test_corpus_diff_shuffles_hashes_not_text(spark):
+    """Both sides reduce to (doc_id, md5) before the full-outer join: the
+    join inputs' exchanges carry no `text` column."""
+    from graphical_context_extraction_pipeline_spark.operators import corpus as CO
+
+    old = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    new = old.withColumn("text", F.concat(F.col("text"), F.lit("x")))
+    out = CO.corpus_diff(old, new)
+    plan = physical_plan(out)
+    # md5 projected below the exchange: no raw text reference above scans
+    for line in plan.splitlines():
+        if "Exchange" in line:
+            assert "text" not in line, plan
+
+
+def test_length_histogram_single_shuffle_pruned(spark):
+    from graphical_context_extraction_pipeline_spark.operators import corpus as CO
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    out = CO.length_histogram(docs)
+    assert count_exchanges(out) == 1, physical_plan(out)
+    assert set(read_schema_columns(out)) <= {"source", "text"}, physical_plan(out)
+
+
+def test_corpus_stats_single_shuffle(spark):
+    """Window rank + rollup share one hashpartitioning(source) exchange."""
+    from graphical_context_extraction_pipeline_spark.operators import text_analysis as TA
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    out = TA.corpus_stats(docs)
+    plan = physical_plan(out)
+    assert count_exchanges(out) <= 2, plan  # window partition + final agg reuse
+    assert "SinglePartition" not in plan, plan
