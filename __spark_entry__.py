@@ -66,6 +66,10 @@ def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
 
 
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: extraction pipeline (spans → enriched chunks) at sf0.001."""
     from graphical_context_extraction_pipeline_spark.operators.extract import extract_documents
@@ -201,6 +205,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         corpus as CO,
         curate as CU,
         dedup,
+        events as EV,
         export as EX,
         media,
         relational as R,
@@ -340,6 +345,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _flat_docs(s, d), _mutated_corpus(_flat_docs(s, d))
         ),
         "length_histogram": lambda s, d: CO.length_histogram(_flat_docs(s, d)),
+        # ---- event-stream batch analytics (ordered/interleaved shapes) ------
+        "sessionize": lambda s, d: EV.sessionize(_events(s, d)),
+        "funnel_steps": lambda s, d: EV.funnel(_events(s, d)),
+        "event_rollup": lambda s, d: EV.event_rollup(_events(s, d)),
         # ---- similarity search ----------------------------------------------
         # ---- multimodal binary columns (decode behind deterministic fake) ----
         "media_features": lambda s, d: media.media_features_canonical(
@@ -1484,6 +1493,60 @@ SELECT source, cast(length(bin(n_tokens + 1)) AS bigint) AS bucket,
        cast(count(*) AS bigint) AS n_docs,
        cast(sum(n_tokens) AS bigint) AS total_tokens
 FROM t GROUP BY source, length(bin(n_tokens + 1))
+"""
+
+    # gap-based sessionization: same (ts_ms, event_id) total order, same
+    # 30-min cutoff; epoch_ms(ts) ≡ Spark unix_millis on post-epoch instants
+    q["sessionize"] = """
+WITH e AS (SELECT user_id, event_id, epoch_ms(ts) AS ts_ms FROM events),
+f AS (SELECT user_id, event_id, ts_ms,
+             CASE WHEN lag(ts_ms) OVER (PARTITION BY user_id ORDER BY ts_ms, event_id) IS NULL
+                       OR ts_ms - lag(ts_ms) OVER (PARTITION BY user_id ORDER BY ts_ms, event_id) > 1800000
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM e),
+s AS (SELECT user_id, ts_ms,
+             sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts_ms, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS session_idx
+      FROM f)
+SELECT cast(user_id AS bigint) AS user_id, cast(session_idx AS bigint) AS session_idx,
+       cast(count(*) AS bigint) AS n_events,
+       cast(min(ts_ms) AS bigint) AS start_ms, cast(max(ts_ms) AS bigint) AS end_ms,
+       cast(max(ts_ms) - min(ts_ms) AS bigint) AS duration_ms
+FROM s GROUP BY user_id, session_idx
+"""
+
+    # first-touch ordered funnel: step k needs first(step k) strictly after
+    # first(step k-1), chained
+    q["funnel_steps"] = """
+WITH fs AS (SELECT user_id,
+                   min(CASE WHEN event_type = 'view' THEN epoch_ms(ts) END) AS t0,
+                   min(CASE WHEN event_type = 'click' THEN epoch_ms(ts) END) AS t1,
+                   min(CASE WHEN event_type = 'purchase' THEN epoch_ms(ts) END) AS t2
+            FROM events GROUP BY user_id),
+fl AS (SELECT (t0 IS NOT NULL) AS c0,
+              (t0 IS NOT NULL AND t1 IS NOT NULL AND t1 > t0) AS c1,
+              (t0 IS NOT NULL AND t1 IS NOT NULL AND t1 > t0
+               AND t2 IS NOT NULL AND t2 > t1) AS c2
+       FROM fs),
+t AS (SELECT sum(CASE WHEN c0 THEN 1 ELSE 0 END) AS s0,
+             sum(CASE WHEN c1 THEN 1 ELSE 0 END) AS s1,
+             sum(CASE WHEN c2 THEN 1 ELSE 0 END) AS s2
+      FROM fl)
+SELECT 'view' AS step, cast(0 AS bigint) AS step_idx, cast(s0 AS bigint) AS n_users FROM t
+UNION ALL
+SELECT 'click' AS step, cast(1 AS bigint) AS step_idx, cast(s1 AS bigint) AS n_users FROM t
+UNION ALL
+SELECT 'purchase' AS step, cast(2 AS bigint) AS step_idx, cast(s2 AS bigint) AS n_users FROM t
+"""
+
+    # tumbling hourly rollup: integer epoch-ms div (no float quotient);
+    # values floored to e2 per event so both engines sum integers
+    q["event_rollup"] = """
+SELECT cast((epoch_ms(ts) // 3600000) * 3600000 AS bigint) AS window_start_ms,
+       event_type,
+       cast(count(*) AS bigint) AS n_events,
+       cast(sum(cast(floor(value * 100) AS bigint)) AS bigint) AS sum_value_e2
+FROM events GROUP BY 1, 2
 """
 
     # end-to-end curation verdicts: quality gate -> exact dedup -> ngram

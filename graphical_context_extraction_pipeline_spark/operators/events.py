@@ -1,0 +1,119 @@
+"""Event-stream batch analytics over the `events` table
+(event_id, ts, user_id, event_type, value, props): gap-based
+sessionization, ordered funnels, and tumbling rollups — the
+ordered/interleaved batch shapes that complement `streaming/windowed.py`'s
+event-time operators.
+
+Timestamps travel as epoch milliseconds (bigint) end-to-end, derived with
+``timestampdiff`` from a TIMESTAMP_NTZ epoch literal: the column is
+TIMESTAMP_NTZ (naive), and ``unix_millis(cast(ts as timestamp))`` would
+re-interpret it through the SESSION timezone — a silent shift on any
+non-UTC driver — while the NTZ-to-NTZ diff is timezone-free and matches
+DuckDB ``epoch_ms`` exactly. Event ordering is always (ts_ms, event_id) —
+event_id breaks same-millisecond ties deterministically.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+SESSION_GAP_MS = 30 * 60 * 1000  # classic 30-minute inactivity cutoff
+
+# timezone-independent epoch ms for TIMESTAMP_NTZ columns (see module doc)
+_TS_MS = "timestampdiff(MILLISECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+
+
+def sessionize(events: DataFrame, gap_ms: int = SESSION_GAP_MS) -> DataFrame:
+    """Gap-based sessionization: within each user's (ts, event_id)-ordered
+    stream, an event opens a new session when it is the user's first or
+    arrives more than ``gap_ms`` after the previous event. Emits one row
+    per session: ordinal, event count, start/end epoch-ms, duration.
+
+    Scale: ONE event-stream shuffle — the hashpartitioning(user_id) window
+    exchange (within-user ordering is Spark's external spill-capable sort,
+    so a bot user with 10^8 events degrades to disk, not OOM). The session
+    rollup's second exchange moves only map-side partially-aggregated
+    session rows: every (user, session) group is COMPLETE inside one
+    window partition, so partial aggregation collapses it to its final row
+    before the exchange — the shuffle carries the answer, not the events."""
+    w = Window.partitionBy("user_id").orderBy("ts_ms", "event_id")
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    e = events.select(
+        "user_id", "event_id", F.expr(_TS_MS).alias("ts_ms")
+    )
+    prev = F.lag("ts_ms").over(w)
+    flagged = e.select(
+        "user_id",
+        "ts_ms",
+        "event_id",
+        F.when(prev.isNull() | (F.col("ts_ms") - prev > gap_ms), 1)
+        .otherwise(0)
+        .alias("new_sess"),
+    )
+    sess = flagged.select(
+        "user_id", "ts_ms", F.sum("new_sess").over(run).alias("session_idx")
+    )
+    return sess.groupBy("user_id", "session_idx").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.min("ts_ms").cast("long").alias("start_ms"),
+        F.max("ts_ms").cast("long").alias("end_ms"),
+        (F.max("ts_ms") - F.min("ts_ms")).cast("long").alias("duration_ms"),
+    ).withColumn("session_idx", F.col("session_idx").cast("long"))
+
+
+def funnel(events: DataFrame, steps: tuple[str, ...] = ("view", "click", "purchase")) -> DataFrame:
+    """Ordered-funnel conversion counts: a user completes step k when their
+    FIRST occurrence of step k's event type comes strictly after their
+    first occurrence of step k-1 (first-touch chain — the deterministic
+    textbook definition; completing step k requires completing every
+    earlier step). Emits (step, step_idx, n_users).
+
+    Scale: one shuffle — the per-user conditional-min aggregation (partial
+    map-side, k cells per user); the final count collapses to k rows."""
+    firsts = events.groupBy("user_id").agg(
+        *[
+            F.min(F.when(F.col("event_type") == s, F.expr(_TS_MS))).alias(f"t{i}")
+            for i, s in enumerate(steps)
+        ]
+    )
+    conds = []
+    for i in range(len(steps)):
+        c = F.col(f"t{i}").isNotNull()
+        if i > 0:
+            c = c & conds[i - 1] & (F.col(f"t{i}") > F.col(f"t{i-1}"))
+        conds.append(c)
+    flags = firsts.select(
+        *[c.cast("long").alias(f"c{i}") for i, c in enumerate(conds)]
+    )
+    tot = flags.agg(*[F.sum(f"c{i}").alias(f"s{i}") for i in range(len(steps))])
+    stack_args = ", ".join(
+        f"'{s}', cast({i} as bigint), cast(s{i} as bigint)" for i, s in enumerate(steps)
+    )
+    return tot.selectExpr(
+        f"stack({len(steps)}, {stack_args}) as (step, step_idx, n_users)"
+    )
+
+
+def event_rollup(events: DataFrame, window_ms: int = 3600 * 1000) -> DataFrame:
+    """Tumbling time-window rollup per event type — the batch twin of the
+    streaming watermark+window aggregation (`streaming/windowed.py`):
+    (window_start_ms, event_type) → event count and value mass. Values are
+    floored to e2 fixed-point PER EVENT before summing, so both engines sum
+    integers and the result is order-independent (a float sum is neither).
+
+    Scale: narrow projection + one partial-aggregated groupBy; cardinality
+    is windows × types, independent of event volume."""
+    # integer div, not floor(double/double): epoch-ms values sit near 2^41
+    # where a double quotient can land an exact multiple at x.999…
+    e = events.select(
+        (F.expr(f"({_TS_MS}) div {int(window_ms)}") * window_ms)
+        .cast("long")
+        .alias("window_start_ms"),
+        "event_type",
+        F.floor(F.col("value") * 100).cast("long").alias("value_e2"),
+    )
+    return e.groupBy("window_start_ms", "event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.sum("value_e2").cast("long").alias("sum_value_e2"),
+    )

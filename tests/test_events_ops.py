@@ -1,0 +1,92 @@
+"""Hand-value tests for the event-stream batch analytics: gap
+sessionization, ordered funnel, tumbling rollup."""
+
+import datetime as dt
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import types as T
+
+from graphical_context_extraction_pipeline_spark.operators import events as EV
+
+_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.TimestampNTZType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+    ]
+)
+
+
+def _ts(minutes: float):
+    return dt.datetime(2024, 1, 1) + dt.timedelta(minutes=minutes)
+
+
+def _events(spark, rows):
+    return spark.createDataFrame(rows, _SCHEMA)
+
+
+def test_sessionize_gap_split(spark):
+    # user 1: events at t=0, 10, 20 (one session), then 60 (new session:
+    # 40 min > 30 min gap), 70; user 2: single event
+    rows = [
+        (1, _ts(0), 1, "view", 1.0),
+        (2, _ts(10), 1, "click", 1.0),
+        (3, _ts(20), 1, "view", 1.0),
+        (4, _ts(60), 1, "view", 1.0),
+        (5, _ts(70), 1, "purchase", 1.0),
+        (6, _ts(5), 2, "view", 1.0),
+    ]
+    out = {(r["user_id"], r["session_idx"]): r.asDict()
+           for r in EV.sessionize(_events(spark, rows)).collect()}
+    assert set(out) == {(1, 1), (1, 2), (2, 1)}
+    s1 = out[(1, 1)]
+    assert s1["n_events"] == 3 and s1["duration_ms"] == 20 * 60000
+    s2 = out[(1, 2)]
+    assert s2["n_events"] == 2 and s2["start_ms"] - s1["end_ms"] == 40 * 60000
+    assert out[(2, 1)]["n_events"] == 1 and out[(2, 1)]["duration_ms"] == 0
+
+
+def test_sessionize_exact_gap_not_split(spark):
+    # a gap of EXACTLY gap_ms stays in the same session (break is strict >)
+    rows = [(1, _ts(0), 1, "view", 1.0), (2, _ts(30), 1, "view", 1.0)]
+    out = EV.sessionize(_events(spark, rows)).collect()
+    assert len(out) == 1 and out[0]["n_events"] == 2
+
+
+def test_funnel_ordering_is_strict(spark):
+    # user 1: view->click->purchase in order (completes all)
+    # user 2: click before view (first click precedes first view -> stops at view)
+    # user 3: view only
+    rows = [
+        (1, _ts(0), 1, "view", 1.0),
+        (2, _ts(1), 1, "click", 1.0),
+        (3, _ts(2), 1, "purchase", 1.0),
+        (4, _ts(0), 2, "click", 1.0),
+        (5, _ts(1), 2, "view", 1.0),
+        (6, _ts(2), 2, "purchase", 1.0),
+        (7, _ts(0), 3, "view", 1.0),
+    ]
+    got = {r["step"]: r["n_users"] for r in EV.funnel(_events(spark, rows)).collect()}
+    assert got == {"view": 3, "click": 1, "purchase": 1}
+
+
+def test_event_rollup_hourly(spark):
+    rows = [
+        (1, _ts(0), 1, "view", 1.25),
+        (2, _ts(59), 1, "view", 2.00),
+        (3, _ts(60), 1, "view", 4.00),  # next hour bucket
+        (4, _ts(61), 1, "click", 8.00),
+    ]
+    out = {(r["window_start_ms"], r["event_type"]): r.asDict()
+           for r in EV.event_rollup(_events(spark, rows)).collect()}
+    h0 = dt.datetime(2024, 1, 1).timestamp()  # local tz! use known epoch instead
+    base = 1704067200000  # 2024-01-01T00:00:00Z in epoch ms (NTZ treated as UTC)
+    assert out[(base, "view")]["n_events"] == 2
+    assert out[(base, "view")]["sum_value_e2"] == 125 + 200
+    assert out[(base + 3600000, "view")]["n_events"] == 1
+    assert out[(base + 3600000, "click")]["sum_value_e2"] == 800

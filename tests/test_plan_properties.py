@@ -330,3 +330,26 @@ def test_corpus_stats_single_shuffle(spark):
     plan = physical_plan(out)
     assert count_exchanges(out) <= 2, plan  # window partition + final agg reuse
     assert "SinglePartition" not in plan, plan
+
+
+def test_sessionize_single_event_shuffle(spark):
+    """One hashpartitioning(user_id) exchange moves events; the rollup's
+    exchange carries only partially-aggregated session rows (HashAggregate
+    below it). No SinglePartition anywhere."""
+    from graphical_context_extraction_pipeline_spark.operators import events as EV
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    out = EV.sessionize(ev)
+    plan = physical_plan(out)
+    assert "SinglePartition" not in plan, plan
+    assert count_exchanges(out) <= 2, plan
+    assert "hashpartitioning(user_id" in plan, plan
+
+
+def test_event_rollup_single_shuffle_pruned(spark):
+    from graphical_context_extraction_pipeline_spark.operators import events as EV
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    out = EV.event_rollup(ev)
+    assert count_exchanges(out) == 1, physical_plan(out)
+    assert set(read_schema_columns(out)) <= {"ts", "event_type", "value"}, physical_plan(out)
