@@ -349,6 +349,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize": lambda s, d: EV.sessionize(_events(s, d)),
         "funnel_steps": lambda s, d: EV.funnel(_events(s, d)),
         "event_rollup": lambda s, d: EV.event_rollup(_events(s, d)),
+        "retention_cohorts": lambda s, d: EV.retention_cohorts(_events(s, d)),
         # ---- similarity search ----------------------------------------------
         # ---- multimodal binary columns (decode behind deterministic fake) ----
         "media_features": lambda s, d: media.media_features_canonical(
@@ -1537,6 +1538,19 @@ UNION ALL
 SELECT 'click' AS step, cast(1 AS bigint) AS step_idx, cast(s1 AS bigint) AS n_users FROM t
 UNION ALL
 SELECT 'purchase' AS step, cast(2 AS bigint) AS step_idx, cast(s2 AS bigint) AS n_users FROM t
+"""
+
+    # weekly retention matrix: same integer epoch-week ids, distinct-first
+    # user counting
+    q["retention_cohorts"] = """
+WITH e AS (SELECT user_id, epoch_ms(ts) // 604800000 AS week FROM events),
+f AS (SELECT user_id, min(week) AS cohort_week FROM e GROUP BY user_id),
+d AS (SELECT DISTINCT f.cohort_week, e.week - f.cohort_week AS week_offset, e.user_id
+      FROM e JOIN f USING (user_id))
+SELECT cast(cohort_week AS bigint) AS cohort_week,
+       cast(week_offset AS bigint) AS week_offset,
+       cast(count(*) AS bigint) AS n_users
+FROM d GROUP BY cohort_week, week_offset
 """
 
     # tumbling hourly rollup: integer epoch-ms div (no float quotient);

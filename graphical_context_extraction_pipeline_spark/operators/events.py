@@ -95,6 +95,35 @@ def funnel(events: DataFrame, steps: tuple[str, ...] = ("view", "click", "purcha
     )
 
 
+def retention_cohorts(events: DataFrame, week_ms: int = 7 * 86400 * 1000) -> DataFrame:
+    """Weekly retention matrix: cohort = the epoch-week of a user's FIRST
+    event; cell (cohort_week, week_offset) counts the distinct cohort
+    users active ``week_offset`` weeks later — offset 0 is the cohort size,
+    and the decay along each row is the retention curve.
+
+    Scale: the first-event aggregation and the events↔firsts join are both
+    keyed on user_id (co-partitioned; AQE broadcasts the firsts side when
+    the user dimension is small). Distinct-user counting dedups on
+    (cohort, offset, user) FIRST — partial map-side, cardinality bounded by
+    users × active weeks — so no count-distinct state ever exceeds the
+    dedup'd relation. Week ids use integer epoch-ms division (NTZ-safe)."""
+    e = events.select(
+        "user_id", F.expr(f"({_TS_MS}) div {int(week_ms)}").cast("long").alias("week")
+    )
+    firsts = e.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
+    return (
+        e.join(firsts, "user_id")
+        .select(
+            "cohort_week",
+            (F.col("week") - F.col("cohort_week")).cast("long").alias("week_offset"),
+            "user_id",
+        )
+        .distinct()
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_users"))
+    )
+
+
 def event_rollup(events: DataFrame, window_ms: int = 3600 * 1000) -> DataFrame:
     """Tumbling time-window rollup per event type — the batch twin of the
     streaming watermark+window aggregation (`streaming/windowed.py`):

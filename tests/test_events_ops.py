@@ -84,9 +84,32 @@ def test_event_rollup_hourly(spark):
     ]
     out = {(r["window_start_ms"], r["event_type"]): r.asDict()
            for r in EV.event_rollup(_events(spark, rows)).collect()}
-    h0 = dt.datetime(2024, 1, 1).timestamp()  # local tz! use known epoch instead
     base = 1704067200000  # 2024-01-01T00:00:00Z in epoch ms (NTZ treated as UTC)
     assert out[(base, "view")]["n_events"] == 2
     assert out[(base, "view")]["sum_value_e2"] == 125 + 200
     assert out[(base + 3600000, "view")]["n_events"] == 1
     assert out[(base + 3600000, "click")]["sum_value_e2"] == 800
+
+
+def test_retention_cohorts_hand_values(spark):
+    wk = 7 * 86400 * 1000
+    base = dt.datetime(1970, 1, 1)
+
+    def at_week(w, minute):
+        return base + dt.timedelta(milliseconds=w * wk, minutes=minute)
+
+    # user 1: first event week 0, active weeks 0,1,3
+    # user 2: first event week 0, active week 0 only (two events same week)
+    # user 3: first event week 1, active weeks 1,2
+    rows = [
+        (1, at_week(0, 1), 1, "view", 1.0),
+        (2, at_week(1, 1), 1, "view", 1.0),
+        (3, at_week(3, 1), 1, "view", 1.0),
+        (4, at_week(0, 2), 2, "view", 1.0),
+        (5, at_week(0, 3), 2, "click", 1.0),
+        (6, at_week(1, 1), 3, "view", 1.0),
+        (7, at_week(2, 1), 3, "view", 1.0),
+    ]
+    got = {(r["cohort_week"], r["week_offset"]): r["n_users"]
+           for r in EV.retention_cohorts(_events(spark, rows)).collect()}
+    assert got == {(0, 0): 2, (0, 1): 1, (0, 3): 1, (1, 0): 1, (1, 1): 1}
