@@ -46,7 +46,22 @@ def _setup(cpus: int, sf_dir: str):
     return spark, docs, tag
 
 
-def run_extract(cpus: int, sf_dir: str, iters: int = 3) -> dict:
+def _parts(cpus: int, n_docs: int) -> int:
+    """Partition count for the bench corpus: bounded docs-per-partition,
+    clamped to [cpus, cpus*4]. One wave (parts = cpus) is right when tasks
+    are chunky (32 cores / 2000 docs: 872 -> 1223 docs/sec vs cpus*4), but
+    at LOW core counts one wave gives the scheduler zero slack — any
+    cost-model imbalance sets the wall directly (measured at pinned 4
+    cores: 4 parts 159 docs/s, 8 parts 278, 16 parts 345). ~125 docs per
+    partition keeps tasks chunky AND leaves rebalancing room. A single
+    core has no imbalance to rebalance — extra partitions are pure task
+    overhead there, so parts = 1 stays 1."""
+    if cpus == 1:
+        return 1
+    return min(cpus * 4, max(cpus, n_docs // 125))
+
+
+def run_extract(cpus: int, sf_dir: str, iters: int = 5) -> dict:
     """Extraction throughput at one parallelism level (docs/sec, best-of-N —
     min wall filters external tenant noise, which only ever slows a run)."""
     from graphical_context_extraction_pipeline_spark.operators.extract import extract_documents
@@ -58,13 +73,11 @@ def run_extract(cpus: int, sf_dir: str, iters: int = 3) -> dict:
     # round-robin split
     from graphical_context_extraction_pipeline_spark.operators.partitioning import balance_by_cost
 
-    # ONE cost-balanced wave (parts = cpus): the snake-LPT deal already
-    # bounds per-partition cost spread, so extra waves only multiply the
-    # per-task Arrow/worker overhead — measured 872 -> 1223 docs/sec at 32
-    # cores going from cpus*4 to cpus partitions on this corpus
-    docs = balance_by_cost(docs, cpus).cache()
     n_docs = docs.count()
-    extract_documents(docs.limit(64)).count()  # JIT/codegen + worker warmup
+    docs = balance_by_cost(docs, _parts(cpus, n_docs)).cache()
+    n_docs = docs.count()
+    extract_documents(docs.limit(256)).count()  # JIT/codegen + worker warmup
+    extract_documents(docs.limit(256)).count()
     best = None
     n_chunks = 0
     for _ in range(iters):
@@ -98,11 +111,8 @@ def run_suite(cpus: int, sf_dir: str) -> dict:
     spark, docs, tag = _setup(cpus, sf_dir)
     from graphical_context_extraction_pipeline_spark.operators.partitioning import balance_by_cost
 
-    # ONE cost-balanced wave (parts = cpus): the snake-LPT deal already
-    # bounds per-partition cost spread, so extra waves only multiply the
-    # per-task Arrow/worker overhead — measured 872 -> 1223 docs/sec at 32
-    # cores going from cpus*4 to cpus partitions on this corpus
-    docs = balance_by_cost(docs, cpus).cache()
+    n_docs = docs.count()
+    docs = balance_by_cost(docs, _parts(cpus, n_docs)).cache()
     n_docs = docs.count()
     flat = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
     emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
@@ -204,24 +214,33 @@ def main() -> None:
     ap.add_argument("--sf-dir", default=DEFAULT_SF_DIR)
     ap.add_argument("--extract-only", action="store_true")
     ap.add_argument("--scaling", action="store_true")
+    # scaling WITHOUT the in-process suite first: running the 32-core suite
+    # immediately before the pinned levels leaves the package power-throttled
+    # (and the parent JVM holding its heap), deflating every child level —
+    # measured 252 vs 920 docs/sec for the IDENTICAL 32-core subprocess in
+    # suite-first vs fresh-box context
+    ap.add_argument("--scaling-only", action="store_true")
     args = ap.parse_args()
 
     if args.extract_only:
         print(json.dumps(run_extract(args.cpus, args.sf_dir)))
         return
 
-    result = run_suite(args.cpus, args.sf_dir)
-    out = {
-        "metric": "headline suite wall seconds (extraction + dedup + similarity + analytics)",
-        "value": result["total_s"],
-        "unit": "sec",
-        "queries": result["queries"],
-        "sf": result["sf"],
-        "cpus": result["cpus"],
-        "docs_per_sec_extract": result["docs_per_sec"],
-    }
+    if args.scaling_only:
+        out = {"metric": "scaling-only run", "value": None, "unit": "sec"}
+    else:
+        result = run_suite(args.cpus, args.sf_dir)
+        out = {
+            "metric": "headline suite wall seconds (extraction + dedup + similarity + analytics)",
+            "value": result["total_s"],
+            "unit": "sec",
+            "queries": result["queries"],
+            "sf": result["sf"],
+            "cpus": result["cpus"],
+            "docs_per_sec_extract": result["docs_per_sec"],
+        }
 
-    if args.scaling:
+    if args.scaling or args.scaling_only:
         def spawn(cpus: int, pin: str | None):
             cmd = [sys.executable, os.path.abspath(__file__), "--cpus", str(cpus),
                    "--sf-dir", args.sf_dir, "--extract-only"]
@@ -230,13 +249,16 @@ def main() -> None:
             p = subprocess.run(cmd, capture_output=True, text=True, check=True)
             return json.loads(p.stdout.strip().splitlines()[-1])
 
-        # primary: N=1 vs 4N=4 cores, pinned, interleaved rounds, best-of
+        # primary: N=1 vs 4N=4 cores, pinned, interleaved rounds, best-of;
+        # short cooldown between levels so one level's package heat doesn't
+        # clock-throttle the next
         best: dict[int, dict] = {}
         for _round in range(3):
             for cpus, pin in ((1, "0"), (4, "0-3")):
                 r = spawn(cpus, pin)
                 if cpus not in best or r["wall_s"] < best[cpus]["wall_s"]:
                     best[cpus] = r
+                time.sleep(10)
         eff = (best[4]["docs_per_sec"] / best[1]["docs_per_sec"]) / 4.0
         # supplementary unpinned points
         extra = [spawn(8, None), spawn(32, None)]
