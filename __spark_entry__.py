@@ -207,6 +207,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         dedup,
         events as EV,
         export as EX,
+        layout as LY,
         media,
         relational as R,
         sampling as SA,
@@ -235,6 +236,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (reference phase 2/src/loader.py:12-18)
         "word_spans": lambda s, d: R.word_spans(_spans_docs(s, d)),
         "transcript_lines": lambda s, d: EX.transcript_lines(_spans_docs(s, d)),
+        # ---- PDF/layout-parse heuristics over the OCR bbox geometry ----------
+        "layout_reading_order": lambda s, d: LY.reading_order(_spans_docs(s, d)),
+        "layout_paragraphs": lambda s, d: LY.paragraphs(_spans_docs(s, d)),
+        "layout_headings": lambda s, d: LY.headings(_spans_docs(s, d)),
         # ---- cross-doc boilerplate model (north-star per-partition heuristic) --
         "boilerplate_lines": lambda s, d: BP.boilerplate_lines(_spans_docs(s, d)),
         "strip_boilerplate": lambda s, d: BP.strip_boilerplate(_spans_docs(s, d)),
@@ -890,6 +895,69 @@ SELECT doc_id, seg_start_ms, seg_end_ms, cast(word_idx AS bigint) AS word_idx,
        cast(w.end_ms AS bigint) AS end_ms,
        coalesce(cast(round(w.score * 10000) AS bigint), -1) AS score_e4
 FROM w
+"""
+
+    # ---- PDF/layout-parse heuristics (operators/layout.py) ----------------
+    # Shared block relation: OCR blocks with e2 fixed-point geometry and the
+    # midline column split (COLUMN_MIDLINE_X = 640 → x1_e2 + x2_e2 < 128000).
+    _LBLOCKS = f"""
+b AS (SELECT doc_id, coalesce(s.media_ref, '') AS media_ref,
+             CASE WHEN cast(round(a.bbox[1] * 100) AS bigint)
+                       + cast(round(a.bbox[3] * 100) AS bigint) < 128000
+                  THEN 0 ELSE 1 END AS col,
+             cast(round(a.bbox[2] * 100) AS bigint) AS y1_e2,
+             cast(round(a.bbox[1] * 100) AS bigint) AS x1_e2,
+             cast(s.offset AS bigint) AS off,
+             cast(round(a.bbox[4] * 100) AS bigint) AS y2_e2,
+             cast(round(a.bbox[4] * 100) AS bigint)
+               - cast(round(a.bbox[2] * 100) AS bigint) AS h_e2,
+             s.text AS text
+      FROM {_Z}
+      WHERE s.kind = 'ocr' AND a.bbox IS NOT NULL AND len(a.bbox) = 4
+        AND s.text IS NOT NULL)
+"""
+
+    q["layout_reading_order"] = f"""
+WITH {_LBLOCKS}
+SELECT doc_id, media_ref,
+       cast(row_number() OVER (PARTITION BY doc_id, media_ref
+                               ORDER BY col, y1_e2, x1_e2, off) - 1 AS bigint)
+         AS block_idx,
+       cast(col AS bigint) AS col, y1_e2, x1_e2, text
+FROM b
+"""
+
+    q["layout_paragraphs"] = f"""
+WITH {_LBLOCKS},
+o AS (SELECT *, lag(media_ref) OVER w AS p_ref, lag(col) OVER w AS p_col,
+             lag(y2_e2) OVER w AS p_y2
+      FROM b WINDOW w AS (PARTITION BY doc_id
+                          ORDER BY media_ref, col, y1_e2, x1_e2, off)),
+st AS (SELECT *, CASE WHEN p_ref IS NULL OR media_ref <> p_ref OR col <> p_col
+                        OR y1_e2 - p_y2 > 6000 THEN 1 ELSE 0 END AS starter
+       FROM o),
+g AS (SELECT *, sum(starter) OVER (PARTITION BY doc_id
+                                   ORDER BY media_ref, col, y1_e2, x1_e2, off
+                                   ROWS UNBOUNDED PRECEDING) - 1 AS para_idx
+      FROM st)
+SELECT doc_id, min(media_ref) AS media_ref, cast(min(col) AS bigint) AS col,
+       cast(para_idx AS bigint) AS para_idx,
+       cast(count(*) AS bigint) AS n_blocks,
+       min(y1_e2) AS y_top_e2, max(y2_e2) AS y_bottom_e2,
+       string_agg(text, ' ' ORDER BY y1_e2, x1_e2, off) AS para_text
+FROM g GROUP BY doc_id, para_idx
+"""
+
+    q["layout_headings"] = f"""
+WITH {_LBLOCKS},
+fr AS (SELECT doc_id, media_ref, cast(count(*) AS bigint) AS n,
+              cast(sum(h_e2) AS bigint) AS sum_h
+       FROM b GROUP BY doc_id, media_ref)
+SELECT b.doc_id, b.media_ref, cast(b.col AS bigint) AS col,
+       b.y1_e2, b.x1_e2, b.h_e2,
+       fr.n AS n_blocks_frame, fr.sum_h AS sum_h_e2_frame, b.text
+FROM b JOIN fr ON b.doc_id = fr.doc_id AND b.media_ref = fr.media_ref
+WHERE fr.n >= 2 AND 2 * b.h_e2 * fr.n >= 3 * fr.sum_h
 """
 
     # NOTE: ocr_frame_dedup cannot be recomputed in DuckDB SQL — its 1.0.0

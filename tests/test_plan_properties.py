@@ -353,3 +353,24 @@ def test_event_rollup_single_shuffle_pruned(spark):
     out = EV.event_rollup(ev)
     assert count_exchanges(out) == 1, physical_plan(out)
     assert set(read_schema_columns(out)) <= {"ts", "event_type", "value"}, physical_plan(out)
+
+
+def test_layout_ops_shuffle_free_and_pruned(spark, docs_path):
+    """PDF/layout heuristics are intra-row folds over the sorted block
+    array: scan → project → Generate, zero Exchange. Their scans read only
+    (doc_id, spans, span_attrs.bbox) — in particular the heavy per-word
+    arrays stay out of the ReadSchema."""
+    from graphical_context_extraction_pipeline_spark.operators import layout as LY
+    from graphical_context_extraction_pipeline_spark.plans.explain import formatted_plan
+
+    spark.conf.set("spark.sql.maxMetadataStringLength", 8000)
+    docs = spark.read.parquet(docs_path)
+    for op in (LY.reading_order, LY.paragraphs, LY.headings):
+        out = op(docs)
+        assert count_exchanges(out) == 0, (op.__name__, physical_plan(out))
+        schemas = "\n".join(
+            line for line in formatted_plan(out).splitlines() if "ReadSchema" in line
+        )
+        assert "words:array" not in schemas, (op.__name__, schemas)
+        assert "confidence" not in schemas, (op.__name__, schemas)
+        assert "bbox" in schemas, (op.__name__, schemas)
