@@ -66,6 +66,14 @@ def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
 
 
+def _html_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The deterministic HTML twin of the flat documents table (rendered
+    once per sf tag by datagen.ensure_html; both engines read it)."""
+    from graphical_context_extraction_pipeline_spark import datagen
+
+    return spark.read.parquet(datagen.ensure_html(sf_dir))
+
+
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
 
@@ -207,6 +215,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         dedup,
         events as EV,
         export as EX,
+        html_extract as HT,
         layout as LY,
         media,
         relational as R,
@@ -240,6 +249,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "layout_reading_order": lambda s, d: LY.reading_order(_spans_docs(s, d)),
         "layout_paragraphs": lambda s, d: LY.paragraphs(_spans_docs(s, d)),
         "layout_headings": lambda s, d: LY.headings(_spans_docs(s, d)),
+        # ---- HTML main-content extraction (DOM heuristics, north rule) -------
+        "html_blocks": lambda s, d: HT.html_blocks(_html_pages(s, d)),
+        "html_main_content": lambda s, d: HT.main_content(_html_pages(s, d)),
+        "html_meta": lambda s, d: HT.html_meta(_html_pages(s, d)),
         # ---- cross-doc boilerplate model (north-star per-partition heuristic) --
         "boilerplate_lines": lambda s, d: BP.boilerplate_lines(_spans_docs(s, d)),
         "strip_boilerplate": lambda s, d: BP.strip_boilerplate(_spans_docs(s, d)),
@@ -958,6 +971,95 @@ SELECT b.doc_id, b.media_ref, cast(b.col AS bigint) AS col,
        fr.n AS n_blocks_frame, fr.sum_h AS sum_h_e2_frame, b.text
 FROM b JOIN fr ON b.doc_id = fr.doc_id AND b.media_ref = fr.media_ref
 WHERE fr.n >= 2 AND 2 * b.h_e2 * fr.n >= 3 * fr.sum_h
+"""
+
+    # ---- HTML main-content extraction (operators/html_extract.py) ---------
+    # Both engines read the materialized HTML twin corpus; the oracle
+    # replays the whole regex/classification chain in DuckDB (RE2). The
+    # regex subset is the portable one (no lookaround / pattern backrefs).
+    from graphical_context_extraction_pipeline_spark.datagen import ensure_html
+    from graphical_context_extraction_pipeline_spark.operators.html_extract import (
+        BLOCK_TAGS,
+        CONTENT_TAGS,
+        MAX_LINK_DENSITY_BP,
+        MIN_TEXT_LEN,
+    )
+
+    html_path = ensure_html(f"/root/testdata/{SPANS_SF}")
+
+    def _dnorm(e: str) -> str:
+        """DuckDB twin of html_extract._norm_text: strip tags, unescape the
+        spec'd entity set in order (amp last), collapse whitespace."""
+        out = f"regexp_replace({e}, '<[^>]*>', ' ', 'g')"
+        for ent, rep in (
+            ("&nbsp;", "' '"), ("&lt;", "'<'"), ("&gt;", "'>'"),
+            ("&quot;", "'\"'"), ("&#39;", "chr(39)"), ("&amp;", "'&'"),
+        ):
+            out = f"replace({out}, '{ent}', {rep})"
+        return f"trim(regexp_replace({out}, '\\s+', ' ', 'g'))"
+
+    _mark_tags = "|".join(BLOCK_TAGS)
+    _content_in = ", ".join(f"'{t}'" for t in CONTENT_TAGS)
+    _HB = f"""
+hp AS (SELECT doc_id, url, html FROM read_parquet('{html_path}/*.parquet')),
+mk AS (SELECT doc_id, url,
+         regexp_replace(regexp_replace(regexp_replace(html,
+           '(?s)<!--.*?-->', ' ', 'g'),
+           '(?s)<(script|style)\\b[^>]*>.*?</(script|style)>', ' ', 'g'),
+           '<({_mark_tags})\\b', chr(30) || '<\\1', 'g') AS marked
+       FROM hp),
+rb AS (SELECT doc_id, url,
+              unnest(string_split(marked, chr(30))) AS blk,
+              generate_subscripts(string_split(marked, chr(30)), 1) - 1 AS block_idx
+       FROM mk),
+bb AS (SELECT doc_id, url, cast(block_idx AS bigint) AS block_idx,
+              regexp_extract(blk, '^<([a-z0-9]+)', 1) AS tag,
+              {_dnorm('blk')} AS text,
+              regexp_extract_all(blk, '(?s)<a\\b[^>]*>(.*?)</a>', 1) AS anchors
+       FROM rb),
+b2 AS (SELECT doc_id, url, block_idx, tag, text,
+              cast(length(text) AS bigint) AS text_len,
+              cast(len(anchors) AS bigint) AS n_links,
+              cast(coalesce(list_sum(list_transform(anchors,
+                a -> length({_dnorm('a')}))), 0) AS bigint) AS link_text_len
+       FROM bb WHERE text <> ''),
+b3 AS (SELECT *, cast(floor(link_text_len * 10000 / greatest(text_len, 1)) AS bigint)
+                 AS link_density_bp
+       FROM b2)
+"""
+
+    q["html_blocks"] = f"""
+WITH {_HB}
+SELECT doc_id, block_idx, tag, text, text_len, n_links, link_text_len, link_density_bp
+FROM b3
+"""
+
+    q["html_main_content"] = f"""
+WITH {_HB},
+kept AS (SELECT * FROM b3
+         WHERE tag IN ({_content_in}) AND text_len >= {MIN_TEXT_LEN}
+           AND link_density_bp <= {MAX_LINK_DENSITY_BP}),
+agg AS (SELECT doc_id, string_agg(text, chr(10) ORDER BY block_idx) AS main_text,
+               cast(count(*) AS bigint) AS n_kept,
+               cast(sum(text_len) AS bigint) AS kept_text_len
+        FROM kept GROUP BY doc_id),
+tot AS (SELECT doc_id, cast(count(*) AS bigint) AS n_blocks FROM b3 GROUP BY doc_id)
+SELECT hp.doc_id, hp.url, coalesce(agg.main_text, '') AS main_text,
+       cast(coalesce(agg.n_kept, 0) AS bigint) AS n_kept,
+       cast(coalesce(tot.n_blocks, 0) AS bigint) AS n_blocks,
+       cast(coalesce(agg.kept_text_len, 0) AS bigint) AS kept_text_len
+FROM hp LEFT JOIN agg USING (doc_id) LEFT JOIN tot USING (doc_id)
+"""
+
+    q["html_meta"] = f"""
+WITH hp AS (SELECT doc_id, url, html FROM read_parquet('{html_path}/*.parquet'))
+SELECT doc_id, url,
+       {_dnorm("regexp_extract(html, '(?s)<title>(.*?)</title>', 1)")} AS title,
+       regexp_extract(html, '<meta name="description" content="([^"]*)"', 1)
+         AS meta_description,
+       {_dnorm("regexp_extract(html, '(?s)<h1[^>]*>(.*?)</h1>', 1)")} AS h1,
+       cast(len(regexp_extract_all(html, '<a\\b')) AS bigint) AS n_anchors
+FROM hp
 """
 
     # NOTE: ocr_frame_dedup cannot be recomputed in DuckDB SQL — its 1.0.0

@@ -100,12 +100,15 @@ def run_suite(cpus: int, sf_dir: str) -> dict:
         boilerplate as BP,
         cluster as CL,
         dedup,
+        html_extract as HT,
+        layout as LY,
         relational as R,
         sampling as SA,
         similarity,
         text_analysis as TA,
         validate as V,
     )
+    from graphical_context_extraction_pipeline_spark.datagen import ensure_html
     from graphical_context_extraction_pipeline_spark.operators.extract import extract_documents
 
     spark, docs, tag = _setup(cpus, sf_dir)
@@ -116,6 +119,7 @@ def run_suite(cpus: int, sf_dir: str) -> dict:
     n_docs = docs.count()
     flat = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
     emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    pages = spark.read.parquet(ensure_html(sf_dir))
 
     extract_documents(docs.limit(64)).count()  # warmup
 
@@ -149,6 +153,11 @@ def run_suite(cpus: int, sf_dir: str) -> dict:
         # + grouped-map fold)
         "repetition_stats": lambda: TA.repetition_stats(flat).count(),
         "pack_sequences": lambda: SA.pack_sequences(flat, budget=512, n_buckets=cpus * 2).count(),
+        # round 3: north-rule DOM heuristics (regex block classification over
+        # the HTML twin corpus) and PDF/layout paragraph grouping (intra-row
+        # geometry folds) — 2 more lines, suite total grows by construction
+        "html_main_content": lambda: HT.main_content(pages).count(),
+        "layout_paragraphs": lambda: LY.paragraphs(docs).count(),
     }
     timings: dict[str, float] = {}
     extract_wall = None

@@ -531,3 +531,125 @@ def sf_tag_from_dir(sf_dir: str) -> str:
     """Map a driver sf dir (/root/testdata/sf0.01) to a generator tag."""
     tag = sf_dir.rstrip("/").rsplit("/", 1)[-1]
     return tag if tag in DOCS_PER_SF else "sf0.01"
+
+
+# --------------------------------------------------------------------------
+# HTML twin corpus (DOM-heuristics / main-content extraction family)
+# --------------------------------------------------------------------------
+# The north rule names "HTML boilerplate strip … DOM heuristics" as core
+# extraction capability. The driver's flat `documents` table is plain text,
+# so each doc is deterministically rendered into a boilerplate-wrapped HTML
+# page (nav/header/aside/footer chrome, inline links, entities, script/
+# style/comment noise) and the extractors must recover the article body.
+# Both engines read the SAME materialized table (data/<sf>/
+# documents_html.parquet), so the synthesis needs to be deterministic, not
+# SQL-expressible.
+
+HTML_VERSION = 1
+
+NAV_ITEMS = ["Home", "About", "Contact", "Blog", "Shop", "Login", "Careers", "Help"]
+
+
+def generate_html_doc(doc_id: int, text: str, source: str) -> tuple[str, str]:
+    """(url, html) for one flat document — pure function of its row."""
+    rng = np.random.RandomState((doc_id * 2654435761 + 97) % (2**32))
+    words = (text or "").split()
+    title = " ".join(words[:4]) if words else f"untitled {doc_id}"
+    desc = " ".join(words[:12]) if words else title
+    url = f"https://example.com/{source}/{doc_id}"
+
+    nav = "".join(
+        f'<li><a href="/{w.lower()}">{w}</a></li>'
+        for w in rng.choice(NAV_ITEMS, size=4, replace=False)
+    )
+    paras: list[list[str]] = []
+    i = 4
+    while i < len(words):
+        n = int(rng.randint(8, 15))
+        chunk = list(words[i : i + n])
+        i += n
+        if rng.rand() < 0.25 and len(chunk) >= 4:
+            j = int(rng.randint(0, len(chunk) - 2))
+            chunk[j] = f'<a href="/r/{doc_id}_{j}">{chunk[j]} {chunk[j + 1]}</a>'
+            del chunk[j + 1]
+        paras.append(chunk)
+    body: list[str] = []
+    for k, chunk in enumerate(paras):
+        if k and k % 3 == 0:
+            plain = " ".join(chunk[:3])
+            body.append(f"<h2>{plain}</h2>")
+        txt = " ".join(chunk)
+        if k == 1:
+            txt += " &amp; more &lt;here&gt;"  # entity-unescape exercise
+        body.append(f"<p>{txt}</p>")
+    if len(paras) >= 2 and rng.rand() < 0.5:
+        items = "".join(f"<li>{' '.join(p[:3])} item</li>" for p in paras[:3])
+        body.append(f"<ul>{items}</ul>")
+    aside = "".join(f'<a href="/promo/{n}">promo {n}</a> ' for n in range(int(rng.randint(2, 4))))
+    return url, (
+        "<html><head>"
+        f"<title>{title}</title>"
+        f'<meta name="description" content="{desc}">'
+        "<style>body { color: #222; }</style>"
+        "</head><body>"
+        f"<header><h1>{title}</h1></header>"
+        f"<nav><ul>{nav}</ul></nav>"
+        "<!-- layout: static rebuild -->"
+        f'<div class="content">{"".join(body)}</div>'
+        f"<aside>{aside}</aside>"
+        '<footer><p><a href="/privacy">Privacy</a> <a href="/terms">Terms</a> '
+        f"copyright {2000 + doc_id % 26}</p></footer>"
+        "<script>var t = 1 < 2; track('pv');</script>"
+        "</body></html>"
+    )
+
+
+def _html_current(path: str) -> bool:
+    import os
+
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        return False
+    try:
+        with open(os.path.join(path, "_HTML_VERSION")) as f:
+            return f.read().strip() == str(HTML_VERSION)
+    except OSError:
+        return False
+
+
+def ensure_html(sf_dir: str, base_dir: str = "/root/repo/data") -> str:
+    """Materialize the HTML twin of <sf_dir>/documents.parquet under
+    data/<tag>/documents_html.parquet (Spark-free pyarrow writer; both the
+    Spark queries and the DuckDB oracles read this table)."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    tag = sf_dir.rstrip("/").rsplit("/", 1)[-1]
+    path = os.path.join(base_dir, tag, "documents_html.parquet")
+    if _html_current(path):
+        return path
+
+    src = pq.read_table(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text", "source"]
+    ).to_pylist()
+    src.sort(key=lambda r: r["doc_id"])
+    urls, htmls = [], []
+    for r in src:
+        u, h = generate_html_doc(int(r["doc_id"]), r["text"], r["source"])
+        urls.append(u)
+        htmls.append(h)
+    table = pa.table(
+        {
+            "doc_id": pa.array([int(r["doc_id"]) for r in src], pa.int64()),
+            "url": pa.array(urls, pa.string()),
+            "html": pa.array(htmls, pa.string()),
+        }
+    )
+    os.makedirs(path, exist_ok=True)
+    pq.write_table(table, os.path.join(path, "part-00000.parquet"))
+    with open(os.path.join(path, "_SUCCESS"), "w"):
+        pass
+    with open(os.path.join(path, "_HTML_VERSION"), "w") as f:
+        f.write(str(HTML_VERSION))
+    return path

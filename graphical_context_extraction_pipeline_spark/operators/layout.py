@@ -22,11 +22,19 @@ geometry:
 
 All three operators are **zero-shuffle, zero-Python**: the spans already
 arrive one row per document, so sorting, indexing and grouping happen
-intra-row with higher-order functions (the W2 fold idiom from
-``relational.ocr_frame_dedup``), then explode. At 10^12 documents the plan
-is scan → project → generate: embarrassingly parallel, no Exchange, no
-skew sensitivity beyond per-document span width (bounded by the media
-contract).
+intra-row with higher-order functions, then explode. At 10^12 documents
+the plan is scan → project → generate: embarrassingly parallel, no
+Exchange, no skew sensitivity beyond per-document span width (bounded by
+the media contract).
+
+Intra-row grouping is O(n) per document, NOT an ``aggregate`` fold: a fold
+that appends to its accumulator array copies the array every step — O(n²)
+per row, measured 4.9 s for the paragraph pass over sf0.1's skew documents
+(~6k blocks each) vs 0.4 s for this formulation. Instead, group boundaries
+are computed positionally on the sorted array (``element_at(arr, i)`` vs
+``element_at(arr, i-1)`` is O(1) random access), boundary indexes pair
+into [start, end) segments via ``consecutive_pairs``, and each group is a
+single ``slice`` — total work linear in the block count.
 
 Floats never decide anything: pixel coordinates are 2-decimal by contract,
 so every comparison runs on ``round(v * 100)`` integers (e2 fixed point).
@@ -55,7 +63,12 @@ _BLOCK_T = (
 
 
 def _e2(v):
-    return F.round(v * 100).cast("long")
+    """round(v*100) as a long — WITHOUT F.round, whose double path allocates
+    a BigDecimal per call (measured 3.0 → 1.7 s on the sf0.1 block explode
+    with 6 rounds per block). floor(x + 0.5) via long cast is identical for
+    the non-negative pixel coordinates of the media contract and matches
+    DuckDB's round-half-away on the same values."""
+    return (v * 100 + F.lit(0.5)).cast("long")
 
 
 def _sorted_blocks(midline: float):
@@ -96,6 +109,29 @@ def _sorted_blocks(midline: float):
     return F.array_sort(F.transform(z, rec))
 
 
+def _segments(arr, is_start):
+    """[start, end) index ranges (1-based, end exclusive) of the groups of
+    the sorted block array ``arr``, where ``is_start(arr, i)`` decides
+    whether the i-th element opens a new group. O(n): starter indexes come
+    from one positional scan, then pair into ranges via consecutive_pairs
+    with a sentinel n+1 appended."""
+    from ..functions.exprs import consecutive_pairs
+
+    n = F.size(arr)
+    starters = F.filter(F.sequence(F.lit(1), n), lambda i: is_start(arr, i))
+    # n >= 1 guaranteed by callers (filter on non-empty arr); sequence(1, 0)
+    # would be DESCENDING, so empty arrays must short-circuit before here.
+    return consecutive_pairs(F.concat(starters, F.array(n + 1)))
+
+
+def _frame_start(arr, i):
+    # element_at(arr, 0) raises under ANSI semantics and SQL OR does not
+    # short-circuit — gate the i-1 access behind a CASE branch instead.
+    return F.when(i == 1, F.lit(True)).otherwise(
+        F.element_at(arr, i)["media_ref"] != F.element_at(arr, i - 1)["media_ref"]
+    )
+
+
 def reading_order(docs: DataFrame, midline: float = COLUMN_MIDLINE_X) -> DataFrame:
     """Column-major reading order per frame.
 
@@ -105,44 +141,38 @@ def reading_order(docs: DataFrame, midline: float = COLUMN_MIDLINE_X) -> DataFra
     read.
 
     Plan: single scan of (doc_id, spans{kind,text,media_ref,offset},
-    span_attrs.bbox), intra-row sort + index fold, Generate. Zero
-    exchanges; the per-frame index is a running counter inside the fold
-    (no window function, no shuffle).
+    span_attrs.bbox), intra-row sort + positional frame segmentation,
+    Generate. Zero exchanges, O(blocks) per document.
     """
-    acc_t = f"struct<ref:string,i:bigint,out:array<{_BLOCK_T[:-1]},block_idx:bigint>>>"
 
-    def fold(arr):
-        def step(acc, b):
-            new_i = F.when(b["media_ref"] == acc["ref"], acc["i"] + 1).otherwise(
-                F.lit(0).cast("long")
+    def indexed(arr):
+        return F.flatten(
+            F.transform(
+                _segments(arr, _frame_start),
+                lambda seg: F.transform(
+                    F.sequence(seg["a"], seg["b"] - 1),
+                    lambda j: F.struct(
+                        F.element_at(arr, j).alias("blk"),
+                        (j - seg["a"]).cast("long").alias("block_idx"),
+                    ),
+                ),
             )
-            out_rec = F.struct(
-                *[b[f].alias(f) for f in
-                  ("media_ref", "col", "y1_e2", "x1_e2", "offset", "y2_e2", "h_e2", "text")],
-                new_i.alias("block_idx"),
-            )
-            return F.struct(
-                b["media_ref"].alias("ref"),
-                new_i.alias("i"),
-                F.concat(acc["out"], F.array(out_rec)).alias("out"),
-            ).cast(acc_t)
+        )
 
-        init = F.struct(
-            F.lit("").alias("ref"),
-            F.lit(-1).cast("long").alias("i"),
-            F.array().cast(f"array<{_BLOCK_T[:-1]},block_idx:bigint>>").alias("out"),
-        ).cast(acc_t)
-        return F.aggregate(arr, init, step, lambda acc: acc["out"])
-
-    indexed = bind(_sorted_blocks(midline), fold)
-    return docs.select("doc_id", F.explode(indexed).alias("b")).select(
+    out = bind(
+        _sorted_blocks(midline),
+        lambda arr: F.when(F.size(arr) > 0, indexed(arr)).otherwise(
+            F.array().cast(f"array<struct<blk:{_BLOCK_T},block_idx:bigint>>")
+        ),
+    )
+    return docs.select("doc_id", F.explode(out).alias("b")).select(
         "doc_id",
-        F.col("b.media_ref").alias("media_ref"),
+        F.col("b.blk.media_ref").alias("media_ref"),
         F.col("b.block_idx").alias("block_idx"),
-        F.col("b.col").alias("col"),
-        F.col("b.y1_e2").alias("y1_e2"),
-        F.col("b.x1_e2").alias("x1_e2"),
-        F.col("b.text").alias("text"),
+        F.col("b.blk.col").alias("col"),
+        F.col("b.blk.y1_e2").alias("y1_e2"),
+        F.col("b.blk.x1_e2").alias("x1_e2"),
+        F.col("b.blk.text").alias("text"),
     )
 
 
@@ -163,68 +193,46 @@ def paragraphs(
     ``y_bottom_e2`` the max block bottom, and ``para_text`` the
     space-joined block texts.
 
-    Same zero-shuffle shape as :func:`reading_order`: one fold appends to
-    the open paragraph or closes it, explode at the end.
+    Same zero-shuffle shape as :func:`reading_order`: paragraph boundaries
+    are positional starter flags, each paragraph is one slice — O(blocks)
+    per document.
     """
     gap_e2 = int(round(gap_px * 100))
     para_t = (
-        "struct<media_ref:string,col:bigint,y_top_e2:bigint,y_bottom_e2:bigint,"
-        "y_last_e2:bigint,n_blocks:bigint,para_text:string>"
+        "struct<media_ref:string,col:bigint,n_blocks:bigint,y_top_e2:bigint,"
+        "y_bottom_e2:bigint,para_text:string>"
     )
-    acc_t = f"struct<open:boolean,cur:{para_t},out:array<{para_t}>>"
 
-    def fold(arr):
-        def mk(b):
-            return F.struct(
-                b["media_ref"].alias("media_ref"),
-                b["col"].alias("col"),
-                b["y1_e2"].alias("y_top_e2"),
-                b["y2_e2"].alias("y_bottom_e2"),
-                b["y2_e2"].alias("y_last_e2"),
-                F.lit(1).cast("long").alias("n_blocks"),
-                b["text"].alias("para_text"),
-            ).cast(para_t)
-
-        def step(acc, b):
-            cur = acc["cur"]
-            same = (
-                acc["open"]
-                & (b["media_ref"] == cur["media_ref"])
-                & (b["col"] == cur["col"])
-                & (b["y1_e2"] - cur["y_last_e2"] <= F.lit(gap_e2))
-            )
-            merged = F.struct(
-                cur["media_ref"].alias("media_ref"),
-                cur["col"].alias("col"),
-                cur["y_top_e2"].alias("y_top_e2"),
-                F.greatest(cur["y_bottom_e2"], b["y2_e2"]).alias("y_bottom_e2"),
-                b["y2_e2"].alias("y_last_e2"),
-                (cur["n_blocks"] + 1).alias("n_blocks"),
-                F.concat_ws(" ", cur["para_text"], b["text"]).alias("para_text"),
-            ).cast(para_t)
-            return F.struct(
-                F.lit(True).alias("open"),
-                F.when(same, merged).otherwise(mk(b)).alias("cur"),
-                F.when(same | ~acc["open"], acc["out"])
-                .otherwise(F.concat(acc["out"], F.array(cur)))
-                .alias("out"),
-            ).cast(acc_t)
-
-        init = F.struct(
-            F.lit(False).alias("open"),
-            F.lit(None).cast(para_t).alias("cur"),
-            F.array().cast(f"array<{para_t}>").alias("out"),
-        ).cast(acc_t)
-        return F.aggregate(
-            arr,
-            init,
-            step,
-            lambda acc: F.when(
-                acc["open"], F.concat(acc["out"], F.array(acc["cur"]))
-            ).otherwise(acc["out"]),
+    def para_start(arr, i):
+        cur, prev = F.element_at(arr, i), F.element_at(arr, i - 1)
+        return F.when(i == 1, F.lit(True)).otherwise(
+            (cur["media_ref"] != prev["media_ref"])
+            | (cur["col"] != prev["col"])
+            | (cur["y1_e2"] - prev["y2_e2"] > F.lit(gap_e2))
         )
 
-    paras = bind(_sorted_blocks(midline), fold)
+    def emit(arr):
+        def para(seg):
+            return bind(
+                F.slice(arr, seg["a"], seg["b"] - seg["a"]),
+                lambda sl: F.struct(
+                    F.element_at(sl, 1)["media_ref"].alias("media_ref"),
+                    F.element_at(sl, 1)["col"].alias("col"),
+                    F.size(sl).cast("long").alias("n_blocks"),
+                    F.element_at(sl, 1)["y1_e2"].alias("y_top_e2"),
+                    F.array_max(F.transform(sl, lambda b: b["y2_e2"])).alias("y_bottom_e2"),
+                    F.array_join(F.transform(sl, lambda b: b["text"]), " ").alias("para_text"),
+                ).cast(para_t),
+            )
+
+        return F.transform(_segments(arr, para_start), para)
+
+    paras = bind(
+        _sorted_blocks(midline),
+        lambda arr: F.when(F.size(arr) > 0, emit(arr)).otherwise(
+            F.array().cast(f"array<{para_t}>")
+        ),
+    )
     return docs.select("doc_id", F.posexplode(paras).alias("para_idx", "p")).select(
         "doc_id",
         F.col("p.media_ref").alias("media_ref"),
@@ -246,55 +254,61 @@ def headings(docs: DataFrame, midline: float = COLUMN_MIDLINE_X) -> DataFrame:
     ``2 · h · n_frame ≥ 3 · Σh_frame`` on e2 integers, so Spark and the
     DuckDB oracle agree bit-for-bit.
 
-    Zero-shuffle: per-frame Σh and n come from a second intra-row pass over
-    the (already column-pruned) block array — ``map`` from media_ref to the
-    frame totals via two folds — then each block checks its own frame's
-    entry. Output: (doc_id, media_ref, col, y1_e2, x1_e2, h_e2,
-    n_blocks_frame, sum_h_e2_frame, text).
+    Zero-shuffle and O(blocks): frames are the positional segments of the
+    sorted array, each frame's (Σh, n) is computed once on its slice, and
+    the slice's blocks are filtered against those totals in place. Output:
+    (doc_id, media_ref, col, y1_e2, x1_e2, h_e2, n_blocks_frame,
+    sum_h_e2_frame, text).
     """
+    head_t = (
+        "struct<media_ref:string,col:bigint,y1_e2:bigint,x1_e2:bigint,h_e2:bigint,"
+        "n_blocks_frame:bigint,sum_h_e2_frame:bigint,text:string>"
+    )
 
     def emit(arr):
-        refs = F.array_distinct(F.transform(arr, lambda b: b["media_ref"]))
-        totals = F.map_from_arrays(
-            refs,
-            F.transform(
-                refs,
-                lambda r: bind(
-                    F.filter(arr, lambda b: b["media_ref"] == r),
-                    lambda fr: F.struct(
-                        F.size(fr).cast("long").alias("n"),
+        def frame_heads(seg):
+            return bind(
+                F.slice(arr, seg["a"], seg["b"] - seg["a"]),
+                lambda sl: bind(
+                    F.struct(
+                        F.size(sl).cast("long").alias("n"),
                         F.aggregate(
-                            fr, F.lit(0).cast("long"), lambda s, b: s + b["h_e2"]
+                            F.transform(sl, lambda b: b["h_e2"]),
+                            F.lit(0).cast("long"),
+                            lambda s, h: s + h,
                         ).alias("sum_h"),
                     ),
-                ),
-            ),
-        )
-        return bind(
-            totals,
-            lambda tm: F.filter(
-                F.transform(
-                    arr,
-                    lambda b: F.struct(
-                        b["media_ref"].alias("media_ref"),
-                        b["col"].alias("col"),
-                        b["y1_e2"].alias("y1_e2"),
-                        b["x1_e2"].alias("x1_e2"),
-                        b["h_e2"].alias("h_e2"),
-                        F.element_at(tm, b["media_ref"])["n"].alias("n_blocks_frame"),
-                        F.element_at(tm, b["media_ref"])["sum_h"].alias("sum_h_e2_frame"),
-                        b["text"].alias("text"),
+                    lambda tot: F.transform(
+                        F.filter(
+                            sl,
+                            lambda b: (tot["n"] >= 2)
+                            & (
+                                F.lit(HEADING_DEN) * b["h_e2"] * tot["n"]
+                                >= F.lit(HEADING_NUM) * tot["sum_h"]
+                            ),
+                        ),
+                        lambda b: F.struct(
+                            b["media_ref"].alias("media_ref"),
+                            b["col"].alias("col"),
+                            b["y1_e2"].alias("y1_e2"),
+                            b["x1_e2"].alias("x1_e2"),
+                            b["h_e2"].alias("h_e2"),
+                            tot["n"].alias("n_blocks_frame"),
+                            tot["sum_h"].alias("sum_h_e2_frame"),
+                            b["text"].alias("text"),
+                        ).cast(head_t),
                     ),
                 ),
-                lambda r: (r["n_blocks_frame"] >= 2)
-                & (
-                    F.lit(HEADING_DEN) * r["h_e2"] * r["n_blocks_frame"]
-                    >= F.lit(HEADING_NUM) * r["sum_h_e2_frame"]
-                ),
-            ),
-        )
+            )
 
-    heads = bind(_sorted_blocks(midline), emit)
+        return F.flatten(F.transform(_segments(arr, _frame_start), frame_heads))
+
+    heads = bind(
+        _sorted_blocks(midline),
+        lambda arr: F.when(F.size(arr) > 0, emit(arr)).otherwise(
+            F.array().cast(f"array<{head_t}>")
+        ),
+    )
     return docs.select("doc_id", F.explode(heads).alias("h")).select(
         "doc_id",
         F.col("h.media_ref").alias("media_ref"),

@@ -374,3 +374,18 @@ def test_layout_ops_shuffle_free_and_pruned(spark, docs_path):
         assert "words:array" not in schemas, (op.__name__, schemas)
         assert "confidence" not in schemas, (op.__name__, schemas)
         assert "bbox" in schemas, (op.__name__, schemas)
+
+
+def test_html_extraction_shuffle_free_no_python(spark):
+    """DOM-heuristics extraction is scan → project (regex/HOF expressions
+    inside codegen): zero Exchange, zero Python evaluation nodes — and
+    main_content keeps per-page work intra-row (no explode/re-group)."""
+    from graphical_context_extraction_pipeline_spark import datagen
+    from graphical_context_extraction_pipeline_spark.operators import html_extract as HT
+
+    pages = spark.read.parquet(datagen.ensure_html("/root/testdata/sf0.001"))
+    for op in (HT.html_blocks, HT.main_content, HT.html_meta):
+        out = op(pages)
+        plan = physical_plan(out)
+        assert count_exchanges(out) == 0, (op.__name__, plan)
+        assert "Python" not in plan, (op.__name__, plan)
