@@ -222,6 +222,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         sampling as SA,
         similarity,
         text_analysis as TA,
+        urls as UR,
         validate as V,
     )
     from graphical_context_extraction_pipeline_spark.operators.extract import extract_documents
@@ -253,6 +254,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "html_blocks": lambda s, d: HT.html_blocks(_html_pages(s, d)),
         "html_main_content": lambda s, d: HT.main_content(_html_pages(s, d)),
         "html_meta": lambda s, d: HT.html_meta(_html_pages(s, d)),
+        # ---- URL/domain curation over the crawl (CCNet/C4-style) -------------
+        "url_parse": lambda s, d: UR.url_parse(_html_pages(s, d)),
+        "url_dedup": lambda s, d: UR.url_dedup(_html_pages(s, d)),
+        "domain_stats": lambda s, d: UR.domain_stats(_html_pages(s, d)),
+        "domain_filter": lambda s, d: UR.domain_filter(_html_pages(s, d)),
         # ---- cross-doc boilerplate model (north-star per-partition heuristic) --
         "boilerplate_lines": lambda s, d: BP.boilerplate_lines(_spans_docs(s, d)),
         "strip_boilerplate": lambda s, d: BP.strip_boilerplate(_spans_docs(s, d)),
@@ -1049,6 +1055,53 @@ SELECT hp.doc_id, hp.url, coalesce(agg.main_text, '') AS main_text,
        cast(coalesce(tot.n_blocks, 0) AS bigint) AS n_blocks,
        cast(coalesce(agg.kept_text_len, 0) AS bigint) AS kept_text_len
 FROM hp LEFT JOIN agg USING (doc_id) LEFT JOIN tot USING (doc_id)
+"""
+
+    # ---- URL/domain curation (operators/urls.py) ---------------------------
+    from graphical_context_extraction_pipeline_spark.operators.urls import DEFAULT_BLOCKLIST
+
+    _DHOST = "regexp_extract(url, '^[a-z][a-z0-9+.-]*://([^/?#]+)', 1)"
+    _DDOMAIN = f"regexp_replace(lower({_DHOST}), '^www\\.', '')"
+    _DPATH = "regexp_extract(url, '^[a-z][a-z0-9+.-]*://[^/?#]+([^?#]*)', 1)"
+    _DCANON = f"'https://' || {_DDOMAIN} || regexp_replace({_DPATH}, '/+$', '')"
+    _HPAGES = f"hp AS (SELECT doc_id, url, html FROM read_parquet('{html_path}/*.parquet'))"
+
+    q["url_parse"] = f"""
+WITH {_HPAGES}
+SELECT doc_id, url,
+       regexp_extract(url, '^([a-z][a-z0-9+.-]*):', 1) AS scheme,
+       {_DHOST} AS host,
+       {_DDOMAIN} AS domain,
+       {_DPATH} AS path,
+       cast(len(list_filter(string_split({_DPATH}, '/'), s -> s <> '')) AS bigint)
+         AS n_segments,
+       cast(regexp_extract(url, '\\?([^#]*)', 1) <> '' AS bigint) AS has_query,
+       {_DCANON} AS canonical_url
+FROM hp
+"""
+
+    q["url_dedup"] = f"""
+WITH {_HPAGES}
+SELECT {_DCANON} AS canonical_url,
+       cast(count(*) AS bigint) AS n_pages,
+       cast(min(doc_id) AS bigint) AS keep_doc_id
+FROM hp GROUP BY 1
+"""
+
+    q["domain_stats"] = f"""
+WITH {_HPAGES}
+SELECT {_DDOMAIN} AS domain,
+       cast(count(*) AS bigint) AS n_pages,
+       cast(count(DISTINCT {_DCANON}) AS bigint) AS n_canonical,
+       cast(sum(length(html)) AS bigint) AS sum_html_len
+FROM hp GROUP BY 1
+"""
+
+    _blocked_in = ", ".join(f"'{b}'" for b in DEFAULT_BLOCKLIST)
+    q["domain_filter"] = f"""
+WITH {_HPAGES}
+SELECT doc_id, url, {_DDOMAIN} AS domain
+FROM hp WHERE {_DDOMAIN} NOT IN ({_blocked_in})
 """
 
     q["html_meta"] = f"""

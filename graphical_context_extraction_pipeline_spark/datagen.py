@@ -545,9 +545,40 @@ def sf_tag_from_dir(sf_dir: str) -> str:
 # documents_html.parquet), so the synthesis needs to be deterministic, not
 # SQL-expressible.
 
-HTML_VERSION = 1
+HTML_VERSION = 2  # v2: realistic URLs (subdomains, tracking params, planted canonical dups)
 
 NAV_ITEMS = ["Home", "About", "Contact", "Blog", "Shop", "Login", "Careers", "Help"]
+
+URL_DOMAINS = [
+    "example.com",
+    "news.example.org",
+    "tracker.ads.example",
+    "papers.edu.example",
+    "wiki.example.net",
+]
+
+
+def _base_url(doc_id: int) -> str:
+    """Scheme+host+path for one doc — text-free so a LATER doc can rebuild
+    an EARLIER doc's base to plant canonical-duplicate URLs."""
+    urng = np.random.RandomState((doc_id * 7919 + 13) % (2**32))
+    sub = ["", "www.", "WWW.", "blog.", "m."][int(urng.randint(0, 5))]
+    dom = URL_DOMAINS[int(urng.randint(0, len(URL_DOMAINS)))]
+    seg = ["articles", "posts", "docs", "items"][int(urng.randint(0, 4))]
+    slash = "/" if urng.rand() < 0.2 else ""
+    return f"https://{sub}{dom}/{seg}/page-{doc_id}{slash}"
+
+
+def generate_url(doc_id: int) -> str:
+    """Every 41st doc reuses the PREVIOUS doc's base with its own tracking
+    params/fragment — a canonical duplicate the URL-dedup operator must
+    collapse. Query/fragment draws come from a separate stream so the base
+    reconstruction stays exact."""
+    base = _base_url(doc_id - 1 if (doc_id % 41 == 5 and doc_id > 0) else doc_id)
+    urng = np.random.RandomState((doc_id * 104729 + 7) % (2**32))
+    q = "?utm_source=feed&ref=rss" if urng.rand() < 0.35 else ""
+    frag = "#sec-2" if urng.rand() < 0.2 else ""
+    return base + q + frag
 
 
 def generate_html_doc(doc_id: int, text: str, source: str) -> tuple[str, str]:
@@ -556,7 +587,7 @@ def generate_html_doc(doc_id: int, text: str, source: str) -> tuple[str, str]:
     words = (text or "").split()
     title = " ".join(words[:4]) if words else f"untitled {doc_id}"
     desc = " ".join(words[:12]) if words else title
-    url = f"https://example.com/{source}/{doc_id}"
+    url = generate_url(doc_id)
 
     nav = "".join(
         f'<li><a href="/{w.lower()}">{w}</a></li>'

@@ -1,0 +1,118 @@
+"""URL parsing, canonicalization, dedup and domain-level curation.
+
+Standard web-corpus curation stages (CCNet/C4-style): parse each page URL,
+canonicalize it (lowercase host, strip a leading ``www.`` label, drop
+tracking query params and fragments, trim trailing slashes), collapse
+canonical duplicates, profile domains, and drop blocklisted domains.
+
+Everything is regex/string expressions from the portable Java-regex/RE2
+subset (same contract as operators/html_extract.py) — NOT Spark's
+``parse_url``, which DuckDB lacks — so the oracles replay the exact
+parser. Zero Python, and the only shuffles are the two aggregations
+(canonical groups, domain rollup), both keyed on high-cardinality,
+skew-free keys.
+
+At 10^12 documents: url_parse / domain_filter are scan→project (no
+exchange); url_dedup shuffles only (canonical_url, doc_id) pairs — the
+narrow projection is explicit so the page payload never enters the
+exchange; domain blocklists are tiny literal sets (broadcast semantics via
+``isin``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_SCHEME_RE = r"^([a-z][a-z0-9+.-]*):"
+_HOST_RE = r"^[a-z][a-z0-9+.-]*://([^/?#]+)"
+_PATH_RE = r"^[a-z][a-z0-9+.-]*://[^/?#]+([^?#]*)"
+_QUERY_RE = r"\?([^#]*)"
+
+# Domains curation pipelines routinely drop wholesale (planted in the
+# synthetic URL space by datagen.URL_DOMAINS).
+DEFAULT_BLOCKLIST = ("tracker.ads.example",)
+
+
+def _host(url: Column) -> Column:
+    return F.regexp_extract(url, _HOST_RE, 1)
+
+
+def _domain(url: Column) -> Column:
+    # lowercase host, strip ONE leading www. label (m./blog. stay — they
+    # are distinct properties; collapsing them needs a suffix list, which
+    # is policy, not parsing)
+    return F.regexp_replace(F.lower(_host(url)), r"^www\.", "")
+
+
+def _canonical(url: Column) -> Column:
+    path = F.regexp_replace(F.regexp_extract(url, _PATH_RE, 1), r"/+$", "")
+    return F.concat(F.lit("https://"), _domain(url), path)
+
+
+def url_parse(pages: DataFrame, url_col: str = "url") -> DataFrame:
+    """One row per page: (doc_id, url, scheme, host, domain, path,
+    n_segments, has_query, canonical_url)."""
+    u = F.col(url_col)
+    path = F.regexp_extract(u, _PATH_RE, 1)
+    return pages.select(
+        "doc_id",
+        u.alias("url"),
+        F.regexp_extract(u, _SCHEME_RE, 1).alias("scheme"),
+        _host(u).alias("host"),
+        _domain(u).alias("domain"),
+        path.alias("path"),
+        F.size(F.filter(F.split(path, "/"), lambda s: s != "")).cast("long").alias("n_segments"),
+        (F.regexp_extract(u, _QUERY_RE, 1) != "").cast("long").alias("has_query"),
+        _canonical(u).alias("canonical_url"),
+    )
+
+
+def url_dedup(pages: DataFrame, url_col: str = "url") -> DataFrame:
+    """Canonical-URL dedup decision: one row per canonical group —
+    (canonical_url, n_pages, keep_doc_id) with the smallest doc_id kept
+    (mirror-crawl and tracking-param duplicates collapse here before any
+    content-level dedup spends cycles on them)."""
+    u = F.col(url_col)
+    return (
+        pages.select(_canonical(u).alias("canonical_url"), F.col("doc_id"))
+        .groupBy("canonical_url")
+        .agg(
+            F.count("*").cast("long").alias("n_pages"),
+            F.min("doc_id").cast("long").alias("keep_doc_id"),
+        )
+    )
+
+
+def domain_stats(pages: DataFrame, url_col: str = "url") -> DataFrame:
+    """Per-domain crawl profile: (domain, n_pages, n_canonical,
+    sum_html_len). Partial aggregation handles the fan-in; distinct
+    canonical counts ride the same exchange (one shuffle total under AQE's
+    distinct-aggregate planning)."""
+    u = F.col(url_col)
+    return (
+        pages.select(
+            _domain(u).alias("domain"),
+            _canonical(u).alias("canonical_url"),
+            F.length("html").cast("long").alias("html_len"),
+        )
+        .groupBy("domain")
+        .agg(
+            F.count("*").cast("long").alias("n_pages"),
+            F.countDistinct("canonical_url").cast("long").alias("n_canonical"),
+            F.sum("html_len").cast("long").alias("sum_html_len"),
+        )
+    )
+
+
+def domain_filter(
+    pages: DataFrame,
+    blocklist: tuple[str, ...] = DEFAULT_BLOCKLIST,
+    url_col: str = "url",
+) -> DataFrame:
+    """Pages surviving the domain blocklist: (doc_id, url, domain). The
+    blocklist is a literal IN-set (broadcast by construction); the page
+    payload is never shuffled."""
+    u = F.col(url_col)
+    out = pages.select("doc_id", u.alias("url"), _domain(u).alias("domain"))
+    return out.where(~F.col("domain").isin(*blocklist))

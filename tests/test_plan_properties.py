@@ -389,3 +389,24 @@ def test_html_extraction_shuffle_free_no_python(spark):
         plan = physical_plan(out)
         assert count_exchanges(out) == 0, (op.__name__, plan)
         assert "Python" not in plan, (op.__name__, plan)
+
+
+def test_url_ops_plan_shapes(spark):
+    """url_parse/domain_filter: scan → project, zero Exchange. url_dedup
+    shuffles only the narrow (canonical_url, doc_id) projection; domain
+    rollups keep partial aggregation below their single exchange."""
+    from graphical_context_extraction_pipeline_spark import datagen
+    from graphical_context_extraction_pipeline_spark.operators import urls as UR
+
+    pages = spark.read.parquet(datagen.ensure_html("/root/testdata/sf0.001"))
+    for op in (UR.url_parse, UR.domain_filter):
+        out = op(pages)
+        assert count_exchanges(out) == 0, (op.__name__, physical_plan(out))
+    dd = UR.url_dedup(pages)
+    plan = physical_plan(dd)
+    assert count_exchanges(dd) == 1, plan
+    assert "html" not in read_schema_columns(dd), plan  # payload never scanned
+    ds = UR.domain_stats(pages)
+    plan = physical_plan(ds)
+    assert count_exchanges(ds) <= 2, plan  # distinct-agg expansion under AQE
+    assert "SinglePartition" not in plan, plan

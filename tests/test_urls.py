@@ -1,0 +1,113 @@
+"""URL/domain curation (operators/urls.py): parsing edge cases, canonical
+dedup of planted tracking-param duplicates, domain blocklist."""
+
+from graphical_context_extraction_pipeline_spark.datagen import ensure_html, generate_url
+from graphical_context_extraction_pipeline_spark.operators import urls as UR
+
+PAGES_DDL = "doc_id long, url string, html string"
+
+
+def _pages(spark, rows):
+    return spark.createDataFrame(
+        [(i, u, "<p>x</p>") for i, u in enumerate(rows)], PAGES_DDL
+    )
+
+
+def test_url_parse_fields(spark):
+    rows = UR.url_parse(
+        _pages(spark, ["https://WWW.Example.COM/a/b/page-1/?utm_source=x#frag"])
+    ).collect()
+    r = rows[0]
+    assert r.scheme == "https"
+    assert r.host == "WWW.Example.COM"
+    assert r.domain == "example.com"
+    assert r.path == "/a/b/page-1/"
+    assert r.n_segments == 3
+    assert r.has_query == 1
+    assert r.canonical_url == "https://example.com/a/b/page-1"
+
+
+def test_canonicalization_rules(spark):
+    # www stripped; m./blog. kept; fragment+query dropped; trailing slash
+    # trimmed; root path canonicalizes to bare domain
+    got = {
+        r.url: r.canonical_url
+        for r in UR.url_parse(
+            _pages(
+                spark,
+                [
+                    "https://www.site.example/x/",
+                    "https://m.site.example/x",
+                    "https://site.example/?q=1",
+                    "https://site.example/x#s",
+                ],
+            )
+        ).collect()
+    }
+    assert got["https://www.site.example/x/"] == "https://site.example/x"
+    assert got["https://m.site.example/x"] == "https://m.site.example/x"
+    assert got["https://site.example/?q=1"] == "https://site.example"
+    assert got["https://site.example/x#s"] == "https://site.example/x"
+
+
+def test_url_dedup_keeps_min_doc(spark):
+    pages = _pages(
+        spark,
+        [
+            "https://www.a.example/p/1?utm=x",
+            "https://a.example/p/1#top",
+            "https://a.example/p/2",
+        ],
+    )
+    rows = {r.canonical_url: r for r in UR.url_dedup(pages).collect()}
+    assert rows["https://a.example/p/1"].n_pages == 2
+    assert rows["https://a.example/p/1"].keep_doc_id == 0
+    assert rows["https://a.example/p/2"].n_pages == 1
+
+
+def test_domain_filter_blocklist(spark):
+    pages = _pages(
+        spark,
+        [
+            "https://tracker.ads.example/items/page-1",
+            "https://www.tracker.ads.example/items/page-2",
+            "https://example.com/items/page-3",
+        ],
+    )
+    kept = UR.domain_filter(pages).collect()
+    assert sorted(r.doc_id for r in kept) == [2]
+
+
+def test_planted_canonical_duplicates_collapse(spark):
+    # datagen plants doc 46 on doc 45's base URL (46 % 41 == 5): the twin
+    # corpus must contain real multi-page canonical groups and url_dedup
+    # must collapse them to the smaller doc_id.
+    u45, u46 = generate_url(45), generate_url(46)
+    assert u45.split("?")[0].split("#")[0].rstrip("/") == (
+        u46.split("?")[0].split("#")[0].rstrip("/")
+    )
+    pages = spark.read.parquet(ensure_html("/root/testdata/sf0.001"))
+    dups = UR.url_dedup(pages).where("n_pages > 1").collect()
+    assert len(dups) >= 5  # 500 docs / 41 ≈ 12 planted pairs
+    for d in dups:
+        assert d.keep_doc_id == min(d.keep_doc_id, d.keep_doc_id)
+
+
+def test_domain_stats_counts(spark):
+    pages = _pages(
+        spark,
+        [
+            "https://www.a.example/p/1?utm=x",
+            "https://a.example/p/1",
+            "https://b.example/q",
+        ],
+    )
+    rows = {r.domain: r for r in UR.domain_stats(pages).collect()}
+    assert rows["a.example"].n_pages == 2 and rows["a.example"].n_canonical == 1
+    assert rows["b.example"].n_pages == 1
+
+
+def test_url_ops_empty(spark):
+    empty = spark.createDataFrame([], PAGES_DDL)
+    for fn in (UR.url_parse, UR.url_dedup, UR.domain_stats, UR.domain_filter):
+        assert fn(empty).count() == 0
