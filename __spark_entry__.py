@@ -217,6 +217,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         export as EX,
         html_extract as HT,
         layout as LY,
+        linkgraph as LG,
         media,
         relational as R,
         sampling as SA,
@@ -259,6 +260,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_dedup": lambda s, d: UR.url_dedup(_html_pages(s, d)),
         "domain_stats": lambda s, d: UR.domain_stats(_html_pages(s, d)),
         "domain_filter": lambda s, d: UR.domain_filter(_html_pages(s, d)),
+        # ---- link-graph analytics (domain edges, degrees, integer PageRank) --
+        "link_edges": lambda s, d: LG.extract_links(_html_pages(s, d)),
+        "link_degrees": lambda s, d: LG.degree_stats(LG.extract_links(_html_pages(s, d))),
+        "pagerank": lambda s, d: LG.pagerank(LG.extract_links(_html_pages(s, d)), n_iters=3),
         # ---- cross-doc boilerplate model (north-star per-partition heuristic) --
         "boilerplate_lines": lambda s, d: BP.boilerplate_lines(_spans_docs(s, d)),
         "strip_boilerplate": lambda s, d: BP.strip_boilerplate(_spans_docs(s, d)),
@@ -1103,6 +1108,64 @@ WITH {_HPAGES}
 SELECT doc_id, url, {_DDOMAIN} AS domain
 FROM hp WHERE {_DDOMAIN} NOT IN ({_blocked_in})
 """
+
+    # ---- link-graph analytics (operators/linkgraph.py) ---------------------
+    _DHREF_DOM = (
+        "regexp_replace(lower(regexp_extract(href,"
+        " '^[a-z][a-z0-9+.-]*://([^/?#]+)', 1)), '^www\\.', '')"
+    )
+    _EDGES = f"""
+{_HPAGES},
+hr AS (SELECT {_DDOMAIN} AS src_domain,
+              unnest(regexp_extract_all(html, '<a\\b[^>]*href="([^"]*)"', 1)) AS href
+       FROM hp),
+e0 AS (SELECT src_domain,
+              CASE WHEN regexp_matches(href, '^https?://') THEN {_DHREF_DOM}
+                   WHEN href LIKE '/%' THEN src_domain
+                   ELSE NULL END AS dst_domain
+       FROM hr),
+edges AS (SELECT src_domain, dst_domain, cast(count(*) AS bigint) AS n_links
+          FROM e0 WHERE dst_domain IS NOT NULL GROUP BY 1, 2)
+"""
+
+    q["link_edges"] = f"WITH {_EDGES} SELECT * FROM edges"
+
+    q["link_degrees"] = f"""
+WITH {_EDGES},
+outd AS (SELECT src_domain AS domain, cast(count(*) AS bigint) AS out_degree,
+                cast(sum(n_links) AS bigint) AS out_links FROM edges GROUP BY 1),
+ind AS (SELECT dst_domain AS domain, cast(count(*) AS bigint) AS in_degree,
+               cast(sum(n_links) AS bigint) AS in_links FROM edges GROUP BY 1)
+SELECT coalesce(o.domain, i.domain) AS domain,
+       cast(coalesce(o.out_degree, 0) AS bigint) AS out_degree,
+       cast(coalesce(i.in_degree, 0) AS bigint) AS in_degree,
+       cast(coalesce(o.out_links, 0) AS bigint) AS out_links,
+       cast(coalesce(i.in_links, 0) AS bigint) AS in_links
+FROM outd o FULL OUTER JOIN ind i ON o.domain = i.domain
+"""
+
+    # PageRank: replay the integer recurrence as chained CTEs (3 iterations,
+    # the exact DIV arithmetic of linkgraph.pagerank)
+    _pr = """
+nodes AS (SELECT DISTINCT domain FROM (
+            SELECT src_domain AS domain FROM edges
+            UNION ALL SELECT dst_domain FROM edges)),
+nn AS (SELECT count(*) AS n FROM nodes),
+wout AS (SELECT src_domain, sum(n_links) AS out_links FROM edges GROUP BY 1),
+we AS (SELECT e.src_domain, e.dst_domain, e.n_links, w.out_links
+       FROM edges e JOIN wout w USING (src_domain)),
+r0 AS (SELECT domain, cast(1000000000 // (SELECT n FROM nn) AS bigint) AS rank_e9
+       FROM nodes)"""
+    for _i in range(3):
+        _pr += f""",
+r{_i + 1} AS (SELECT n.domain,
+       cast(150000000 // (SELECT n FROM nn) + coalesce(m.in_mass, 0) AS bigint) AS rank_e9
+       FROM nodes n LEFT JOIN (
+         SELECT we.dst_domain AS domain,
+                sum((r.rank_e9 * 85 * we.n_links) // (100 * we.out_links)) AS in_mass
+         FROM we JOIN r{_i} r ON r.domain = we.src_domain GROUP BY 1) m
+       ON m.domain = n.domain)"""
+    q["pagerank"] = f"WITH {_EDGES}, {_pr} SELECT domain, rank_e9 FROM r3"
 
     q["html_meta"] = f"""
 WITH hp AS (SELECT doc_id, url, html FROM read_parquet('{html_path}/*.parquet'))

@@ -545,7 +545,7 @@ def sf_tag_from_dir(sf_dir: str) -> str:
 # documents_html.parquet), so the synthesis needs to be deterministic, not
 # SQL-expressible.
 
-HTML_VERSION = 2  # v2: realistic URLs (subdomains, tracking params, planted canonical dups)
+HTML_VERSION = 3  # v3: absolute cross-domain outlinks (link-graph family)
 
 NAV_ITEMS = ["Home", "About", "Contact", "Blog", "Shop", "Login", "Careers", "Help"]
 
@@ -616,7 +616,13 @@ def generate_html_doc(doc_id: int, text: str, source: str) -> tuple[str, str]:
     if len(paras) >= 2 and rng.rand() < 0.5:
         items = "".join(f"<li>{' '.join(p[:3])} item</li>" for p in paras[:3])
         body.append(f"<ul>{items}</ul>")
-    aside = "".join(f'<a href="/promo/{n}">promo {n}</a> ' for n in range(int(rng.randint(2, 4))))
+    # aside links are ABSOLUTE and cross-domain: the link-graph operators
+    # need real inter-domain edges, not just same-site navigation
+    aside = "".join(
+        f'<a href="https://{URL_DOMAINS[int(rng.randint(0, len(URL_DOMAINS)))]}'
+        f'/promo/{n}">promo {n}</a> '
+        for n in range(int(rng.randint(2, 4)))
+    )
     return url, (
         "<html><head>"
         f"<title>{title}</title>"

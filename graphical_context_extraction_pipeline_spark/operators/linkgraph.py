@@ -1,0 +1,142 @@
+"""Link-graph analytics over the crawl: edges, degrees, PageRank.
+
+Web-corpus curation uses the hyperlink graph for quality priors (domains
+nobody links to are disproportionately spam — the original use of
+PageRank) and crawl scheduling. This module extracts the DOMAIN-level
+graph from page HTML and computes:
+
+- :func:`extract_links` — (src_domain, dst_domain, n_links) edges from
+  ``href`` attributes: absolute http(s) targets resolve to their own
+  domain, root-relative targets to the page's domain, everything else
+  (fragments, mailto, javascript) is dropped;
+- :func:`degree_stats` — per-domain in/out degree and link counts;
+- :func:`pagerank` — damping-0.85 PageRank, a FIXED number of synchronous
+  iterations, all arithmetic in e9 fixed point (every term is an integer
+  division, so Spark and the DuckDB oracle replay bit-for-bit; no float
+  accumulation order dependence). Dangling mass is dropped, not
+  redistributed — documented semantics shared by both engines.
+
+Scale: the page→edge extraction is scan → project → explode (no
+exchange); the edge rollup is one shuffle of (src, dst) pairs. PageRank
+iterates join + groupBy on the DOMAIN graph, orders of magnitude smaller
+than the page corpus; lineage is truncated per round with localCheckpoint
+exactly like operators/cluster.py's label propagation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .urls import _domain
+
+DAMPING_NUM, DAMPING_DEN = 85, 100
+E9 = 1_000_000_000
+
+_HREF_RE = r'<a\b[^>]*href="([^"]*)"'
+
+
+def extract_links(pages: DataFrame, url_col: str = "url") -> DataFrame:
+    """Domain-level edge list: (src_domain, dst_domain, n_links), n_links
+    the number of anchors. Self-links (site navigation) are kept — they
+    carry real weight-normalization consequences for PageRank and are
+    dropped by consumers that don't want them."""
+    hrefs = pages.select(
+        _domain(F.col(url_col)).alias("src_domain"),
+        F.explode(F.regexp_extract_all(F.col("html"), F.lit(_HREF_RE), F.lit(1))).alias("href"),
+    )
+    dst = (
+        F.when(
+            F.col("href").rlike(r"^https?://"), _domain(F.col("href"))
+        )
+        .when(F.col("href").startswith("/"), F.col("src_domain"))
+        .otherwise(F.lit(None))
+    )
+    return (
+        hrefs.select("src_domain", dst.alias("dst_domain"))
+        .where(F.col("dst_domain").isNotNull())
+        .groupBy("src_domain", "dst_domain")
+        .agg(F.count("*").cast("long").alias("n_links"))
+    )
+
+
+def degree_stats(edges: DataFrame) -> DataFrame:
+    """Per-domain degrees over the edge list: (domain, out_degree,
+    in_degree, out_links, in_links). Domains appearing only as source or
+    only as target get zeros on the other side (full outer union)."""
+    out_d = edges.groupBy(F.col("src_domain").alias("domain")).agg(
+        F.count("*").cast("long").alias("out_degree"),
+        F.sum("n_links").cast("long").alias("out_links"),
+    )
+    in_d = edges.groupBy(F.col("dst_domain").alias("domain")).agg(
+        F.count("*").cast("long").alias("in_degree"),
+        F.sum("n_links").cast("long").alias("in_links"),
+    )
+    return (
+        out_d.join(in_d, "domain", "full_outer")
+        .select(
+            "domain",
+            F.coalesce("out_degree", F.lit(0)).cast("long").alias("out_degree"),
+            F.coalesce("in_degree", F.lit(0)).cast("long").alias("in_degree"),
+            F.coalesce("out_links", F.lit(0)).cast("long").alias("out_links"),
+            F.coalesce("in_links", F.lit(0)).cast("long").alias("in_links"),
+        )
+    )
+
+
+def pagerank(edges: DataFrame, n_iters: int = 3) -> DataFrame:
+    """Integer-exact PageRank on the domain graph: (domain, rank_e9).
+
+    r_0(v)   = floor(1e9 / N)
+    r_{k+1}(v) = floor(0.15e9 / N)
+               + Σ_{u→v} floor(r_k(u) · 85 · w(u,v) / (100 · out(u)))
+
+    Every term floors to a bigint before summing, so there is no float
+    accumulation anywhere and the DuckDB oracle (the same recurrence as
+    chained CTEs) matches exactly. Dangling domains keep receiving the
+    teleport term but their own mass is dropped (sums < 1e9 — standard
+    "dangling mass removed" variant).
+
+    The iteration joins ranks (N rows) to edges (E rows) k times;
+    localCheckpoint truncates the growing plan each round — the same
+    pattern as cluster.connected_components.
+    """
+    spark = edges.sparkSession
+    nodes = (
+        edges.select(F.col("src_domain").alias("domain"))
+        .unionAll(edges.select(F.col("dst_domain").alias("domain")))
+        .distinct()
+    )
+    n = nodes.count()
+    if n == 0:
+        return nodes.select("domain", F.lit(0).cast("long").alias("rank_e9")).limit(0)
+    base = int(0.15 * E9) // n
+    out_tot = edges.groupBy("src_domain").agg(F.sum("n_links").alias("out_links"))
+    w_edges = edges.join(out_tot, "src_domain").localCheckpoint(eager=True)
+
+    ranks = nodes.select("domain", F.lit(E9 // n).cast("long").alias("rank_e9"))
+    for _ in range(n_iters):
+        contrib = (
+            w_edges.join(ranks, w_edges["src_domain"] == ranks["domain"])
+            .select(
+                F.col("dst_domain").alias("domain"),
+                # SQL DIV: exact integer division (a float `/` then cast can
+                # round across an integer boundary on large numerators)
+                F.expr(
+                    f"(rank_e9 * {DAMPING_NUM} * n_links) DIV ({DAMPING_DEN} * out_links)"
+                ).alias("c"),
+            )
+            .groupBy("domain")
+            .agg(F.sum("c").alias("in_mass"))
+        )
+        ranks = (
+            nodes.join(contrib, "domain", "left")
+            .select(
+                "domain",
+                (F.lit(base) + F.coalesce(F.col("in_mass"), F.lit(0)))
+                .cast("long")
+                .alias("rank_e9"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return ranks

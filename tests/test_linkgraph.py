@@ -1,0 +1,73 @@
+"""Link-graph analytics (operators/linkgraph.py): href resolution rules,
+degree bookkeeping, and hand-computed integer PageRank."""
+
+from graphical_context_extraction_pipeline_spark.datagen import ensure_html
+from graphical_context_extraction_pipeline_spark.operators import linkgraph as LG
+
+PAGES_DDL = "doc_id long, url string, html string"
+
+
+def _pages(spark, rows):
+    return spark.createDataFrame(
+        [(i, u, h) for i, (u, h) in enumerate(rows)], PAGES_DDL
+    )
+
+
+def test_href_resolution(spark):
+    pages = _pages(
+        spark,
+        [
+            (
+                "https://www.a.example/p",
+                '<a href="https://WWW.B.example/x">b</a>'
+                '<a href="/local">l</a>'
+                '<a href="#frag">f</a>'
+                '<a href="mailto:x@y">m</a>'
+                '<a href="https://b.example/y">b2</a>',
+            )
+        ],
+    )
+    edges = {(r.src_domain, r.dst_domain): r.n_links for r in LG.extract_links(pages).collect()}
+    # absolute links resolve to their own (www-stripped, lowercased) domain,
+    # relative to the page's domain; fragment/mailto dropped
+    assert edges == {("a.example", "b.example"): 2, ("a.example", "a.example"): 1}
+
+
+def test_degree_stats_full_outer(spark):
+    pages = _pages(
+        spark,
+        [
+            ("https://a.example/p", '<a href="https://b.example/x">b</a>'),
+        ],
+    )
+    rows = {r.domain: r for r in LG.degree_stats(LG.extract_links(pages)).collect()}
+    assert rows["a.example"].out_degree == 1 and rows["a.example"].in_degree == 0
+    assert rows["b.example"].in_degree == 1 and rows["b.example"].out_degree == 0
+
+
+def test_pagerank_hand_values(spark):
+    # A -> B, nothing else. N=2, r0 = 5e8 each, base = 75e6.
+    # iter1: rB = 75e6 + (5e8*85)//100 = 500_000_000 ; rA = 75e6
+    # iter2: rB = 75e6 + (75e6*85)//100 = 138_750_000 ; rA = 75e6
+    # iter3: same as iter2 (rA unchanged)
+    pages = _pages(spark, [("https://a.example/p", '<a href="https://b.example/x">b</a>')])
+    edges = LG.extract_links(pages)
+    r = {x.domain: x.rank_e9 for x in LG.pagerank(edges, n_iters=3).collect()}
+    assert r == {"a.example": 75_000_000, "b.example": 138_750_000}
+    r1 = {x.domain: x.rank_e9 for x in LG.pagerank(edges, n_iters=1).collect()}
+    assert r1 == {"a.example": 75_000_000, "b.example": 500_000_000}
+
+
+def test_pagerank_mass_conservation_bound(spark):
+    # dangling mass is dropped: total rank never exceeds 1e9 (+N flooring)
+    pages = spark.read.parquet(ensure_html("/root/testdata/sf0.001"))
+    edges = LG.extract_links(pages)
+    total = sum(r.rank_e9 for r in LG.pagerank(edges, n_iters=2).collect())
+    assert 0 < total <= 1_000_000_000
+
+
+def test_linkgraph_empty(spark):
+    empty = spark.createDataFrame([], PAGES_DDL)
+    assert LG.extract_links(empty).count() == 0
+    assert LG.degree_stats(LG.extract_links(empty)).count() == 0
+    assert LG.pagerank(LG.extract_links(empty)).count() == 0

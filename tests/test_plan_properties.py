@@ -410,3 +410,16 @@ def test_url_ops_plan_shapes(spark):
     plan = physical_plan(ds)
     assert count_exchanges(ds) <= 2, plan  # distinct-agg expansion under AQE
     assert "SinglePartition" not in plan, plan
+
+
+def test_link_edges_single_shuffle(spark):
+    """Edge extraction: scan → Generate → partial agg → ONE exchange. The
+    page html is consumed pre-shuffle (only (src, dst) pairs move)."""
+    from graphical_context_extraction_pipeline_spark import datagen
+    from graphical_context_extraction_pipeline_spark.operators import linkgraph as LG
+
+    pages = spark.read.parquet(datagen.ensure_html("/root/testdata/sf0.001"))
+    out = LG.extract_links(pages)
+    plan = physical_plan(out)
+    assert count_exchanges(out) == 1, plan
+    assert "SinglePartition" not in plan, plan
