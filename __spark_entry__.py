@@ -219,6 +219,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         layout as LY,
         linkgraph as LG,
         media,
+        multimodal as MM,
         relational as R,
         sampling as SA,
         similarity,
@@ -264,6 +265,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "link_edges": lambda s, d: LG.extract_links(_html_pages(s, d)),
         "link_degrees": lambda s, d: LG.degree_stats(LG.extract_links(_html_pages(s, d))),
         "pagerank": lambda s, d: LG.pagerank(LG.extract_links(_html_pages(s, d)), n_iters=3),
+        # ---- interleaved text+media training-data construction ----------------
+        "caption_pairs": lambda s, d: MM.caption_pairs(_spans_docs(s, d)),
+        "mm_sequence": lambda s, d: MM.mm_sequence(_spans_docs(s, d)),
         # ---- cross-doc boilerplate model (north-star per-partition heuristic) --
         "boilerplate_lines": lambda s, d: BP.boilerplate_lines(_spans_docs(s, d)),
         "strip_boilerplate": lambda s, d: BP.strip_boilerplate(_spans_docs(s, d)),
@@ -982,6 +986,47 @@ SELECT b.doc_id, b.media_ref, cast(b.col AS bigint) AS col,
        fr.n AS n_blocks_frame, fr.sum_h AS sum_h_e2_frame, b.text
 FROM b JOIN fr ON b.doc_id = fr.doc_id AND b.media_ref = fr.media_ref
 WHERE fr.n >= 2 AND 2 * b.h_e2 * fr.n >= 3 * fr.sum_h
+"""
+
+    # ---- interleaved text+media training-data construction -----------------
+    q["caption_pairs"] = f"""
+WITH t AS (SELECT doc_id, cast(s.offset AS bigint) AS ts, s.text AS text
+           FROM {_S1} WHERE s.kind = 'asr' AND s.text IS NOT NULL AND s.text <> ''),
+f AS (SELECT doc_id, s.media_ref AS media_ref, cast(s.offset AS bigint) AS frame_ts
+      FROM {_S1} WHERE s.kind = 'frame' AND s.media_ref IS NOT NULL),
+j AS (SELECT f.doc_id, f.media_ref, f.frame_ts, t.text AS caption, t.ts AS caption_ts,
+             abs(t.ts - f.frame_ts) AS distance_ms,
+             row_number() OVER (PARTITION BY f.doc_id, f.media_ref, f.frame_ts
+                                ORDER BY abs(t.ts - f.frame_ts), t.ts, t.text) AS rn
+      FROM f JOIN t ON f.doc_id = t.doc_id)
+SELECT doc_id, media_ref, frame_ts, caption, caption_ts,
+       cast(distance_ms AS bigint) AS distance_ms
+FROM j WHERE rn = 1
+"""
+
+    q["mm_sequence"] = f"""
+WITH it AS (SELECT doc_id, s.kind AS kind, s.text AS text, s.media_ref AS media_ref,
+                   cast(s.offset AS bigint) AS off,
+                   CASE WHEN s.kind = 'asr' THEN 2 ELSE 3 END AS pri
+            FROM {_S1}
+            WHERE (s.kind = 'asr' AND s.text IS NOT NULL AND s.text <> '')
+               OR (s.kind = 'frame' AND s.media_ref IS NOT NULL)),
+agg AS (SELECT doc_id,
+               string_agg(CASE WHEN kind = 'asr' THEN text ELSE '<image>' END, ' '
+                          ORDER BY off, pri, coalesce(text, ''), coalesce(media_ref, ''))
+                 AS mm_text,
+               cast(sum(CASE WHEN kind = 'asr' THEN
+                 len(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> ''))
+                 ELSE 0 END) AS bigint) AS n_text_tokens,
+               cast(sum(CASE WHEN kind = 'frame' THEN 1 ELSE 0 END) AS bigint) AS n_media,
+               cast(count(*) AS bigint) AS n_items
+        FROM it GROUP BY doc_id)
+SELECT d.doc_id, coalesce(agg.mm_text, '') AS mm_text,
+       cast(coalesce(agg.n_text_tokens, 0) AS bigint) AS n_text_tokens,
+       cast(coalesce(agg.n_media, 0) AS bigint) AS n_media,
+       cast(coalesce(agg.n_items, 0) AS bigint) AS n_items
+FROM (SELECT doc_id FROM {_SD} WHERE spans IS NOT NULL) d
+LEFT JOIN agg USING (doc_id)
 """
 
     # ---- HTML main-content extraction (operators/html_extract.py) ---------

@@ -423,3 +423,20 @@ def test_link_edges_single_shuffle(spark):
     plan = physical_plan(out)
     assert count_exchanges(out) == 1, plan
     assert "SinglePartition" not in plan, plan
+
+
+def test_multimodal_ops_shuffle_free_pruned(spark, docs_path):
+    """caption_pairs / mm_sequence: scan → project (+Generate), zero
+    Exchange; the scan reads only the spans column (no span_attrs at all)."""
+    from graphical_context_extraction_pipeline_spark.operators import multimodal as MM
+    from graphical_context_extraction_pipeline_spark.plans.explain import formatted_plan
+
+    spark.conf.set("spark.sql.maxMetadataStringLength", 8000)
+    docs = spark.read.parquet(docs_path)
+    for op in (MM.caption_pairs, MM.mm_sequence):
+        out = op(docs)
+        assert count_exchanges(out) == 0, (op.__name__, physical_plan(out))
+        schemas = "\n".join(
+            line for line in formatted_plan(out).splitlines() if "ReadSchema" in line
+        )
+        assert "span_attrs" not in schemas, (op.__name__, schemas)
