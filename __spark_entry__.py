@@ -268,6 +268,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ---- interleaved text+media training-data construction ----------------
         "caption_pairs": lambda s, d: MM.caption_pairs(_spans_docs(s, d)),
         "mm_sequence": lambda s, d: MM.mm_sequence(_spans_docs(s, d)),
+        # ---- end-to-end web curation: HTML → main content → curation verdicts
+        # (the full C4-style chain as ONE composed plan; same planted dup
+        # constructions as curate_corpus so every status arm has members)
+        "web_curate": lambda s, d: CU.curate_corpus(
+            _planted_exact(
+                _planted_near(
+                    HT.main_content(_html_pages(s, d)).select(
+                        "doc_id", F.col("main_text").alias("text")
+                    )
+                )
+            )
+        ),
         # ---- cross-doc boilerplate model (north-star per-partition heuristic) --
         "boilerplate_lines": lambda s, d: BP.boilerplate_lines(_spans_docs(s, d)),
         "strip_boilerplate": lambda s, d: BP.strip_boilerplate(_spans_docs(s, d)),
@@ -1910,6 +1922,45 @@ WITH RECURSIVE
 corpus0 AS (SELECT doc_id, text FROM documents UNION ALL
             SELECT doc_id + 200000 AS doc_id, text || '{_NEAR_TAIL}' AS text
             FROM documents WHERE doc_id % 70 = 3),
+corpusx AS (SELECT doc_id, text FROM corpus0 UNION ALL
+            SELECT doc_id + 100000 AS doc_id, text FROM corpus0 WHERE doc_id % 50 = 0),
+qual AS (SELECT doc_id, text, {qual_ok} AS ok FROM corpusx),
+passing AS (SELECT doc_id, text, md5(lower(text)) AS dup_key FROM qual WHERE ok),
+canon AS (SELECT dup_key, min(doc_id) AS ec FROM passing GROUP BY dup_key),
+keyed AS (SELECT p.doc_id, p.text, c.ec FROM passing p JOIN canon c USING (dup_key)),
+corpus AS (SELECT doc_id, text FROM keyed WHERE doc_id = ec),
+{ngram_chain},
+{_CC_CHAIN}
+SELECT doc_id, 'rejected_quality' AS status, cast(-1 AS bigint) AS canonical_doc_id
+FROM qual WHERE NOT ok
+UNION ALL
+SELECT doc_id, 'exact_duplicate' AS status, ec AS canonical_doc_id
+FROM keyed WHERE doc_id <> ec
+UNION ALL
+SELECT doc_id, 'near_duplicate' AS status, component AS canonical_doc_id
+FROM cc WHERE doc_id <> component
+UNION ALL
+SELECT c.doc_id, 'kept' AS status, c.doc_id AS canonical_doc_id
+FROM corpus c
+WHERE c.doc_id NOT IN (SELECT doc_id FROM cc WHERE doc_id <> component)
+"""
+
+    # end-to-end web curation: the curate_corpus chain re-bound to the HTML
+    # main-content corpus (DOM extraction feeding quality gate → exact dedup
+    # → ngram closure — the whole C4-style pipeline replayed in one query)
+    q["web_curate"] = f"""
+WITH RECURSIVE
+{_HB},
+corpus_html AS (
+  SELECT hp.doc_id, coalesce(w.main_text, '') AS text
+  FROM hp LEFT JOIN (
+    SELECT doc_id, string_agg(text, chr(10) ORDER BY block_idx) AS main_text
+    FROM b3 WHERE tag IN ({_content_in}) AND text_len >= {MIN_TEXT_LEN}
+      AND link_density_bp <= {MAX_LINK_DENSITY_BP}
+    GROUP BY doc_id) w ON w.doc_id = hp.doc_id),
+corpus0 AS (SELECT doc_id, text FROM corpus_html UNION ALL
+            SELECT doc_id + 200000 AS doc_id, text || '{_NEAR_TAIL}' AS text
+            FROM corpus_html WHERE doc_id % 70 = 3),
 corpusx AS (SELECT doc_id, text FROM corpus0 UNION ALL
             SELECT doc_id + 100000 AS doc_id, text FROM corpus0 WHERE doc_id % 50 = 0),
 qual AS (SELECT doc_id, text, {qual_ok} AS ok FROM corpusx),
