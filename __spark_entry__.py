@@ -271,6 +271,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ---- end-to-end web curation: HTML → main content → curation verdicts
         # (the full C4-style chain as ONE composed plan; same planted dup
         # constructions as curate_corpus so every status arm has members)
+        # per-doc salient terms (integer TF-IDF top-k)
+        "top_terms": lambda s, d: TA.top_terms(_flat_docs(s, d), k=5),
         "web_curate": lambda s, d: CU.curate_corpus(
             _planted_exact(
                 _planted_near(
@@ -1943,6 +1945,24 @@ UNION ALL
 SELECT c.doc_id, 'kept' AS status, c.doc_id AS canonical_doc_id
 FROM corpus c
 WHERE c.doc_id NOT IN (SELECT doc_id FROM cc WHERE doc_id <> component)
+"""
+
+    # per-doc salient terms: integer TF-IDF (idf = rational N/df in e6 fixed
+    # point, SQL DIV — no float log), top-5 by (score DESC, term ASC)
+    q["top_terms"] = f"""
+WITH tk AS (SELECT doc_id, unnest({_TOKS}) AS term FROM documents),
+tf AS (SELECT doc_id, term, cast(count(*) AS bigint) AS tf FROM tk GROUP BY 1, 2),
+dfr AS (SELECT term, cast(count(*) AS bigint) AS df FROM tf GROUP BY 1),
+nn AS (SELECT count(*) AS n FROM documents WHERE text IS NOT NULL),
+sc AS (SELECT tf.doc_id, tf.term, tf.tf, dfr.df,
+              cast(tf.tf * (((SELECT n FROM nn) * 1000000) // dfr.df) AS bigint)
+                AS score_e6
+       FROM tf JOIN dfr USING (term)),
+rk AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+                                    ORDER BY score_e6 DESC, term) AS rank
+       FROM sc)
+SELECT doc_id, term, tf, df, score_e6, cast(rank AS bigint) AS rank
+FROM rk WHERE rank <= 5
 """
 
     # end-to-end web curation: the curate_corpus chain re-bound to the HTML

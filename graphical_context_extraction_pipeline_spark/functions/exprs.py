@@ -55,3 +55,21 @@ def zip_spans(attrs: tuple[str, ...] = ("end_ms",)):
         F.col("spans").alias("s"),
         *[F.col(f"span_attrs.{f}").alias(f) for f in attrs],
     )
+
+
+def segments(arr, is_start):
+    """[start, end) index ranges (1-based, end exclusive) of the groups of
+    a SORTED array, where ``is_start(arr, i)`` decides whether the i-th
+    element opens a new group (use a CASE branch for the ``i == 1`` guard —
+    ``element_at(arr, 0)`` raises and SQL OR does not short-circuit).
+
+    The O(n) intra-row group-by-adjacency primitive: an ``aggregate`` fold
+    that APPENDS group rows to its accumulator copies the array every step
+    — O(n²) per row (measured 6× on layout.paragraphs at sf0.1). Starter
+    indexes from one positional scan, paired into ranges via
+    consecutive_pairs with a sentinel n+1. Callers must short-circuit
+    empty arrays BEFORE calling (sequence(1, 0) is DESCENDING, not empty).
+    """
+    n = F.size(arr)
+    starters = F.filter(F.sequence(F.lit(1), n), lambda i: is_start(arr, i))
+    return consecutive_pairs(F.concat(starters, F.array(n + 1)))

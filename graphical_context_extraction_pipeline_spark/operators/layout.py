@@ -45,7 +45,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.exprs import bind, zip_spans
+from ..functions.exprs import bind, segments as _segments, zip_spans
 
 # Frame width is 1280 by the media contract (datagen bbox ranges mirror the
 # reference's 720p frames); the column split sits at the midline.
@@ -109,19 +109,6 @@ def _sorted_blocks(midline: float):
     return F.array_sort(F.transform(z, rec))
 
 
-def _segments(arr, is_start):
-    """[start, end) index ranges (1-based, end exclusive) of the groups of
-    the sorted block array ``arr``, where ``is_start(arr, i)`` decides
-    whether the i-th element opens a new group. O(n): starter indexes come
-    from one positional scan, then pair into ranges via consecutive_pairs
-    with a sentinel n+1 appended."""
-    from ..functions.exprs import consecutive_pairs
-
-    n = F.size(arr)
-    starters = F.filter(F.sequence(F.lit(1), n), lambda i: is_start(arr, i))
-    # n >= 1 guaranteed by callers (filter on non-empty arr); sequence(1, 0)
-    # would be DESCENDING, so empty arrays must short-circuit before here.
-    return consecutive_pairs(F.concat(starters, F.array(n + 1)))
 
 
 def _frame_start(arr, i):

@@ -352,3 +352,91 @@ def corpus_stats(docs: DataFrame) -> DataFrame:
         _pick(9000).alias("p90_tokens"),
         _pick(9900).alias("p99_tokens"),
     )
+
+
+def top_terms(docs: DataFrame, k: int = 5) -> DataFrame:
+    """Per-document salient-term extraction (TF-IDF top-k) — the keyword
+    tagging pass training pipelines use for topic metadata and mixture
+    construction.
+
+    Scoring is integer-exact so the DuckDB oracle replays it: for term t in
+    doc d, ``score_e6 = tf(t,d) · (N·10⁶ DIV df(t))`` — the idf factor is
+    the rational N/df in e6 fixed point rather than its logarithm (rank-
+    monotone in df for fixed tf, zero float arithmetic). Top-k per doc by
+    (score_e6 DESC, term ASC), rank 1-based.
+
+    Plan: one shuffle builds the document-frequency relation (distinct
+    term per doc → count), one shuffle re-groups (doc, term, tf) rows with
+    their df to take the per-doc top-k via a bounded collect + intra-row
+    sort (the per-doc buffer is capped by the doc's distinct-term count —
+    doc-length bounded, no global sort, no window over the full corpus).
+
+    Output: (doc_id, term, tf, df, score_e6, rank).
+    """
+    from ..functions.exprs import bind, segments
+
+    toks = _tokens(F.col("text"))
+    # (doc_id, term, tf) without a groupBy: equal-run segments of the
+    # per-doc sorted token array (O(n) — NOT an append-fold, which copies
+    # its accumulator every step)
+    def runs(arr):
+        def is_start(a, i):
+            return F.when(i == 1, F.lit(True)).otherwise(
+                F.element_at(a, i) != F.element_at(a, i - 1)
+            )
+
+        return F.transform(
+            segments(arr, is_start),
+            lambda seg: F.struct(
+                F.element_at(arr, seg["a"]).alias("term"),
+                (seg["b"] - seg["a"]).cast("long").alias("tf"),
+            ),
+        )
+
+    counted = bind(
+        F.array_sort(toks),
+        lambda arr: F.when(F.size(arr) > 0, runs(arr)).otherwise(
+            F.array().cast("array<struct<term:string,tf:bigint>>")
+        ),
+    )
+    pairs = docs.select("doc_id", F.explode(counted).alias("p")).select(
+        "doc_id", "p.term", "p.tf"
+    )
+    n_docs = docs.where(F.col("text").isNotNull()).count()
+    df_rel = pairs.groupBy("term").agg(F.count("*").cast("long").alias("df"))
+    scored = pairs.join(df_rel, "term").select(
+        "doc_id",
+        "term",
+        "tf",
+        "df",
+        F.expr(f"tf * (({n_docs} * 1000000) DIV df)").alias("score_e6"),
+    )
+    topk = (
+        scored.groupBy("doc_id")
+        .agg(
+            F.slice(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(
+                            (-F.col("score_e6")).alias("neg_score"),
+                            F.col("term").alias("term"),
+                            F.col("tf").alias("tf"),
+                            F.col("df").alias("df"),
+                        )
+                    )
+                ),
+                1,
+                k,
+            ).alias("top")
+        )
+        .select("doc_id", F.posexplode("top").alias("pos", "t"))
+        .select(
+            "doc_id",
+            F.col("t.term").alias("term"),
+            F.col("t.tf").alias("tf"),
+            F.col("t.df").alias("df"),
+            (-F.col("t.neg_score")).cast("long").alias("score_e6"),
+            (F.col("pos") + 1).cast("long").alias("rank"),
+        )
+    )
+    return topk

@@ -440,3 +440,17 @@ def test_multimodal_ops_shuffle_free_pruned(spark, docs_path):
             line for line in formatted_plan(out).splitlines() if "ReadSchema" in line
         )
         assert "span_attrs" not in schemas, (op.__name__, schemas)
+
+
+def test_top_terms_two_shuffles_no_window(spark):
+    """(doc,term,tf) comes from intra-row run segments (no first groupBy);
+    df + per-doc top-k are the only exchanges. No window over the corpus,
+    no SinglePartition."""
+    from graphical_context_extraction_pipeline_spark.operators import text_analysis as TA
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    out = TA.top_terms(docs)
+    plan = physical_plan(out)
+    assert "SinglePartition" not in plan, plan
+    assert "Window" not in plan, plan
+    assert count_exchanges(out) <= 3, plan  # df agg + join sides + topk agg

@@ -235,3 +235,38 @@ def test_corpus_stats_exact_percentiles(spark):
     assert (a["p50_tokens"], a["p90_tokens"], a["p99_tokens"]) == (6, 10, 10)
     b = got["b"]
     assert (b["n_docs"], b["p50_tokens"], b["p99_tokens"]) == (1, 3, 3)
+
+
+def test_top_terms_hand_values(spark):
+    from graphical_context_extraction_pipeline_spark.operators import text_analysis as TA
+
+    docs = spark.createDataFrame(
+        [
+            (1, "apple apple banana shared"),
+            (2, "cherry shared"),
+            (3, None),
+        ],
+        "doc_id long, text string",
+    )
+    rows = TA.top_terms(docs, k=2).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    # N = 2 (non-null text docs is 3 rows but one text is NULL → N counts
+    # non-null: 2). apple: tf=2, df=1 → score 2*(2e6//1)=4e6.
+    # shared: df=2 → idf 1e6. banana: tf=1 df=1 → 2e6.
+    d1 = {r.term: (r.tf, r.df, r.score_e6, r.rank) for r in by_doc[1]}
+    assert d1["apple"] == (2, 1, 4_000_000, 1)
+    assert d1["banana"] == (1, 1, 2_000_000, 2)  # beats shared (1e6)
+    assert "shared" not in d1  # k=2 cut
+    d2 = {r.term: r.rank for r in by_doc[2]}
+    assert d2 == {"cherry": 1, "shared": 2}
+    assert 3 not in by_doc  # NULL text yields no terms
+
+
+def test_top_terms_tiebreak_lexicographic(spark):
+    from graphical_context_extraction_pipeline_spark.operators import text_analysis as TA
+
+    docs = spark.createDataFrame([(1, "zeta alpha")], "doc_id long, text string")
+    rows = sorted(TA.top_terms(docs, k=2).collect(), key=lambda r: r.rank)
+    assert [r.term for r in rows] == ["alpha", "zeta"]  # equal score → term asc
