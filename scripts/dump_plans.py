@@ -145,6 +145,57 @@ def main() -> None:
         ),
     ]
 
+    from graphical_context_extraction_pipeline_spark.datagen import ensure_html
+    from graphical_context_extraction_pipeline_spark.operators import (
+        html_extract as HT,
+        layout as LY,
+        linkgraph as LG,
+        multimodal as MM,
+        text_analysis as TA,
+        urls as UR,
+    )
+
+    pages = spark.read.parquet(ensure_html("/root/testdata/sf0.01"))
+    entries += [
+        (
+            "html main_content (DOM heuristics)",
+            HT.main_content(pages),
+            "block segmentation + classification as regex/HOF expressions — "
+            "scan → project, zero Exchange, zero Python nodes.",
+        ),
+        (
+            "url_dedup (canonical collapse)",
+            UR.url_dedup(pages),
+            "only the narrow (canonical_url, doc_id) projection shuffles; the "
+            "page html never enters the exchange (ReadSchema excludes it).",
+        ),
+        (
+            "link_edges (domain graph extraction)",
+            LG.extract_links(pages),
+            "hrefs exploded and resolved pre-shuffle; ONE exchange carries "
+            "(src, dst) pairs into the edge rollup.",
+        ),
+        (
+            "layout reading_order (positional segments)",
+            LY.reading_order(docs),
+            "intra-row sort + O(n) positional frame segmentation — zero "
+            "Exchange; scan prunes to spans + span_attrs.bbox only.",
+        ),
+        (
+            "mm_sequence (interleaved training sequence)",
+            MM.mm_sequence(docs),
+            "W7 stable order + placeholder substitution + counters, all "
+            "intra-row — zero Exchange, spans-only ReadSchema.",
+        ),
+        (
+            "top_terms (integer TF-IDF top-k)",
+            TA.top_terms(flat),
+            "per-doc (term, tf) from intra-row run segments (no first "
+            "groupBy); document frequency + bounded per-doc top-k are the "
+            "only exchanges — no window over the corpus.",
+        ),
+    ]
+
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
     with open(os.path.join(REPO, "BENCH", "PLANS.md"), "w") as f:
         f.write(
