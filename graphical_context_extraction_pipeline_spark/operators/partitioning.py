@@ -112,3 +112,37 @@ def partition_cost_stats(df: DataFrame, cost=None) -> DataFrame:
         )
         .select(F.col("_pid").alias("part_id"), "n_rows", "total_cost")
     )
+
+
+def salted_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    key: str,
+    fact_unique_col: str,
+    n_salts: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-proof equi join: a hot join key (one user/domain/doc dominating
+    the fact side) lands every matching fact row on ONE reducer in a plain
+    shuffle join. Salting splits it: the fact side gets a deterministic
+    salt derived from a per-row unique column (crc32 % n_salts — no
+    nondeterministic rand(), so retries/speculative tasks agree), the dim
+    side is replicated once per salt value, and the join runs on
+    (key, salt) — each hot key now spreads across n_salts reducers at the
+    cost of an n_salts× dim replication (use for large-dim joins where
+    broadcast is impossible and AQE's skew split can't help, e.g. bucketed
+    sort-merge inputs).
+
+    Complementary to AQE skew handling: AQE splits oversized PARTITIONS
+    after the shuffle files exist; salting prevents the oversized shuffle
+    block from being written in the first place — the difference matters
+    when one key alone exceeds executor memory.
+    """
+    fact_s = fact.withColumn(
+        "_salt",
+        (F.crc32(F.col(fact_unique_col).cast("string").cast("binary")) % n_salts).cast("int"),
+    )
+    dim_s = dim.withColumn(
+        "_salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
+    ).withColumn("_salt", F.col("_salt").cast("int"))
+    return fact_s.join(dim_s, [key, "_salt"], how).drop("_salt")

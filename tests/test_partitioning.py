@@ -148,3 +148,35 @@ def test_balance_scalable_empty_and_null_costs(spark):
     out = balance_by_cost_scalable(mixed, 4)
     assert out.count() == 6
     assert out.where(F.col("doc_id") == "null_doc").count() == 1
+
+
+def test_salted_join_equals_plain_join(spark):
+    from graphical_context_extraction_pipeline_spark.operators.partitioning import salted_join
+
+    from pyspark.sql import functions as F
+
+    # 90%-hot fact key + a dim with per-key payload
+    fact = spark.range(0, 2000).select(
+        F.col("id").alias("event_id"),
+        F.when(F.col("id") % 10 < 9, F.lit("hot")).otherwise(F.lit("cold")).alias("k"),
+    )
+    dim = spark.createDataFrame([("hot", 1), ("cold", 2)], "k string, payload int")
+    got = salted_join(fact, dim, key="k", fact_unique_col="event_id", n_salts=4)
+    want = fact.join(dim, "k")
+    assert got.count() == want.count() == 2000
+    assert got.groupBy("k").sum("payload").collect() == want.groupBy("k").sum("payload").collect()
+    # the join key actually carries the salt (hot key spread across reducers)
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "_salt" in plan
+
+
+def test_salted_join_deterministic_salts(spark):
+    from graphical_context_extraction_pipeline_spark.operators.partitioning import salted_join
+
+    from pyspark.sql import functions as F
+
+    fact = spark.range(0, 100).select(F.col("id").alias("event_id"), F.lit("hot").alias("k"))
+    dim = spark.createDataFrame([("hot", 1)], "k string, payload int")
+    a = salted_join(fact, dim, "k", "event_id").orderBy("event_id").collect()
+    b = salted_join(fact, dim, "k", "event_id").orderBy("event_id").collect()
+    assert a == b  # crc32 salt, not rand(): retries agree
