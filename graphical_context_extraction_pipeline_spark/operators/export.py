@@ -164,3 +164,47 @@ def to_json_strings(df: DataFrame) -> DataFrame:
     from pyspark.sql import functions as F
 
     return df.select(F.to_json(F.struct(*df.columns)).alias("json"))
+
+
+def compact_parquet(
+    spark,
+    src_path: str,
+    dst_path: str,
+    target_bytes_per_file: int = 128 * 1024 * 1024,
+) -> dict:
+    """Small-file compaction: rewrite a parquet directory into files sized
+    for scan efficiency. A 10^12-doc sink accumulates micro-batch and
+    straggler files; thousands of KB-sized files per partition turn every
+    downstream scan into a metadata storm (one footer read + task per
+    file). Target file count = ceil(input_bytes / target), realized with
+    coalesce (narrow — no shuffle; partition mix only matters for file
+    SIZES here, not key placement).
+
+    Returns {"files_in", "files_out", "bytes_in", "rows"} so callers can
+    audit the rewrite. The write goes to a NEW directory — pair with the
+    pipeline's write-audit protocol to swap it in atomically; never
+    compact in place.
+    """
+    import math
+    import os
+
+    files = []
+    for root, _dirs, names in os.walk(src_path):
+        files.extend(
+            os.path.join(root, n) for n in names
+            if n.endswith(".parquet") and not n.startswith(("_", "."))
+        )
+    bytes_in = sum(os.path.getsize(f) for f in files)
+    n_out = max(1, math.ceil(bytes_in / target_bytes_per_file))
+    df = spark.read.parquet(src_path)
+    df.coalesce(n_out).write.mode("overwrite").parquet(dst_path)
+    rows = spark.read.parquet(dst_path).count()
+    files_out = sum(
+        1 for n in os.listdir(dst_path) if n.endswith(".parquet") and not n.startswith("_")
+    )
+    return {
+        "files_in": len(files),
+        "files_out": files_out,
+        "bytes_in": bytes_in,
+        "rows": rows,
+    }

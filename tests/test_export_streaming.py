@@ -45,3 +45,17 @@ def test_stream_extract_matches_batch(spark, docs_path, tmp_path):
     s_keys = {r.chunk_id for r in streamed.select("chunk_id").collect()}
     assert b_keys == s_keys
     assert streamed.select("epoch_id").distinct().count() >= 1
+
+
+def test_compact_parquet_reduces_files_preserves_rows(spark, tmp_path):
+    from graphical_context_extraction_pipeline_spark.operators.export import compact_parquet
+
+    src = str(tmp_path / "small_files")
+    dst = str(tmp_path / "compacted")
+    spark.range(0, 10_000).repartition(64).write.parquet(src)
+    import os
+    n_in = sum(1 for n in os.listdir(src) if n.endswith(".parquet"))
+    assert n_in == 64
+    stats = compact_parquet(spark, src, dst, target_bytes_per_file=1 << 30)
+    assert stats == {"files_in": 64, "files_out": 1, "bytes_in": stats["bytes_in"], "rows": 10_000}
+    assert spark.read.parquet(dst).count() == 10_000
