@@ -21,6 +21,11 @@ Oracle protocols, by query family:
 - ANN family (ann_topk_lsh, ivf_topk, embedding_cosine_dups): the SQL
   replays the algorithm exactly — hyperplane literals / md5-priority
   centroid selection — so blocking decisions cannot diverge.
+- web family (html_*, url_*, domain_*, link_*, pagerank, web_curate):
+  both engines read the materialized deterministic HTML twin corpus
+  (datagen.ensure_html, version-stamped); the regex chains use the
+  Java-regex ∩ RE2 portable subset and PageRank/TF-IDF arithmetic is
+  integer DIV fixed point, replayed as chained CTEs.
 
 All oracle-compared outputs are integer/string/boolean typed (ratios as
 basis points via floor, confidences as fixed-point ints, arrays serialized
