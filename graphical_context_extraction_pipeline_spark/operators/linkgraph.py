@@ -8,7 +8,10 @@ graph from page HTML and computes:
 - :func:`extract_links` — (src_domain, dst_domain, n_links) edges from
   ``href`` attributes: absolute http(s) targets resolve to their own
   domain, root-relative targets to the page's domain, everything else
-  (fragments, mailto, javascript) is dropped;
+  (fragments, mailto, javascript — and protocol-relative ``//host/..``
+  hrefs, which the corpus contract does not produce) is dropped or, for
+  ``//``-prefixed hrefs, counted as same-domain; extend the CASE here and
+  in the oracle together if the contract ever grows them;
 - :func:`degree_stats` — per-domain in/out degree and link counts;
 - :func:`pagerank` — damping-0.85 PageRank, a FIXED number of synchronous
   iterations, all arithmetic in e9 fixed point (every term is an integer
