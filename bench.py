@@ -102,10 +102,13 @@ def run_suite(cpus: int, sf_dir: str) -> dict:
         dedup,
         html_extract as HT,
         layout as LY,
+        linkgraph as LG,
+        multimodal as MM,
         relational as R,
         sampling as SA,
         similarity,
         text_analysis as TA,
+        urls as UR,
         validate as V,
     )
     from graphical_context_extraction_pipeline_spark.datagen import ensure_html
@@ -158,6 +161,9 @@ def run_suite(cpus: int, sf_dir: str) -> dict:
         # geometry folds) — 2 more lines, suite total grows by construction
         "html_main_content": lambda: HT.main_content(pages).count(),
         "layout_paragraphs": lambda: LY.paragraphs(docs).count(),
+        "url_dedup": lambda: UR.url_dedup(pages).count(),
+        "link_edges": lambda: LG.extract_links(pages).count(),
+        "mm_sequence": lambda: MM.mm_sequence(docs).count(),
     }
     timings: dict[str, float] = {}
     extract_wall = None
