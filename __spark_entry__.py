@@ -402,6 +402,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "funnel_steps": lambda s, d: EV.funnel(_events(s, d)),
         "event_rollup": lambda s, d: EV.event_rollup(_events(s, d)),
         "retention_cohorts": lambda s, d: EV.retention_cohorts(_events(s, d)),
+        "rate_spikes": lambda s, d: EV.rate_spikes(_events(s, d)),
         # ---- similarity search ----------------------------------------------
         # ---- multimodal binary columns (decode behind deterministic fake) ----
         "media_features": lambda s, d: media.media_features_canonical(
@@ -1911,6 +1912,24 @@ SELECT cast((epoch_ms(ts) // 3600000) * 3600000 AS bigint) AS window_start_ms,
        cast(count(*) AS bigint) AS n_events,
        cast(sum(cast(floor(value * 100) AS bigint)) AS bigint) AS sum_value_e2
 FROM events GROUP BY 1, 2
+"""
+
+    # rate spikes over the rollup: trailing-3 PRESENT windows per type,
+    # integer cross-multiplication (n*den*k >= num*sum), cold start unflagged
+    q["rate_spikes"] = """
+WITH roll AS (
+  SELECT cast((epoch_ms(ts) // 3600000) * 3600000 AS bigint) AS window_start_ms,
+         event_type, cast(count(*) AS bigint) AS n_events
+  FROM events GROUP BY 1, 2),
+t AS (SELECT *,
+        cast(coalesce(sum(n_events) OVER w, 0) AS bigint) AS trailing_sum,
+        cast(count(n_events) OVER w AS bigint) AS trailing_n
+      FROM roll
+      WINDOW w AS (PARTITION BY event_type ORDER BY window_start_ms
+                   ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING))
+SELECT window_start_ms, event_type, n_events, trailing_sum, trailing_n,
+       (trailing_n = 3 AND n_events * 1 * 3 >= 3 * trailing_sum) AS spike
+FROM t
 """
 
     # end-to-end curation verdicts: quality gate -> exact dedup -> ngram

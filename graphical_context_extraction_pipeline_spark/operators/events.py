@@ -146,3 +146,51 @@ def event_rollup(events: DataFrame, window_ms: int = 3600 * 1000) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_events"),
         F.sum("value_e2").cast("long").alias("sum_value_e2"),
     )
+
+
+def rate_spikes(
+    events: DataFrame,
+    window_ms: int = 3600 * 1000,
+    trailing: int = 3,
+    num: int = 3,
+    den: int = 1,
+) -> DataFrame:
+    """Ingestion-monitor anomaly detection: windows whose event count jumps
+    ≥ num/den × the mean of the previous ``trailing`` PRESENT windows of
+    the same event type (calendar-empty windows produce no row in the
+    rollup and are skipped — documented semantics, mirrored by the oracle;
+    an ingestion monitor cares about jumps relative to recent observed
+    load, and a gap of silence makes the next burst exactly the thing to
+    flag).
+
+    The comparison is pure integer cross-multiplication —
+    ``n · den · k ≥ num · Σtrailing`` — no float mean. Windows with fewer
+    than ``trailing`` predecessors are never flagged (cold start).
+
+    Scale: rides the event_rollup (one shuffle of partial aggregates); the
+    lag window runs over the tiny (windows × types) relation, partitioned
+    by event_type — never over raw events.
+
+    Output: (window_start_ms, event_type, n_events, trailing_sum,
+    trailing_n, spike).
+    """
+    from pyspark.sql import Window
+
+    roll = event_rollup(events, window_ms)
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("window_start_ms")
+        .rowsBetween(-trailing, -1)
+    )
+    out = roll.select(
+        "window_start_ms",
+        "event_type",
+        "n_events",
+        F.coalesce(F.sum("n_events").over(w), F.lit(0)).cast("long").alias("trailing_sum"),
+        F.coalesce(F.count("n_events").over(w), F.lit(0)).cast("long").alias("trailing_n"),
+    )
+    return out.withColumn(
+        "spike",
+        (F.col("trailing_n") == trailing)
+        & (F.col("n_events") * den * trailing >= F.lit(num) * F.col("trailing_sum")),
+    )

@@ -113,3 +113,29 @@ def test_retention_cohorts_hand_values(spark):
     got = {(r["cohort_week"], r["week_offset"]): r["n_users"]
            for r in EV.retention_cohorts(_events(spark, rows)).collect()}
     assert got == {(0, 0): 2, (0, 1): 1, (0, 3): 1, (1, 0): 1, (1, 1): 1}
+
+
+def test_rate_spikes_hand_values(spark):
+    import datetime as dt
+
+    from graphical_context_extraction_pipeline_spark.operators import events as EV
+
+    def e(i, hour, typ="view"):
+        return (i, dt.datetime(2026, 1, 1, hour, 30), 1, typ, 1.0, None)
+
+    rows, i = [], 0
+    # hours 0,1,2: 2 events each (baseline); hour 3: 6 events (3× mean → spike);
+    # hour 4: 2 events (trailing now 2,2,6 → mean 10/3, 2 < 10 → no spike)
+    for h, n in [(0, 2), (1, 2), (2, 2), (3, 6), (4, 2)]:
+        for _ in range(n):
+            rows.append(e(i, h)); i += 1
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp_ntz, user_id long, event_type string,"
+        " value double, props string"
+    )
+    got = {r.window_start_ms: r for r in EV.rate_spikes(ev).collect()}
+    by_hour = {k // 3600000 % 24: v for k, v in got.items()}
+    assert by_hour[0].spike is False and by_hour[0].trailing_n == 0  # cold start
+    assert by_hour[2].spike is False  # only 2 predecessors
+    assert by_hour[3].spike is True and by_hour[3].trailing_sum == 6
+    assert by_hour[4].spike is False and by_hour[4].trailing_sum == 10
