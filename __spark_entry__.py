@@ -397,6 +397,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _flat_docs(s, d), _mutated_corpus(_flat_docs(s, d))
         ),
         "length_histogram": lambda s, d: CO.length_histogram(_flat_docs(s, d)),
+        "hll_distinct": lambda s, d: CO.hll_distinct(_flat_docs(s, d)),
         # ---- event-stream batch analytics (ordered/interleaved shapes) ------
         "sessionize": lambda s, d: EV.sessionize(_events(s, d)),
         "funnel_steps": lambda s, d: EV.funnel(_events(s, d)),
@@ -1845,6 +1846,41 @@ SELECT source, cast(length(bin(n_tokens + 1)) AS bigint) AS bucket,
        cast(count(*) AS bigint) AS n_docs,
        cast(sum(n_tokens) AS bigint) AS total_tokens
 FROM t GROUP BY source, length(bin(n_tokens + 1))
+"""
+
+    # HyperLogLog distinct-token profile: the estimator replayed exactly —
+    # bucket = first 2 md5 hex digits, 40-bit rank value next 10, rho via
+    # integer bit length, integer-only A·2^K DIV Σ 2^(K−M_j) raw estimate,
+    # small-range linear counting via the SAME precomputed integer table
+    from graphical_context_extraction_pipeline_spark.operators.corpus import (
+        _HLL_A, _HLL_K, _HLL_LC, HLL_M, HLL_VBITS,
+    )
+
+    _lc_list = "[" + ", ".join(str(x) for x in _HLL_LC) + "]"
+    q["hll_distinct"] = f"""
+WITH tok AS (SELECT source, unnest({_TOKS}) AS tok FROM documents),
+h AS (SELECT source,
+             cast(('0x' || substr(md5(tok), 1, 2)) AS bigint) AS bucket,
+             cast(('0x' || substr(md5(tok), 3, 10)) AS bigint) AS v
+      FROM tok),
+r AS (SELECT source, bucket,
+             max(CASE WHEN v = 0 THEN {HLL_VBITS + 1}
+                      ELSE {HLL_VBITS + 1} - length(bin(v)) END) AS max_rho
+      FROM h GROUP BY source, bucket),
+p AS (SELECT source, cast(count(*) AS bigint) AS n_present,
+             sum(1::BIGINT << ({_HLL_K} - max_rho)) AS s_present
+      FROM r GROUP BY source),
+e AS (SELECT source, n_present,
+             cast({_HLL_A * (1 << _HLL_K)} //
+                  (s_present + ({HLL_M} - n_present) * (1::BIGINT << {_HLL_K}))
+                  AS bigint) AS raw,
+             {HLL_M} - n_present AS n_empty
+      FROM p)
+SELECT source, n_present,
+       cast(CASE WHEN raw <= {5 * HLL_M // 2} AND n_empty >= 1
+                 THEN list_extract({_lc_list}, cast(n_empty AS int))
+                 ELSE raw END AS bigint) AS est_distinct
+FROM e
 """
 
     # gap-based sessionization: same (ts_ms, event_id) total order, same

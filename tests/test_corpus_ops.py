@@ -67,3 +67,49 @@ def test_length_histogram_buckets(spark):
     assert set(got) == {1, 2, 3, 4}
     assert got[3]["n_docs"] == 1 and got[3]["total_tokens"] == 3
     assert got[4]["total_tokens"] == 7
+
+
+def test_hll_registers_merge(spark):
+    """The register table is a mergeable sketch: registers of a union
+    corpus equal the bucket-wise max of the parts' registers — the property
+    that lets each 100 TB ingest increment maintain its own ≤m-row table."""
+    from pyspark.sql import functions as F
+
+    rows = [(i, "s", " ".join(f"tok{j}" for j in range(i, i + 40))) for i in range(30)]
+    docs = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    a = docs.where(F.col("doc_id") < 15)
+    b = docs.where(F.col("doc_id") >= 15)
+    whole = {(r["grp"], r["bucket"]): r["max_rho"] for r in CO.hll_registers(docs).collect()}
+    merged = {}
+    for part in (a, b):
+        for r in CO.hll_registers(part).collect():
+            k = (r["grp"], r["bucket"])
+            merged[k] = max(merged.get(k, 0), r["max_rho"])
+    assert whole == merged
+
+
+def test_hll_distinct_accuracy_both_ranges(spark):
+    """Linear-counting range (small vocab) and raw-estimator range (5k
+    distinct tokens) both land within tolerance of the exact count."""
+    small = spark.createDataFrame(
+        [(1, "small", " ".join(f"w{j}" for j in range(120)))],
+        "doc_id long, source string, text string",
+    )
+    big = spark.createDataFrame(
+        [(i, "big", " ".join(f"u{i}_{j}" for j in range(500))) for i in range(10)],
+        "doc_id long, source string, text string",
+    )
+    out = {r["source"]: r["est_distinct"] for r in
+           CO.hll_distinct(small.unionByName(big)).collect()}
+    assert abs(out["small"] - 120) / 120 <= 0.15
+    assert abs(out["big"] - 5000) / 5000 <= 0.20  # 3sigma at m=256 is ~20%
+
+
+def test_hll_distinct_determinism(spark):
+    docs = spark.createDataFrame(
+        [(i, "s", f"alpha beta tok{i}") for i in range(50)],
+        "doc_id long, source string, text string",
+    )
+    r1 = sorted(map(tuple, CO.hll_distinct(docs).collect()))
+    r2 = sorted(map(tuple, CO.hll_distinct(docs.repartition(7)).collect()))
+    assert r1 == r2

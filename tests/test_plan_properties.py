@@ -454,3 +454,18 @@ def test_top_terms_two_shuffles_no_window(spark):
     assert "SinglePartition" not in plan, plan
     assert "Window" not in plan, plan
     assert count_exchanges(out) <= 3, plan  # df agg + join sides + topk agg
+
+
+def test_hll_distinct_two_partial_aggs_no_collect(spark):
+    """The HLL profile is two partial-aggregated groupBys (registers, then
+    the per-group estimate over ≤ m rows): exactly two Exchanges, no
+    collect_list buffers, and the scan reads only (source, text)."""
+    from graphical_context_extraction_pipeline_spark.operators import corpus as CO
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    out = CO.hll_distinct(docs)
+    plan = physical_plan(out)
+    assert count_exchanges(out) == 2, plan
+    assert "collect_list" not in plan, plan
+    cols = read_schema_columns(out)
+    assert set(cols) <= {"source", "text"}, cols
