@@ -334,6 +334,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_incremental": lambda s, d: dedup.dedup_incremental(
             _planted_batch(_flat_docs(s, d)), _flat_docs(s, d)
         ),
+        # same answer derived through the broadcast bloom pre-filter
+        # (m=4096 in the gate so false positives exercise the maybe path)
+        "dedup_incremental_bloom": lambda s, d: dedup.dedup_incremental_bloom(
+            _planted_batch(_flat_docs(s, d)), _flat_docs(s, d), m_bits=4096
+        ),
         "ngram_jaccard_pairs": lambda s, d: dedup.ngram_jaccard_pairs(_planted_near(_flat_docs(s, d))),
         "minhash_lsh_pairs": lambda s, d: dedup.minhash_lsh_pairs(_planted_near(_flat_docs(s, d))),
         # incremental near-dup: the same synthetic ingest batch as
@@ -1434,6 +1439,46 @@ SELECT min(n.doc_id) AS doc_id, n.dup_key, cast(count(*) AS bigint) AS n_batch_d
 FROM newk n LEFT JOIN seen s ON s.dup_key = n.dup_key
 WHERE s.dup_key IS NULL
 GROUP BY n.dup_key
+"""
+
+    # bloom-prefiltered incremental dedup: identical answer to
+    # dedup_incremental, derived through the replayed bloom classification
+    # (Kirsch-Mitzenmacher positions from md5 hex slices, m=4096 in the
+    # gate so false positives actually occur and exercise the maybe path)
+    from graphical_context_extraction_pipeline_spark.operators.dedup import BLOOM_K
+
+    _BLOOM_M = 4096
+    _pos_list = "[" + ", ".join(
+        f"(h1 + {i} * h2 + {i * i}) % {_BLOOM_M}" for i in range(BLOOM_K)
+    ) + "]"
+    q["dedup_incremental_bloom"] = f"""
+WITH batch AS (
+  SELECT doc_id + 100000 AS doc_id, text FROM documents WHERE doc_id % 50 = 0
+  UNION ALL
+  SELECT doc_id + 300000 AS doc_id, text || '{_FRESH_TAIL}' AS text
+  FROM documents WHERE doc_id % 30 = 2
+  UNION ALL
+  SELECT doc_id + 400000 AS doc_id, text || '{_FRESH_TAIL}' AS text
+  FROM documents WHERE doc_id % 60 = 2
+),
+newk AS (SELECT doc_id, md5(lower(text)) AS dup_key FROM batch),
+seenk AS (SELECT DISTINCT md5(lower(text)) AS dup_key FROM documents),
+sh AS (SELECT cast(('0x' || substr(dup_key, 1, 8)) AS bigint) AS h1,
+              cast(('0x' || substr(dup_key, 9, 8)) AS bigint) AS h2 FROM seenk),
+bits AS (SELECT DISTINCT unnest({_pos_list}) AS bit_pos FROM sh),
+nh AS (SELECT doc_id, dup_key,
+              cast(('0x' || substr(dup_key, 1, 8)) AS bigint) AS h1,
+              cast(('0x' || substr(dup_key, 9, 8)) AS bigint) AS h2 FROM newk),
+np AS (SELECT doc_id, dup_key, unnest({_pos_list}) AS bit_pos FROM nh),
+cls AS (SELECT doc_id, dup_key, count(b.bit_pos) = {BLOOM_K} AS maybe_seen
+        FROM np LEFT JOIN bits b USING (bit_pos) GROUP BY doc_id, dup_key),
+fresh AS (SELECT doc_id, dup_key FROM cls WHERE NOT maybe_seen
+          UNION ALL
+          SELECT c.doc_id, c.dup_key FROM cls c
+          LEFT JOIN seenk s ON s.dup_key = c.dup_key
+          WHERE c.maybe_seen AND s.dup_key IS NULL)
+SELECT min(doc_id) AS doc_id, dup_key, cast(count(*) AS bigint) AS n_batch_dups
+FROM fresh GROUP BY dup_key
 """
 
     # the full ngram-pairs pipeline as a reusable CTE chain (consumed

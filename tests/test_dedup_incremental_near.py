@@ -74,3 +74,44 @@ def test_index_composes_from_banded_signatures(spark, seen):
     idx = dedup.banded_signatures(seen)
     counts = idx.groupBy("doc_id").agg(F.count("*").alias("n")).collect()
     assert all(r.n == 4 for r in counts) and len(counts) == 10
+
+
+# --- bloom-prefiltered exact incremental dedup -----------------------------
+
+
+def test_bloom_incremental_equals_plain_even_at_extreme_fp_rate(spark):
+    """Bloom filters have no false negatives, so the bloom-prefiltered
+    operator must return EXACTLY dedup_incremental's answer at any m_bits —
+    pinned at m=16 where nearly every doc is a false positive (everything
+    funnels through the exact anti-join) and at a comfortable m."""
+    seen = _docs(spark, [(i, _vocab_text(i)) for i in range(40)])
+    batch = _docs(
+        spark,
+        [(100, _vocab_text(3)), (101, _vocab_text(7))]  # true dups of seen
+        + [(110 + i, f"fresh doc {i} xyz") for i in range(6)]  # new
+        + [(120, "fresh doc 0 xyz")],  # in-batch dup of 110
+    )
+    want = sorted(map(tuple, dedup.dedup_incremental(batch, seen).collect()))
+    for m_bits in (16, 4096):
+        got = sorted(
+            map(tuple, dedup.dedup_incremental_bloom(batch, seen, m_bits=m_bits).collect())
+        )
+        assert got == want, m_bits
+    # sanity on the construction itself: the two true dups were rejected,
+    # the in-batch pair resolved to one survivor with n_batch_dups=2
+    by_id = {t[0]: t for t in want}
+    assert 100 not in by_id and 101 not in by_id
+    assert by_id[110][2] == 2
+
+
+def test_bloom_index_bounded_and_monotone(spark):
+    """The bit set is bounded by m_bits and growing the corpus only ADDS
+    positions (monotone) — the property that makes the index maintainable
+    by union+distinct on ingest."""
+    a = _docs(spark, [(i, _vocab_text(i)) for i in range(10)])
+    b = _docs(spark, [(i, _vocab_text(i)) for i in range(25)])
+    bits_a = {r["bit_pos"] for r in dedup.bloom_index(a, m_bits=512).collect()}
+    bits_b = {r["bit_pos"] for r in dedup.bloom_index(b, m_bits=512).collect()}
+    assert bits_a <= bits_b
+    assert all(0 <= p < 512 for p in bits_b)
+    assert len(bits_b) <= 512

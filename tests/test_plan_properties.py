@@ -469,3 +469,17 @@ def test_hll_distinct_two_partial_aggs_no_collect(spark):
     assert "collect_list" not in plan, plan
     cols = read_schema_columns(out)
     assert set(cols) <= {"source", "text"}, cols
+
+
+def test_bloom_incremental_broadcasts_bit_set(spark):
+    """The bloom classification joins the batch against an explicitly
+    broadcast bit set (never a shuffled join on bit_pos), so the batch side
+    stays unshuffled until the small maybe-side anti-join."""
+    from graphical_context_extraction_pipeline_spark.operators import dedup
+
+    seen = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    batch = seen.limit(50).withColumn("doc_id", F.col("doc_id") + 900000)
+    out = dedup.dedup_incremental_bloom(batch, seen, m_bits=4096)
+    plan = physical_plan(out)
+    assert "BroadcastExchange" in plan, plan
+    assert "collect_list" not in plan, plan
