@@ -268,6 +268,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "domain_filter": lambda s, d: UR.domain_filter(_html_pages(s, d)),
         # ---- link-graph analytics (domain edges, degrees, integer PageRank) --
         "link_edges": lambda s, d: LG.extract_links(_html_pages(s, d)),
+        "anchor_texts": lambda s, d: LG.anchor_texts(_html_pages(s, d)),
         "link_degrees": lambda s, d: LG.degree_stats(LG.extract_links(_html_pages(s, d))),
         "pagerank": lambda s, d: LG.pagerank(LG.extract_links(_html_pages(s, d)), n_iters=3),
         # ---- interleaved text+media training-data construction ----------------
@@ -1200,6 +1201,34 @@ edges AS (SELECT src_domain, dst_domain, cast(count(*) AS bigint) AS n_links
 """
 
     q["link_edges"] = f"WITH {_EDGES} SELECT * FROM edges"
+
+    # incoming anchor-text top-k per destination domain: same href contract
+    # as edges, inner text through the _dnorm entity/tag twin, deterministic
+    # (count desc, text asc) rank
+    q["anchor_texts"] = f"""
+WITH {_HPAGES},
+ae AS (SELECT {_DDOMAIN} AS src_domain,
+              unnest(regexp_extract_all(html,
+                '(?s)<a\\b[^>]*href="[^"]*"[^>]*>.*?</a>', 0)) AS elem
+       FROM hp),
+ax AS (SELECT src_domain,
+              regexp_extract(elem, '<a\\b[^>]*href="([^"]*)"', 1) AS href,
+              {_dnorm("regexp_extract(elem, '(?s)^<a[^>]*>(.*)</a>$', 1)")} AS anchor_text
+       FROM ae),
+ad AS (SELECT CASE WHEN regexp_matches(href, '^https?://') THEN {_DHREF_DOM}
+                   WHEN href LIKE '/%' THEN src_domain
+                   ELSE NULL END AS dst_domain,
+              anchor_text
+       FROM ax),
+ac AS (SELECT dst_domain, anchor_text, cast(count(*) AS bigint) AS n
+       FROM ad WHERE dst_domain IS NOT NULL AND anchor_text <> ''
+       GROUP BY 1, 2),
+ar AS (SELECT dst_domain, anchor_text, n,
+              cast(row_number() OVER (PARTITION BY dst_domain
+                                      ORDER BY n DESC, anchor_text ASC) AS bigint) AS rank
+       FROM ac)
+SELECT dst_domain, anchor_text, n, rank FROM ar WHERE rank <= 3
+"""
 
     q["link_degrees"] = f"""
 WITH {_EDGES},

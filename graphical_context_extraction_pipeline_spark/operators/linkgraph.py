@@ -63,6 +63,57 @@ def extract_links(pages: DataFrame, url_col: str = "url") -> DataFrame:
     )
 
 
+_ANCHOR_ELEM_RE = r'(?s)<a\b[^>]*href="[^"]*"[^>]*>.*?</a>'
+_ANCHOR_INNER_RE = r"(?s)^<a[^>]*>(.*)</a>$"
+
+
+def anchor_texts(pages: DataFrame, url_col: str = "url", k: int = 3) -> DataFrame:
+    """Incoming anchor-text profile: for each destination domain, the top-k
+    most frequent normalized anchor texts across the crawl —
+    (dst_domain, anchor_text, n, rank). Anchor text is the classic external
+    description of a page (what OTHER pages call it): a quality/relevance
+    prior for curation and the standard retrieval-augmentation signal.
+
+    Href resolution follows :func:`extract_links`'s contract exactly
+    (absolute → own domain, root-relative → page domain, everything else
+    dropped); inner text is normalized with the html_extract entity/tag
+    rules. Ties break (count desc, text asc) so top-k is deterministic.
+
+    Scale: page → anchor extraction is scan → project → explode with no
+    exchange; the (dst_domain, anchor_text) rollup is one shuffle of short
+    normalized strings with map-side partial counts, and the top-k window
+    runs over the already-aggregated relation (rows = distinct texts per
+    domain, not anchors)."""
+    from pyspark.sql import Window
+
+    from .html_extract import _norm_text
+
+    elems = pages.select(
+        _domain(F.col(url_col)).alias("src_domain"),
+        F.explode(
+            F.regexp_extract_all(F.col("html"), F.lit(_ANCHOR_ELEM_RE), F.lit(0))
+        ).alias("elem"),
+    )
+    href = F.regexp_extract(F.col("elem"), _HREF_RE, 1)
+    dst = (
+        F.when(href.rlike(r"^https?://"), _domain(href))
+        .when(href.startswith("/"), F.col("src_domain"))
+        .otherwise(F.lit(None))
+    )
+    txt = _norm_text(F.regexp_extract(F.col("elem"), _ANCHOR_INNER_RE, 1))
+    counted = (
+        elems.select(dst.alias("dst_domain"), txt.alias("anchor_text"))
+        .where(F.col("dst_domain").isNotNull() & (F.col("anchor_text") != ""))
+        .groupBy("dst_domain", "anchor_text")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    w = Window.partitionBy("dst_domain").orderBy(F.desc("n"), F.asc("anchor_text"))
+    return (
+        counted.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k)
+    )
+
+
 def degree_stats(edges: DataFrame) -> DataFrame:
     """Per-domain degrees over the edge list: (domain, out_degree,
     in_degree, out_links, in_links). Domains appearing only as source or

@@ -71,3 +71,48 @@ def test_linkgraph_empty(spark):
     assert LG.extract_links(empty).count() == 0
     assert LG.degree_stats(LG.extract_links(empty)).count() == 0
     assert LG.pagerank(LG.extract_links(empty)).count() == 0
+
+
+def test_anchor_texts_hand_values(spark):
+    """Counting, normalization (inner tags + entities stripped), href
+    resolution, and the (count desc, text asc) deterministic tie-break."""
+    pages = _pages(
+        spark,
+        [
+            (
+                "https://www.a.example/p1",
+                '<a href="https://b.example/x">Docs &amp; Guides</a>'
+                '<a href="https://b.example/y"><b>Docs</b> &amp; Guides</a>'
+                '<a href="/local">Home</a>'
+                '<a href="#frag">dropped</a>'
+                '<a href="https://b.example/z"></a>',  # empty text dropped
+            ),
+            (
+                "https://c.example/p2",
+                '<a href="https://b.example/w">Alpha</a>'
+                '<a href="https://b.example/v">Beta</a>',
+            ),
+        ],
+    )
+    rows = LG.anchor_texts(pages, k=2).collect()
+    by_dom = {}
+    for r in rows:
+        by_dom.setdefault(r.dst_domain, []).append((r.rank, r.anchor_text, r.n))
+    # b.example: "Docs & Guides" ×2 (entity unescaped, inner <b> stripped),
+    # then the count-1 texts tie-break ascending: Alpha before Beta
+    assert sorted(by_dom["b.example"]) == [(1, "Docs & Guides", 2), (2, "Alpha", 1)]
+    assert by_dom["a.example"] == [(1, "Home", 1)]
+    assert all(len(v) <= 2 for v in by_dom.values())
+
+
+def test_anchor_texts_on_twin_corpus(spark):
+    """The corpus-wide profile is dominated by chrome anchors (Privacy /
+    Terms footers) — the shape a real crawl shows — and every rank run per
+    domain is dense starting at 1."""
+    pages = spark.read.parquet(ensure_html("/root/testdata/sf0.001"))
+    rows = LG.anchor_texts(pages).collect()
+    assert rows
+    per = {}
+    for r in rows:
+        per.setdefault(r.dst_domain, []).append(r.rank)
+    assert all(sorted(v) == list(range(1, len(v) + 1)) for v in per.values())

@@ -483,3 +483,18 @@ def test_bloom_incremental_broadcasts_bit_set(spark):
     plan = physical_plan(out)
     assert "BroadcastExchange" in plan, plan
     assert "collect_list" not in plan, plan
+
+
+def test_anchor_texts_window_over_aggregated_relation(spark):
+    """Anchor extraction is scan→project→explode (no exchange); the only
+    shuffles are the (domain, text) rollup and the per-domain top-k window
+    over the ALREADY-aggregated relation — never a window over raw anchors,
+    and no SinglePartition anywhere."""
+    from graphical_context_extraction_pipeline_spark.datagen import ensure_html
+    from graphical_context_extraction_pipeline_spark.operators import linkgraph as LG
+
+    pages = spark.read.parquet(ensure_html("/root/testdata/sf0.001"))
+    out = LG.anchor_texts(pages)
+    plan = physical_plan(out)
+    assert count_exchanges(out) == 2, plan
+    assert "SinglePartition" not in plan, plan
