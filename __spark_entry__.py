@@ -397,6 +397,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _flat_docs(s, d), budget=12000
         ),
         "pii_scrub": lambda s, d: TA.pii_scrub(_planted_pii(_flat_docs(s, d))),
+        "sample_k": lambda s, d: SA.sample_k(_flat_docs(s, d), k=5),
         # ---- corpus management: passage dup scan, snapshot diff, profile ----
         "duplicate_passages": lambda s, d: dedup.duplicate_passages(_flat_docs(s, d)),
         "corpus_diff": lambda s, d: CO.corpus_diff(
@@ -1742,6 +1743,21 @@ WITH b AS (SELECT doc_id, lang, {_bucket_sql('sample:', 10000)} AS bucket,
                        ELSE 5000 END AS rate_bp
            FROM documents)
 SELECT doc_id, lang, cast(bucket AS bigint) AS bucket FROM b WHERE bucket < rate_bp
+"""
+
+    # exact-k md5-priority sample per source: the order statistic replayed
+    # as one window (the Spark side's two-phase bottom-k is provably the
+    # same set; only the plan differs)
+    q["sample_k"] = """
+WITH pr AS (SELECT source, doc_id,
+                   cast(('0x' || substr(md5('topk:' || cast(doc_id AS varchar)), 1, 15))
+                        AS bigint) AS priority
+            FROM documents),
+r AS (SELECT source, doc_id,
+             cast(row_number() OVER (PARTITION BY source
+                                     ORDER BY priority, doc_id) AS bigint) AS rk
+      FROM pr)
+SELECT source, doc_id, rk FROM r WHERE rk <= 5
 """
 
     # first-fit-sequential packing fold replayed as a recursive CTE: each

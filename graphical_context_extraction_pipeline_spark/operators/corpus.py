@@ -118,9 +118,16 @@ def hll_distinct(docs: DataFrame, group_col: str = "source") -> DataFrame:
     looked up from the precomputed integer table (the ln never runs in
     either engine). Accuracy vs exact distinct is pinned by test; the
     estimator arithmetic is integer-only so the oracle matches exactly."""
+    return hll_estimate(hll_registers(docs, group_col), group_col)
+
+
+def hll_estimate(registers: DataFrame, group_col: str = "source") -> DataFrame:
+    """The estimate projection over a register table (as produced by
+    :func:`hll_registers`, or max-merged from several) — shared by the
+    batch profile and the streaming register maintenance so the two paths
+    cannot drift."""
     per = (
-        hll_registers(docs, group_col)
-        .groupBy("grp")
+        registers.groupBy("grp")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_present"),
             F.sum(

@@ -201,3 +201,41 @@ def pack_sequences(docs: DataFrame, budget: int = 512, n_buckets: int = 8) -> Da
     return base.groupBy("bucket").applyInPandas(
         _pack, "doc_id long, bucket long, n_tokens long, seq_idx long, fill long"
     )
+
+
+def sample_k(docs: DataFrame, k: int = 10) -> DataFrame:
+    """Exact-k deterministic sample per source: the k docs with the
+    smallest md5 priority (salt 'topk:') — a reproducible uniform draw
+    whose membership is an order statistic, so it is identical across
+    runs, engines, and partitionings (the md5-priority reservoir idea the
+    IVF codebook seeding already uses). (source, doc_id, rk) with rk the
+    1-based priority rank.
+
+    Scale: classic two-phase distributed bottom-k — each scan partition
+    keeps its own local bottom-k first (window over (source, partition),
+    parallel, no skew because partition ids spread every source), then the
+    global rank runs over the ≤ k·n_partitions survivors. A single-phase
+    per-source window would funnel each source's ENTIRE row stream through
+    one sort chain; two-phase output is provably identical (the global
+    bottom-k is contained in every partition-local bottom-k union — pinned
+    by test) while only priorities, never text, enter either exchange."""
+    from pyspark.sql import Window
+
+    pri = F.conv(
+        F.substring(F.md5(F.concat(F.lit("topk:"), F.col("doc_id").cast("string"))), 1, 15),
+        16,
+        10,
+    ).cast("long")
+    base = docs.select("source", "doc_id", pri.alias("priority")).withColumn(
+        "pid", F.spark_partition_id()
+    )
+    w_local = Window.partitionBy("source", "pid").orderBy("priority", "doc_id")
+    survivors = (
+        base.withColumn("lrk", F.row_number().over(w_local)).where(F.col("lrk") <= k)
+    )
+    w_global = Window.partitionBy("source").orderBy("priority", "doc_id")
+    return (
+        survivors.withColumn("rk", F.row_number().over(w_global).cast("long"))
+        .where(F.col("rk") <= k)
+        .select("source", "doc_id", "rk")
+    )

@@ -270,3 +270,44 @@ def test_top_terms_tiebreak_lexicographic(spark):
     docs = spark.createDataFrame([(1, "zeta alpha")], "doc_id long, text string")
     rows = sorted(TA.top_terms(docs, k=2).collect(), key=lambda r: r.rank)
     assert [r.term for r in rows] == ["alpha", "zeta"]  # equal score → term asc
+
+
+def test_sample_k_two_phase_equals_global_and_is_stable(spark):
+    """The two-phase bottom-k equals the single global window's answer on
+    any partitioning, membership is an order statistic (stable under corpus
+    growth for surviving ids), and each source gets exactly min(k, n)."""
+    from pyspark.sql import Window
+
+    rows = [(i, f"src{i % 3}", f"text {i}") for i in range(200)]
+    docs = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    got = sorted(map(tuple, SA.sample_k(docs, 7).collect()))
+    got_repart = sorted(map(tuple, SA.sample_k(docs.repartition(13), 7).collect()))
+    assert got == got_repart
+    # single-phase reference
+    pri = F.conv(
+        F.substring(F.md5(F.concat(F.lit("topk:"), F.col("doc_id").cast("string"))), 1, 15),
+        16, 10,
+    ).cast("long")
+    w = Window.partitionBy("source").orderBy("priority", "doc_id")
+    ref = (docs.select("source", "doc_id", pri.alias("priority"))
+           .withColumn("rk", F.row_number().over(w).cast("long"))
+           .where(F.col("rk") <= 7).select("source", "doc_id", "rk"))
+    assert got == sorted(map(tuple, ref.collect()))
+    per = {}
+    for s, _, _ in got:
+        per[s] = per.get(s, 0) + 1
+    assert all(v == 7 for v in per.values())
+    # growth stability: adding docs never evicts a survivor whose priority
+    # stays within the new bottom-k... but DOES potentially displace the
+    # tail; the invariant that holds unconditionally is prefix consistency:
+    # k'=3 sample is a prefix of the k=7 sample per source
+    small = sorted(map(tuple, SA.sample_k(docs, 3).collect()))
+    assert set(small) <= set(got)
+
+
+def test_sample_k_small_sources(spark):
+    docs = spark.createDataFrame(
+        [(1, "tiny", "a"), (2, "tiny", "b")], "doc_id long, source string, text string"
+    )
+    rows = SA.sample_k(docs, 10).collect()
+    assert sorted(r.rk for r in rows) == [1, 2]
