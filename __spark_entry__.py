@@ -405,6 +405,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         "length_histogram": lambda s, d: CO.length_histogram(_flat_docs(s, d)),
         "hll_distinct": lambda s, d: CO.hll_distinct(_flat_docs(s, d)),
+        "cms_token_counts": lambda s, d: CO.cms_token_estimates(_flat_docs(s, d)),
         # ---- event-stream batch analytics (ordered/interleaved shapes) ------
         "sessionize": lambda s, d: EV.sessionize(_events(s, d)),
         "funnel_steps": lambda s, d: EV.funnel(_events(s, d)),
@@ -1971,6 +1972,35 @@ SELECT source, n_present,
                  THEN list_extract({_lc_list}, cast(n_empty AS int))
                  ELSE raw END AS bigint) AS est_distinct
 FROM e
+"""
+
+    # count-min sketch point queries for every distinct token: the d×w
+    # counter matrix and the min-over-rows estimate replayed with the same
+    # Kirsch-Mitzenmacher positions
+    from graphical_context_extraction_pipeline_spark.operators.corpus import CMS_D
+
+    _CMS_W = 8192
+    _m_rows = "\nUNION ALL\n".join(
+        f"SELECT {i} AS row, (h1 + {i} * h2 + {i * i}) % {_CMS_W} AS pos FROM tp"
+        for i in range(CMS_D)
+    )
+    _p_rows = "\nUNION ALL\n".join(
+        f"SELECT tok, {i} AS row, (h1 + {i} * h2 + {i * i}) % {_CMS_W} AS pos FROM pv"
+        for i in range(CMS_D)
+    )
+    q["cms_token_counts"] = f"""
+WITH tok AS (SELECT unnest({_TOKS}) AS tok FROM documents),
+tp AS (SELECT tok,
+              cast(('0x' || substr(md5(tok), 1, 8)) AS bigint) AS h1,
+              cast(('0x' || substr(md5(tok), 9, 8)) AS bigint) AS h2
+       FROM tok),
+m AS ({_m_rows}),
+cms AS (SELECT row, pos, cast(count(*) AS bigint) AS cnt FROM m GROUP BY 1, 2),
+pv AS (SELECT DISTINCT tok, h1, h2 FROM tp),
+pp AS ({_p_rows})
+SELECT pp.tok, cast(min(coalesce(c.cnt, 0)) AS bigint) AS est_count
+FROM pp LEFT JOIN cms c ON c.row = pp.row AND c.pos = pp.pos
+GROUP BY pp.tok
 """
 
     # gap-based sessionization: same (ts_ms, event_id) total order, same

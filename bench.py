@@ -99,6 +99,7 @@ def run_suite(cpus: int, sf_dir: str) -> dict:
     from graphical_context_extraction_pipeline_spark.operators import (
         boilerplate as BP,
         cluster as CL,
+        corpus as CO,
         dedup,
         html_extract as HT,
         layout as LY,
@@ -164,6 +165,11 @@ def run_suite(cpus: int, sf_dir: str) -> dict:
         "url_dedup": lambda: UR.url_dedup(pages).count(),
         "link_edges": lambda: LG.extract_links(pages).count(),
         "mm_sequence": lambda: MM.mm_sequence(docs).count(),
+        # round 3 session 5: mergeable cardinality sketch (two partial
+        # aggs) and incoming anchor-text profiles — suite grows by
+        # construction again
+        "hll_distinct": lambda: CO.hll_distinct(flat).count(),
+        "anchor_texts": lambda: LG.anchor_texts(pages).count(),
     }
     timings: dict[str, float] = {}
     extract_wall = None

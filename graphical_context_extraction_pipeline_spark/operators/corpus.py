@@ -151,6 +151,69 @@ def hll_estimate(registers: DataFrame, group_col: str = "source") -> DataFrame:
     )
 
 
+# --- count-min sketch ------------------------------------------------------
+CMS_D = 4  # hash rows (Kirsch-Mitzenmacher positions, same family as bloom)
+
+
+def _cms_positions(tok, w: int):
+    """CMS_D deterministic row positions for one token: h1/h2 are 32-bit
+    hex slices of md5(tok), pos_i = (h1 + i·h2 + i²) mod w — identical in
+    DuckDB so oracles recompute the matrix bit-for-bit."""
+    h = F.md5(tok)
+    h1 = F.conv(F.substring(h, 1, 8), 16, 10).cast("long")
+    h2 = F.conv(F.substring(h, 9, 8), 16, 10).cast("long")
+    return F.array(*[F.pmod(h1 + i * h2 + i * i, F.lit(w)) for i in range(CMS_D)])
+
+
+def cms_counts(docs: DataFrame, w: int = 8192) -> DataFrame:
+    """Count-min sketch of the corpus token frequencies: the d×w counter
+    matrix as a relation (row, pos, cnt) — at most d·w rows regardless of
+    corpus size, mergeable by SUM (two increments' sketches add), the
+    counting twin of the HLL membership sketch. Use for heavy-hitter
+    estimates over a 100 TB corpus without materializing the full
+    (token, count) relation: the sketch is the shuffle-bounded summary an
+    incremental ingest maintains by adding its own batch matrix.
+
+    Scale: one partial-aggregated groupBy of (row, pos) int pairs — the
+    exchange carries at most d·w rows per map partition no matter how many
+    tokens the scan produces."""
+    toks = docs.select(F.explode(_tokens(F.col("text"))).alias("tok"))
+    return (
+        toks.select(
+            F.posexplode(_cms_positions(F.col("tok"), w)).alias("row", "pos")
+        )
+        .groupBy("row", "pos")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+
+
+def cms_estimate(cms: DataFrame, probes: DataFrame, w: int = 8192) -> DataFrame:
+    """Point-query the sketch: for each probe token, est = min over the d
+    rows of the counter at that row's position — never below the true
+    count, above it only by collision mass (≤ 2N/w per row w.h.p.; the
+    ≥-true-count side is deterministic and pinned by test).
+
+    ``probes`` is a (tok) relation (typically a short heavy-hitter
+    candidate list); the join against the ≤ d·w-row sketch broadcasts the
+    sketch side."""
+    pr = probes.select(
+        "tok", F.posexplode(_cms_positions(F.col("tok"), w)).alias("row", "pos")
+    )
+    return (
+        pr.join(F.broadcast(cms), ["row", "pos"], "left")
+        .groupBy("tok")
+        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).cast("long").alias("est_count"))
+    )
+
+
+def cms_token_estimates(docs: DataFrame, w: int = 8192) -> DataFrame:
+    """Demo/gate composition: sketch the corpus once and point-query every
+    distinct token — (tok, est_count). At production scale the probe side
+    is a short candidate list, not the vocabulary."""
+    probes = docs.select(F.explode(_tokens(F.col("text"))).alias("tok")).distinct()
+    return cms_estimate(cms_counts(docs, w), probes, w)
+
+
 def length_histogram(docs: DataFrame) -> DataFrame:
     """Per-source token-length histogram on log2 buckets: bucket k holds
     docs with 2^(k-1) ≤ n_tokens+1 < 2^k (k = bit_length(n_tokens+1), so

@@ -113,3 +113,43 @@ def test_hll_distinct_determinism(spark):
     r1 = sorted(map(tuple, CO.hll_distinct(docs).collect()))
     r2 = sorted(map(tuple, CO.hll_distinct(docs.repartition(7)).collect()))
     assert r1 == r2
+
+
+def test_cms_never_undercounts_and_merges_by_sum(spark):
+    """At w=8 collisions are forced: estimates may exceed but can never
+    fall below the true count; and the sketch of a union corpus equals the
+    cell-wise SUM of the parts' sketches (the mergeable-counter law)."""
+    from pyspark.sql import functions as F
+
+    rows_a = [(1, "alpha alpha beta gamma"), (2, "alpha delta")]
+    rows_b = [(3, "beta beta epsilon zeta eta theta iota kappa")]
+    a = spark.createDataFrame(rows_a, "doc_id long, text string")
+    b = spark.createDataFrame(rows_b, "doc_id long, text string")
+    both = a.unionByName(b)
+
+    exact = {"alpha": 3, "beta": 3, "gamma": 1, "delta": 1, "epsilon": 1,
+             "zeta": 1, "eta": 1, "theta": 1, "iota": 1, "kappa": 1}
+    probes = spark.createDataFrame([(t,) for t in exact], "tok string")
+    est = {r["tok"]: r["est_count"] for r in
+           CO.cms_estimate(CO.cms_counts(both, w=8), probes, w=8).collect()}
+    assert set(est) == set(exact)
+    assert all(est[t] >= c for t, c in exact.items())
+    assert sum(est.values()) > sum(exact.values())  # w=8 forces collisions
+
+    whole = {(r["row"], r["pos"]): r["cnt"] for r in CO.cms_counts(both, w=8).collect()}
+    merged = {}
+    for part in (a, b):
+        for r in CO.cms_counts(part, w=8).collect():
+            k = (r["row"], r["pos"])
+            merged[k] = merged.get(k, 0) + r["cnt"]
+    assert whole == merged
+
+
+def test_cms_exact_when_wide(spark):
+    """With w far above the vocabulary, every estimate is exact."""
+    docs = spark.createDataFrame(
+        [(i, f"w{i} w{i} shared") for i in range(20)], "doc_id long, text string"
+    )
+    est = {r["tok"]: r["est_count"] for r in CO.cms_token_estimates(docs, w=8192).collect()}
+    assert est["shared"] == 20
+    assert all(est[f"w{i}"] == 2 for i in range(20))

@@ -498,3 +498,18 @@ def test_anchor_texts_window_over_aggregated_relation(spark):
     plan = physical_plan(out)
     assert count_exchanges(out) == 2, plan
     assert "SinglePartition" not in plan, plan
+
+
+def test_cms_single_shuffle_matrix_broadcast_probe_join(spark):
+    """The counter matrix is one partial-aggregated groupBy of (row, pos)
+    int pairs; the point-query join broadcasts the ≤ d·w-row sketch."""
+    from graphical_context_extraction_pipeline_spark.operators import corpus as CO
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    cms = CO.cms_counts(docs)
+    assert count_exchanges(cms) == 1, physical_plan(cms)
+    probes = docs.sparkSession.createDataFrame([("alpha",), ("beta",)], "tok string")
+    est = CO.cms_estimate(cms, probes)
+    plan = physical_plan(est)
+    assert "BroadcastExchange" in plan, plan
+    assert "collect_list" not in plan, plan
