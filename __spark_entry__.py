@@ -382,6 +382,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_stats": lambda s, d: TA.repetition_stats(_flat_docs(s, d)),
         "vocab_topk": lambda s, d: TA.vocab_topk(_flat_docs(s, d), k=100),
         "corpus_stats": lambda s, d: TA.corpus_stats(_flat_docs(s, d)),
+        "unigram_surprisal": lambda s, d: TA.unigram_surprisal(_flat_docs(s, d)),
         # ---- training-data ops: deterministic sampling & batch prep ---------
         "hash_split": lambda s, d: SA.hash_split(_flat_docs(s, d)),
         "stratified_sample": lambda s, d: SA.stratified_sample(
@@ -1712,6 +1713,24 @@ SELECT source, cast(count(*) AS bigint) AS n_docs,
        cast(max(CASE WHEN rn = (9000 * (cnt - 1)) // 10000 + 1 THEN n_tokens END) AS bigint) AS p90_tokens,
        cast(max(CASE WHEN rn = (9900 * (cnt - 1)) // 10000 + 1 THEN n_tokens END) AS bigint) AS p99_tokens
 FROM r GROUP BY source
+"""
+
+    # integer-log2 unigram surprisal: bit_length via length(bin()) in both
+    # engines; empty docs carry the -1 sentinel
+    q["unigram_surprisal"] = f"""
+WITH tok AS (SELECT doc_id, unnest({_TOKS}) AS tok FROM documents),
+model AS (SELECT tok, cast(count(*) AS bigint) AS cnt FROM tok GROUP BY tok),
+nt AS (SELECT cast(sum(cnt) AS bigint) AS n_corpus FROM model),
+sc AS (SELECT t.doc_id,
+              length(bin((SELECT n_corpus FROM nt))) - length(bin(m.cnt)) AS s
+       FROM tok t JOIN model m USING (tok)),
+agg AS (SELECT doc_id, cast(count(*) AS bigint) AS n_tokens,
+               cast((100 * sum(s)) // count(*) AS bigint) AS surprisal_e2
+        FROM sc GROUP BY doc_id)
+SELECT d.doc_id,
+       cast(coalesce(a.n_tokens, 0) AS bigint) AS n_tokens,
+       cast(coalesce(a.surprisal_e2, -1) AS bigint) AS surprisal_e2
+FROM documents d LEFT JOIN agg a USING (doc_id)
 """
 
     q["vocab_topk"] = f"""

@@ -440,3 +440,48 @@ def top_terms(docs: DataFrame, k: int = 5) -> DataFrame:
         )
     )
     return topk
+
+
+def unigram_surprisal(docs: DataFrame) -> DataFrame:
+    """CCNet-style LM quality signal with integer-only arithmetic: per doc
+    the mean unigram surprisal against the corpus's own unigram model —
+    (doc_id, n_tokens, surprisal_e2). surprisal(tok) = bit_length(N) −
+    bit_length(count(tok)), an integer log2 of N/count via length(bin(·))
+    (identical in DuckDB; never a float log in either engine), and
+    surprisal_e2 = (100 · Σ surprisal) DIV n_tokens. Coarse (1-bit
+    granularity) but monotone in token rarity — exactly what the
+    perplexity-bucket filter needs: low scores ≈ common-vocabulary text,
+    high scores ≈ rare-token/noise-heavy text. Empty docs emit the −1
+    sentinel (never NULL: NaN ≠ NaN under pandas hash comparison).
+
+    Scale: the unigram model is one partial-aggregated token groupBy; the
+    scoring join is token-hash co-partitioned (AQE broadcasts the model
+    when the vocabulary is small) and the per-doc rollup rides partial
+    aggregation. Text never enters a shuffle — only (doc_id, token) pairs
+    and the (token, count) model."""
+    toks = docs.select("doc_id", F.explode(_tokens(F.col("text"))).alias("tok"))
+    model = toks.groupBy("tok").agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    n_total = model.agg(F.sum("cnt").cast("long").alias("n_corpus"))
+    scored = (
+        toks.join(model, "tok")
+        .crossJoin(F.broadcast(n_total))
+        .select(
+            "doc_id",
+            (F.length(F.bin(F.col("n_corpus"))) - F.length(F.bin(F.col("cnt"))))
+            .cast("long")
+            .alias("s"),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.expr("(100 * sum(s)) DIV count(1)").cast("long").alias("surprisal_e2"),
+        )
+    )
+    return (
+        docs.select("doc_id").join(scored, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_tokens", F.lit(0)).cast("long").alias("n_tokens"),
+            F.coalesce("surprisal_e2", F.lit(-1)).cast("long").alias("surprisal_e2"),
+        )
+    )

@@ -513,3 +513,18 @@ def test_cms_single_shuffle_matrix_broadcast_probe_join(spark):
     plan = physical_plan(est)
     assert "BroadcastExchange" in plan, plan
     assert "collect_list" not in plan, plan
+
+
+def test_unigram_surprisal_no_text_in_shuffles(spark):
+    """The LM scoring pipeline shuffles only (doc_id, token) pairs and the
+    (token, count) model — raw text never enters an exchange, and there is
+    no collect anywhere (the corpus total rides a 1-row broadcast)."""
+    from graphical_context_extraction_pipeline_spark.operators import text_analysis as TA
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    out = TA.unigram_surprisal(docs)
+    plan = physical_plan(out)
+    assert "collect_list" not in plan, plan
+    for line in plan.splitlines():
+        if "Exchange hashpartitioning" in line:
+            assert "text" not in line, plan

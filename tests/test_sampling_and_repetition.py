@@ -311,3 +311,21 @@ def test_sample_k_small_sources(spark):
     )
     rows = SA.sample_k(docs, 10).collect()
     assert sorted(r.rk for r in rows) == [1, 2]
+
+
+def test_unigram_surprisal_hand_values(spark):
+    """Corpus: 8 total tokens — 'common' ×4 (surprisal bitlen(8)-bitlen(4)
+    = 4-3 = 1), 'mid' ×2 (4-2=2), two singletons (4-1=3). Rare-token docs
+    must score above common-token docs; empty doc carries the sentinel."""
+    docs = spark.createDataFrame(
+        [
+            (1, "common common common common"),  # mean s = 1 → 100
+            (2, "mid mid rare1"),                # (2+2+3)*100 DIV 3 = 233
+            (3, "rare2"),                        # 300
+            (4, ""),                             # sentinel
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: (r["n_tokens"], r["surprisal_e2"])
+           for r in TA.unigram_surprisal(docs).collect()}
+    assert got == {1: (4, 100), 2: (3, 233), 3: (1, 300), 4: (0, -1)}
