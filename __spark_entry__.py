@@ -269,6 +269,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ---- link-graph analytics (domain edges, degrees, integer PageRank) --
         "link_edges": lambda s, d: LG.extract_links(_html_pages(s, d)),
         "anchor_texts": lambda s, d: LG.anchor_texts(_html_pages(s, d)),
+        "domain_quality": lambda s, d: LG.domain_quality(_html_pages(s, d)),
         "link_degrees": lambda s, d: LG.degree_stats(LG.extract_links(_html_pages(s, d))),
         "pagerank": lambda s, d: LG.pagerank(LG.extract_links(_html_pages(s, d)), n_iters=3),
         # ---- interleaved text+media training-data construction ----------------
@@ -1269,6 +1270,58 @@ r{_i + 1} AS (SELECT n.domain,
          FROM we JOIN r{_i} r ON r.domain = we.src_domain GROUP BY 1) m
        ON m.domain = n.domain)"""
     q["pagerank"] = f"WITH {_EDGES}, {_pr} SELECT domain, rank_e9 FROM r3"
+
+    # composed per-domain verdict table: crawl mass + degrees + PageRank +
+    # anchor evidence over a key-union base, absent signals → 0
+    q["domain_quality"] = f"""
+WITH {_EDGES}, {_pr},
+stats AS (SELECT {_DDOMAIN} AS domain, cast(count(*) AS bigint) AS n_pages,
+                 cast(count(DISTINCT {_DCANON}) AS bigint) AS n_canonical,
+                 cast(sum(length(html)) AS bigint) AS sum_html_len
+          FROM hp GROUP BY 1),
+outd AS (SELECT src_domain AS domain, cast(count(*) AS bigint) AS out_degree,
+                cast(sum(n_links) AS bigint) AS out_links FROM edges GROUP BY 1),
+ind AS (SELECT dst_domain AS domain, cast(count(*) AS bigint) AS in_degree,
+               cast(sum(n_links) AS bigint) AS in_links FROM edges GROUP BY 1),
+ae AS (SELECT {_DDOMAIN} AS src_domain,
+              unnest(regexp_extract_all(html,
+                '(?s)<a\\b[^>]*href="[^"]*"[^>]*>.*?</a>', 0)) AS elem
+       FROM hp),
+ax AS (SELECT src_domain,
+              regexp_extract(elem, '<a\\b[^>]*href="([^"]*)"', 1) AS href,
+              {_dnorm("regexp_extract(elem, '(?s)^<a[^>]*>(.*)</a>$', 1)")} AS anchor_text
+       FROM ae),
+ad AS (SELECT CASE WHEN regexp_matches(href, '^https?://') THEN {_DHREF_DOM}
+                   WHEN href LIKE '/%' THEN src_domain
+                   ELSE NULL END AS dst_domain,
+              anchor_text
+       FROM ax),
+ac AS (SELECT dst_domain, anchor_text, cast(count(*) AS bigint) AS n
+       FROM ad WHERE dst_domain IS NOT NULL AND anchor_text <> ''
+       GROUP BY 1, 2),
+anch AS (SELECT dst_domain AS domain, cast(count(*) AS bigint) AS n_anchor_texts,
+                cast(sum(n) AS bigint) AS n_incoming_anchors FROM ac GROUP BY 1),
+base AS (SELECT domain FROM stats UNION SELECT domain FROM outd
+         UNION SELECT domain FROM ind UNION SELECT domain FROM r3
+         UNION SELECT domain FROM anch)
+SELECT b.domain,
+       cast(coalesce(s.n_pages, 0) AS bigint) AS n_pages,
+       cast(coalesce(s.n_canonical, 0) AS bigint) AS n_canonical,
+       cast(coalesce(s.sum_html_len, 0) AS bigint) AS sum_html_len,
+       cast(coalesce(o.out_degree, 0) AS bigint) AS out_degree,
+       cast(coalesce(i.in_degree, 0) AS bigint) AS in_degree,
+       cast(coalesce(o.out_links, 0) AS bigint) AS out_links,
+       cast(coalesce(i.in_links, 0) AS bigint) AS in_links,
+       cast(coalesce(r.rank_e9, 0) AS bigint) AS rank_e9,
+       cast(coalesce(a.n_anchor_texts, 0) AS bigint) AS n_anchor_texts,
+       cast(coalesce(a.n_incoming_anchors, 0) AS bigint) AS n_incoming_anchors
+FROM base b
+LEFT JOIN stats s ON s.domain = b.domain
+LEFT JOIN outd o ON o.domain = b.domain
+LEFT JOIN ind i ON i.domain = b.domain
+LEFT JOIN r3 r ON r.domain = b.domain
+LEFT JOIN anch a ON a.domain = b.domain
+"""
 
     q["html_meta"] = f"""
 WITH hp AS (SELECT doc_id, url, html FROM read_parquet('{html_path}/*.parquet'))

@@ -86,6 +86,17 @@ def anchor_texts(pages: DataFrame, url_col: str = "url", k: int = 3) -> DataFram
     domain, not anchors)."""
     from pyspark.sql import Window
 
+    counted = anchor_counts(pages, url_col)
+    w = Window.partitionBy("dst_domain").orderBy(F.desc("n"), F.asc("anchor_text"))
+    return (
+        counted.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k)
+    )
+
+
+def anchor_counts(pages: DataFrame, url_col: str = "url") -> DataFrame:
+    """The aggregated incoming-anchor relation feeding :func:`anchor_texts`
+    and :func:`domain_quality`: (dst_domain, anchor_text, n)."""
     from .html_extract import _norm_text
 
     elems = pages.select(
@@ -101,16 +112,11 @@ def anchor_texts(pages: DataFrame, url_col: str = "url", k: int = 3) -> DataFram
         .otherwise(F.lit(None))
     )
     txt = _norm_text(F.regexp_extract(F.col("elem"), _ANCHOR_INNER_RE, 1))
-    counted = (
+    return (
         elems.select(dst.alias("dst_domain"), txt.alias("anchor_text"))
         .where(F.col("dst_domain").isNotNull() & (F.col("anchor_text") != ""))
         .groupBy("dst_domain", "anchor_text")
         .agg(F.count(F.lit(1)).cast("long").alias("n"))
-    )
-    w = Window.partitionBy("dst_domain").orderBy(F.desc("n"), F.asc("anchor_text"))
-    return (
-        counted.withColumn("rank", F.row_number().over(w).cast("long"))
-        .where(F.col("rank") <= k)
     )
 
 
@@ -194,3 +200,60 @@ def pagerank(edges: DataFrame, n_iters: int = 3) -> DataFrame:
             .localCheckpoint(eager=True)
         )
     return ranks
+
+
+def domain_quality(pages: DataFrame, url_col: str = "url", n_iters: int = 3) -> DataFrame:
+    """The per-domain verdict table a crawl scheduler / domain-level
+    quality gate consumes: one row per domain joining crawl mass
+    (n_pages, n_canonical, sum_html_len), graph position (degrees, e9
+    PageRank), and incoming anchor evidence (distinct texts, total
+    anchors). Domains appearing in ANY signal appear in the output
+    (key-union base + left joins); absent signals coalesce to 0 — a
+    dst-only domain (linked but never crawled) has zero crawl mass, a
+    crawled island has zero in-degree.
+
+    Scale: every input relation is already domain-granular (orders of
+    magnitude below page count); the joins shuffle only those rollups.
+    PageRank's iteration cost dominates and is bounded by the domain graph,
+    not the corpus."""
+    from .urls import domain_stats
+
+    edges = extract_links(pages, url_col)
+    deg = degree_stats(edges)
+    pr = pagerank(edges, n_iters)
+    ds = domain_stats(pages, url_col)
+    anch = (
+        anchor_counts(pages, url_col)
+        .groupBy(F.col("dst_domain").alias("domain"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_anchor_texts"),
+            F.sum("n").cast("long").alias("n_incoming_anchors"),
+        )
+    )
+    base = (
+        ds.select("domain")
+        .unionByName(deg.select("domain"))
+        .unionByName(pr.select("domain"))
+        .unionByName(anch.select("domain"))
+        .distinct()
+    )
+    out = (
+        base.join(ds, "domain", "left")
+        .join(deg, "domain", "left")
+        .join(pr, "domain", "left")
+        .join(anch, "domain", "left")
+    )
+    z = lambda c: F.coalesce(F.col(c), F.lit(0)).cast("long").alias(c)  # noqa: E731
+    return out.select(
+        "domain",
+        z("n_pages"),
+        z("n_canonical"),
+        z("sum_html_len"),
+        z("out_degree"),
+        z("in_degree"),
+        z("out_links"),
+        z("in_links"),
+        z("rank_e9"),
+        z("n_anchor_texts"),
+        z("n_incoming_anchors"),
+    )

@@ -116,3 +116,28 @@ def test_anchor_texts_on_twin_corpus(spark):
     for r in rows:
         per.setdefault(r.dst_domain, []).append(r.rank)
     assert all(sorted(v) == list(range(1, len(v) + 1)) for v in per.values())
+
+
+def test_domain_quality_key_union_semantics(spark):
+    """Domains appear when present in ANY signal: a crawled island (no
+    links at all) keeps its crawl mass with zero graph columns; a dst-only
+    domain (linked, never crawled) gets anchors/in-degree with zero crawl
+    mass; the counts compose exactly from the constituent operators."""
+    pages = _pages(
+        spark,
+        [
+            ("https://a.example/p", '<a href="https://b.example/x">To B</a>'),
+            ("https://island.example/q", "<p>no links here</p>"),
+        ],
+    )
+    rows = {r.domain: r.asDict() for r in LG.domain_quality(pages).collect()}
+    assert set(rows) == {"a.example", "b.example", "island.example"}
+    a, b, isl = rows["a.example"], rows["b.example"], rows["island.example"]
+    assert a["n_pages"] == 1 and a["out_degree"] == 1 and a["in_degree"] == 0
+    assert b["n_pages"] == 0 and b["in_degree"] == 1 and b["in_links"] == 1
+    assert b["n_anchor_texts"] == 1 and b["n_incoming_anchors"] == 1
+    assert isl["n_pages"] == 1
+    assert isl["out_degree"] == isl["in_degree"] == isl["n_incoming_anchors"] == 0
+    # the island is outside the link graph entirely -> zero rank; graph
+    # members carry positive e9 rank
+    assert isl["rank_e9"] == 0 and a["rank_e9"] > 0 and b["rank_e9"] > 0
