@@ -196,6 +196,67 @@ def main() -> None:
         ),
     ]
 
+    from graphical_context_extraction_pipeline_spark.operators import (
+        corpus as CO,
+        sampling as SA,
+    )
+
+    entries += [
+        (
+            "hll_distinct (mergeable cardinality sketch)",
+            CO.hll_distinct(flat),
+            "two partial-aggregated groupBys: registers collapse map-side "
+            "(max is idempotent — the exchange carries ≤ groups·m rows per "
+            "map partition), then the per-group estimate over ≤ m rows; "
+            "ReadSchema prunes to (source, text).",
+        ),
+        (
+            "cms_counts (count-min matrix)",
+            CO.cms_counts(flat),
+            "one partial-aggregated groupBy of (row, pos) int pairs — the "
+            "exchange is bounded by d·w per map partition regardless of "
+            "token volume.",
+        ),
+        (
+            "dedup_incremental_bloom (broadcast-gated anti-join)",
+            dedup.dedup_incremental_bloom(
+                flat.where(F.col("doc_id") % 7 == 0), flat, m_bits=4096
+            ),
+            "the bloom bit set is an explicit BroadcastExchange; the batch "
+            "side classifies locally and only the maybe-seen fraction "
+            "reaches the exact anti-join against the seen key index.",
+        ),
+        (
+            "sample_k (two-phase distributed bottom-k)",
+            SA.sample_k(flat, k=5),
+            "partition-local bottom-k first (window keyed by "
+            "(source, partition) — parallel, no per-source funnel), global "
+            "rank over the ≤ k·n_parts survivors; only (doc_id, priority) "
+            "ever shuffles.",
+        ),
+        (
+            "unigram_surprisal (integer-log2 LM score)",
+            TA.unigram_surprisal(flat),
+            "token model + scoring join + per-doc rollup — exchanges carry "
+            "(doc_id, token) pairs and the (token, count) model; raw text "
+            "never shuffles; corpus total rides a 1-row broadcast.",
+        ),
+        (
+            "anchor_texts (incoming anchor profile)",
+            LG.anchor_texts(pages),
+            "anchor extraction is scan → project → explode (no exchange); "
+            "the rollup and the per-domain top-k window both run over "
+            "aggregated short strings.",
+        ),
+        (
+            "domain_quality (composed verdict table)",
+            LG.domain_quality(pages),
+            "every join input is a domain-granular rollup orders of "
+            "magnitude below page count; PageRank's lineage is truncated "
+            "per round (checkpoint scans below).",
+        ),
+    ]
+
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
     with open(os.path.join(REPO, "BENCH", "PLANS.md"), "w") as f:
         f.write(
