@@ -21,7 +21,7 @@ files' union, and hll_estimate over it equals batch hll_distinct.
 
 from __future__ import annotations
 
-from ..operators.corpus import hll_registers
+from ..operators.corpus import cms_counts, hll_registers
 
 DOCS_DDL = "doc_id long, source string, text string"
 
@@ -44,6 +44,38 @@ def stream_hll_registers(
     regs = hll_registers(stream)
     return (
         regs.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("complete")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def stream_cms_counts(
+    spark,
+    input_dir: str,
+    checkpoint_dir: str,
+    query_name: str = "cms_m",
+    w: int = 8192,
+    max_files_per_trigger: int = 1,
+):
+    """The counting twin: the count-min matrix maintained as a streaming
+    aggregation — state is exactly the d·w counter cells (the streaming
+    engine's incremental count IS the sketch's sum-merge). Complete mode
+    re-emits the bounded matrix per trigger; batch ≡ stream pinned by
+    test. NOTE unlike the HLL registers, redelivery DOES inflate counts
+    (counters are not idempotent) — upstream exactly-once (the streaming
+    event dedup in windowed.py) is the dedup boundary, same as any
+    counting aggregation."""
+    stream = (
+        spark.readStream.schema(DOCS_DDL)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(input_dir)
+    )
+    return (
+        cms_counts(stream, w)
+        .writeStream.format("memory")
         .queryName(query_name)
         .outputMode("complete")
         .option("checkpointLocation", checkpoint_dir)

@@ -62,3 +62,39 @@ def test_stream_registers_equal_batch(spark, tmp_path):
     )
     est_batch = sorted(map(tuple, CO.hll_distinct(union).collect()))
     assert est_stream == est_batch
+
+
+def test_stream_cms_matrix_equals_batch(spark, tmp_path):
+    """After the availableNow run, the streamed count-min matrix equals the
+    batch sketch of the files' union — the sum-merge law through the
+    streaming state store — and point queries through it are exact at wide
+    w on this vocabulary."""
+    from graphical_context_extraction_pipeline_spark.streaming.sketches import (
+        stream_cms_counts,
+    )
+
+    batches = [
+        [(1, "s", "alpha beta alpha"), (2, "s", "gamma")],
+        [(3, "s", "alpha delta delta")],
+    ]
+    in_dir = str(tmp_path / "docs")
+    os.makedirs(in_dir)
+    all_rows = []
+    for k, rows in enumerate(batches):
+        df = spark.createDataFrame(rows, DOCS_DDL)
+        _stage_file(df, str(tmp_path / f"stage{k}"), os.path.join(in_dir, f"f{k}.parquet"))
+        os.utime(os.path.join(in_dir, f"f{k}.parquet"), (1_000_000 + k, 1_000_000 + k))
+        all_rows.extend(rows)
+
+    q = stream_cms_counts(spark, in_dir, str(tmp_path / "ckpt_cms"), query_name="cmsq")
+    q.awaitTermination(120)
+
+    got = {(r["row"], r["pos"]): r["cnt"] for r in spark.sql("SELECT * FROM cmsq").collect()}
+    union = spark.createDataFrame(all_rows, DOCS_DDL)
+    want = {(r["row"], r["pos"]): r["cnt"] for r in CO.cms_counts(union).collect()}
+    assert got == want
+
+    probes = spark.createDataFrame([("alpha",), ("delta",), ("absent",)], "tok string")
+    est = {r["tok"]: r["est_count"] for r in
+           CO.cms_estimate(spark.sql("SELECT * FROM cmsq"), probes).collect()}
+    assert est == {"alpha": 3, "delta": 2, "absent": 0}
