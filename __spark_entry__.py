@@ -368,6 +368,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "neardup_clusters": lambda s, d: CL.neardup_clusters(
             dedup.ngram_jaccard_pairs(_planted_near(_flat_docs(s, d)))
         ),
+        # the O(log n)-round star-rewriting variant must produce the SAME
+        # components (checked against the same recursive-CTE closure oracle)
+        "cc_star": lambda s, d: CL.connected_components_star(
+            dedup.ngram_jaccard_pairs(_planted_near(_flat_docs(s, d)))
+        ),
         "curate_corpus": lambda s, d: CU.curate_corpus(
             _planted_exact(_planted_near(_flat_docs(s, d)))
         ),
@@ -1640,6 +1645,11 @@ WHERE doc_id NOT IN (SELECT train_doc FROM cp)
 WITH RECURSIVE {cc_cte}
 SELECT cc.doc_id, cc.component, cast(szs.n_members AS bigint) AS n_members
 FROM cc JOIN szs USING (component)
+"""
+
+    q["cc_star"] = f"""
+WITH RECURSIVE {cc_cte}
+SELECT doc_id, component FROM cc
 """
 
     q["neardup_survivors"] = f"""

@@ -17,10 +17,12 @@ Scale design (min-label propagation):
 - Round count is the graph DIAMETER, and near-dup similarity graphs are
   shallow by construction: clusters produced by LSH blocking are cliques or
   hub stars (see dedup._bucket_pairs), so 2-4 rounds close real corpora.
-  The classic O(log n) alternating large-star/small-star rewriting
-  (Kiveris et al., "Connected Components in MapReduce and Beyond", SoCC'14)
-  drops in here if a pathological chain-shaped graph ever appears; the
-  propagation loop is the same join+min shape either way.
+  For pathological chain-shaped graphs the classic O(log n) alternating
+  large-star/small-star rewriting (Kiveris et al., "Connected Components
+  in MapReduce and Beyond", SoCC'14) is implemented as
+  :func:`connected_components_star` — same output contract, pinned
+  equivalent, and it closes a 60-hop chain in a handful of rounds where
+  the propagation loop would need 60.
 - Lineage is truncated every round (localCheckpoint) — an iterative plan
   otherwise doubles in depth per round and OOMs the planner long before the
   data is the problem. On a real cluster prefer reliable checkpointing
@@ -128,4 +130,94 @@ def neardup_survivors(
         .join(members, "doc_id", "left")
         .where(F.col("component").isNull() | (F.col("doc_id") == F.col("component")))
         .select("doc_id", F.coalesce(F.col("n_members"), F.lit(1)).cast("long").alias("n_merged"))
+    )
+
+
+def connected_components_star(
+    pairs: DataFrame,
+    src: str = "doc_a",
+    dst: str = "doc_b",
+    max_rounds: int = 40,
+) -> DataFrame:
+    """Connected components by alternating large-star / small-star edge
+    rewriting (Kiveris et al., "Connected Components in MapReduce and
+    Beyond", SoCC'14) — same output contract as :func:`connected_components`
+    (doc_id, component = min reachable id; equivalence pinned by test), but
+    O(log n) rounds in the graph DIAMETER instead of O(diameter): the
+    operator for chain-shaped pair graphs where min-label propagation
+    would need one shuffle round per hop.
+
+      large-star: every neighbour v > u re-attaches to m(u) = min(Γ(u)∪{u})
+      small-star: every neighbour v < u (and u itself) attaches to the
+                  minimum of that ≤-neighbourhood
+
+    Each round is two join+groupBy passes over the edge relation; the edge
+    set only shrinks toward stars rooted at component minima. Fixpoint is
+    detected on the canonical undirected edge set (count + order-invariant
+    hash); lineage is truncated per round exactly like the propagation
+    loop."""
+    edges = _symmetric_edges(pairs, src, dst).where(F.col("s") != F.col("d"))
+    edges = edges.localCheckpoint(eager=True)
+
+    def _sym(e: DataFrame) -> DataFrame:
+        return (
+            e.select("s", "d")
+            .unionAll(e.select(F.col("d").alias("s"), F.col("s").alias("d")))
+            .where(F.col("s") != F.col("d"))
+            .distinct()
+        )
+
+    def _signature(e: DataFrame):
+        canon = e.where(F.col("s") < F.col("d"))
+        row = canon.agg(
+            F.count(F.lit(1)).alias("n"),
+            # bit_xor: order-invariant and overflow-free (ANSI sum of raw
+            # 64-bit hashes overflows)
+            F.expr("bit_xor(xxhash64(s, d))").alias("h"),
+        ).collect()[0]
+        return (row["n"], row["h"])
+
+    def _large_star(e: DataFrame) -> DataFrame:
+        m = e.groupBy("s").agg(F.min("d").alias("mn"))
+        m = m.select("s", F.least("s", "mn").alias("m"))
+        return (
+            e.join(m, "s")
+            .where(F.col("d") > F.col("s"))
+            .select(F.col("d").alias("s"), F.col("m").alias("d"))
+        )
+
+    def _small_star(e: DataFrame) -> DataFrame:
+        le = e.where(F.col("d") < F.col("s"))
+        m = le.groupBy("s").agg(F.min("d").alias("m"))
+        nbr = le.join(m, "s").select(F.col("d").alias("v"), "m")
+        self_ = m.select(F.col("s").alias("v"), "m")
+        return (
+            nbr.unionByName(self_)
+            .where(F.col("v") != F.col("m"))
+            .select(F.col("v").alias("s"), F.col("m").alias("d"))
+        )
+
+    sig = _signature(edges)
+    converged = False
+    for _ in range(max_rounds):
+        edges = _sym(_large_star(edges))
+        edges = _sym(_small_star(edges)).localCheckpoint(eager=True)
+        new_sig = _signature(edges)
+        if new_sig == sig:
+            converged = True
+            break
+        sig = new_sig
+    if not converged:
+        raise RuntimeError(
+            f"star rewriting did not reach a fixpoint in {max_rounds} rounds"
+        )
+    # at the fixpoint every edge is (member, component-min) in some
+    # orientation: label = least(node, min neighbour)
+    return (
+        edges.groupBy("s")
+        .agg(F.min("d").alias("mn"))
+        .select(
+            F.col("s").alias("doc_id"),
+            F.least("s", "mn").alias("component"),
+        )
     )

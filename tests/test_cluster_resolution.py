@@ -76,3 +76,67 @@ def test_nonconvergence_raises(spark):
     # and with enough rounds the same chain resolves to one component
     got = {r["component"] for r in connected_components(chain, max_iters=15).collect()}
     assert got == {1}
+
+
+def test_star_rewriting_equals_propagation(spark, graph):
+    """Large-star/small-star produces exactly the propagation algorithm's
+    components on the mixed chain/clique/pair graph."""
+    from graphical_context_extraction_pipeline_spark.operators.cluster import (
+        connected_components_star,
+    )
+
+    want = {r["doc_id"]: r["component"] for r in connected_components(graph).collect()}
+    got = {r["doc_id"]: r["component"] for r in connected_components_star(graph).collect()}
+    assert got == want
+
+
+def test_star_rewriting_handles_long_chain_in_log_rounds(spark):
+    """The pathological case the propagation loop documents: a 60-hop chain
+    exceeds its default 25-round cap, but star rewriting closes it (O(log n)
+    rounds) inside a much smaller cap."""
+    from graphical_context_extraction_pipeline_spark.operators.cluster import (
+        connected_components_star,
+    )
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 61)], "doc_a long, doc_b long"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(chain)  # default max_iters=25 < diameter
+    got = {r["doc_id"]: r["component"]
+           for r in connected_components_star(chain, max_rounds=12).collect()}
+    assert got == {i: 1 for i in range(1, 62)}
+
+
+def test_star_rewriting_random_graphs_fuzz(spark):
+    """Randomized structural fuzz (fixed seeds): components from star
+    rewriting equal a Python union-find ground truth."""
+    import random
+
+    from graphical_context_extraction_pipeline_spark.operators.cluster import (
+        connected_components_star,
+    )
+
+    for seed in (7, 13, 99):
+        rng = random.Random(seed)
+        pairs = [(rng.randint(1, 40), rng.randint(1, 40)) for _ in range(50)]
+        pairs = [(a, b) for a, b in pairs if a != b]
+        parent = {n: n for ab in pairs for n in ab}
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in pairs:
+            parent[find(a)] = find(b)
+        # canonical = min member per root
+        groups = {}
+        for n in parent:
+            groups.setdefault(find(n), []).append(n)
+        want = {n: min(members) for members in groups.values() for n in members}
+        df = spark.createDataFrame(pairs, "doc_a long, doc_b long")
+        got = {r["doc_id"]: r["component"]
+               for r in connected_components_star(df).collect()}
+        assert got == want, seed
