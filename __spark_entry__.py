@@ -118,6 +118,16 @@ def _planted_near(docs: DataFrame) -> DataFrame:
 _FRESH_TAIL = " fresh batch suffix"
 
 
+def _planted_forget(docs: DataFrame) -> DataFrame:
+    """A deletion-request batch: present ids plus absent ids (idempotent
+    re-request / already-deleted path)."""
+    present = docs.where(F.col("doc_id") % 40 == 1).select("doc_id")
+    absent = docs.where(F.col("doc_id") % 100 == 7).select(
+        (F.col("doc_id") + 900000).alias("doc_id")
+    )
+    return present.unionAll(absent)
+
+
 def _planted_batch(docs: DataFrame) -> DataFrame:
     """A synthetic ingest batch for incremental dedup: exact copies of seen
     docs (pure duplicates), fresh texts, and an in-batch duplicate pair of
@@ -412,6 +422,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         "length_histogram": lambda s, d: CO.length_histogram(_flat_docs(s, d)),
         "hll_distinct": lambda s, d: CO.hll_distinct(_flat_docs(s, d)),
+        # deletion certificate over a planted forget batch (present ids +
+        # some absent ones so the idempotent-re-request path is exercised)
+        "forget_audit": lambda s, d: CO.forget_audit(
+            _flat_docs(s, d), _planted_forget(_flat_docs(s, d))
+        ),
         "cms_token_counts": lambda s, d: CO.cms_token_estimates(_flat_docs(s, d)),
         # ---- event-stream batch analytics (ordered/interleaved shapes) ------
         "sessionize": lambda s, d: EV.sessionize(_events(s, d)),
@@ -2083,6 +2098,19 @@ pp AS ({_p_rows})
 SELECT pp.tok, cast(min(coalesce(c.cnt, 0)) AS bigint) AS est_count
 FROM pp LEFT JOIN cms c ON c.row = pp.row AND c.pos = pp.pos
 GROUP BY pp.tok
+"""
+
+    # deletion certificate: broadcast request batch LEFT JOIN the
+    # md5-reduced corpus; absent marker for ids not in the corpus
+    q["forget_audit"] = """
+WITH req AS (SELECT DISTINCT doc_id FROM (
+      SELECT doc_id FROM documents WHERE doc_id % 40 = 1
+      UNION ALL
+      SELECT doc_id + 900000 AS doc_id FROM documents WHERE doc_id % 100 = 7)),
+k AS (SELECT doc_id, md5(coalesce(text, '')) AS text_md5 FROM documents)
+SELECT r.doc_id, k.text_md5 IS NOT NULL AS found,
+       coalesce(k.text_md5, 'absent') AS text_md5
+FROM req r LEFT JOIN k USING (doc_id)
 """
 
     # gap-based sessionization: same (ts_ms, event_id) total order, same

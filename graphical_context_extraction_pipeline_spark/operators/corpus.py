@@ -241,3 +241,34 @@ def length_histogram(docs: DataFrame) -> DataFrame:
             F.sum("n_tokens").cast("long").alias("total_tokens"),
         )
     )
+
+
+def forget_docs(docs: DataFrame, forget: DataFrame) -> DataFrame:
+    """Right-to-be-forgotten deletion: the corpus minus the requested
+    doc_ids — one broadcast-able LEFT ANTI join (the forget set is a
+    request batch, orders of magnitude smaller than the corpus). Pair with
+    :func:`forget_audit` for the deletion certificate and with the
+    write-audit snapshot protocol in pipeline.py so the removal is an
+    auditable snapshot commit, not an in-place mutation."""
+    return docs.join(forget.select("doc_id").distinct(), "doc_id", "left_anti")
+
+
+def forget_audit(docs: DataFrame, forget: DataFrame) -> DataFrame:
+    """The deletion certificate: one row per REQUESTED doc_id with
+    (doc_id, found, text_md5) — md5 of the removed content (proof of what
+    was deleted without retaining it) or the 'absent' marker for ids not
+    in the corpus (idempotent re-requests, already-deleted docs).
+
+    Scale: the corpus side reduces to (doc_id, md5) before the join and
+    the request side broadcasts; emitted rows are bounded by the request
+    batch."""
+    keyed = docs.select("doc_id", F.md5(F.coalesce(F.col("text"), F.lit(""))).alias("text_md5"))
+    req = forget.select("doc_id").distinct()
+    return (
+        req.join(keyed, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.col("text_md5").isNotNull().alias("found"),
+            F.coalesce("text_md5", F.lit("absent")).alias("text_md5"),
+        )
+    )

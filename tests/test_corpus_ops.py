@@ -153,3 +153,24 @@ def test_cms_exact_when_wide(spark):
     est = {r["tok"]: r["est_count"] for r in CO.cms_token_estimates(docs, w=8192).collect()}
     assert est["shared"] == 20
     assert all(est[f"w{i}"] == 2 for i in range(20))
+
+
+def test_forget_docs_and_audit(spark):
+    """Deletion removes exactly the requested present ids; the certificate
+    reports found=md5 for removed docs, 'absent' for unknown ids; re-running
+    after deletion is idempotent (everything reports absent)."""
+    docs = spark.createDataFrame(
+        [(i, f"text {i}") for i in range(10)], "doc_id long, text string"
+    )
+    forget = spark.createDataFrame([(3,), (7,), (99,)], "doc_id long")
+    kept = CO.forget_docs(docs, forget)
+    assert sorted(r.doc_id for r in kept.select("doc_id").collect()) == [
+        0, 1, 2, 4, 5, 6, 8, 9,
+    ]
+    audit = {r.doc_id: (r.found, r.text_md5) for r in CO.forget_audit(docs, forget).collect()}
+    assert set(audit) == {3, 7, 99}
+    assert audit[3][0] and audit[7][0] and audit[3][1] != "absent"
+    assert audit[99] == (False, "absent")
+    # idempotent re-request against the already-deleted corpus
+    audit2 = {r.doc_id: r.found for r in CO.forget_audit(kept, forget).collect()}
+    assert audit2 == {3: False, 7: False, 99: False}
