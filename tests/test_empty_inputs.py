@@ -60,7 +60,38 @@ OPS = {
     "ann_topk_lsh": lambda sp, fl, em: similarity.ann_topk_lsh(em, [0, 1]),
     "ivf_topk": lambda sp, fl, em: similarity.ivf_topk(em, [0, 1]),
     "embedding_cosine_dups": lambda sp, fl, em: similarity.embedding_cosine_dups(em),
+    # session-5 families
+    "hll_registers": lambda sp, fl, em: _CO().hll_registers(fl),
+    "hll_distinct": lambda sp, fl, em: _CO().hll_distinct(fl),
+    "cms_counts": lambda sp, fl, em: _CO().cms_counts(fl),
+    "cms_token_estimates": lambda sp, fl, em: _CO().cms_token_estimates(fl),
+    "forget_docs": lambda sp, fl, em: _CO().forget_docs(fl, fl),
+    "forget_audit": lambda sp, fl, em: _CO().forget_audit(fl, fl),
+    "sample_k": lambda sp, fl, em: _SA().sample_k(fl, 3),
+    "unigram_surprisal": lambda sp, fl, em: TA.unigram_surprisal(fl),
+    "dedup_incremental_bloom": lambda sp, fl, em: dedup.dedup_incremental_bloom(fl, fl),
+    "cc_star": lambda sp, fl, em: _CL().connected_components_star(
+        fl.selectExpr("doc_id AS doc_a", "doc_id + 1 AS doc_b")
+    ),
 }
+
+
+def _CO():
+    from graphical_context_extraction_pipeline_spark.operators import corpus
+
+    return corpus
+
+
+def _SA():
+    from graphical_context_extraction_pipeline_spark.operators import sampling
+
+    return sampling
+
+
+def _CL():
+    from graphical_context_extraction_pipeline_spark.operators import cluster
+
+    return cluster
 
 
 @pytest.mark.parametrize("name", sorted(OPS))
@@ -83,3 +114,13 @@ def test_null_spans_row(spark):
     assert R.sliding_window_chunks(df).count() == 0
     assert R.ocr_frame_dedup(df).count() == 0
     assert BP.strip_boilerplate(df).count() == 0
+
+
+def test_empty_html_pages(spark):
+    from graphical_context_extraction_pipeline_spark.operators import linkgraph as LG
+
+    pages = spark.createDataFrame([], "doc_id long, url string, html string")
+    for op in (LG.extract_links, LG.anchor_counts, LG.anchor_texts, LG.domain_quality):
+        df = op(pages)
+        assert df.count() == 0, op.__name__
+        assert df.columns
