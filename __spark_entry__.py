@@ -270,6 +270,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ---- HTML main-content extraction (DOM heuristics, north rule) -------
         "html_blocks": lambda s, d: HT.html_blocks(_html_pages(s, d)),
         "html_main_content": lambda s, d: HT.main_content(_html_pages(s, d)),
+        "html_markdown": lambda s, d: HT.main_content_markdown(_html_pages(s, d)),
         "html_meta": lambda s, d: HT.html_meta(_html_pages(s, d)),
         # ---- URL/domain curation over the crawl (CCNet/C4-style) -------------
         "url_parse": lambda s, d: UR.url_parse(_html_pages(s, d)),
@@ -1156,6 +1157,27 @@ SELECT hp.doc_id, hp.url, coalesce(agg.main_text, '') AS main_text,
        cast(coalesce(tot.n_blocks, 0) AS bigint) AS n_blocks,
        cast(coalesce(agg.kept_text_len, 0) AS bigint) AS kept_text_len
 FROM hp LEFT JOIN agg USING (doc_id) LEFT JOIN tot USING (doc_id)
+"""
+
+    # markdown rendition: same kept chain, per-block tag→prefix CASE shared
+    # as data with html_extract.MD_PREFIX
+    from graphical_context_extraction_pipeline_spark.operators.html_extract import MD_PREFIX
+
+    _md_case = "CASE " + " ".join(
+        f"WHEN tag = '{t}' THEN '{p}' || text" for t, p in MD_PREFIX
+    ) + " ELSE text END"
+    q["html_markdown"] = f"""
+WITH {_HB},
+kept AS (SELECT doc_id, block_idx, {_md_case} AS line FROM b3
+         WHERE tag IN ({_content_in}) AND text_len >= {MIN_TEXT_LEN}
+           AND link_density_bp <= {MAX_LINK_DENSITY_BP}),
+agg AS (SELECT doc_id,
+               string_agg(line, chr(10) || chr(10) ORDER BY block_idx) AS markdown,
+               cast(count(*) AS bigint) AS n_kept
+        FROM kept GROUP BY doc_id)
+SELECT hp.doc_id, hp.url, coalesce(agg.markdown, '') AS markdown,
+       cast(coalesce(agg.n_kept, 0) AS bigint) AS n_kept
+FROM hp LEFT JOIN agg USING (doc_id)
 """
 
     # ---- URL/domain curation (operators/urls.py) ---------------------------

@@ -159,3 +159,43 @@ def html_meta(pages: DataFrame, html_col: str = "html") -> DataFrame:
         _norm_text(F.regexp_extract(h, r"(?s)<h1[^>]*>(.*?)</h1>", 1)).alias("h1"),
         F.size(F.regexp_extract_all(h, F.lit(r"<a\b"), F.lit(0))).cast("long").alias("n_anchors"),
     )
+
+
+# tag → markdown prefix for the emitted line; everything else (p, td, th,
+# blockquote) renders as a plain paragraph. Shared with the oracle as data.
+MD_PREFIX = (("h2", "## "), ("h3", "### "), ("li", "- "))
+
+
+def main_content_markdown(pages: DataFrame, html_col: str = "html") -> DataFrame:
+    """Markdown rendition of the extracted article body (the form most
+    text-curation pipelines actually store): the SAME kept-block
+    classification as :func:`main_content`, with headings mapped to
+    '## '/'### ', list items to '- ', and paragraphs verbatim, joined with
+    blank lines in block order. One row per page (empty markdown when
+    nothing survives), plus the kept-block count so consumers can filter
+    empty extractions without string inspection.
+
+    Scale: identical plan shape to main_content — scan → project, zero
+    Python, zero shuffle; the markdown mapping is a per-block CASE inside
+    the same HOF chain."""
+    def _md_line(b):
+        out = b["text"]
+        for tag, prefix in MD_PREFIX:
+            out = F.when(b["tag"] == tag, F.concat(F.lit(prefix), b["text"])).otherwise(out)
+        return out
+
+    kept = bind(
+        _blocks_expr(F.col(html_col)),
+        lambda blocks: F.filter(
+            blocks,
+            lambda b: b["tag"].isin(*CONTENT_TAGS)
+            & (b["text_len"] >= MIN_TEXT_LEN)
+            & (b["link_density_bp"] <= MAX_LINK_DENSITY_BP),
+        ),
+    )
+    return pages.select("doc_id", "url", kept.alias("kept")).select(
+        "doc_id",
+        "url",
+        F.array_join(F.transform("kept", _md_line), "\n\n").alias("markdown"),
+        F.size("kept").cast("long").alias("n_kept"),
+    )

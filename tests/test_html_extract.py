@@ -116,3 +116,30 @@ def test_html_ops_empty_input(spark):
     assert H.html_blocks(empty).count() == 0
     assert H.main_content(empty).count() == 0
     assert H.html_meta(empty).count() == 0
+
+
+def test_markdown_rendition(spark):
+    """Headings map to ##/###, list items to '- ', paragraphs stay plain,
+    blocks join with blank lines in block order; chrome never leaks."""
+    from graphical_context_extraction_pipeline_spark.operators.html_extract import (
+        main_content_markdown,
+    )
+
+    body = (
+        "<h2>Section One Heading</h2>"
+        "<p>A paragraph long enough to pass the minimum text length rule.</p>"
+        "<li>A list item that is also long enough to be kept here.</li>"
+        "<h3>Sub Heading Number Two</h3>"
+        '<nav><a href="/a">Aa</a> <a href="/b">Bb</a> chrome chrome chrome</nav>'
+    )
+    pages = spark.createDataFrame(
+        [(1, "https://x.example/p", body)], "doc_id long, url string, html string"
+    )
+    row = main_content_markdown(pages).collect()[0]
+    parts = row["markdown"].split("\n\n")
+    assert parts[0] == "## Section One Heading"
+    assert parts[1].startswith("A paragraph")
+    assert parts[2] == "- A list item that is also long enough to be kept here."
+    assert parts[3] == "### Sub Heading Number Two"
+    assert row["n_kept"] == 4
+    assert "chrome" not in row["markdown"]
