@@ -238,6 +238,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         relational as R,
         sampling as SA,
         similarity,
+        temporal as TP,
         text_analysis as TA,
         urls as UR,
         validate as V,
@@ -435,6 +436,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_rollup": lambda s, d: EV.event_rollup(_events(s, d)),
         "retention_cohorts": lambda s, d: EV.retention_cohorts(_events(s, d)),
         "rate_spikes": lambda s, d: EV.rate_spikes(_events(s, d)),
+        # as-of join (union–window formulation; DuckDB's native ASOF JOIN
+        # is the independent oracle) + bucket-blocked interval overlap
+        "asof_attribution": lambda s, d: TP.view_attribution(_events(s, d)),
+        "concurrent_sessions": lambda s, d: TP.concurrent_sessions(_events(s, d)),
         # ---- similarity search ----------------------------------------------
         # ---- multimodal binary columns (decode behind deterministic fake) ----
         "media_features": lambda s, d: media.media_features_canonical(
@@ -2218,6 +2223,50 @@ t AS (SELECT *,
 SELECT window_start_ms, event_type, n_events, trailing_sum, trailing_n,
        (trailing_n = 3 AND n_events * 1 * 3 >= 3 * trailing_sum) AS spike
 FROM t
+"""
+
+    # as-of attribution: DuckDB's NATIVE ASOF JOIN is the oracle — a
+    # genuinely different algorithm (merge join) than the engine's
+    # union–window formulation. Views pre-reduced to max(event_id) per
+    # (user, ts) so boundary ties are deterministic on both sides.
+    q["asof_attribution"] = """
+WITH e AS (SELECT user_id, event_id, event_type, epoch_ms(ts) AS ts_ms FROM events
+           WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+v AS (SELECT user_id, ts_ms AS view_ts_ms, max(event_id) AS view_event_id
+      FROM e WHERE event_type = 'view' GROUP BY user_id, ts_ms),
+c AS (SELECT * FROM e WHERE event_type IN ('click', 'purchase'))
+SELECT cast(c.user_id AS bigint) AS user_id, cast(c.event_id AS bigint) AS event_id,
+       c.event_type, cast(c.ts_ms AS bigint) AS ts_ms,
+       cast(coalesce(v.view_event_id, -1) AS bigint) AS view_event_id,
+       cast(coalesce(v.view_ts_ms, -1) AS bigint) AS view_ts_ms,
+       cast(CASE WHEN v.view_ts_ms IS NULL THEN -1 ELSE c.ts_ms - v.view_ts_ms END AS bigint)
+         AS latency_ms
+FROM c ASOF LEFT JOIN v ON c.user_id = v.user_id AND c.ts_ms >= v.view_ts_ms
+"""
+
+    # interval-overlap concurrency audit: the oracle is the naive
+    # predicate self-join over the sessionize chain (DuckDB plans it as an
+    # IEJoin) — independent of the engine's bucket-blocked pair-once plan
+    q["concurrent_sessions"] = """
+WITH e AS (SELECT user_id, event_id, epoch_ms(ts) AS ts_ms FROM events),
+f AS (SELECT user_id, event_id, ts_ms,
+             CASE WHEN lag(ts_ms) OVER (PARTITION BY user_id ORDER BY ts_ms, event_id) IS NULL
+                       OR ts_ms - lag(ts_ms) OVER (PARTITION BY user_id ORDER BY ts_ms, event_id) > 1800000
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM e),
+s AS (SELECT user_id, ts_ms,
+             sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts_ms, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS session_idx
+      FROM f),
+sess AS (SELECT user_id, session_idx, min(ts_ms) AS start_ms, max(ts_ms) AS end_ms
+         FROM s GROUP BY user_id, session_idx)
+SELECT cast(a.user_id AS bigint) AS user_id, cast(a.session_idx AS bigint) AS session_idx,
+       cast(a.start_ms AS bigint) AS start_ms, cast(a.end_ms AS bigint) AS end_ms,
+       cast(count(o.user_id) AS bigint) AS n_concurrent
+FROM sess a LEFT JOIN sess o
+  ON a.start_ms <= o.end_ms AND o.start_ms <= a.end_ms
+ AND NOT (a.user_id = o.user_id AND a.session_idx = o.session_idx)
+GROUP BY a.user_id, a.session_idx, a.start_ms, a.end_ms
 """
 
     # end-to-end curation verdicts: quality gate -> exact dedup -> ngram

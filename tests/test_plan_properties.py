@@ -528,3 +528,33 @@ def test_unigram_surprisal_no_text_in_shuffles(spark):
     for line in plan.splitlines():
         if "Exchange hashpartitioning" in line:
             assert "text" not in line, plan
+
+
+def test_asof_attribution_single_exchange_pushed_filters(spark):
+    """The union–window as-of join moves both event streams through ONE
+    hashpartitioning(user_id) exchange; conversion/view type filters reach
+    the parquet scan as PushedFilters and value/props never load."""
+    from graphical_context_extraction_pipeline_spark.operators import temporal as TP
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    out = TP.view_attribution(ev)
+    plan = physical_plan(out)
+    assert count_exchanges(out) == 1, plan
+    assert "SinglePartition" not in plan, plan
+    assert "hashpartitioning(user_id" in plan, plan
+    assert "In(event_type" in plan, plan
+    assert set(read_schema_columns(out)) <= {"event_id", "ts", "user_id", "event_type"}, plan
+
+
+def test_concurrent_sessions_bucket_join_no_cartesian(spark):
+    """The interval self-overlap is an equi-join on the time bucket (plus
+    the pair-once claim filter) — no BroadcastNestedLoop/Cartesian, no
+    SinglePartition anywhere in the composed plan."""
+    from graphical_context_extraction_pipeline_spark.operators import temporal as TP
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    out = TP.concurrent_sessions(ev)
+    plan = physical_plan(out)
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "SinglePartition" not in plan, plan
