@@ -419,6 +419,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_k": lambda s, d: SA.sample_k(_flat_docs(s, d), k=5),
         # ---- corpus management: passage dup scan, snapshot diff, profile ----
         "duplicate_passages": lambda s, d: dedup.duplicate_passages(_flat_docs(s, d)),
+        # passage REMOVAL (the corpus-cleaning end product of the scan)
+        "strip_passages": lambda s, d: dedup.strip_duplicate_passages(_flat_docs(s, d)),
         "corpus_diff": lambda s, d: CO.corpus_diff(
             _flat_docs(s, d), _mutated_corpus(_flat_docs(s, d))
         ),
@@ -2031,6 +2033,39 @@ p AS (SELECT doc_id, unnest(list_distinct(CASE WHEN len(toks) >= 8
 SELECT passage, cast(count(*) AS bigint) AS n_docs,
        cast(min(doc_id) AS bigint) AS example_doc_id
 FROM p GROUP BY passage HAVING count(*) >= 2
+"""
+
+    # passage REMOVAL: positioned occurrences (parallel unnest carries the
+    # 1-based start), hot set via count(DISTINCT doc_id), per-doc covered
+    # offsets expanded with range(s, s+8), kept tokens via comprehension.
+    # array_to_string([]) is NULL in DuckDB — coalesce to '' to match
+    # Spark's concat_ws on fully-removed docs.
+    q["strip_passages"] = f"""
+WITH t AS (SELECT doc_id,
+                  list_filter(regexp_split_to_array(lower(coalesce(text, '')), '\\s+'),
+                              x -> x <> '') AS toks
+           FROM documents),
+p AS (SELECT doc_id,
+             unnest(CASE WHEN len(toks) >= 8
+                    THEN [array_to_string(toks[i:i+7], ' ') FOR i IN range(1, len(toks) - 6)]
+                    ELSE []::varchar[] END) AS passage,
+             unnest(CASE WHEN len(toks) >= 8 THEN range(1, len(toks) - 6)
+                    ELSE []::bigint[] END) AS i
+      FROM t),
+hot AS (SELECT passage FROM p GROUP BY passage HAVING count(DISTINCT doc_id) >= 2),
+cov AS (SELECT p.doc_id,
+               list_distinct(flatten(list_transform(list(p.i - 1), s -> range(s, s + 8)))) AS covered
+        FROM p JOIN hot USING (passage) GROUP BY p.doc_id),
+f AS (SELECT t.doc_id, toks, coalesce(cov.covered, []::bigint[]) AS covered
+      FROM t LEFT JOIN cov USING (doc_id)),
+k AS (SELECT doc_id, toks,
+             [toks[i + 1] FOR i IN range(0, len(toks)) IF NOT list_contains(covered, i)] AS kept
+      FROM f)
+SELECT cast(doc_id AS bigint) AS doc_id,
+       coalesce(array_to_string(kept, ' '), '') AS clean_text,
+       cast(len(toks) AS bigint) AS n_tokens,
+       cast(len(toks) - len(kept) AS bigint) AS n_removed
+FROM k
 """
 
     # snapshot diff vs the deterministically mutated corpus (_mutated_corpus)

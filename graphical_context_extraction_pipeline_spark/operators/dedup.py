@@ -784,3 +784,88 @@ def duplicate_passages(docs: DataFrame, n: int = 8, min_docs: int = 2) -> DataFr
         )
         .where(F.col("n_docs") >= min_docs)
     )
+
+
+def _all_shingles(col, n: int):
+    """Every consecutive word n-gram as a string, in position order (NOT
+    distinct — index i of the result is the shingle starting at token i).
+    Same shifted-slice ``zip_with`` fold as ``_string_shingles``."""
+
+    def fold(ts):
+        m = F.size(ts) - (n - 1)
+        acc = F.zip_with(
+            F.slice(ts, 1, m), F.slice(ts, 2, m), lambda x, y: F.concat(x, F.lit(" "), y)
+        )
+        for k in range(2, n):
+            acc = F.zip_with(acc, F.slice(ts, k + 1, m), lambda x, y: F.concat(x, F.lit(" "), y))
+        return acc
+
+    return _bind(
+        _tokens(col),
+        lambda ts: F.when(F.size(ts) >= n, fold(ts)).otherwise(
+            F.array().cast("array<string>")
+        ),
+    )
+
+
+def strip_duplicate_passages(docs: DataFrame, n: int = 8, min_docs: int = 2) -> DataFrame:
+    """Sub-document dedup's END PRODUCT (Lee et al., "Deduplicating
+    Training Data Makes Language Models Better"-style removal): every
+    token covered by ANY occurrence of a word ``n``-gram that appears in
+    ≥ ``min_docs`` distinct documents is dropped from the document, and
+    the surviving tokens are re-joined. Emits
+    (doc_id, clean_text, n_tokens, n_removed).
+
+    ``clean_text`` is the whitespace-normalized token stream (the same
+    tokenizer contract every dedup operator here uses) — sub-token
+    whitespace does not survive removal by construction.
+
+    Scale: the positioned-shingle explode shuffles (passage, doc_id,
+    start) triples keyed by the passage string (at 100 TB: the 8-byte
+    ``_hashed_shingles`` key — see ``duplicate_passages``); covered start
+    offsets aggregate per doc (``collect_set`` bounded by the doc's own
+    token count — per-doc state, never per-passage); the corpus payload
+    itself is shuffled exactly once, in the doc_id join that brings the
+    covered-offset sets back to the text. Token masking is one intra-row
+    ``array_except`` (hash-based, linear) — no per-token membership scan.
+    """
+    hot = duplicate_passages(docs, n, min_docs).select("passage")
+    # NULL text ≡ empty doc (size/cast NULLs must not leak into the output)
+    base = docs.select("doc_id", F.coalesce(F.col("text"), F.lit("")).alias("text"))
+    occ = base.select(
+        "doc_id",
+        F.posexplode(_all_shingles(F.col("text"), n)).alias("start", "passage"),
+    )
+    cov = (
+        occ.join(hot, "passage")
+        .select("doc_id", "start")
+        .groupBy("doc_id")
+        .agg(F.collect_set("start").alias("starts"))
+    )
+    joined = base.join(cov, "doc_id", "left")
+
+    empty_int = F.array().cast("array<integer>")
+    starts = F.coalesce(F.col("starts"), empty_int)
+    covered = F.array_distinct(
+        F.flatten(F.transform(starts, lambda s: F.sequence(s, s + F.lit(n - 1))))
+    )
+
+    def rebuild(ts):
+        all_idx = F.when(
+            F.size(ts) >= 1, F.sequence(F.lit(0), F.size(ts) - 1)
+        ).otherwise(empty_int)  # sequence(0, -1) would DESCEND — guard it
+        kept_idx = F.array_except(all_idx, covered)
+        kept = F.transform(kept_idx, lambda i: F.get(ts, i))
+        return F.struct(
+            F.concat_ws(" ", kept).alias("clean_text"),
+            F.size(ts).cast("long").alias("n_tokens"),
+            (F.size(ts) - F.size(kept)).cast("long").alias("n_removed"),
+        )
+
+    out = joined.select("doc_id", _bind(_tokens(F.col("text")), rebuild).alias("r"))
+    return out.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("r.clean_text").alias("clean_text"),
+        F.col("r.n_tokens").alias("n_tokens"),
+        F.col("r.n_removed").alias("n_removed"),
+    )

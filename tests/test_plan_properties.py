@@ -558,3 +558,17 @@ def test_concurrent_sessions_bucket_join_no_cartesian(spark):
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert "SinglePartition" not in plan, plan
+
+
+def test_strip_passages_bounded_buffers_no_text_key_shuffle(spark):
+    """Passage removal: the only aggregation buffer is the per-doc covered
+    START set (bounded by the doc's own token count) — no collect_list
+    anywhere; shuffles are keyed by passage/doc_id, never SinglePartition."""
+    from graphical_context_extraction_pipeline_spark.operators import dedup as D
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    out = D.strip_duplicate_passages(docs)
+    plan = physical_plan(out)
+    assert "collect_list" not in plan, plan
+    assert "SinglePartition" not in plan, plan
+    assert count_exchanges(out) <= 4, plan
