@@ -278,6 +278,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_dedup": lambda s, d: UR.url_dedup(_html_pages(s, d)),
         "domain_stats": lambda s, d: UR.domain_stats(_html_pages(s, d)),
         "domain_filter": lambda s, d: UR.domain_filter(_html_pages(s, d)),
+        # politeness-wave crawl frontier (cap 40 so per-domain truncation
+        # actually fires on the big domains at gate scale)
+        "frontier_schedule": lambda s, d: UR.frontier_schedule(
+            _html_pages(s, d), max_per_domain=40
+        ),
         # ---- link-graph analytics (domain edges, degrees, integer PageRank) --
         "link_edges": lambda s, d: LG.extract_links(_html_pages(s, d)),
         "anchor_texts": lambda s, d: LG.anchor_texts(_html_pages(s, d)),
@@ -425,6 +430,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _flat_docs(s, d), _mutated_corpus(_flat_docs(s, d))
         ),
         "length_histogram": lambda s, d: CO.length_histogram(_flat_docs(s, d)),
+        "length_quantiles": lambda s, d: CO.length_quantiles(_flat_docs(s, d)),
         "hll_distinct": lambda s, d: CO.hll_distinct(_flat_docs(s, d)),
         # deletion certificate over a planted forget batch (present ids +
         # some absent ones so the idempotent-re-request path is exercised)
@@ -1216,6 +1222,22 @@ SELECT {_DCANON} AS canonical_url,
        cast(count(*) AS bigint) AS n_pages,
        cast(min(doc_id) AS bigint) AS keep_doc_id
 FROM hp GROUP BY 1
+"""
+
+    # politeness waves: wave = md5-ordered rank within the canonical
+    # group's domain, truncated at the per-domain budget (40 at gate scale)
+    q["frontier_schedule"] = f"""
+WITH {_HPAGES},
+c AS (SELECT {_DCANON} AS canonical_url, cast(count(*) AS bigint) AS n_pages
+      FROM hp GROUP BY 1),
+d AS (SELECT canonical_url, n_pages,
+             regexp_extract(canonical_url, '^https://([^/]+)', 1) AS domain
+      FROM c),
+r AS (SELECT domain, canonical_url, n_pages,
+             cast(row_number() OVER (PARTITION BY domain
+                    ORDER BY md5(canonical_url), canonical_url) - 1 AS bigint) AS wave
+      FROM d)
+SELECT domain, canonical_url, wave, n_pages FROM r WHERE wave < 40
 """
 
     q["domain_stats"] = f"""
@@ -2096,6 +2118,25 @@ SELECT source, cast(length(bin(n_tokens + 1)) AS bigint) AS bucket,
        cast(count(*) AS bigint) AS n_docs,
        cast(sum(n_tokens) AS bigint) AS total_tokens
 FROM t GROUP BY source, length(bin(n_tokens + 1))
+"""
+
+    # exact order statistics via the two-phase (value, count) histogram —
+    # Q(p) = min v with 100·cum(v) >= p·n, integer arithmetic only
+    from graphical_context_extraction_pipeline_spark.operators.corpus import QUANTILE_PCTS
+
+    _pcts_list = "[" + ", ".join(str(int(p)) for p in QUANTILE_PCTS) + "]"
+    q["length_quantiles"] = f"""
+WITH t AS (SELECT source, cast(len({_TOKS}) AS bigint) AS v FROM documents),
+hist AS (SELECT source, v, cast(count(*) AS bigint) AS cnt FROM t GROUP BY source, v),
+cum AS (SELECT source, v,
+               sum(cnt) OVER (PARTITION BY source ORDER BY v) AS cum,
+               sum(cnt) OVER (PARTITION BY source) AS n
+        FROM hist),
+e AS (SELECT source, v, cum, n, unnest({_pcts_list}) AS p FROM cum)
+SELECT source, cast(p AS bigint) AS p,
+       cast(min(v) AS bigint) AS value,
+       cast(max(n) AS bigint) AS n_docs
+FROM e WHERE cum * 100 >= p * n GROUP BY source, p
 """
 
     # HyperLogLog distinct-token profile: the estimator replayed exactly —

@@ -272,3 +272,58 @@ def forget_audit(docs: DataFrame, forget: DataFrame) -> DataFrame:
             F.coalesce("text_md5", F.lit("absent")).alias("text_md5"),
         )
     )
+
+
+QUANTILE_PCTS = (25, 50, 75, 90, 99)
+
+
+def length_quantiles(
+    docs: DataFrame,
+    pcts: tuple[int, ...] = QUANTILE_PCTS,
+    group_col: str = "source",
+) -> DataFrame:
+    """Exact per-group token-length order statistics WITHOUT an all-values
+    aggregation buffer: Q(p) = the smallest v with 100·cum_count(v) ≥ p·n
+    (the classic ⌈np⌉-th order statistic, integer arithmetic only).
+
+    Spark's built-in exact ``percentile`` buffers every value per group —
+    OOM bait at 10^12 rows. This two-phase histogram form aggregates
+    (group, length) frequencies first (partial map-side combine; state =
+    |distinct lengths| per group, a few thousand cells regardless of row
+    count), then windows over the tiny distinct-value relation. The same
+    shape serves any integer-domain column. Emits
+    (source, p, value, n_docs).
+    """
+    v = F.size(_tokens(F.coalesce(F.col("text"), F.lit("")))).cast("long")
+    hist = (
+        docs.select(F.col(group_col).alias("source"), v.alias("v"))
+        .groupBy("source", "v")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    from pyspark.sql import Window
+
+    w_cum = (
+        Window.partitionBy("source").orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy("source")
+    cum = hist.select(
+        "source",
+        "v",
+        F.sum("cnt").over(w_cum).alias("cum"),
+        F.sum("cnt").over(w_all).alias("n"),
+    )
+    exploded = cum.select(
+        "source", "v", "cum", "n",
+        # generators must be top-level expressions (no wrapping cast) —
+        # the longs are cast inside the literal array instead
+        F.explode(F.array(*[F.lit(int(p)).cast("long") for p in pcts])).alias("p"),
+    )
+    return (
+        exploded.where(F.col("cum") * 100 >= F.col("p") * F.col("n"))
+        .groupBy("source", "p")
+        .agg(
+            F.min("v").cast("long").alias("value"),
+            F.max("n").cast("long").alias("n_docs"),
+        )
+    )

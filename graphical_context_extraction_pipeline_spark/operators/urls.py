@@ -116,3 +116,43 @@ def domain_filter(
     u = F.col(url_col)
     out = pages.select("doc_id", u.alias("url"), _domain(u).alias("domain"))
     return out.where(~F.col("domain").isin(*blocklist))
+
+
+def frontier_schedule(
+    pages: DataFrame,
+    max_per_domain: int = 1000,
+    url_col: str = "url",
+) -> DataFrame:
+    """Politeness-aware crawl scheduling: canonical-dedup'd URLs are dealt
+    into per-domain WAVES — wave k holds each domain's (k+1)-th URL, so a
+    crawler executing waves in order fetches at most one URL per domain
+    per wave (rate-limit compliance by construction) while every wave
+    stays embarrassingly parallel across domains. Domains past
+    ``max_per_domain`` URLs are truncated — the per-domain crawl budget.
+
+    Order within a domain is the md5 of the canonical URL (deterministic,
+    spread — no crawl-order bias toward lexicographically early paths);
+    swap in a quality prior (e.g. PageRank from linkgraph.py) by sorting
+    on its column instead.
+
+    Scale: one shuffle for the canonical-group agg, one for the
+    per-domain window; the row_number sort is per-domain and the wave cap
+    bounds every partition's output. Emits
+    (domain, canonical_url, wave, n_pages).
+    """
+    from pyspark.sql import Window
+
+    u = F.col(url_col)
+    canon = (
+        pages.select(_canonical(u).alias("canonical_url"))
+        .groupBy("canonical_url")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_pages"))
+    )
+    dom = F.regexp_extract(F.col("canonical_url"), r"^https://([^/]+)", 1)
+    w = Window.partitionBy("domain").orderBy(F.md5(F.col("canonical_url")), "canonical_url")
+    return (
+        canon.withColumn("domain", dom)
+        .withColumn("wave", (F.row_number().over(w) - 1).cast("long"))
+        .where(F.col("wave") < max_per_domain)
+        .select("domain", "canonical_url", "wave", "n_pages")
+    )

@@ -174,3 +174,24 @@ def test_forget_docs_and_audit(spark):
     # idempotent re-request against the already-deleted corpus
     audit2 = {r.doc_id: r.found for r in CO.forget_audit(kept, forget).collect()}
     assert audit2 == {3: False, 7: False, 99: False}
+
+
+def test_length_quantiles_order_statistics(spark):
+    """Q(p) is the ⌈np/100⌉-th order statistic: token counts 1..10 give
+    p25→3, p50→5, p75→8, p90→9, p99→10."""
+    rows = [(i, " ".join(["tok"] * i), "a") for i in range(1, 11)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    got = {r.p: (r.value, r.n_docs) for r in CO.length_quantiles(docs).collect()}
+    assert got == {25: (3, 10), 50: (5, 10), 75: (8, 10), 90: (9, 10), 99: (10, 10)}
+
+
+def test_length_quantiles_ties_and_groups(spark):
+    # all-equal values: every quantile is that value; groups independent
+    rows = [(i, "x y z", "a") for i in range(4)] + [(10, "x", "b")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    got = {(r.source, r.p): r.value for r in CO.length_quantiles(docs).collect()}
+    assert all(v == 3 for (s, _), v in got.items() if s == "a")
+    assert all(v == 1 for (s, _), v in got.items() if s == "b")
+    # empty corpus: no rows, no crash
+    empty = spark.createDataFrame([], "doc_id long, text string, source string")
+    assert CO.length_quantiles(empty).count() == 0

@@ -572,3 +572,33 @@ def test_strip_passages_bounded_buffers_no_text_key_shuffle(spark):
     assert "collect_list" not in plan, plan
     assert "SinglePartition" not in plan, plan
     assert count_exchanges(out) <= 4, plan
+
+
+def test_length_quantiles_histogram_form_no_value_buffering(spark):
+    """Exact quantiles via the (value,count) histogram: no `percentile`
+    buffering aggregate anywhere, two exchanges total (the histogram
+    group-by, then the shared hashpartitioning(source) for windows +
+    final rollup), scan pruned to (source, text)."""
+    from graphical_context_extraction_pipeline_spark.operators import corpus as CO
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    out = CO.length_quantiles(docs)
+    plan = physical_plan(out)
+    assert "percentile" not in plan.lower(), plan
+    assert count_exchanges(out) <= 2, plan
+    assert set(read_schema_columns(out)) <= {"source", "text"}, plan
+    assert "SinglePartition" not in plan, plan
+
+
+def test_frontier_schedule_two_narrow_shuffles(spark):
+    """Canonical-group agg + per-domain window: two exchanges, page
+    payload never scanned (url-only ReadSchema), no global sort."""
+    from graphical_context_extraction_pipeline_spark import datagen
+    from graphical_context_extraction_pipeline_spark.operators import urls as UR
+
+    pages = spark.read.parquet(datagen.ensure_html("/root/testdata/sf0.001"))
+    out = UR.frontier_schedule(pages)
+    plan = physical_plan(out)
+    assert count_exchanges(out) <= 2, plan
+    assert set(read_schema_columns(out)) <= {"url"}, plan
+    assert "SinglePartition" not in plan, plan

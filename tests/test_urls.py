@@ -111,3 +111,39 @@ def test_url_ops_empty(spark):
     empty = spark.createDataFrame([], PAGES_DDL)
     for fn in (UR.url_parse, UR.url_dedup, UR.domain_stats, UR.domain_filter):
         assert fn(empty).count() == 0
+
+
+def test_frontier_schedule_waves(spark):
+    """Wave k holds each domain's (k+1)-th canonical URL: per domain the
+    waves are exactly 0..n-1 with one URL each; canonical duplicates
+    collapse into one scheduled fetch with the pooled page count."""
+    pages = _pages(
+        spark,
+        [
+            "https://a.example/p1",
+            "https://www.a.example/p1?utm_source=x",  # canonical dup of p1
+            "https://a.example/p2",
+            "https://a.example/p3",
+            "https://b.example/only",
+        ],
+    )
+    rows = UR.frontier_schedule(pages).collect()
+    by_dom = {}
+    for r in rows:
+        by_dom.setdefault(r.domain, []).append(r)
+    assert sorted(r.wave for r in by_dom["a.example"]) == [0, 1, 2]
+    assert [r.wave for r in by_dom["b.example"]] == [0]
+    pooled = {r.canonical_url: r.n_pages for r in by_dom["a.example"]}
+    assert pooled["https://a.example/p1"] == 2
+    # politeness invariant: at most one URL per (domain, wave)
+    assert len({(r.domain, r.wave) for r in rows}) == len(rows)
+
+
+def test_frontier_schedule_budget_truncates(spark):
+    pages = _pages(spark, [f"https://a.example/p{i}" for i in range(7)])
+    rows = UR.frontier_schedule(pages, max_per_domain=3).collect()
+    assert len(rows) == 3
+    assert sorted(r.wave for r in rows) == [0, 1, 2]
+    # md5 priority is deterministic: same input, same schedule
+    again = UR.frontier_schedule(pages, max_per_domain=3).collect()
+    assert {r.canonical_url for r in rows} == {r.canonical_url for r in again}
