@@ -283,6 +283,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "frontier_schedule": lambda s, d: UR.frontier_schedule(
             _html_pages(s, d), max_per_domain=40
         ),
+        "robots_filter": lambda s, d: UR.robots_filter(_html_pages(s, d)),
         # ---- link-graph analytics (domain edges, degrees, integer PageRank) --
         "link_edges": lambda s, d: LG.extract_links(_html_pages(s, d)),
         "anchor_texts": lambda s, d: LG.anchor_texts(_html_pages(s, d)),
@@ -1238,6 +1239,32 @@ r AS (SELECT domain, canonical_url, n_pages,
                     ORDER BY md5(canonical_url), canonical_url) - 1 AS bigint) AS wave
       FROM d)
 SELECT domain, canonical_url, wave, n_pages FROM r WHERE wave < 40
+"""
+
+    # robots exclusion: longest prefix wins, allow wins length ties, full
+    # ties go to the lexicographically smallest prefix, no rule = allowed
+    from graphical_context_extraction_pipeline_spark.operators.urls import DEFAULT_ROBOTS_RULES
+
+    _rules_vals = ", ".join(
+        f"('{d}', {1 if kind == 'allow' else 0}::BIGINT, '{p}')"
+        for d, kind, p in DEFAULT_ROBOTS_RULES
+    )
+    q["robots_filter"] = f"""
+WITH {_HPAGES},
+rules AS (SELECT * FROM (VALUES {_rules_vals}) AS t(domain, is_allow, prefix)),
+parsed AS (SELECT doc_id, url, {_DDOMAIN} AS domain,
+                  CASE WHEN {_DPATH} = '' THEN '/' ELSE {_DPATH} END AS path
+           FROM hp),
+m AS (SELECT p.doc_id, r.prefix, r.is_allow,
+             row_number() OVER (PARTITION BY p.doc_id
+               ORDER BY length(r.prefix) DESC, r.is_allow DESC, r.prefix ASC) AS rn
+      FROM parsed p JOIN rules r
+        ON p.domain = r.domain AND starts_with(p.path, r.prefix))
+SELECT p.doc_id, p.url, p.domain,
+       coalesce(m.prefix, '') AS matched_prefix,
+       cast(coalesce(m.is_allow, 1) AS bigint) AS allowed
+FROM parsed p LEFT JOIN (SELECT doc_id, prefix, is_allow FROM m WHERE rn = 1) m
+  USING (doc_id)
 """
 
     q["domain_stats"] = f"""

@@ -156,3 +156,89 @@ def frontier_schedule(
         .where(F.col("wave") < max_per_domain)
         .select("domain", "canonical_url", "wave", "n_pages")
     )
+
+
+# Prefix rules in the robots.txt exclusion-protocol shape (host, allow |
+# disallow, path prefix). The default set exercises every decision arm on
+# the synthetic URL space (datagen._base_url paths): full-host block,
+# directory block, longest-match allow override, and untouched hosts.
+DEFAULT_ROBOTS_RULES = (
+    ("tracker.ads.example", "disallow", "/"),
+    ("m.tracker.ads.example", "disallow", "/"),
+    ("example.com", "disallow", "/items"),
+    ("example.com", "allow", "/items/page-1"),
+    ("news.example.org", "disallow", "/docs"),
+    ("wiki.example.net", "disallow", "/posts"),
+    ("wiki.example.net", "allow", "/posts/page-2"),
+)
+
+
+def robots_filter(
+    pages: DataFrame,
+    rules: tuple[tuple[str, str, str], ...] = DEFAULT_ROBOTS_RULES,
+    url_col: str = "url",
+) -> DataFrame:
+    """Robots-exclusion verdict per page: longest-prefix-match over
+    (host, allow|disallow, prefix) rules — the REP precedence rule (most
+    specific path wins; on equal length allow wins; no matching rule means
+    allowed). Hosts are matched exactly after the www. strip (robots are a
+    per-host contract — subdomains need their own rules).
+
+    Scale shape: the rules relation is collapsed to ONE array row per
+    domain (tiny — robots files are KBs) and broadcast; every page then
+    resolves its verdict intra-row with a HOF fold over the matching
+    prefixes, so the page stream is scan → broadcast-join → project with
+    ZERO shuffles at any corpus size. Emits
+    (doc_id, url, domain, matched_prefix, allowed) — matched_prefix ''
+    when no rule applies.
+    """
+    spark = pages.sparkSession
+    rules_df = (
+        spark.createDataFrame(
+            [(d, 1 if kind == "allow" else 0, p) for d, kind, p in rules],
+            "domain string, is_allow long, prefix string",
+        )
+        .groupBy("domain")
+        # sorted so the fold's tie-keep is deterministic (full ties resolve
+        # to the lexicographically smallest prefix)
+        .agg(F.sort_array(F.collect_list(F.struct("prefix", "is_allow"))).alias("rules"))
+    )
+    u = F.col(url_col)
+    raw_path = F.regexp_extract(u, _PATH_RE, 1)
+    parsed = pages.select(
+        "doc_id",
+        u.alias("url"),
+        _domain(u).alias("domain"),
+        F.when(raw_path == "", F.lit("/")).otherwise(raw_path).alias("path"),
+    )
+    matching = F.filter(F.col("rules"), lambda r: F.col("path").startswith(r["prefix"]))
+    # fold to the winning rule: longer prefix wins, allow wins length ties;
+    # sentinel (-1, allow) = "no rule" so the verdict coalesces to allowed
+    best = F.aggregate(
+        matching,
+        F.struct(
+            F.lit(-1).cast("int").alias("plen"),
+            F.lit(1).cast("long").alias("is_allow"),
+            F.lit("").alias("prefix"),
+        ),
+        lambda acc, r: F.when(
+            (F.length(r["prefix"]) > acc["plen"])
+            | ((F.length(r["prefix"]) == acc["plen"]) & (r["is_allow"] > acc["is_allow"])),
+            F.struct(
+                F.length(r["prefix"]).alias("plen"),
+                r["is_allow"].alias("is_allow"),
+                r["prefix"].alias("prefix"),
+            ),
+        ).otherwise(acc),
+    )
+    return (
+        parsed.join(F.broadcast(rules_df), "domain", "left")
+        .withColumn("_best", best)
+        .select(
+            "doc_id",
+            "url",
+            "domain",
+            F.coalesce(F.col("_best")["prefix"], F.lit("")).alias("matched_prefix"),
+            F.coalesce(F.col("_best")["is_allow"], F.lit(1)).cast("long").alias("allowed"),
+        )
+    )

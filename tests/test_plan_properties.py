@@ -602,3 +602,18 @@ def test_frontier_schedule_two_narrow_shuffles(spark):
     assert count_exchanges(out) <= 2, plan
     assert set(read_schema_columns(out)) <= {"url"}, plan
     assert "SinglePartition" not in plan, plan
+
+
+def test_robots_filter_pages_side_never_shuffles(spark):
+    """The rules relation collapses to per-domain arrays (its own tiny
+    exchange) and broadcasts; the page stream is scan → broadcast-join →
+    intra-row fold, scanning only (doc_id, url)."""
+    from graphical_context_extraction_pipeline_spark import datagen
+    from graphical_context_extraction_pipeline_spark.operators import urls as UR
+
+    pages = spark.read.parquet(datagen.ensure_html("/root/testdata/sf0.001"))
+    out = UR.robots_filter(pages)
+    plan = physical_plan(out)
+    assert has_broadcast_join(out), plan
+    assert count_exchanges(out) <= 1, plan  # the rules-side groupBy only
+    assert set(read_schema_columns(out)) <= {"doc_id", "url"}, plan

@@ -147,3 +147,43 @@ def test_frontier_schedule_budget_truncates(spark):
     # md5 priority is deterministic: same input, same schedule
     again = UR.frontier_schedule(pages, max_per_domain=3).collect()
     assert {r.canonical_url for r in rows} == {r.canonical_url for r in again}
+
+
+def test_robots_filter_precedence(spark):
+    """REP precedence: longest prefix wins; allow wins a length tie; no
+    matching rule (or unknown host) means allowed."""
+    rules = (
+        ("a.example", "disallow", "/private"),
+        ("a.example", "allow", "/private/ok"),
+        ("a.example", "disallow", "/dup"),   # length tie vs the allow below
+        ("a.example", "allow", "/dup"),
+        ("b.example", "disallow", "/"),
+    )
+    pages = _pages(
+        spark,
+        [
+            "https://a.example/private/secret",   # blocked by /private
+            "https://a.example/private/ok/page",  # longest-match allow
+            "https://a.example/dup/x",            # tie -> allow wins
+            "https://a.example/open",             # no rule -> allowed
+            "https://b.example/anything",         # host-wide block
+            "https://b.example",                  # empty path matches '/'
+            "https://c.example/x",                # unknown host -> allowed
+        ],
+    )
+    got = {r.url: (r.allowed, r.matched_prefix)
+           for r in UR.robots_filter(pages, rules=rules).collect()}
+    assert got["https://a.example/private/secret"] == (0, "/private")
+    assert got["https://a.example/private/ok/page"] == (1, "/private/ok")
+    assert got["https://a.example/dup/x"] == (1, "/dup")
+    assert got["https://a.example/open"] == (1, "")
+    assert got["https://b.example/anything"] == (0, "/")
+    assert got["https://b.example"] == (0, "/")
+    assert got["https://c.example/x"] == (1, "")
+
+
+def test_robots_filter_one_row_per_page(spark):
+    # multiple matching rules never duplicate a page row
+    pages = _pages(spark, ["https://a.example/private/ok/page"] * 3)
+    rules = (("a.example", "disallow", "/private"), ("a.example", "allow", "/private/ok"))
+    assert UR.robots_filter(pages, rules=rules).count() == 3
