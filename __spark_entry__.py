@@ -284,6 +284,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _html_pages(s, d), max_per_domain=40
         ),
         "robots_filter": lambda s, d: UR.robots_filter(_html_pages(s, d)),
+        "path_templates": lambda s, d: UR.path_templates(_html_pages(s, d)),
         # ---- link-graph analytics (domain edges, degrees, integer PageRank) --
         "link_edges": lambda s, d: LG.extract_links(_html_pages(s, d)),
         "anchor_texts": lambda s, d: LG.anchor_texts(_html_pages(s, d)),
@@ -1265,6 +1266,23 @@ SELECT p.doc_id, p.url, p.domain,
        cast(coalesce(m.is_allow, 1) AS bigint) AS allowed
 FROM parsed p LEFT JOIN (SELECT doc_id, prefix, is_allow FROM m WHERE rn = 1) m
   USING (doc_id)
+"""
+
+    # path-template mining: digit runs in the canonical path collapse to N
+    # (DuckDB regexp_replace needs the explicit 'g' flag — Spark is global)
+    q["path_templates"] = f"""
+WITH {_HPAGES},
+c AS (SELECT {_DDOMAIN} AS domain, {_DCANON} AS canonical_url FROM hp),
+t AS (SELECT domain,
+             regexp_replace(regexp_extract(canonical_url, '^https://[^/]+(.*)$', 1),
+                            '[0-9]+', 'N', 'g') AS template,
+             canonical_url
+      FROM c)
+SELECT domain, template,
+       cast(count(DISTINCT canonical_url) AS bigint) AS n_urls,
+       cast(count(*) AS bigint) AS n_pages,
+       min(canonical_url) AS example_url
+FROM t GROUP BY domain, template
 """
 
     q["domain_stats"] = f"""

@@ -242,3 +242,34 @@ def robots_filter(
             F.coalesce(F.col("_best")["is_allow"], F.lit(1)).cast("long").alias("allowed"),
         )
     )
+
+
+def path_templates(pages: DataFrame, url_col: str = "url") -> DataFrame:
+    """URL path-template mining: digit runs in the canonical path collapse
+    to ``N`` so structurally identical URLs group (``/posts/page-7`` and
+    ``/posts/page-812`` → ``/posts/page-N``). The per-(domain, template)
+    profile is how crawl curation spots infinite spaces — calendars,
+    faceted navigation, session-id paths — before they eat the fetch
+    budget: a template whose n_urls dwarfs its sibling templates is a trap.
+
+    One aggregation shuffle on (domain, template) — high-cardinality,
+    skew-free keys; the page payload never leaves the scan. Emits
+    (domain, template, n_urls, n_pages, example_url) with the
+    lexicographically smallest canonical URL as the deterministic example.
+    """
+    u = F.col(url_col)
+    canon = _canonical(u)
+    path = F.regexp_extract(canon, r"^https://[^/]+(.*)$", 1)
+    return (
+        pages.select(
+            _domain(u).alias("domain"),
+            F.regexp_replace(path, r"[0-9]+", "N").alias("template"),
+            canon.alias("canonical_url"),
+        )
+        .groupBy("domain", "template")
+        .agg(
+            F.countDistinct("canonical_url").cast("long").alias("n_urls"),
+            F.count(F.lit(1)).cast("long").alias("n_pages"),
+            F.min("canonical_url").alias("example_url"),
+        )
+    )

@@ -617,3 +617,15 @@ def test_robots_filter_pages_side_never_shuffles(spark):
     assert has_broadcast_join(out), plan
     assert count_exchanges(out) <= 1, plan  # the rules-side groupBy only
     assert set(read_schema_columns(out)) <= {"doc_id", "url"}, plan
+
+
+def test_path_templates_single_narrow_shuffle(spark):
+    from graphical_context_extraction_pipeline_spark import datagen
+    from graphical_context_extraction_pipeline_spark.operators import urls as UR
+
+    pages = spark.read.parquet(datagen.ensure_html("/root/testdata/sf0.001"))
+    out = UR.path_templates(pages)
+    plan = physical_plan(out)
+    assert count_exchanges(out) <= 2, plan  # distinct-agg expansion under AQE
+    assert set(read_schema_columns(out)) <= {"url"}, plan
+    assert "SinglePartition" not in plan, plan

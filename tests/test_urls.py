@@ -187,3 +187,22 @@ def test_robots_filter_one_row_per_page(spark):
     pages = _pages(spark, ["https://a.example/private/ok/page"] * 3)
     rules = (("a.example", "disallow", "/private"), ("a.example", "allow", "/private/ok"))
     assert UR.robots_filter(pages, rules=rules).count() == 3
+
+
+def test_path_templates_digit_collapse(spark):
+    pages = _pages(
+        spark,
+        [
+            "https://a.example/posts/page-7",
+            "https://a.example/posts/page-812/",        # canonical trim joins group
+            "https://www.a.example/posts/page-7?utm=x",  # same canonical as row 0
+            "https://a.example/cal/2024/05/31",
+            "https://b.example/posts/page-1",
+        ],
+    )
+    got = {(r.domain, r.template): r for r in UR.path_templates(pages).collect()}
+    pp = got[("a.example", "/posts/page-N")]
+    assert pp.n_urls == 2 and pp.n_pages == 3
+    assert pp.example_url == "https://a.example/posts/page-7"
+    assert ("a.example", "/cal/N/N/N") in got
+    assert got[("b.example", "/posts/page-N")].n_urls == 1
