@@ -291,6 +291,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "domain_quality": lambda s, d: LG.domain_quality(_html_pages(s, d)),
         "link_degrees": lambda s, d: LG.degree_stats(LG.extract_links(_html_pages(s, d))),
         "pagerank": lambda s, d: LG.pagerank(LG.extract_links(_html_pages(s, d)), n_iters=3),
+        "hits": lambda s, d: LG.hits(LG.extract_links(_html_pages(s, d)), n_iters=2),
         # ---- interleaved text+media training-data construction ----------------
         "caption_pairs": lambda s, d: MM.caption_pairs(_spans_docs(s, d)),
         "mm_sequence": lambda s, d: MM.mm_sequence(_spans_docs(s, d)),
@@ -1386,6 +1387,37 @@ r{_i + 1} AS (SELECT n.domain,
          FROM we JOIN r{_i} r ON r.domain = we.src_domain GROUP BY 1) m
        ON m.domain = n.domain)"""
     q["pagerank"] = f"WITH {_EDGES}, {_pr} SELECT domain, rank_e9 FROM r3"
+
+    # HITS: the same mutual recursion as linkgraph.hits, e6 max-normalized
+    # integer fixed point, 2 iterations unrolled as CTE pairs
+    _hits = """
+nodes AS (SELECT DISTINCT domain FROM (
+            SELECT src_domain AS domain FROM edges
+            UNION ALL SELECT dst_domain FROM edges)),
+h0 AS (SELECT domain, cast(1000000 AS bigint) AS hub_e6 FROM nodes)"""
+    for _i in range(1, 3):
+        _hits += f""",
+a{_i}raw AS (SELECT e.dst_domain AS domain, sum(h.hub_e6 * e.n_links) AS raw
+            FROM edges e JOIN h{_i - 1} h ON h.domain = e.src_domain GROUP BY 1),
+a{_i} AS (SELECT n.domain,
+         cast(coalesce(r.raw, 0) * 1000000 // (SELECT max(raw) FROM a{_i}raw)
+              AS bigint) AS auth_e6
+         FROM nodes n LEFT JOIN a{_i}raw r ON r.domain = n.domain),
+h{_i}raw AS (SELECT e.src_domain AS domain, sum(a.auth_e6 * e.n_links) AS raw
+            FROM edges e JOIN a{_i} a ON a.domain = e.dst_domain GROUP BY 1),
+h{_i} AS (SELECT n.domain,
+         cast(coalesce(r.raw, 0) * 1000000 // (SELECT max(raw) FROM h{_i}raw)
+              AS bigint) AS hub_e6
+         FROM nodes n LEFT JOIN h{_i}raw r ON r.domain = n.domain)"""
+    q["hits"] = f"""
+WITH {_EDGES}, {_hits}
+SELECT n.domain,
+       cast(coalesce(h2.hub_e6, 0) AS bigint) AS hub_e6,
+       cast(coalesce(a2.auth_e6, 0) AS bigint) AS auth_e6
+FROM nodes n
+LEFT JOIN h2 ON h2.domain = n.domain
+LEFT JOIN a2 ON a2.domain = n.domain
+"""
 
     # composed per-domain verdict table: crawl mass + degrees + PageRank +
     # anchor evidence over a key-union base, absent signals → 0

@@ -141,3 +141,34 @@ def test_domain_quality_key_union_semantics(spark):
     # the island is outside the link graph entirely -> zero rank; graph
     # members carry positive e9 rank
     assert isl["rank_e9"] == 0 and a["rank_e9"] > 0 and b["rank_e9"] > 0
+
+
+def test_hits_hand_values(spark):
+    """u1→v, u2→v, u2→w (unit weights), e6 max-normalized:
+    iter1: a(v)=1e6 a(w)=5e5 → h(u1)=666666 h(u2)=1e6
+    iter2: a2raw v=1666666 w=1e6 → a(v)=1e6 a(w)=600000;
+           h2raw u1=1e6 u2=1.6e6 → h(u1)=625000 h(u2)=1e6."""
+    edges = spark.createDataFrame(
+        [("u1", "v", 1), ("u2", "v", 1), ("u2", "w", 1)],
+        "src_domain string, dst_domain string, n_links long",
+    )
+    got = {r.domain: (r.hub_e6, r.auth_e6) for r in LG.hits(edges, n_iters=2).collect()}
+    assert got == {
+        "u1": (625_000, 0),
+        "u2": (1_000_000, 0),
+        "v": (0, 1_000_000),
+        "w": (0, 600_000),
+    }
+
+
+def test_hits_weighted_and_empty(spark):
+    # weight acts multiplicatively: a single 3-weight edge beats three
+    # 1-weight edges from the same hub nowhere — just pin the ratio
+    edges = spark.createDataFrame(
+        [("h", "x", 3), ("h", "y", 1)],
+        "src_domain string, dst_domain string, n_links long",
+    )
+    got = {r.domain: r.auth_e6 for r in LG.hits(edges, n_iters=1).collect()}
+    assert got["x"] == 1_000_000 and got["y"] == 333_333
+    empty = spark.createDataFrame([], "src_domain string, dst_domain string, n_links long")
+    assert LG.hits(empty).count() == 0
