@@ -165,6 +165,19 @@ def _planted_pii(docs: DataFrame) -> DataFrame:
     )
 
 
+def _tailed_docs(docs: DataFrame) -> DataFrame:
+    """The inverted-index registration corpus: each doc gains one
+    ``tail{doc_id % 311}`` token so the index has a few hundred COLD
+    tokens (df ≈ n_docs/311) alongside the ~30 corpus-wide hot ones —
+    both posting arms populated at gate scale. Mirrored in the oracle."""
+    return docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"), F.lit(" tail"), (F.col("doc_id") % 311).cast("string")
+        ).alias("text"),
+    )
+
+
 def _mutated_corpus(docs: DataFrame) -> DataFrame:
     """Deterministic 'next snapshot' for the corpus_diff query: drop every
     doc with doc_id % 17 == 3, append a revision marker where % 13 == 0,
@@ -237,6 +250,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         multimodal as MM,
         relational as R,
         sampling as SA,
+        search as SE,
         similarity,
         temporal as TP,
         text_analysis as TA,
@@ -441,6 +455,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _flat_docs(s, d), _planted_forget(_flat_docs(s, d))
         ),
         "cms_token_counts": lambda s, d: CO.cms_token_estimates(_flat_docs(s, d)),
+        # hot-capped inverted index over the tail-token-enriched corpus
+        "inverted_index": lambda s, d: SE.inverted_index(_tailed_docs(_flat_docs(s, d))),
+        # integer-BM25 keyword retrieval: one selective + two common terms
+        "bm25_search": lambda s, d: SE.bm25(_flat_docs(s, d), BM25_QUERY, k=10),
         # ---- event-stream batch analytics (ordered/interleaved shapes) ------
         "sessionize": lambda s, d: EV.sessionize(_events(s, d)),
         "funnel_steps": lambda s, d: EV.funnel(_events(s, d)),
@@ -485,6 +503,10 @@ _Z = f"(SELECT doc_id, unnest(spans) AS s, unnest(span_attrs) AS a FROM {_SD})"
 _S1 = f"(SELECT doc_id, unnest(spans) AS s FROM {_SD})"
 
 _TOKS = r"list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '')"
+
+# bm25_search registration query: 'dup' is selective (df≈25 at sf0.01),
+# 'vector'/'spark' are corpus-wide — both idf regimes exercised
+BM25_QUERY = "dup vector spark"
 
 _SEGMENTATION_CTE = f"""
 sc AS (SELECT doc_id, cast(split_part(s.text, ':', 1) AS bigint) AS sid,
@@ -2195,6 +2217,64 @@ SELECT source, cast(length(bin(n_tokens + 1)) AS bigint) AS bucket,
        cast(count(*) AS bigint) AS n_docs,
        cast(sum(n_tokens) AS bigint) AS total_tokens
 FROM t GROUP BY source, length(bin(n_tokens + 1))
+"""
+
+    # inverted index over the tailed corpus: hot tokens (df > 64) keep
+    # stats but an empty posting list — the broadcast-hot-set cap replayed
+    from graphical_context_extraction_pipeline_spark.operators.search import POSTINGS_CAP
+
+    q["inverted_index"] = f"""
+WITH docs AS (SELECT doc_id,
+                     text || ' tail' || cast(doc_id % 311 AS varchar) AS text
+              FROM documents),
+t AS (SELECT doc_id, unnest({_TOKS}) AS token FROM docs),
+td AS (SELECT token, doc_id, cast(count(*) AS bigint) AS tf FROM t GROUP BY 1, 2),
+dfc AS (SELECT token, cast(count(*) AS bigint) AS df,
+               cast(sum(tf) AS bigint) AS total_tf
+        FROM td GROUP BY 1),
+p AS (SELECT token,
+             string_agg(cast(doc_id AS varchar), chr(31) ORDER BY doc_id) AS postings
+      FROM td WHERE token IN (SELECT token FROM dfc WHERE df <= {POSTINGS_CAP})
+      GROUP BY 1)
+SELECT d.token, d.df, d.total_tf, coalesce(p.postings, '') AS postings
+FROM dfc d LEFT JOIN p ON p.token = d.token
+"""
+
+    # integer-BM25: the exact fixed-point recurrence from search.bm25 —
+    # avg10 deci-token avgdl, e6-floored ln idf (measured bit-identical
+    # across libms over the integer df domain), per-term DIV floor
+    _bm_terms = sorted(set(BM25_QUERY.lower().split()))
+    _bm_tf = ",\n       ".join(
+        f"cast(len(list_filter(toks, x -> x = '{w}')) AS bigint) AS tf{i}"
+        for i, w in enumerate(_bm_terms)
+    )
+    _bm_df = ", ".join(
+        f"sum(CASE WHEN tf{i} > 0 THEN 1 ELSE 0 END) AS df{i}"
+        for i in range(len(_bm_terms))
+    )
+    _bm_idf = ",\n       ".join(
+        f"cast(floor(1000000 * ln((2 * nd + 2) / cast(2 * df{i} + 1 AS double)))"
+        f" AS bigint) AS idf{i}"
+        for i in range(len(_bm_terms))
+    )
+    _bm_score = " + ".join(
+        f"CASE WHEN s.tf{i} > 0 THEN (c.idf{i} * s.tf{i} * 22 * c.avg10)"
+        f" // (10 * c.avg10 * s.tf{i} + 3 * c.avg10 + 90 * s.dl) ELSE 0 END"
+        for i in range(len(_bm_terms))
+    )
+    q["bm25_search"] = f"""
+WITH d AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+s AS (SELECT doc_id, cast(len(toks) AS bigint) AS dl,
+       {_bm_tf}
+      FROM d),
+g AS (SELECT count(*) AS nd, sum(dl) AS tt, {_bm_df} FROM s),
+c AS (SELECT (10 * tt) // nd AS avg10, nd,
+       {_bm_idf}
+      FROM g),
+r AS (SELECT s.doc_id, cast({_bm_score} AS bigint) AS score_e6
+      FROM s, c
+      ORDER BY score_e6 DESC, s.doc_id ASC LIMIT 10)
+SELECT doc_id, score_e6 FROM r WHERE score_e6 > 0
 """
 
     # exact order statistics via the two-phase (value, count) histogram —

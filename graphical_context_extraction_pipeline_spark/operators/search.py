@@ -1,0 +1,168 @@
+"""Corpus search primitives: inverted index construction (and the scoring
+ops that consume it — see bm25 below when present).
+
+The reference pipeline ships its chunks to a vector store for retrieval
+(phase 3's Qdrant sink); the north rule replaces service writes with
+deterministic DataFrame-native equivalents, and the classic lexical twin
+of that capability is an inverted index + ranked keyword retrieval over
+the extracted corpus.
+
+Scale contract (the stopword problem): posting lists are power-law —
+a handful of tokens appear in nearly every document, and an uncapped
+``collect_list`` per token buffers an entire stopword's corpus in one
+aggregation buffer. Same failure mode as the hot-shingle problem in
+``dedup.ngram_jaccard_pairs``, same fix: count document frequencies FIRST
+(pure partial-aggregation, no buffers), broadcast the tiny hot-token set,
+and keep hot tokens OUT of the collect shuffle entirely — they stay in
+the index as df/tf statistics with an empty posting list (search engines
+treat stopwords the same way: too common to be selective, so not worth a
+posting traversal).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .text_analysis import _tokens
+
+SEP = "\x1f"
+
+POSTINGS_CAP = 64
+
+
+def inverted_index(docs: DataFrame, cap: int = POSTINGS_CAP) -> DataFrame:
+    """Token → posting-list index: (token, df, total_tf, postings) where
+    df counts distinct documents, total_tf total occurrences, and postings
+    is the ascending ``\\x1f``-joined doc_id list — empty for hot tokens
+    (df > cap), which contribute statistics but no traversable list.
+
+    Three shuffles, all bounded: (token, doc_id) term counts (high-
+    cardinality keys, partial agg), the df rollup (partial agg), and the
+    posting collect whose buffers the broadcast hot-set filter caps at
+    ``cap`` entries by construction.
+    """
+    td = (
+        docs.select("doc_id", F.explode(_tokens(F.col("text"))).alias("token"))
+        .groupBy("token", "doc_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    )
+    dfc = td.groupBy("token").agg(
+        F.count(F.lit(1)).cast("long").alias("df"),
+        F.sum("tf").cast("long").alias("total_tf"),
+    )
+    hot = dfc.where(F.col("df") > cap).select("token")
+    postings = (
+        td.join(F.broadcast(hot), "token", "left_anti")
+        .groupBy("token")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.sort_array(F.collect_list("doc_id")),
+                    lambda x: x.cast("string"),
+                ),
+                SEP,
+            ).alias("postings")
+        )
+    )
+    return dfc.join(postings, "token", "left").select(
+        "token",
+        "df",
+        "total_tf",
+        F.coalesce("postings", F.lit("")).alias("postings"),
+    )
+
+
+def bm25(docs: DataFrame, query: str, k: int = 10) -> DataFrame:
+    """Ranked keyword retrieval: top-k documents by BM25 (k1=1.2, b=0.75)
+    in integer e6 fixed point — (doc_id, score_e6), ordered by
+    (score desc, doc_id asc).
+
+    The arithmetic is specified so both engines compute IDENTICAL bigints:
+
+        avg10      = (10 · Σdl) DIV n_docs          (avgdl in deci-tokens)
+        idf_e6     = floor(1e6 · ln((2N + 2) / (2·df + 1)))
+                     (the always-positive ATIRE/Lucene idf ln(1 + (N-df+.5)/(df+.5)))
+        term score = (idf_e6 · tf · 22 · avg10)
+                     DIV (10·avg10·tf + 3·avg10 + 90·dl)
+
+    which is exactly idf · tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl)) with
+    avgdl quantized to 0.1 tokens and a per-term floor. The only float is
+    the driver-side ln over exact integer ratios — measured bit-identical
+    across Python/Spark/DuckDB libm on 100k integer inputs, and the e6
+    floor gives ~1e-10 relative slack before a boundary could flip.
+    Overflow budget: idf_e6·tf·22·avg10 stays under int64 through
+    tf ~ 1e4, avgdl ~ 1e4.
+
+    Scale: TWO corpus scans and zero shuffles — pass 1 is a partial-agg
+    rollup collecting (N, Σdl, df per term) scalars to the driver, pass 2
+    scores each doc against literal constants and takes a global top-k
+    (TakeOrderedAndProject, no sort shuffle). Query terms are tokenized
+    with the corpus tokenizer (lowercase whitespace split, deduped).
+    """
+    import math
+
+    from ..functions.exprs import bind
+
+    terms = sorted(set((query or "").lower().split()))
+    if not terms:
+        return docs.select("doc_id", F.lit(0).cast("long").alias("score_e6")).limit(0)
+
+    def _eq(w):
+        # NOT `lambda x, w=w: ...` — a 2-arg lambda makes F.filter pass the
+        # element INDEX as the second argument, silently shadowing w
+        return lambda x: x == F.lit(w)
+
+    def per_doc(t):
+        return F.struct(
+            F.size(t).cast("long").alias("dl"),
+            *[
+                F.size(F.filter(t, _eq(w))).cast("long").alias(f"tf{i}")
+                for i, w in enumerate(terms)
+            ],
+        )
+
+    feat = docs.select(
+        "doc_id", bind(_tokens(F.col("text")), per_doc).alias("f")
+    ).select("doc_id", "f.*")
+
+    stats = feat.agg(
+        F.count(F.lit(1)).alias("nd"),
+        F.sum("dl").alias("tt"),
+        *[
+            F.sum((F.col(f"tf{i}") > 0).cast("long")).alias(f"df{i}")
+            for i in range(len(terms))
+        ],
+    ).first()
+    nd, tt = int(stats["nd"] or 0), int(stats["tt"] or 0)
+    if nd == 0 or tt == 0:
+        return docs.select("doc_id", F.lit(0).cast("long").alias("score_e6")).limit(0)
+    avg10 = (10 * tt) // nd
+    idfs = [
+        math.floor(1_000_000 * math.log((2 * nd + 2) / (2 * int(stats[f"df{i}"]) + 1)))
+        for i in range(len(terms))
+    ]
+
+    term_scores = [
+        F.when(
+            F.col(f"tf{i}") > 0,
+            F.expr(
+                f"(cast({idfs[i]} as bigint) * tf{i} * 22 * {avg10}) DIV "
+                f"(10 * {avg10} * tf{i} + 3 * {avg10} + 90 * dl)"
+            ),
+        ).otherwise(F.lit(0))
+        for i in range(len(terms))
+    ]
+    total = term_scores[0]
+    for ts in term_scores[1:]:
+        total = total + ts
+    # the >0 filter sits ABOVE the limit: equivalent (zero-score docs sort
+    # below every positive one) and Catalyst can't push a predicate through
+    # Limit — a pre-limit where() gets substituted under the projection and
+    # re-inlines the whole tokenize expression ~3× per term in the filter
+    return (
+        feat.select("doc_id", total.cast("long").alias("score_e6"))
+        .orderBy(F.col("score_e6").desc(), F.col("doc_id").asc())
+        .limit(k)
+        .where(F.col("score_e6") > 0)
+    )

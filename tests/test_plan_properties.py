@@ -629,3 +629,31 @@ def test_path_templates_single_narrow_shuffle(spark):
     assert count_exchanges(out) <= 2, plan  # distinct-agg expansion under AQE
     assert set(read_schema_columns(out)) <= {"url"}, plan
     assert "SinglePartition" not in plan, plan
+
+
+def test_inverted_index_bounded_buffers_hot_set_broadcast(spark):
+    """df rollup is pure partial agg; the posting collect runs behind a
+    broadcast anti-join on the hot set, so no aggregation buffer can hold
+    more than cap entries. No single-partition funnels."""
+    from graphical_context_extraction_pipeline_spark.operators import search as SE
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    out = SE.inverted_index(docs)
+    plan = physical_plan(out)
+    assert has_broadcast_join(out), plan
+    assert "SinglePartition" not in plan, plan
+    assert set(read_schema_columns(out)) <= {"doc_id", "text"}, plan
+
+
+def test_bm25_two_scans_zero_shuffles_single_tokenize(spark):
+    """Scoring pass: scan → project → TakeOrderedAndProject. Zero
+    exchanges, no global sort, and the bound token array is evaluated
+    exactly once per row (the >0 filter must not re-inline it)."""
+    from graphical_context_extraction_pipeline_spark.operators import search as SE
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    out = SE.bm25(docs, "dup vector spark", k=10)
+    plan = physical_plan(out)
+    assert count_exchanges(out) == 0, plan
+    assert "TakeOrderedAndProject" in plan, plan
+    assert plan.count("split(lower") == 1, plan

@@ -1,0 +1,59 @@
+"""Inverted index + integer BM25 (operators/search.py): hand-computed
+scores, hot-token capping, determinism."""
+
+from graphical_context_extraction_pipeline_spark.operators import search as SE
+
+DDL = "doc_id long, text string"
+
+
+def test_inverted_index_hand_values(spark):
+    docs = spark.createDataFrame(
+        [(1, "cat cat dog"), (2, "cat fish"), (3, "")], DDL
+    )
+    got = {r.token: r for r in SE.inverted_index(docs).collect()}
+    assert got["cat"].df == 2 and got["cat"].total_tf == 3
+    assert got["cat"].postings == "1\x1f2"
+    assert got["dog"].df == 1 and got["dog"].postings == "1"
+    assert set(got) == {"cat", "dog", "fish"}
+
+
+def test_inverted_index_hot_cap(spark):
+    docs = spark.createDataFrame([(i, "common rare" if i == 0 else "common") for i in range(5)], DDL)
+    got = {r.token: r for r in SE.inverted_index(docs, cap=3).collect()}
+    # df/total_tf survive for the hot token; postings list is dropped
+    assert got["common"].df == 5 and got["common"].total_tf == 5
+    assert got["common"].postings == ""
+    assert got["rare"].postings == "0"
+    assert SE.inverted_index(spark.createDataFrame([], DDL)).count() == 0
+
+
+def test_bm25_hand_values(spark):
+    """nd=3, tt=6 → avg10=20; df(cat)=2 → idf=floor(1e6·ln(8/5))=470003.
+    d1 (tf=2, dl=3): (470003·880) // 730 = 566578
+    d2 (tf=1, dl=2): (470003·440) // 440 = 470003; d3 no match."""
+    docs = spark.createDataFrame(
+        [(1, "cat cat dog"), (2, "cat fish"), (3, "bird")], DDL
+    )
+    got = [(r.doc_id, r.score_e6) for r in SE.bm25(docs, "cat").collect()]
+    assert got == [(1, 566578), (2, 470003)]
+
+
+def test_bm25_k_and_ties(spark):
+    docs = spark.createDataFrame([(i, "cat dog") for i in range(6)], DDL)
+    got = [r.doc_id for r in SE.bm25(docs, "cat", k=3).collect()]
+    assert got == [0, 1, 2]  # identical scores -> doc_id asc, k-truncated
+    assert SE.bm25(docs, "").count() == 0
+    assert SE.bm25(docs, "absent-token").count() == 0
+    empty = spark.createDataFrame([], DDL)
+    assert SE.bm25(empty, "cat").count() == 0
+
+
+def test_bm25_multiterm_prefers_selective(spark):
+    # 'rare' is in one doc; a doc matching rare + common must outrank
+    # common-only docs
+    docs = spark.createDataFrame(
+        [(1, "common rare"), (2, "common common"), (3, "common")] + [(i, "common") for i in range(4, 20)],
+        DDL,
+    )
+    got = [r.doc_id for r in SE.bm25(docs, "rare common", k=3).collect()]
+    assert got[0] == 1
