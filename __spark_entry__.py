@@ -459,6 +459,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "inverted_index": lambda s, d: SE.inverted_index(_tailed_docs(_flat_docs(s, d))),
         # integer-BM25 keyword retrieval: one selective + two common terms
         "bm25_search": lambda s, d: SE.bm25(_flat_docs(s, d), BM25_QUERY, k=10),
+        "phrase_search": lambda s, d: SE.phrase_search(_flat_docs(s, d), PHRASE_QUERY, k=20),
         # ---- event-stream batch analytics (ordered/interleaved shapes) ------
         "sessionize": lambda s, d: EV.sessionize(_events(s, d)),
         "funnel_steps": lambda s, d: EV.funnel(_events(s, d)),
@@ -507,6 +508,10 @@ _TOKS = r"list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '')"
 # bm25_search registration query: 'dup' is selective (df≈25 at sf0.01),
 # 'vector'/'spark' are corpus-wide — both idf regimes exercised
 BM25_QUERY = "dup vector spark"
+
+# phrase_search registration: an adjacent pair that occurs multiple times
+# in some documents (multi-hit counting exercised) but not in most
+PHRASE_QUERY = "vector spark"
 
 _SEGMENTATION_CTE = f"""
 sc AS (SELECT doc_id, cast(split_part(s.text, ':', 1) AS bigint) AS sid,
@@ -2275,6 +2280,25 @@ r AS (SELECT s.doc_id, cast({_bm_score} AS bigint) AS score_e6
       FROM s, c
       ORDER BY score_e6 DESC, s.doc_id ASC LIMIT 10)
 SELECT doc_id, score_e6 FROM r WHERE score_e6 > 0
+"""
+
+    # exact consecutive-phrase matching, replayed as a DuckDB list
+    # comprehension over candidate start positions
+    _ph_words = PHRASE_QUERY.lower().split()
+    _ph_m = len(_ph_words)
+    _ph_cond = " AND ".join(
+        f"toks[i + {j}] = '{w}'" for j, w in enumerate(_ph_words)
+    )
+    q["phrase_search"] = f"""
+WITH d AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+h AS (SELECT doc_id,
+             CASE WHEN len(toks) >= {_ph_m} THEN
+               cast(len([i FOR i IN range(1, len(toks) - {_ph_m - 2})
+                         IF {_ph_cond}]) AS bigint)
+             ELSE 0 END AS n_hits
+      FROM d),
+r AS (SELECT doc_id, n_hits FROM h ORDER BY n_hits DESC, doc_id ASC LIMIT 20)
+SELECT doc_id, n_hits FROM r WHERE n_hits > 0
 """
 
     # exact order statistics via the two-phase (value, count) histogram —

@@ -166,3 +166,50 @@ def bm25(docs: DataFrame, query: str, k: int = 10) -> DataFrame:
         .limit(k)
         .where(F.col("score_e6") > 0)
     )
+
+
+def phrase_search(docs: DataFrame, phrase: str, k: int = 20) -> DataFrame:
+    """Exact consecutive-phrase retrieval: documents whose token stream
+    contains the phrase's tokens adjacently, with the occurrence count —
+    (doc_id, n_hits), ordered by (n_hits desc, doc_id asc), top k.
+
+    Pure intra-row positional matching: for each candidate start position
+    i the m phrase tokens are compared in place, so the whole operator is
+    scan → project → TakeOrderedAndProject — ZERO shuffles at any corpus
+    size, and the phrase never needs a positional index shipped around.
+
+    Guarded for the F.sequence trap: sequence(1, n) with n < 1 yields a
+    DESCENDING range, so documents shorter than the phrase take the
+    empty-array branch explicitly.
+    """
+    from ..functions.exprs import bind
+
+    words = (phrase or "").lower().split()
+    if not words:
+        return docs.select(
+            "doc_id", F.lit(0).cast("long").alias("n_hits")
+        ).limit(0)
+    m = len(words)
+
+    def hits(t):
+        starts = F.sequence(F.lit(1), F.size(t) - (m - 1))
+        match_at = lambda i: F.forall(  # noqa: E731
+            F.sequence(F.lit(0), F.lit(m - 1)),
+            lambda j: F.element_at(t, (i + j).cast("int"))
+            == F.element_at(F.array(*[F.lit(w) for w in words]), (j + 1).cast("int")),
+        )
+        return (
+            F.when(
+                F.size(t) >= m,
+                F.size(F.filter(starts, match_at)),
+            )
+            .otherwise(F.lit(0))
+            .cast("long")
+        )
+
+    return (
+        docs.select("doc_id", bind(_tokens(F.col("text")), hits).alias("n_hits"))
+        .orderBy(F.col("n_hits").desc(), F.col("doc_id").asc())
+        .limit(k)
+        .where(F.col("n_hits") > 0)
+    )

@@ -57,3 +57,39 @@ def test_bm25_multiterm_prefers_selective(spark):
     )
     got = [r.doc_id for r in SE.bm25(docs, "rare common", k=3).collect()]
     assert got[0] == 1
+
+
+def test_phrase_search_adjacency_and_overlap(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "the cat sat on the cat sat mat"),  # 2 hits
+            (2, "cat sat"),                          # exact-length doc
+            (3, "cat on sat"),                       # not adjacent
+            (4, "CAT SAT twice cat sat"),            # case-folded, 2 hits
+            (5, "cat"),                              # shorter than phrase
+            (6, ""),
+        ],
+        DDL,
+    )
+    got = [(r.doc_id, r.n_hits) for r in SE.phrase_search(docs, "Cat Sat").collect()]
+    assert got == [(1, 2), (4, 2), (2, 1)]
+    # overlapping occurrences each count: "a a a" has 2 hits of "a a"
+    docs2 = spark.createDataFrame([(1, "a a a")], DDL)
+    assert SE.phrase_search(docs2, "a a").collect()[0].n_hits == 2
+    # single-word phrase degenerates to term counting
+    assert SE.phrase_search(docs2, "a").collect()[0].n_hits == 3
+    assert SE.phrase_search(docs2, "").count() == 0
+
+
+def test_phrase_search_zero_shuffle(spark):
+    from graphical_context_extraction_pipeline_spark.plans.explain import (
+        count_exchanges,
+        physical_plan,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    out = SE.phrase_search(docs, "vector spark")
+    plan = physical_plan(out)
+    assert count_exchanges(out) == 0, plan
+    assert "TakeOrderedAndProject" in plan, plan
+    assert plan.count("split(lower") == 1, plan
