@@ -414,6 +414,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _planted_near(_flat_docs(s, d)),
             dedup.ngram_jaccard_pairs(_planted_near(_flat_docs(s, d))),
         ),
+        # cluster-keyed split: near-dups can never straddle train/val/test
+        "leakage_safe_split": lambda s, d: SA.leakage_safe_split(
+            _planted_near(_flat_docs(s, d)),
+            dedup.ngram_jaccard_pairs(_planted_near(_flat_docs(s, d))),
+        ),
         # ---- training-data ops: text analysis -------------------------------
         "token_stats": lambda s, d: TA.token_stats(_flat_docs(s, d)),
         "lang_id": lambda s, d: TA.lang_id(_flat_docs(s, d)),
@@ -1830,6 +1835,23 @@ FROM corpus c
 LEFT JOIN cc ON cc.doc_id = c.doc_id
 LEFT JOIN szs ON szs.component = cc.component
 WHERE cc.component IS NULL OR cc.component = c.doc_id
+"""
+
+    # split unit = near-dup component; singletons reduce to hash_split's
+    # own bucket (same salt) so only dup structure changes assignments
+    q["leakage_safe_split"] = f"""
+WITH RECURSIVE {cc_cte},
+keyed AS (SELECT c.doc_id, coalesce(cc.component, c.doc_id) AS split_key
+          FROM corpus c LEFT JOIN cc ON cc.doc_id = c.doc_id),
+b AS (SELECT doc_id, cast(split_key AS bigint) AS split_key,
+             cast(('0x' || substr(md5('split:' || cast(split_key AS varchar)), 1, 15))
+                  AS bigint) % 10000 AS bucket
+      FROM keyed)
+SELECT doc_id, split_key, cast(bucket AS bigint) AS bucket,
+       CASE WHEN bucket < 9600 THEN 'train'
+            WHEN bucket < 9800 THEN 'val'
+            ELSE 'test' END AS split
+FROM b
 """
 
     q["minhash_lsh_pairs"] = _minhash_oracle()

@@ -239,3 +239,45 @@ def sample_k(docs: DataFrame, k: int = 10) -> DataFrame:
         .where(F.col("rk") <= k)
         .select("source", "doc_id", "rk")
     )
+
+
+def leakage_safe_split(
+    docs: DataFrame,
+    pairs: DataFrame,
+    train_bp: int = 9600,
+    val_bp: int = 9800,
+    src: str = "doc_a",
+    dst: str = "doc_b",
+) -> DataFrame:
+    """Train/val/test split that cannot leak near-duplicates across
+    splits: the split unit is the near-dup CLUSTER, not the document.
+    Every member of a connected component (transitive closure over
+    ``pairs``) hashes on the component id, so near-identical documents
+    land in the same split by construction — the eval-contamination mode
+    plain hash_split cannot prevent. Unclustered docs hash on their own
+    id with the SAME salt, so their assignment is identical to
+    hash_split's (the two splits differ only where dup structure exists).
+
+    Emits (doc_id, split_key, bucket, split). Plan: components over the
+    pairs relation (iterative, bounded by the dup graph, orders of
+    magnitude below corpus size), then ONE corpus join against the
+    membership table — broadcast when the dup graph is small.
+    """
+    from .cluster import connected_components
+
+    cc = connected_components(pairs, src, dst)
+    key = F.coalesce(F.col("component"), F.col("doc_id"))
+    b = hash_bucket(key, "split:", 10000)
+    return (
+        docs.select("doc_id")
+        .join(cc, "doc_id", "left")
+        .select(
+            "doc_id",
+            key.cast("long").alias("split_key"),
+            b.alias("bucket"),
+            F.when(b < train_bp, F.lit("train"))
+            .when(b < val_bp, F.lit("val"))
+            .otherwise(F.lit("test"))
+            .alias("split"),
+        )
+    )

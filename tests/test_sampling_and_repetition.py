@@ -329,3 +329,28 @@ def test_unigram_surprisal_hand_values(spark):
     got = {r["doc_id"]: (r["n_tokens"], r["surprisal_e2"])
            for r in TA.unigram_surprisal(docs).collect()}
     assert got == {1: (4, 100), 2: (3, 233), 3: (1, 300), 4: (0, -1)}
+
+
+def test_leakage_safe_split_cluster_coherence(spark):
+    """Every member of a pair-connected cluster gets the SAME split;
+    unclustered docs get exactly their hash_split assignment."""
+    from graphical_context_extraction_pipeline_spark.operators import sampling as SA
+
+    docs = spark.createDataFrame([(i, f"t{i}") for i in range(50)], "doc_id long, text string")
+    # chain 1-2-3 and pair 10-11; everything else unclustered
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "doc_a long, doc_b long"
+    )
+    out = {r.doc_id: r for r in SA.leakage_safe_split(docs, pairs).collect()}
+    assert len(out) == 50
+    assert out[1].split == out[2].split == out[3].split
+    assert out[1].split_key == out[2].split_key == out[3].split_key == 1
+    assert out[10].split == out[11].split and out[10].split_key == 10
+    plain = {r.doc_id: r.split for r in SA.hash_split(docs).collect()}
+    for i in range(50):
+        if i not in (2, 3, 11):  # non-canonical members may differ
+            assert out[i].split == plain[i], i
+    # empty pair relation: identical to hash_split everywhere
+    nopairs = spark.createDataFrame([], "doc_a long, doc_b long")
+    out2 = {r.doc_id: r.split for r in SA.leakage_safe_split(docs, nopairs).collect()}
+    assert out2 == plain
