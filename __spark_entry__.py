@@ -465,6 +465,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # integer-BM25 keyword retrieval: one selective + two common terms
         "bm25_search": lambda s, d: SE.bm25(_flat_docs(s, d), BM25_QUERY, k=10),
         "phrase_search": lambda s, d: SE.phrase_search(_flat_docs(s, d), PHRASE_QUERY, k=20),
+        # extraction feeds retrieval: BM25 over the DOM-extracted bodies
+        "search_extracted": lambda s, d: SE.bm25(
+            HT.main_content(_html_pages(s, d)).select(
+                "doc_id", F.col("main_text").alias("text")
+            ),
+            BM25_QUERY,
+            k=10,
+        ),
         # ---- event-stream batch analytics (ordered/interleaved shapes) ------
         "sessionize": lambda s, d: EV.sessionize(_events(s, d)),
         "funnel_steps": lambda s, d: EV.funnel(_events(s, d)),
@@ -2270,38 +2278,57 @@ FROM dfc d LEFT JOIN p ON p.token = d.token
     # integer-BM25: the exact fixed-point recurrence from search.bm25 —
     # avg10 deci-token avgdl, e6-floored ln idf (measured bit-identical
     # across libms over the integer df domain), per-term DIV floor
-    _bm_terms = sorted(set(BM25_QUERY.lower().split()))
-    _bm_tf = ",\n       ".join(
-        f"cast(len(list_filter(toks, x -> x = '{w}')) AS bigint) AS tf{i}"
-        for i, w in enumerate(_bm_terms)
-    )
-    _bm_df = ", ".join(
-        f"sum(CASE WHEN tf{i} > 0 THEN 1 ELSE 0 END) AS df{i}"
-        for i in range(len(_bm_terms))
-    )
-    _bm_idf = ",\n       ".join(
-        f"cast(floor(1000000 * ln((2 * nd + 2) / cast(2 * df{i} + 1 AS double)))"
-        f" AS bigint) AS idf{i}"
-        for i in range(len(_bm_terms))
-    )
-    _bm_score = " + ".join(
-        f"CASE WHEN s.tf{i} > 0 THEN (c.idf{i} * s.tf{i} * 22 * c.avg10)"
-        f" // (10 * c.avg10 * s.tf{i} + 3 * c.avg10 + 90 * s.dl) ELSE 0 END"
-        for i in range(len(_bm_terms))
-    )
-    q["bm25_search"] = f"""
-WITH d AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    def _bm25_chain(corpus: str) -> str:
+        """CTE tail computing bm25 top-10 over a relation named `corpus`
+        with (doc_id, text); append after a WITH prelude."""
+        terms = sorted(set(BM25_QUERY.lower().split()))
+        tf = ",\n       ".join(
+            f"cast(len(list_filter(toks, x -> x = '{w}')) AS bigint) AS tf{i}"
+            for i, w in enumerate(terms)
+        )
+        dfs = ", ".join(
+            f"sum(CASE WHEN tf{i} > 0 THEN 1 ELSE 0 END) AS df{i}"
+            for i in range(len(terms))
+        )
+        idf = ",\n       ".join(
+            f"cast(floor(1000000 * ln((2 * nd + 2) / cast(2 * df{i} + 1 AS double)))"
+            f" AS bigint) AS idf{i}"
+            for i in range(len(terms))
+        )
+        score = " + ".join(
+            f"CASE WHEN s.tf{i} > 0 THEN (c.idf{i} * s.tf{i} * 22 * c.avg10)"
+            f" // (10 * c.avg10 * s.tf{i} + 3 * c.avg10 + 90 * s.dl) ELSE 0 END"
+            for i in range(len(terms))
+        )
+        return f"""
+d AS (SELECT doc_id, {_TOKS} AS toks FROM {corpus}),
 s AS (SELECT doc_id, cast(len(toks) AS bigint) AS dl,
-       {_bm_tf}
+       {tf}
       FROM d),
-g AS (SELECT count(*) AS nd, sum(dl) AS tt, {_bm_df} FROM s),
+g AS (SELECT count(*) AS nd, sum(dl) AS tt, {dfs} FROM s),
 c AS (SELECT (10 * tt) // nd AS avg10, nd,
-       {_bm_idf}
+       {idf}
       FROM g),
-r AS (SELECT s.doc_id, cast({_bm_score} AS bigint) AS score_e6
+r AS (SELECT s.doc_id, cast({score} AS bigint) AS score_e6
       FROM s, c
       ORDER BY score_e6 DESC, s.doc_id ASC LIMIT 10)
-SELECT doc_id, score_e6 FROM r WHERE score_e6 > 0
+SELECT doc_id, score_e6 FROM r WHERE score_e6 > 0"""
+
+    q["bm25_search"] = f"WITH {_bm25_chain('documents')}\n"
+
+    # end-to-end: DOM extraction feeds retrieval — the corpus is every
+    # page's extracted main_text ('' when nothing survives, matching the
+    # kernel's one-row-per-page contract)
+    q["search_extracted"] = f"""
+WITH {_HB},
+kept AS (SELECT * FROM b3
+         WHERE tag IN ({_content_in}) AND text_len >= {MIN_TEXT_LEN}
+           AND link_density_bp <= {MAX_LINK_DENSITY_BP}),
+agg AS (SELECT doc_id, string_agg(text, chr(10) ORDER BY block_idx) AS main_text
+        FROM kept GROUP BY doc_id),
+bmc AS (SELECT hp.doc_id, coalesce(agg.main_text, '') AS text
+        FROM hp LEFT JOIN agg ON agg.doc_id = hp.doc_id),
+{_bm25_chain('bmc')}
 """
 
     # exact consecutive-phrase matching, replayed as a DuckDB list
