@@ -178,6 +178,31 @@ def _tailed_docs(docs: DataFrame) -> DataFrame:
     )
 
 
+def _mutated_pages(pages: DataFrame) -> DataFrame:
+    """Deterministic 'next crawl' of the HTML twin: drop every doc with
+    doc_id % 17 == 3, append a content block where % 13 == 0 (changed
+    signature, same canonical), and add fresh pages on a brand-new domain
+    for % 23 == 0. Mirrored verbatim in the recrawl_priority oracle."""
+    kept = pages.where(F.col("doc_id") % 17 != 3).select(
+        "doc_id",
+        "url",
+        F.when(
+            F.col("doc_id") % 13 == 0,
+            F.concat(F.col("html"), F.lit("<p>updated content block appended</p>")),
+        )
+        .otherwise(F.col("html"))
+        .alias("html"),
+    )
+    added = pages.where(F.col("doc_id") % 23 == 0).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        F.concat(
+            F.lit("https://fresh.example/items/page-"), F.col("doc_id").cast("string")
+        ).alias("url"),
+        "html",
+    )
+    return kept.unionAll(added)
+
+
 def _mutated_corpus(docs: DataFrame) -> DataFrame:
     """Deterministic 'next snapshot' for the corpus_diff query: drop every
     doc with doc_id % 17 == 3, append a revision marker where % 13 == 0,
@@ -299,6 +324,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         "robots_filter": lambda s, d: UR.robots_filter(_html_pages(s, d)),
         "path_templates": lambda s, d: UR.path_templates(_html_pages(s, d)),
+        # change profile between this crawl and a deterministic next crawl
+        "recrawl_priority": lambda s, d: UR.recrawl_priority(
+            _html_pages(s, d), _mutated_pages(_html_pages(s, d))
+        ),
         # ---- link-graph analytics (domain edges, degrees, integer PageRank) --
         "link_edges": lambda s, d: LG.extract_links(_html_pages(s, d)),
         "anchor_texts": lambda s, d: LG.anchor_texts(_html_pages(s, d)),
@@ -1307,6 +1336,50 @@ SELECT p.doc_id, p.url, p.domain,
        cast(coalesce(m.is_allow, 1) AS bigint) AS allowed
 FROM parsed p LEFT JOIN (SELECT doc_id, prefix, is_allow FROM m WHERE rn = 1) m
   USING (doc_id)
+"""
+
+    # recrawl change profile vs the deterministic mutated next crawl;
+    # content identity = min(md5(html)) per canonical group in both engines
+    q["recrawl_priority"] = f"""
+WITH {_HPAGES},
+nx AS (SELECT doc_id, url,
+              CASE WHEN doc_id % 13 = 0
+                   THEN html || '<p>updated content block appended</p>'
+                   ELSE html END AS html
+       FROM hp WHERE doc_id % 17 <> 3
+       UNION ALL
+       SELECT doc_id + 1000000,
+              'https://fresh.example/items/page-' || cast(doc_id AS varchar),
+              html
+       FROM hp WHERE doc_id % 23 = 0),
+so AS (SELECT {_DCANON} AS canonical_url, min(md5(html)) AS sig_old FROM hp GROUP BY 1),
+sn AS (SELECT {_DCANON} AS canonical_url, min(md5(html)) AS sig_new FROM nx GROUP BY 1),
+j AS (SELECT coalesce(so.canonical_url, sn.canonical_url) AS canonical_url,
+             sig_old, sig_new
+      FROM so FULL OUTER JOIN sn ON so.canonical_url = sn.canonical_url),
+st AS (SELECT regexp_extract(canonical_url, '^https://([^/]+)', 1) AS domain,
+              CASE WHEN sig_old IS NULL THEN 'added'
+                   WHEN sig_new IS NULL THEN 'removed'
+                   WHEN sig_old <> sig_new THEN 'changed'
+                   ELSE 'unchanged' END AS status
+      FROM j),
+a AS (SELECT domain,
+             sum(CASE WHEN status = 'added' THEN 1 ELSE 0 END) AS n_added,
+             sum(CASE WHEN status = 'removed' THEN 1 ELSE 0 END) AS n_removed,
+             sum(CASE WHEN status = 'changed' THEN 1 ELSE 0 END) AS n_changed,
+             sum(CASE WHEN status = 'unchanged' THEN 1 ELSE 0 END) AS n_unchanged,
+             count(*) AS n_union
+      FROM st GROUP BY 1)
+SELECT domain,
+       cast(n_removed + n_changed + n_unchanged AS bigint) AS n_old,
+       cast(n_added + n_changed + n_unchanged AS bigint) AS n_new,
+       cast(n_added AS bigint) AS n_added,
+       cast(n_removed AS bigint) AS n_removed,
+       cast(n_changed AS bigint) AS n_changed,
+       cast(n_unchanged AS bigint) AS n_unchanged,
+       cast((10000 * (n_added + n_removed + n_changed)) // greatest(n_union, 1)
+            AS bigint) AS change_rate_bp
+FROM a
 """
 
     # path-template mining: digit runs in the canonical path collapse to N

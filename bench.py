@@ -107,6 +107,7 @@ def run_suite(cpus: int, sf_dir: str) -> dict:
         multimodal as MM,
         relational as R,
         sampling as SA,
+        search as SE,
         similarity,
         text_analysis as TA,
         urls as UR,
@@ -170,6 +171,10 @@ def run_suite(cpus: int, sf_dir: str) -> dict:
         # construction again
         "hll_distinct": lambda: CO.hll_distinct(flat).count(),
         "anchor_texts": lambda: LG.anchor_texts(pages).count(),
+        # round 3 session 6: lexical retrieval (two scans, zero shuffles)
+        # and the hot-capped posting index — suite grows by construction
+        "bm25_search": lambda: SE.bm25(flat, "dup vector spark").count(),
+        "inverted_index": lambda: SE.inverted_index(flat).count(),
     }
     timings: dict[str, float] = {}
     extract_wall = None

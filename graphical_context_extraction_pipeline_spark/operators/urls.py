@@ -273,3 +273,63 @@ def path_templates(pages: DataFrame, url_col: str = "url") -> DataFrame:
             F.min("canonical_url").alias("example_url"),
         )
     )
+
+
+def recrawl_priority(
+    old_pages: DataFrame, new_pages: DataFrame, url_col: str = "url"
+) -> DataFrame:
+    """Per-domain change profile between two crawl snapshots — the signal
+    a recrawl scheduler allocates budget by (domains whose content churns
+    get refetched often; static domains decay to rare verification
+    crawls). Canonical URLs are the join key; content identity is
+    min(md5(html)) per canonical group, so the page payload reduces to a
+    32-byte signature BEFORE any shuffle. Emits one row per domain seen
+    in either snapshot: (domain, n_old, n_new, n_added, n_removed,
+    n_changed, n_unchanged, change_rate_bp) with
+    change_rate_bp = 10000·(added+removed+changed)/|canonical union|.
+
+    Scale: two canonical-group aggregations + one full-outer join on
+    canonical_url + one domain rollup — all high-cardinality keys, HTML
+    never leaves its scan.
+    """
+    u = F.col(url_col)
+
+    def snap(pages: DataFrame, tag: str) -> DataFrame:
+        return (
+            pages.select(
+                _canonical(u).alias("canonical_url"),
+                F.md5(F.col("html")).alias("sig"),
+            )
+            .groupBy("canonical_url")
+            .agg(F.min("sig").alias(f"sig_{tag}"))
+        )
+
+    j = snap(old_pages, "old").join(snap(new_pages, "new"), "canonical_url", "full_outer")
+    status = (
+        F.when(F.col("sig_old").isNull(), F.lit("added"))
+        .when(F.col("sig_new").isNull(), F.lit("removed"))
+        .when(F.col("sig_old") != F.col("sig_new"), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+    )
+    dom = F.regexp_extract(F.col("canonical_url"), r"^https://([^/]+)", 1)
+    per = j.select(dom.alias("domain"), status.alias("status"))
+
+    def n(s: str):
+        return F.sum((F.col("status") == s).cast("long")).alias(f"n_{s}")
+
+    agg = per.groupBy("domain").agg(
+        n("added"), n("removed"), n("changed"), n("unchanged"),
+        F.count(F.lit(1)).cast("long").alias("n_union"),
+    )
+    return agg.select(
+        "domain",
+        (F.col("n_removed") + F.col("n_changed") + F.col("n_unchanged")).alias("n_old"),
+        (F.col("n_added") + F.col("n_changed") + F.col("n_unchanged")).alias("n_new"),
+        "n_added",
+        "n_removed",
+        "n_changed",
+        "n_unchanged",
+        F.expr(
+            "(10000 * (n_added + n_removed + n_changed)) DIV greatest(n_union, 1)"
+        ).cast("long").alias("change_rate_bp"),
+    )

@@ -657,3 +657,18 @@ def test_bm25_two_scans_zero_shuffles_single_tokenize(spark):
     assert count_exchanges(out) == 0, plan
     assert "TakeOrderedAndProject" in plan, plan
     assert plan.count("split(lower") == 1, plan
+
+
+def test_recrawl_priority_html_reduced_to_md5_before_shuffle(spark):
+    """Both snapshots collapse to (canonical_url, md5) signatures before
+    the full-outer join — no exchange carries html."""
+    from graphical_context_extraction_pipeline_spark import datagen
+    from graphical_context_extraction_pipeline_spark.operators import urls as UR
+
+    pages = spark.read.parquet(datagen.ensure_html("/root/testdata/sf0.001"))
+    out = UR.recrawl_priority(pages, pages)
+    plan = physical_plan(out)
+    for line in plan.splitlines():
+        if "Exchange" in line:
+            assert "html" not in line, plan
+    assert "SinglePartition" not in plan, plan

@@ -206,3 +206,37 @@ def test_path_templates_digit_collapse(spark):
     assert pp.example_url == "https://a.example/posts/page-7"
     assert ("a.example", "/cal/N/N/N") in got
     assert got[("b.example", "/posts/page-N")].n_urls == 1
+
+
+def test_recrawl_priority_statuses(spark):
+    old = spark.createDataFrame(
+        [
+            (1, "https://a.example/keep", "<p>same</p>"),
+            (2, "https://a.example/change", "<p>v1</p>"),
+            (3, "https://a.example/gone", "<p>bye</p>"),
+            (4, "https://www.a.example/keep?utm=x", "<p>same</p>"),  # canonical dup
+            (5, "https://b.example/static", "<p>s</p>"),
+        ],
+        PAGES_DDL,
+    )
+    new = spark.createDataFrame(
+        [
+            (11, "https://a.example/keep", "<p>same</p>"),
+            (12, "https://a.example/change", "<p>v2</p>"),
+            (14, "https://a.example/fresh", "<p>new</p>"),
+            (15, "https://b.example/static", "<p>s</p>"),
+        ],
+        PAGES_DDL,
+    )
+    got = {r.domain: r for r in UR.recrawl_priority(old, new).collect()}
+    a = got["a.example"]
+    assert (a.n_added, a.n_removed, a.n_changed, a.n_unchanged) == (1, 1, 1, 1)
+    assert a.n_old == 3 and a.n_new == 3  # canonical dup collapsed
+    assert a.change_rate_bp == 7500  # 3 of 4 canonical union entries
+    b = got["b.example"]
+    assert b.change_rate_bp == 0 and b.n_unchanged == 1
+    # disjoint snapshots: everything added+removed, rate 10000
+    got2 = UR.recrawl_priority(
+        old.where("doc_id = 3"), new.where("doc_id = 14")
+    ).collect()
+    assert all(r.change_rate_bp == 10000 for r in got2)
