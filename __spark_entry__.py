@@ -494,6 +494,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # integer-BM25 keyword retrieval: one selective + two common terms
         "bm25_search": lambda s, d: SE.bm25(_flat_docs(s, d), BM25_QUERY, k=10),
         "phrase_search": lambda s, d: SE.phrase_search(_flat_docs(s, d), PHRASE_QUERY, k=20),
+        "search_snippets": lambda s, d: SE.snippets(_flat_docs(s, d), BM25_QUERY, k=10),
         # extraction feeds retrieval: BM25 over the DOM-extracted bodies
         "search_extracted": lambda s, d: SE.bm25(
             HT.main_content(_html_pages(s, d)).select(
@@ -2388,6 +2389,34 @@ r AS (SELECT s.doc_id, cast({score} AS bigint) AS score_e6
 SELECT doc_id, score_e6 FROM r WHERE score_e6 > 0"""
 
     q["bm25_search"] = f"WITH {_bm25_chain('documents')}\n"
+
+    # KWIC snippets: densest query-term window via the struct-ordered
+    # (−count, pos) argmin, replayed with struct_pack + list_sort
+    from graphical_context_extraction_pipeline_spark.operators.search import SNIPPET_WINDOW
+
+    _sn_terms = "[" + ", ".join(f"'{w}'" for w in sorted(set(BM25_QUERY.lower().split()))) + "]"
+    q["search_snippets"] = f"""
+WITH d AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+p AS (SELECT doc_id, toks,
+             [i FOR i IN range(1, len(toks) + 1)
+              IF list_contains({_sn_terms}, toks[i])] AS pos
+      FROM d),
+b AS (SELECT doc_id, toks, cast(len(pos) AS bigint) AS n_matches,
+             CASE WHEN len(pos) > 0 THEN
+               list_sort(list_transform(pos, s -> struct_pack(
+                 negcnt := -len(list_filter(pos,
+                   x -> x >= s AND x < s + {SNIPPET_WINDOW})),
+                 pos := s)))[1]
+             ELSE NULL END AS best
+      FROM p),
+r AS (SELECT doc_id, n_matches,
+             cast(coalesce(-best.negcnt, 0) AS bigint) AS window_hits,
+             coalesce(array_to_string(
+               toks[best.pos : best.pos + {SNIPPET_WINDOW - 1}], ' '), '') AS snippet
+      FROM b
+      ORDER BY window_hits DESC, n_matches DESC, doc_id ASC LIMIT 10)
+SELECT doc_id, n_matches, window_hits, snippet FROM r WHERE n_matches > 0
+"""
 
     # end-to-end: DOM extraction feeds retrieval — the corpus is every
     # page's extracted main_text ('' when nothing survives, matching the

@@ -213,3 +213,80 @@ def phrase_search(docs: DataFrame, phrase: str, k: int = 20) -> DataFrame:
         .limit(k)
         .where(F.col("n_hits") > 0)
     )
+
+
+SNIPPET_WINDOW = 16
+
+
+def snippets(docs: DataFrame, query: str, k: int = 10, window: int = SNIPPET_WINDOW) -> DataFrame:
+    """KWIC snippet extraction: for the top-k matching documents, the
+    ``window``-token span covering the densest cluster of query-term
+    occurrences — (doc_id, n_matches, window_hits, snippet), ranked by
+    (window_hits desc, n_matches desc, doc_id asc).
+
+    Window selection is exact and deterministic: every match position is
+    a candidate window start; the winner maximizes matches inside
+    [s, s+window) with ties to the earliest position — computed as the
+    struct-ordered min of (−count, s), which both engines order
+    identically (lexicographic struct comparison).
+
+    Intra-row throughout (positions → candidate fold → slice), so the
+    operator is scan → project → TakeOrderedAndProject: zero shuffles.
+    Candidate scoring is O(|matches|²) per doc — bounded by query-term
+    frequency, not document length.
+    """
+    from ..functions.exprs import bind
+
+    terms = sorted(set((query or "").lower().split()))
+    if not terms:
+        return docs.select(
+            "doc_id",
+            F.lit(0).cast("long").alias("n_matches"),
+            F.lit(0).cast("long").alias("window_hits"),
+            F.lit("").alias("snippet"),
+        ).limit(0)
+    terms_arr = F.array(*[F.lit(w) for w in terms])
+
+    def feat(t):
+        pos = F.when(
+            F.size(t) >= 1,
+            F.filter(
+                F.sequence(F.lit(1).cast("long"), F.size(t).cast("long")),
+                lambda i: F.array_contains(terms_arr, F.element_at(t, i.cast("int"))),
+            ),
+        ).otherwise(F.array().cast("array<bigint>"))
+
+        def pick(p):
+            best = F.array_min(
+                F.transform(
+                    p,
+                    lambda s: F.struct(
+                        (-F.size(F.filter(p, lambda x: (x >= s) & (x < s + window))))
+                        .cast("long")
+                        .alias("negcnt"),
+                        s.cast("long").alias("pos"),
+                    ),
+                )
+            )
+            return F.struct(
+                F.size(p).cast("long").alias("n_matches"),
+                F.coalesce(-best["negcnt"], F.lit(0)).cast("long").alias("window_hits"),
+                F.coalesce(
+                    F.array_join(
+                        F.slice(t, best["pos"].cast("int"), window), " "
+                    ),
+                    F.lit(""),
+                ).alias("snippet"),
+            )
+
+        return bind(pos, pick)
+
+    return (
+        docs.select("doc_id", bind(_tokens(F.col("text")), feat).alias("f"))
+        .select("doc_id", "f.*")
+        .orderBy(
+            F.col("window_hits").desc(), F.col("n_matches").desc(), F.col("doc_id").asc()
+        )
+        .limit(k)
+        .where(F.col("n_matches") > 0)
+    )

@@ -93,3 +93,46 @@ def test_phrase_search_zero_shuffle(spark):
     assert count_exchanges(out) == 0, plan
     assert "TakeOrderedAndProject" in plan, plan
     assert plan.count("split(lower") == 1, plan
+
+
+def test_snippets_densest_window(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "x cat y cat dog z z z z z z z z z z z z z z z cat"),
+            (2, "dog"),
+            (3, "nothing here"),
+        ],
+        DDL,
+    )
+    got = {r.doc_id: r for r in SE.snippets(docs, "cat dog", window=6).collect()}
+    assert set(got) == {1, 2}
+    # window anchored at position 2 ('cat') covers cat,cat,dog = 3 hits —
+    # denser than the trailing lone 'cat'
+    assert got[1].window_hits == 3 and got[1].n_matches == 4
+    assert got[1].snippet == "cat y cat dog z z"
+    assert got[2].snippet == "dog" and got[2].window_hits == 1
+
+
+def test_snippets_tie_and_truncation(spark):
+    # equal-density candidates: earliest window wins; snippet truncates at
+    # the document end
+    docs = spark.createDataFrame([(1, "cat a b c d e f g h cat")], DDL)
+    r = SE.snippets(docs, "cat", window=4).collect()[0]
+    assert r.window_hits == 1 and r.snippet == "cat a b c"
+    docs2 = spark.createDataFrame([(1, "a cat")], DDL)
+    r2 = SE.snippets(docs2, "cat", window=8).collect()[0]
+    assert r2.snippet == "cat"  # slice clamps at the end
+    assert SE.snippets(docs2, "", window=8).count() == 0
+
+
+def test_snippets_zero_shuffle(spark):
+    from graphical_context_extraction_pipeline_spark.plans.explain import (
+        count_exchanges,
+        physical_plan,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    out = SE.snippets(docs, "dup vector spark")
+    plan = physical_plan(out)
+    assert count_exchanges(out) == 0, plan
+    assert "TakeOrderedAndProject" in plan, plan
