@@ -491,6 +491,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cms_token_counts": lambda s, d: CO.cms_token_estimates(_flat_docs(s, d)),
         # hot-capped inverted index over the tail-token-enriched corpus
         "inverted_index": lambda s, d: SE.inverted_index(_tailed_docs(_flat_docs(s, d))),
+        # incremental index maintenance: standing tailed index + the
+        # incremental-dedup ingest batch (ids ascend by construction)
+        "index_delta": lambda s, d: SE.inverted_index_delta(
+            SE.inverted_index(_tailed_docs(_flat_docs(s, d))),
+            _planted_batch(_flat_docs(s, d)),
+        ),
         # integer-BM25 keyword retrieval: one selective + two common terms
         "bm25_search": lambda s, d: SE.bm25(_flat_docs(s, d), BM25_QUERY, k=10),
         "phrase_search": lambda s, d: SE.phrase_search(_flat_docs(s, d), PHRASE_QUERY, k=20),
@@ -2336,6 +2342,33 @@ FROM t GROUP BY source, length(bin(n_tokens + 1))
 WITH docs AS (SELECT doc_id,
                      text || ' tail' || cast(doc_id % 311 AS varchar) AS text
               FROM documents),
+t AS (SELECT doc_id, unnest({_TOKS}) AS token FROM docs),
+td AS (SELECT token, doc_id, cast(count(*) AS bigint) AS tf FROM t GROUP BY 1, 2),
+dfc AS (SELECT token, cast(count(*) AS bigint) AS df,
+               cast(sum(tf) AS bigint) AS total_tf
+        FROM td GROUP BY 1),
+p AS (SELECT token,
+             string_agg(cast(doc_id AS varchar), chr(31) ORDER BY doc_id) AS postings
+      FROM td WHERE token IN (SELECT token FROM dfc WHERE df <= {POSTINGS_CAP})
+      GROUP BY 1)
+SELECT d.token, d.df, d.total_tf, coalesce(p.postings, '') AS postings
+FROM dfc d LEFT JOIN p ON p.token = d.token
+"""
+
+    # delta-merge law: with append-only ascending doc_ids and one cap, the
+    # incrementally merged index must equal a full rebuild over the union —
+    # so the oracle IS the rebuild (independent proof of the merge)
+    q["index_delta"] = f"""
+WITH docs AS (
+  SELECT doc_id, text || ' tail' || cast(doc_id % 311 AS varchar) AS text
+  FROM documents
+  UNION ALL
+  SELECT doc_id + 100000, text FROM documents WHERE doc_id % 50 = 0
+  UNION ALL
+  SELECT doc_id + 300000, text || '{_FRESH_TAIL}' FROM documents WHERE doc_id % 30 = 2
+  UNION ALL
+  SELECT doc_id + 400000, text || '{_FRESH_TAIL}' FROM documents WHERE doc_id % 60 = 2
+),
 t AS (SELECT doc_id, unnest({_TOKS}) AS token FROM docs),
 td AS (SELECT token, doc_id, cast(count(*) AS bigint) AS tf FROM t GROUP BY 1, 2),
 dfc AS (SELECT token, cast(count(*) AS bigint) AS df,

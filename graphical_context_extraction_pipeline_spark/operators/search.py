@@ -290,3 +290,51 @@ def snippets(docs: DataFrame, query: str, k: int = 10, window: int = SNIPPET_WIN
         .limit(k)
         .where(F.col("n_matches") > 0)
     )
+
+
+def inverted_index_delta(
+    index: DataFrame, new_docs: DataFrame, cap: int = POSTINGS_CAP
+) -> DataFrame:
+    """Incremental index maintenance: fold a new document batch into an
+    existing index relation WITHOUT rescanning the indexed corpus — the
+    daily-ingest shape (same contract as dedup_incremental). Only tokens
+    touched by the batch shuffle; the standing index joins by token key.
+
+    Merge semantics per token: df/total_tf add; postings concatenate in
+    ascending-doc_id order (batch ids are assumed > indexed ids, the
+    append-only corpus contract) and DROP to '' the moment the merged df
+    crosses ``cap`` — a token can become hot through growth, and an index
+    that keeps appending to hot posting strings would grow one unbounded
+    cell per stopword. Emits the full updated index.
+    """
+    batch = inverted_index(new_docs, cap=cap)
+    old = index.select(
+        "token",
+        F.col("df").alias("df_old"),
+        F.col("total_tf").alias("tf_old"),
+        F.col("postings").alias("p_old"),
+    )
+    new = batch.select(
+        "token",
+        F.col("df").alias("df_new"),
+        F.col("total_tf").alias("tf_new"),
+        F.col("postings").alias("p_new"),
+    )
+    z = F.lit(0).cast("long")
+    j = old.join(new, "token", "full_outer")
+    df_m = F.coalesce("df_old", z) + F.coalesce("df_new", z)
+    # nullif turns absent-or-hot ('') sides into NULL so concat_ws skips
+    # them; a side that was hot already forces df_m > cap anyway
+    merged_p = F.concat_ws(
+        SEP,
+        *[
+            F.nullif(F.coalesce(c, F.lit("")), F.lit(""))
+            for c in (F.col("p_old"), F.col("p_new"))
+        ],
+    )
+    return j.select(
+        "token",
+        df_m.alias("df"),
+        (F.coalesce("tf_old", z) + F.coalesce("tf_new", z)).alias("total_tf"),
+        F.when(df_m > cap, F.lit("")).otherwise(merged_p).alias("postings"),
+    )

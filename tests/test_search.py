@@ -136,3 +136,30 @@ def test_snippets_zero_shuffle(spark):
     plan = physical_plan(out)
     assert count_exchanges(out) == 0, plan
     assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_index_delta_equals_full_rebuild(spark):
+    """With append-only ascending doc_ids and a shared cap, the delta
+    merge must equal a full rebuild over the union — including tokens
+    that become hot only THROUGH the merge."""
+    old_docs = spark.createDataFrame(
+        [(1, "grow cold a"), (2, "grow cold"), (3, "grow b")], DDL
+    )
+    batch = spark.createDataFrame(
+        [(101, "grow fresh"), (102, "grow"), (103, "grow c"), (104, "newtok")], DDL
+    )
+    cap = 4
+    delta = SE.inverted_index_delta(SE.inverted_index(old_docs, cap=cap), batch, cap=cap)
+    rebuild = SE.inverted_index(old_docs.unionAll(batch), cap=cap)
+    d = {r.token: (r.df, r.total_tf, r.postings) for r in delta.collect()}
+    rb = {r.token: (r.df, r.total_tf, r.postings) for r in rebuild.collect()}
+    assert d == rb
+    assert d["grow"][0] == 6 and d["grow"][2] == ""  # went hot via growth
+    assert d["cold"][2] == "1\x1f2"
+    assert d["newtok"] == (1, 1, "104")
+    # empty batch: identity
+    empty = spark.createDataFrame([], DDL)
+    idx = SE.inverted_index(old_docs, cap=cap)
+    again = {r.token: (r.df, r.total_tf, r.postings)
+             for r in SE.inverted_index_delta(idx, empty, cap=cap).collect()}
+    assert again == {r.token: (r.df, r.total_tf, r.postings) for r in idx.collect()}
