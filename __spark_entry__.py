@@ -328,6 +328,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "recrawl_priority": lambda s, d: UR.recrawl_priority(
             _html_pages(s, d), _mutated_pages(_html_pages(s, d))
         ),
+        # exact largest-remainder apportionment of 1000 slots over the
+        # recrawl change-rate weights
+        "crawl_budget": lambda s, d: UR.crawl_budget(
+            UR.recrawl_priority(_html_pages(s, d), _mutated_pages(_html_pages(s, d))),
+            budget=1000,
+            weight_col="change_rate_bp",
+        ),
         # ---- link-graph analytics (domain edges, degrees, integer PageRank) --
         "link_edges": lambda s, d: LG.extract_links(_html_pages(s, d)),
         "anchor_texts": lambda s, d: LG.anchor_texts(_html_pages(s, d)),
@@ -335,6 +342,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "link_degrees": lambda s, d: LG.degree_stats(LG.extract_links(_html_pages(s, d))),
         "pagerank": lambda s, d: LG.pagerank(LG.extract_links(_html_pages(s, d)), n_iters=3),
         "hits": lambda s, d: LG.hits(LG.extract_links(_html_pages(s, d)), n_iters=2),
+        "domain_components": lambda s, d: LG.domain_components(_html_pages(s, d)),
         # ---- interleaved text+media training-data construction ----------------
         "caption_pairs": lambda s, d: MM.caption_pairs(_spans_docs(s, d)),
         "mm_sequence": lambda s, d: MM.mm_sequence(_spans_docs(s, d)),
@@ -1347,8 +1355,7 @@ FROM parsed p LEFT JOIN (SELECT doc_id, prefix, is_allow FROM m WHERE rn = 1) m
 
     # recrawl change profile vs the deterministic mutated next crawl;
     # content identity = min(md5(html)) per canonical group in both engines
-    q["recrawl_priority"] = f"""
-WITH {_HPAGES},
+    _RECRAWL_CHAIN = f"""{_HPAGES},
 nx AS (SELECT doc_id, url,
               CASE WHEN doc_id % 13 = 0
                    THEN html || '<p>updated content block appended</p>'
@@ -1376,8 +1383,8 @@ a AS (SELECT domain,
              sum(CASE WHEN status = 'changed' THEN 1 ELSE 0 END) AS n_changed,
              sum(CASE WHEN status = 'unchanged' THEN 1 ELSE 0 END) AS n_unchanged,
              count(*) AS n_union
-      FROM st GROUP BY 1)
-SELECT domain,
+      FROM st GROUP BY 1),
+rp AS (SELECT domain,
        cast(n_removed + n_changed + n_unchanged AS bigint) AS n_old,
        cast(n_added + n_changed + n_unchanged AS bigint) AS n_new,
        cast(n_added AS bigint) AS n_added,
@@ -1386,7 +1393,25 @@ SELECT domain,
        cast(n_unchanged AS bigint) AS n_unchanged,
        cast((10000 * (n_added + n_removed + n_changed)) // greatest(n_union, 1)
             AS bigint) AS change_rate_bp
-FROM a
+FROM a)"""
+
+    q["recrawl_priority"] = f"WITH {_RECRAWL_CHAIN} SELECT * FROM rp"
+
+    # Hamilton largest-remainder apportionment of 1000 fetch slots over the
+    # recrawl change-rate weights: floors + ranked-remainder grants, exact
+    q["crawl_budget"] = f"""
+WITH {_RECRAWL_CHAIN},
+wsum AS (SELECT sum(change_rate_bp) AS w FROM rp),
+fl AS (SELECT domain, change_rate_bp AS weight,
+              (1000 * change_rate_bp) // (SELECT w FROM wsum) AS fl,
+              (1000 * change_rate_bp) % (SELECT w FROM wsum) AS rem
+       FROM rp),
+dfc AS (SELECT 1000 - sum(fl) AS deficit FROM fl),
+rk AS (SELECT *, row_number() OVER (ORDER BY rem DESC, domain ASC) AS rk FROM fl)
+SELECT domain, cast(weight AS bigint) AS weight,
+       cast(fl + CASE WHEN rk <= (SELECT deficit FROM dfc) THEN 1 ELSE 0 END
+            AS bigint) AS slots
+FROM rk
 """
 
     # path-template mining: digit runs in the canonical path collapse to N
@@ -1537,6 +1562,23 @@ SELECT n.domain,
 FROM nodes n
 LEFT JOIN h2 ON h2.domain = n.domain
 LEFT JOIN a2 ON a2.domain = n.domain
+"""
+
+    # weakly connected domain components: min-label walk over the
+    # symmetric closure; string labels order lexicographically identically
+    q["domain_components"] = f"""
+WITH RECURSIVE {_EDGES},
+e2 AS (SELECT src_domain AS s, dst_domain AS d FROM edges
+       UNION SELECT dst_domain, src_domain FROM edges),
+walk(n, l) AS (
+  SELECT DISTINCT s, s FROM e2
+  UNION
+  SELECT e.d, w.l FROM walk w JOIN e2 e ON e.s = w.n WHERE w.l < e.d
+),
+cc AS (SELECT n AS domain, min(l) AS component FROM walk GROUP BY n),
+szs AS (SELECT component, count(*) AS n_members FROM cc GROUP BY component)
+SELECT cc.domain, cc.component, cast(szs.n_members AS bigint) AS n_members
+FROM cc JOIN szs USING (component)
 """
 
     # composed per-domain verdict table: crawl mass + degrees + PageRank +

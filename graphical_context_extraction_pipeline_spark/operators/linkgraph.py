@@ -321,3 +321,21 @@ def hits(edges: DataFrame, n_iters: int = 2) -> DataFrame:
         F.coalesce("hub_e6", F.lit(0)).cast("long").alias("hub_e6"),
         F.coalesce("auth_e6", F.lit(0)).cast("long").alias("auth_e6"),
     )
+
+
+def domain_components(pages: DataFrame, url_col: str = "url") -> DataFrame:
+    """Weakly connected components of the domain link graph — (domain,
+    component, n_members) with component = the lexicographically smallest
+    reachable domain. Link-graph communities drive crawl partitioning
+    (assign whole components to crawler shards so politeness state stays
+    local) and spam-cluster triage (a dense component of low-quality
+    domains is one verdict, not |domains| verdicts).
+
+    Reuses cluster.connected_components verbatim — min-label propagation
+    is type-generic (least/min order strings lexicographically, which the
+    DuckDB oracle mirrors exactly)."""
+    from .cluster import neardup_clusters
+
+    edges = extract_links(pages, url_col)
+    cc = neardup_clusters(edges, src="src_domain", dst="dst_domain")
+    return cc.select(F.col("doc_id").alias("domain"), "component", "n_members")

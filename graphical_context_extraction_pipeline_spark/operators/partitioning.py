@@ -146,3 +146,37 @@ def salted_join(
         "_salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
     ).withColumn("_salt", F.col("_salt").cast("int"))
     return fact_s.join(dim_s, [key, "_salt"], how).drop("_salt")
+
+
+def global_rank(df: DataFrame, order_cols: list, rank_col: str = "rank") -> DataFrame:
+    """Exact 1-based global rank under a total order WITHOUT the
+    single-partition funnel of an unpartitioned Window: a range-
+    partitioned orderBy sorts the relation across partitions, per-
+    partition row_numbers run in parallel, and the tiny per-partition
+    count map (numPartitions rows, collected once) turns them into global
+    ranks via broadcast offsets.
+
+    ``order_cols`` must be a deterministic total order (include a unique
+    tiebreak column); ties across a partition boundary would otherwise
+    make the range partitioner's placement — and so the rank — unstable.
+    """
+    from pyspark.sql import Window
+
+    s = df.orderBy(*order_cols).withColumn("_pid", F.spark_partition_id())
+    s = s.localCheckpoint(eager=True)  # pin the sort's partition placement
+    counts = {r["_pid"]: r["n"] for r in s.groupBy("_pid").agg(F.count("*").alias("n")).collect()}
+    offsets, acc = {}, 0
+    for pid in sorted(counts):
+        offsets[pid] = acc
+        acc += counts[pid]
+    off = F.create_map(
+        *[F.lit(x) for kv in offsets.items() for x in kv]
+    ) if offsets else F.create_map()
+    w = Window.partitionBy("_pid").orderBy(*order_cols)
+    return (
+        s.withColumn(
+            rank_col,
+            (F.row_number().over(w) + F.coalesce(off[F.col("_pid")], F.lit(0))).cast("long"),
+        )
+        .drop("_pid")
+    )

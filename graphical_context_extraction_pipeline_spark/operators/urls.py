@@ -333,3 +333,48 @@ def recrawl_priority(
             "(10000 * (n_added + n_removed + n_changed)) DIV greatest(n_union, 1)"
         ).cast("long").alias("change_rate_bp"),
     )
+
+
+def crawl_budget(
+    weights: DataFrame,
+    budget: int,
+    weight_col: str = "weight",
+    domain_col: str = "domain",
+) -> DataFrame:
+    """Exact integer apportionment of ``budget`` fetch slots across
+    domains, proportional to weight — Hamilton's largest-remainder method:
+
+        floor_i = (budget · w_i) DIV W        rem_i = (budget · w_i) % W
+        slots_i = floor_i + 1 for the (budget − Σ floor) largest
+                  remainders (ties: domain asc), else floor_i
+
+    so Σ slots = budget EXACTLY (no float shares, no drift) and the
+    allocation is deterministic. Zero-weight relations allocate nothing
+    (documented degenerate case).
+
+    Scale: two scalar aggregates + partitioning.global_rank over the
+    domain relation (range-partitioned sort, parallel per-partition
+    row numbers — no single-partition window). Emits
+    (domain, weight, slots).
+    """
+    from .partitioning import global_rank
+
+    w = weights.select(
+        F.col(domain_col).alias("domain"), F.col(weight_col).cast("long").alias("weight")
+    )
+    tot = w.agg(F.sum("weight").alias("s")).first()["s"] or 0
+    if tot <= 0 or budget <= 0:
+        return w.select("domain", "weight", F.lit(0).cast("long").alias("slots")).limit(0)
+    base = w.select(
+        "domain",
+        "weight",
+        F.expr(f"(cast({budget} as bigint) * weight) DIV {tot}").alias("fl"),
+        F.expr(f"(cast({budget} as bigint) * weight) % {tot}").alias("rem"),
+    )
+    deficit = budget - (base.agg(F.sum("fl").alias("s")).first()["s"] or 0)
+    ranked = global_rank(base, [F.col("rem").desc(), F.col("domain").asc()], "rk")
+    return ranked.select(
+        "domain",
+        "weight",
+        (F.col("fl") + (F.col("rk") <= deficit).cast("long")).cast("long").alias("slots"),
+    )

@@ -240,3 +240,44 @@ def test_recrawl_priority_statuses(spark):
         old.where("doc_id = 3"), new.where("doc_id = 14")
     ).collect()
     assert all(r.change_rate_bp == 10000 for r in got2)
+
+
+def test_crawl_budget_exact_apportionment(spark):
+    """budget 7 over weights (5,3,2): floors (3,2,1) + one remainder grant
+    to the largest remainder; total is exactly the budget."""
+    w = spark.createDataFrame(
+        [("a", 5), ("b", 3), ("c", 2), ("d", 0)], "domain string, weight long"
+    )
+    got = {r.domain: r.slots for r in UR.crawl_budget(w, 7).collect()}
+    assert got == {"a": 4, "b": 2, "c": 1, "d": 0}
+    # remainder tie (all rem equal): domain-asc grants, sum still exact
+    w2 = spark.createDataFrame(
+        [("x", 1), ("y", 1), ("z", 1)], "domain string, weight long"
+    )
+    got2 = {r.domain: r.slots for r in UR.crawl_budget(w2, 5).collect()}
+    assert got2 == {"x": 2, "y": 2, "z": 1} and sum(got2.values()) == 5
+    # degenerate: zero total weight or zero budget -> empty allocation
+    w0 = spark.createDataFrame([("a", 0)], "domain string, weight long")
+    assert UR.crawl_budget(w0, 10).count() == 0
+    assert UR.crawl_budget(w, 0).count() == 0
+
+
+def test_global_rank_matches_single_window(spark):
+    """Range-partitioned global rank == the unpartitioned window's ranks
+    on a multi-partition relation with duplicate order keys."""
+    from pyspark.sql import Window
+
+    from graphical_context_extraction_pipeline_spark.operators.partitioning import global_rank
+    from pyspark.sql import functions as F
+
+    df = spark.range(0, 5000, 1, 16).select(
+        F.col("id"), (F.col("id") % 97).alias("v")
+    )
+    got = {r.id: r.rk for r in global_rank(df, [F.col("v").desc(), F.col("id").asc()], "rk").collect()}
+    want = {
+        r.id: r.rk
+        for r in df.withColumn(
+            "rk", F.row_number().over(Window.orderBy(F.col("v").desc(), F.col("id").asc())).cast("long")
+        ).collect()
+    }
+    assert got == want
