@@ -257,6 +257,51 @@ def main() -> None:
         ),
     ]
 
+    from graphical_context_extraction_pipeline_spark.operators import search as SE
+
+    entries += [
+        (
+            "bm25 (integer keyword retrieval)",
+            SE.bm25(flat, "dup vector spark"),
+            "the scoring pass: scan → single-evaluation token projection → "
+            "TakeOrderedAndProject — ZERO Exchange, no global sort; corpus "
+            "statistics were collected as scalars in a separate "
+            "partial-agg pass and appear here as literal constants.",
+        ),
+        (
+            "inverted_index (hot-capped posting lists)",
+            SE.inverted_index(flat),
+            "document frequencies first (pure partial agg), then the hot "
+            "token set — a few rows — broadcast into a left-anti gate so "
+            "no collect_list buffer can exceed the cap; stopwords keep "
+            "stats but never enter the posting shuffle.",
+        ),
+        (
+            "robots_filter (broadcast rule arrays)",
+            UR.robots_filter(pages),
+            "per-host rule arrays broadcast; the page stream resolves REP "
+            "longest-prefix precedence intra-row — scan → broadcast-join → "
+            "project, zero page-side Exchange.",
+        ),
+        (
+            "recrawl_priority (snapshot change rates)",
+            UR.recrawl_priority(pages, pages),
+            "html reduces to md5 signatures inside each snapshot scan; the "
+            "full-outer join and domain rollup shuffle only "
+            "(canonical_url, 32-byte sig) pairs.",
+        ),
+        (
+            "crawl_budget (largest-remainder apportionment)",
+            UR.crawl_budget(
+                UR.domain_stats(pages).select("domain", F.col("n_pages").alias("weight")),
+                budget=1000,
+            ),
+            "global remainder ranks via partitioning.global_rank: "
+            "range-partitioned sort + parallel per-partition row numbers + "
+            "broadcast offsets — NO single-partition window anywhere.",
+        ),
+    ]
+
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
     with open(os.path.join(REPO, "BENCH", "PLANS.md"), "w") as f:
         f.write(
