@@ -178,6 +178,16 @@ def _tailed_docs(docs: DataFrame) -> DataFrame:
     )
 
 
+def _planted_exact_src(docs: DataFrame) -> DataFrame:
+    """Source-preserving exact-dup plant (corpus_health needs per-source
+    dup structure; _planted_exact drops the source column)."""
+    base = docs.select("doc_id", "source", "text")
+    dup = docs.where(F.col("doc_id") % 50 == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"), "source", "text"
+    )
+    return base.unionAll(dup)
+
+
 def _mutated_pages(pages: DataFrame) -> DataFrame:
     """Deterministic 'next crawl' of the HTML twin: drop every doc with
     doc_id % 17 == 3, append a content block where % 13 == 0 (changed
@@ -490,6 +500,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         "length_histogram": lambda s, d: CO.length_histogram(_flat_docs(s, d)),
         "length_quantiles": lambda s, d: CO.length_quantiles(_flat_docs(s, d)),
+        "corpus_health": lambda s, d: CO.corpus_health(_planted_exact_src(_flat_docs(s, d))),
         "hll_distinct": lambda s, d: CO.hll_distinct(_flat_docs(s, d)),
         # deletion certificate over a planted forget batch (present ids +
         # some absent ones so the idempotent-re-request path is exercised)
@@ -2525,6 +2536,38 @@ h AS (SELECT doc_id,
       FROM d),
 r AS (SELECT doc_id, n_hits FROM h ORDER BY n_hits DESC, doc_id ASC LIMIT 20)
 SELECT doc_id, n_hits FROM r WHERE n_hits > 0
+"""
+
+    # per-source health rollup over the source-preserving exact-dup plant;
+    # the quality gate is the same boolean the curation chain inlines
+    q["corpus_health"] = f"""
+WITH corpus AS (
+  SELECT doc_id, source, text FROM documents
+  UNION ALL
+  SELECT doc_id + 100000, source, text FROM documents WHERE doc_id % 50 = 0
+),
+t AS (SELECT source, md5(text) AS h,
+             cast(len({_TOKS}) AS bigint) AS n_tokens,
+             cast(length(text) AS bigint) AS n_chars,
+             cast(length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g'))
+                  AS bigint) AS n_punct,
+             {en_hits} AS n_stop
+      FROM corpus),
+g AS (SELECT source,
+             cast(count(*) AS bigint) AS n_docs,
+             cast(count(DISTINCT h) AS bigint) AS n_unique,
+             cast(sum(CASE WHEN n_chars >= 64 AND n_tokens >= 12
+                   AND floor(n_punct * 10000.0 / greatest(n_chars, 1)) < 1500
+                   AND floor(n_stop * 10000.0 / greatest(n_tokens, 1)) > 0
+                  THEN 1 ELSE 0 END) AS bigint) AS n_quality,
+             cast(sum(n_tokens) AS bigint) AS total_tokens
+      FROM t GROUP BY 1)
+SELECT source, n_docs, n_unique,
+       cast((10000 * (n_docs - n_unique)) // n_docs AS bigint) AS dup_rate_bp,
+       n_quality,
+       cast((10000 * n_quality) // n_docs AS bigint) AS quality_rate_bp,
+       total_tokens
+FROM g
 """
 
     # exact order statistics via the two-phase (value, count) histogram —

@@ -327,3 +327,43 @@ def length_quantiles(
             F.max("n").cast("long").alias("n_docs"),
         )
     )
+
+
+def corpus_health(docs: DataFrame) -> DataFrame:
+    """Per-source operations dashboard — the one-stop rollup a corpus
+    owner monitors per ingest: volume (docs, tokens), exact-duplicate
+    rate (md5 identity), and quality-gate pass rate (the same
+    passes_quality_expr the curation pipeline applies, inline — no
+    self-join against a scores table). Emits (source, n_docs, n_unique,
+    dup_rate_bp, n_quality, quality_rate_bp, total_tokens).
+
+    One aggregation shuffle; text reduces to (md5, token count, gate
+    bit) inside the scan projection. The distinct-count rides AQE's
+    distinct-aggregate expansion like domain_stats.
+    """
+    from .text_analysis import passes_quality_expr
+
+    return (
+        docs.select(
+            "source",
+            F.md5(F.col("text")).alias("h"),
+            F.size(_tokens(F.col("text"))).cast("long").alias("n_tokens"),
+            passes_quality_expr().cast("long").alias("ok"),
+        )
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.countDistinct("h").cast("long").alias("n_unique"),
+            F.sum("ok").cast("long").alias("n_quality"),
+            F.sum("n_tokens").cast("long").alias("total_tokens"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "n_unique",
+            F.expr("(10000 * (n_docs - n_unique)) DIV n_docs").cast("long").alias("dup_rate_bp"),
+            "n_quality",
+            F.expr("(10000 * n_quality) DIV n_docs").cast("long").alias("quality_rate_bp"),
+            "total_tokens",
+        )
+    )

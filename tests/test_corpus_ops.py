@@ -195,3 +195,20 @@ def test_length_quantiles_ties_and_groups(spark):
     # empty corpus: no rows, no crash
     empty = spark.createDataFrame([], "doc_id long, text string, source string")
     assert CO.length_quantiles(empty).count() == 0
+
+
+def test_corpus_health_rates(spark):
+    long_ok = "the " * 30  # passes: >=64 chars, >=12 tokens, stopwords, low punct
+    rows = [
+        (1, long_ok, "a"),
+        (2, long_ok, "a"),          # exact dup of 1
+        (3, "short", "a"),          # fails quality
+        (4, long_ok + "x", "b"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    got = {r.source: r for r in CO.corpus_health(docs).collect()}
+    a = got["a"]
+    assert (a.n_docs, a.n_unique, a.n_quality) == (3, 2, 2)
+    assert a.dup_rate_bp == 3333 and a.quality_rate_bp == 6666
+    b = got["b"]
+    assert b.dup_rate_bp == 0 and b.quality_rate_bp == 10000
