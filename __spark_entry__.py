@@ -491,6 +491,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         "pii_scrub": lambda s, d: TA.pii_scrub(_planted_pii(_flat_docs(s, d))),
         "sample_k": lambda s, d: SA.sample_k(_flat_docs(s, d), k=5),
+        "epoch_shuffle": lambda s, d: SA.epoch_shuffle(_flat_docs(s, d), epoch=1, n_shards=8),
         # ---- corpus management: passage dup scan, snapshot diff, profile ----
         "duplicate_passages": lambda s, d: dedup.duplicate_passages(_flat_docs(s, d)),
         # passage REMOVAL (the corpus-cleaning end product of the scan)
@@ -2174,6 +2175,21 @@ r AS (SELECT source, doc_id,
                                      ORDER BY priority, doc_id) AS bigint) AS rk
       FROM pr)
 SELECT source, doc_id, rk FROM r WHERE rk <= 5
+"""
+
+    # reproducible epoch shuffle: shard + position from (epoch, doc_id)
+    # alone — the same portable md5 buckets as hash_split/sample_k
+    q["epoch_shuffle"] = f"""
+WITH pr AS (SELECT doc_id,
+                   cast(('0x' || substr(md5('shard1:' || cast(doc_id AS varchar)), 1, 15))
+                        AS bigint) % 8 AS shard,
+                   cast(('0x' || substr(md5('epoch1:' || cast(doc_id AS varchar)), 1, 15))
+                        AS bigint) % {1 << 40} AS priority
+            FROM documents)
+SELECT doc_id, shard,
+       cast(row_number() OVER (PARTITION BY shard ORDER BY priority, doc_id) - 1
+            AS bigint) AS pos
+FROM pr
 """
 
     # first-fit-sequential packing fold replayed as a recursive CTE: each

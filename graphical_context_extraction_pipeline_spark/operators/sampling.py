@@ -281,3 +281,30 @@ def leakage_safe_split(
             .alias("split"),
         )
     )
+
+
+def epoch_shuffle(docs: DataFrame, epoch: int, n_shards: int = 16) -> DataFrame:
+    """Reproducible training-order shuffle: every epoch deals documents
+    into ``n_shards`` shards with a deterministic within-shard order —
+    (doc_id, shard, pos) where shard and position derive ONLY from
+    (epoch, doc_id) via portable md5. Re-running the job, changing the
+    partitioning, or regenerating on another cluster yields byte-identical
+    shard files; a different epoch yields an independent permutation —
+    the property data loaders need for resumable multi-epoch training
+    without materializing a global random order.
+
+    Plan: the shard deal is a hash projection (zero shuffle); positions
+    are per-shard windows over (priority, doc_id) — n_shards parallel
+    sort chains, each ~|corpus|/n_shards rows, no global sort or
+    single-partition funnel.
+    """
+    from pyspark.sql import Window
+
+    pri = hash_bucket(F.col("doc_id"), f"epoch{epoch}:", 1 << 40)
+    shard = hash_bucket(F.col("doc_id"), f"shard{epoch}:", n_shards)
+    w = Window.partitionBy("shard").orderBy("priority", "doc_id")
+    return (
+        docs.select("doc_id", shard.alias("shard"), pri.alias("priority"))
+        .withColumn("pos", (F.row_number().over(w) - 1).cast("long"))
+        .select("doc_id", "shard", "pos")
+    )

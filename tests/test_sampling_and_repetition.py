@@ -354,3 +354,23 @@ def test_leakage_safe_split_cluster_coherence(spark):
     nopairs = spark.createDataFrame([], "doc_a long, doc_b long")
     out2 = {r.doc_id: r.split for r in SA.leakage_safe_split(docs, nopairs).collect()}
     assert out2 == plain
+
+
+def test_epoch_shuffle_determinism_and_coverage(spark):
+    from graphical_context_extraction_pipeline_spark.operators import sampling as SA
+
+    docs = spark.createDataFrame([(i, f"t{i}") for i in range(200)], "doc_id long, text string")
+    a = {r.doc_id: (r.shard, r.pos) for r in SA.epoch_shuffle(docs, epoch=1, n_shards=4).collect()}
+    # repartitioning must not change the assignment
+    b = {r.doc_id: (r.shard, r.pos) for r in
+         SA.epoch_shuffle(docs.repartition(13), epoch=1, n_shards=4).collect()}
+    assert a == b and len(a) == 200
+    # positions are a contiguous 0..n-1 enumeration within each shard
+    by_shard = {}
+    for sh, pos in a.values():
+        by_shard.setdefault(sh, []).append(pos)
+    for sh, ps in by_shard.items():
+        assert sorted(ps) == list(range(len(ps))), sh
+    # a different epoch is a genuinely different permutation
+    c = {r.doc_id: (r.shard, r.pos) for r in SA.epoch_shuffle(docs, epoch=2, n_shards=4).collect()}
+    assert c != a and len(c) == 200
