@@ -333,6 +333,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _html_pages(s, d), max_per_domain=40
         ),
         "robots_filter": lambda s, d: UR.robots_filter(_html_pages(s, d)),
+        # robots gate ∘ politeness waves as one plan (cap 40 as above)
+        "polite_frontier": lambda s, d: UR.polite_frontier(
+            _html_pages(s, d), max_per_domain=40
+        ),
+        "link_reciprocity": lambda s, d: LG.link_reciprocity(
+            LG.extract_links(_html_pages(s, d))
+        ),
         "path_templates": lambda s, d: UR.path_templates(_html_pages(s, d)),
         # change profile between this crawl and a deterministic next crawl
         "recrawl_priority": lambda s, d: UR.recrawl_priority(
@@ -1347,9 +1354,7 @@ SELECT domain, canonical_url, wave, n_pages FROM r WHERE wave < 40
         f"('{d}', {1 if kind == 'allow' else 0}::BIGINT, '{p}')"
         for d, kind, p in DEFAULT_ROBOTS_RULES
     )
-    q["robots_filter"] = f"""
-WITH {_HPAGES},
-rules AS (SELECT * FROM (VALUES {_rules_vals}) AS t(domain, is_allow, prefix)),
+    _ROBOTS_CHAIN = f"""rules AS (SELECT * FROM (VALUES {_rules_vals}) AS t(domain, is_allow, prefix)),
 parsed AS (SELECT doc_id, url, {_DDOMAIN} AS domain,
                   CASE WHEN {_DPATH} = '' THEN '/' ELSE {_DPATH} END AS path
            FROM hp),
@@ -1357,13 +1362,31 @@ m AS (SELECT p.doc_id, r.prefix, r.is_allow,
              row_number() OVER (PARTITION BY p.doc_id
                ORDER BY length(r.prefix) DESC, r.is_allow DESC, r.prefix ASC) AS rn
       FROM parsed p JOIN rules r
-        ON p.domain = r.domain AND starts_with(p.path, r.prefix))
-SELECT p.doc_id, p.url, p.domain,
+        ON p.domain = r.domain AND starts_with(p.path, r.prefix)),
+verdict AS (SELECT p.doc_id, p.url, p.domain,
        coalesce(m.prefix, '') AS matched_prefix,
        cast(coalesce(m.is_allow, 1) AS bigint) AS allowed
 FROM parsed p LEFT JOIN (SELECT doc_id, prefix, is_allow FROM m WHERE rn = 1) m
-  USING (doc_id)
+  USING (doc_id))"""
+
+    q["robots_filter"] = f"WITH {_HPAGES}, {_ROBOTS_CHAIN} SELECT * FROM verdict"
+
+    # the composed crawl stack: robots gate, then canonical politeness waves
+    q["polite_frontier"] = f"""
+WITH {_HPAGES}, {_ROBOTS_CHAIN},
+al AS (SELECT url FROM verdict WHERE allowed = 1),
+c AS (SELECT {_DCANON} AS canonical_url, cast(count(*) AS bigint) AS n_pages
+      FROM al GROUP BY 1),
+d2 AS (SELECT canonical_url, n_pages,
+              regexp_extract(canonical_url, '^https://([^/]+)', 1) AS domain
+       FROM c),
+r AS (SELECT domain, canonical_url, n_pages,
+             cast(row_number() OVER (PARTITION BY domain
+                    ORDER BY md5(canonical_url), canonical_url) - 1 AS bigint) AS wave
+      FROM d2)
+SELECT domain, canonical_url, wave, n_pages FROM r WHERE wave < 40
 """
+
 
     # recrawl change profile vs the deterministic mutated next crawl;
     # content identity = min(md5(html)) per canonical group in both engines
@@ -1574,6 +1597,23 @@ SELECT n.domain,
 FROM nodes n
 LEFT JOIN h2 ON h2.domain = n.domain
 LEFT JOIN a2 ON a2.domain = n.domain
+"""
+
+    # reciprocal-link (link-farm) profile: one reversed-key semi join over
+    # the deduped edge relation
+    q["link_reciprocity"] = f"""
+WITH {_EDGES},
+e AS (SELECT DISTINCT src_domain, dst_domain FROM edges),
+outs AS (SELECT src_domain, cast(count(*) AS bigint) AS out_neighbors FROM e GROUP BY 1),
+rec AS (SELECT e.src_domain, cast(count(*) AS bigint) AS reciprocal
+        FROM e JOIN e b
+          ON b.src_domain = e.dst_domain AND b.dst_domain = e.src_domain
+        GROUP BY 1)
+SELECT o.src_domain AS domain, o.out_neighbors,
+       cast(coalesce(r.reciprocal, 0) AS bigint) AS reciprocal,
+       cast((10000 * coalesce(r.reciprocal, 0)) // o.out_neighbors AS bigint)
+         AS reciprocity_bp
+FROM outs o LEFT JOIN rec r USING (src_domain)
 """
 
     # weakly connected domain components: min-label walk over the

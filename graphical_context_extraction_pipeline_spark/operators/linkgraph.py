@@ -339,3 +339,37 @@ def domain_components(pages: DataFrame, url_col: str = "url") -> DataFrame:
     edges = extract_links(pages, url_col)
     cc = neardup_clusters(edges, src="src_domain", dst="dst_domain")
     return cc.select(F.col("doc_id").alias("domain"), "component", "n_members")
+
+
+def link_reciprocity(edges: DataFrame) -> DataFrame:
+    """Per-domain reciprocal-link profile — the classic link-farm signal
+    (organically linked domains receive far more links than they return;
+    rings of mutually linking domains stand out): for each domain with
+    outgoing edges, how many of its distinct out-neighbors link back.
+    Emits (domain, out_neighbors, reciprocal, reciprocity_bp).
+
+    One self-join of the (deduped) edge relation on the reversed key —
+    domain-granular, orders of magnitude below page count.
+    """
+    e = edges.select("src_domain", "dst_domain").distinct()
+    back = e.select(
+        F.col("dst_domain").alias("src_domain"),
+        F.col("src_domain").alias("dst_domain"),
+    )
+    j = e.join(back, ["src_domain", "dst_domain"], "left_semi").groupBy(
+        "src_domain"
+    ).agg(F.count(F.lit(1)).cast("long").alias("reciprocal"))
+    outs = e.groupBy("src_domain").agg(
+        F.count(F.lit(1)).cast("long").alias("out_neighbors")
+    )
+    return (
+        outs.join(j, "src_domain", "left")
+        .select(
+            F.col("src_domain").alias("domain"),
+            "out_neighbors",
+            F.coalesce("reciprocal", F.lit(0)).cast("long").alias("reciprocal"),
+            F.expr(
+                "(10000 * coalesce(reciprocal, 0)) DIV out_neighbors"
+            ).cast("long").alias("reciprocity_bp"),
+        )
+    )

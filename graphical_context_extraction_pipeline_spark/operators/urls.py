@@ -378,3 +378,20 @@ def crawl_budget(
         "weight",
         (F.col("fl") + (F.col("rk") <= deficit).cast("long")).cast("long").alias("slots"),
     )
+
+
+def polite_frontier(
+    pages: DataFrame,
+    rules: tuple[tuple[str, str, str], ...] = DEFAULT_ROBOTS_RULES,
+    max_per_domain: int = 1000,
+    url_col: str = "url",
+) -> DataFrame:
+    """The crawl stack composed end to end: robots-exclusion verdicts gate
+    which pages exist at all, then the survivors are canonical-deduped and
+    dealt into per-domain politeness waves — ONE plan, so Catalyst prunes
+    and reorders across the stage boundary (the robots broadcast join and
+    the canonical aggregation share the single page scan)."""
+    allowed = robots_filter(pages, rules=rules, url_col=url_col).where(
+        F.col("allowed") == 1
+    )
+    return frontier_schedule(allowed, max_per_domain=max_per_domain, url_col="url")

@@ -172,3 +172,21 @@ def test_hits_weighted_and_empty(spark):
     assert got["x"] == 1_000_000 and got["y"] == 333_333
     empty = spark.createDataFrame([], "src_domain string, dst_domain string, n_links long")
     assert LG.hits(empty).count() == 0
+
+
+def test_link_reciprocity_ratio(spark):
+    edges = spark.createDataFrame(
+        [
+            ("a", "b", 5), ("b", "a", 1),          # mutual pair
+            ("a", "c", 2),                          # one-way
+            ("farm1", "farm2", 9), ("farm2", "farm1", 9),  # pure ring
+        ],
+        "src_domain string, dst_domain string, n_links long",
+    )
+    got = {r.domain: r for r in LG.link_reciprocity(edges).collect()}
+    assert got["a"].out_neighbors == 2 and got["a"].reciprocal == 1
+    assert got["a"].reciprocity_bp == 5000
+    assert got["farm1"].reciprocity_bp == 10000
+    assert got["farm2"].reciprocity_bp == 10000
+    assert got["b"].reciprocity_bp == 10000  # b's single out-link is returned
+    assert "c" not in got  # no outgoing edges, no row

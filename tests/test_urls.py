@@ -281,3 +281,14 @@ def test_global_rank_matches_single_window(spark):
         ).collect()
     }
     assert got == want
+
+
+def test_polite_frontier_excludes_blocked(spark):
+    rules = (("b.example", "disallow", "/"),)
+    pages = _pages(
+        spark,
+        ["https://a.example/p1", "https://a.example/p2", "https://b.example/x"],
+    )
+    rows = UR.polite_frontier(pages, rules=rules).collect()
+    assert {r.domain for r in rows} == {"a.example"}
+    assert sorted(r.wave for r in rows) == [0, 1]
