@@ -322,6 +322,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "html_main_content": lambda s, d: HT.main_content(_html_pages(s, d)),
         "html_markdown": lambda s, d: HT.main_content_markdown(_html_pages(s, d)),
         "html_meta": lambda s, d: HT.html_meta(_html_pages(s, d)),
+        "html_sections": lambda s, d: HT.sections(_html_pages(s, d)),
         # ---- URL/domain curation over the crawl (CCNet/C4-style) -------------
         "url_parse": lambda s, d: UR.url_parse(_html_pages(s, d)),
         "url_dedup": lambda s, d: UR.url_dedup(_html_pages(s, d)),
@@ -1276,6 +1277,30 @@ SELECT hp.doc_id, hp.url, coalesce(agg.main_text, '') AS main_text,
        cast(coalesce(tot.n_blocks, 0) AS bigint) AS n_blocks,
        cast(coalesce(agg.kept_text_len, 0) AS bigint) AS kept_text_len
 FROM hp LEFT JOIN agg USING (doc_id) LEFT JOIN tot USING (doc_id)
+"""
+
+    # heading-delimited sections: every kept h2/h3 starts a section, the
+    # preamble is section 0 — replayed as a cumulative heading count
+    q["html_sections"] = f"""
+WITH {_HB},
+kept AS (SELECT *, CASE WHEN tag IN ('h2', 'h3') THEN 1 ELSE 0 END AS is_h
+         FROM b3
+         WHERE tag IN ({_content_in}) AND text_len >= {MIN_TEXT_LEN}
+           AND link_density_bp <= {MAX_LINK_DENSITY_BP}),
+sec AS (SELECT *, sum(is_h) OVER (PARTITION BY doc_id ORDER BY block_idx
+          ROWS UNBOUNDED PRECEDING) AS sec_id
+        FROM kept),
+g AS (SELECT doc_id, sec_id,
+             coalesce(max(CASE WHEN is_h = 1 THEN text END), '') AS heading,
+             coalesce(string_agg(CASE WHEN is_h = 0 THEN text END,
+                                 chr(10) ORDER BY block_idx), '') AS body,
+             cast(count(*) AS bigint) AS n_blocks
+      FROM sec GROUP BY doc_id, sec_id)
+SELECT doc_id,
+       cast(row_number() OVER (PARTITION BY doc_id ORDER BY sec_id) - 1
+            AS bigint) AS section_idx,
+       heading, body, n_blocks
+FROM g
 """
 
     # markdown rendition: same kept chain, per-block tag→prefix CASE shared

@@ -199,3 +199,75 @@ def main_content_markdown(pages: DataFrame, html_col: str = "html") -> DataFrame
         F.array_join(F.transform("kept", _md_line), "\n\n").alias("markdown"),
         F.size("kept").cast("long").alias("n_kept"),
     )
+
+
+HEADING_TAGS = ("h2", "h3")
+
+
+def sections(pages: DataFrame, html_col: str = "html") -> DataFrame:
+    """Heading-delimited sections of the extracted article — the RAG-prep
+    shape (retrieval units with their own heading context instead of one
+    undifferentiated body): kept content blocks are segmented at h2/h3
+    boundaries, blocks before the first heading form a preamble section.
+    Emits (doc_id, section_idx, heading, body, n_blocks); heading is ''
+    for the preamble, body joins the section's non-heading block texts
+    with newlines.
+
+    Same single page scan and classification as main_content; the
+    sectioning is the O(n) positional segments primitive (starter flags →
+    consecutive_pairs → one slice per section) — zero shuffle, no O(n²)
+    append-fold.
+    """
+    from ..functions.exprs import segments
+
+    def build(blocks):
+        kept = F.filter(
+            blocks,
+            lambda b: b["tag"].isin(*CONTENT_TAGS)
+            & (b["text_len"] >= MIN_TEXT_LEN)
+            & (b["link_density_bp"] <= MAX_LINK_DENSITY_BP),
+        )
+
+        def to_sections(k):
+            def is_start(arr, i):
+                return (i == 1) | F.element_at(arr, i.cast("int"))["tag"].isin(
+                    *HEADING_TAGS
+                )
+
+            def sec(seg):
+                first = F.element_at(k, seg["a"].cast("int"))
+                is_h = first["tag"].isin(*HEADING_TAGS)
+                body_start = seg["a"] + is_h.cast("int")
+                body_len = seg["b"] - body_start
+                body = F.array_join(
+                    F.transform(
+                        F.slice(k, body_start.cast("int"), body_len.cast("int")),
+                        lambda b: b["text"],
+                    ),
+                    "\n",
+                )
+                return F.struct(
+                    F.when(is_h, first["text"]).otherwise(F.lit("")).alias("heading"),
+                    body.alias("body"),
+                    (seg["b"] - seg["a"]).cast("long").alias("n_blocks"),
+                )
+
+            return F.when(
+                F.size(k) >= 1, F.transform(segments(k, is_start), sec)
+            ).otherwise(F.expr("array()").cast(
+                "array<struct<heading:string,body:string,n_blocks:bigint>>"
+            ))
+
+        return bind(kept, to_sections)
+
+    secs = pages.select(
+        "doc_id", bind(_blocks_expr(F.col(html_col)), build).alias("secs")
+    )
+    out = secs.select("doc_id", F.posexplode("secs").alias("section_idx", "s"))
+    return out.select(
+        "doc_id",
+        F.col("section_idx").cast("long").alias("section_idx"),
+        F.col("s.heading").alias("heading"),
+        F.col("s.body").alias("body"),
+        F.col("s.n_blocks").alias("n_blocks"),
+    )

@@ -143,3 +143,31 @@ def test_markdown_rendition(spark):
     assert parts[3] == "### Sub Heading Number Two"
     assert row["n_kept"] == 4
     assert "chrome" not in row["markdown"]
+
+
+def test_sections_heading_delimited(spark):
+    from graphical_context_extraction_pipeline_spark.operators import html_extract as HT
+
+    html = (
+        "<p>preamble paragraph long enough to be kept here</p>"
+        "<h2>First Section Heading Long Enough</h2>"
+        "<p>body one is long enough to pass the filter</p>"
+        "<p>body two is long enough to pass the filter</p>"
+        "<h2>Second Section Heading Long Enough</h2>"
+        "<h3>Nested Heading Also Long Enough Here</h3>"
+        "<p>body three is long enough to pass the filter</p>"
+    )
+    pages = spark.createDataFrame([(1, "u", html)], "doc_id long, url string, html string")
+    rows = {r.section_idx: r for r in HT.sections(pages).collect()}
+    assert rows[0].heading == "" and "preamble" in rows[0].body
+    assert rows[1].heading == "First Section Heading Long Enough"
+    assert rows[1].body.count("\n") == 1 and rows[1].n_blocks == 3
+    # consecutive headings: the h2 section has an empty body, the h3
+    # starts its own section
+    assert rows[2].heading == "Second Section Heading Long Enough"
+    assert rows[2].body == "" and rows[2].n_blocks == 1
+    assert rows[3].heading == "Nested Heading Also Long Enough Here"
+    assert "body three" in rows[3].body
+    # page with no kept blocks emits no sections
+    empty = spark.createDataFrame([(2, "u", "<p>tiny</p>")], "doc_id long, url string, html string")
+    assert HT.sections(empty).count() == 0

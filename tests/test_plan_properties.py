@@ -672,3 +672,14 @@ def test_recrawl_priority_html_reduced_to_md5_before_shuffle(spark):
         if "Exchange" in line:
             assert "html" not in line, plan
     assert "SinglePartition" not in plan, plan
+
+
+def test_html_sections_zero_shuffle(spark):
+    from graphical_context_extraction_pipeline_spark import datagen
+    from graphical_context_extraction_pipeline_spark.operators import html_extract as HT
+
+    pages = spark.read.parquet(datagen.ensure_html("/root/testdata/sf0.001"))
+    out = HT.sections(pages)
+    plan = physical_plan(out)
+    assert count_exchanges(out) == 0, plan
+    assert "Generate" in plan, plan  # posexplode, not a join fan-out
