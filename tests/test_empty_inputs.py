@@ -124,3 +124,44 @@ def test_empty_html_pages(spark):
         df = op(pages)
         assert df.count() == 0, op.__name__
         assert df.columns
+
+
+def test_empty_inputs_session6_ops(spark):
+    """Session-6 families on empty relations: empty out, schema intact."""
+    from graphical_context_extraction_pipeline_spark.operators import (
+        html_extract as HT,
+        linkgraph as LG,
+        search as SE,
+        urls as UR,
+    )
+    from graphical_context_extraction_pipeline_spark.operators import corpus as CO
+    from graphical_context_extraction_pipeline_spark.operators import sampling as SA
+
+    pages = spark.createDataFrame([], "doc_id long, url string, html string")
+    docs = spark.createDataFrame([], "doc_id long, text string, source string")
+    edges = spark.createDataFrame(
+        [], "src_domain string, dst_domain string, n_links long"
+    )
+    ops = [
+        (UR.frontier_schedule, pages),
+        (UR.robots_filter, pages),
+        (UR.path_templates, pages),
+        (UR.polite_frontier, pages),
+        (lambda p: UR.recrawl_priority(p, p), pages),
+        (lambda d: UR.crawl_budget(d.selectExpr("source AS domain", "doc_id AS weight"), 10), docs),
+        (LG.hits, edges),
+        (LG.domain_components, pages),
+        (LG.link_reciprocity, edges),
+        (SE.inverted_index, docs),
+        (lambda d: SE.bm25(d, "cat dog"), docs),
+        (lambda d: SE.phrase_search(d, "cat dog"), docs),
+        (lambda d: SE.snippets(d, "cat dog"), docs),
+        (HT.sections, pages),
+        (CO.length_quantiles, docs),
+        (CO.corpus_health, docs),
+        (lambda d: SA.epoch_shuffle(d, epoch=1), docs),
+    ]
+    for op, arg in ops:
+        df = op(arg)
+        assert df.count() == 0, getattr(op, "__name__", op)
+        assert df.columns
