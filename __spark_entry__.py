@@ -2559,7 +2559,10 @@ SELECT doc_id, score_e6 FROM r WHERE score_e6 > 0"""
 
     # KWIC snippets: densest query-term window via the struct-ordered
     # (−count, pos) argmin, replayed with struct_pack + list_sort
-    from graphical_context_extraction_pipeline_spark.operators.search import SNIPPET_WINDOW
+    from graphical_context_extraction_pipeline_spark.operators.search import (
+        SNIPPET_CAND_CAP,
+        SNIPPET_WINDOW,
+    )
 
     _sn_terms = "[" + ", ".join(f"'{w}'" for w in sorted(set(BM25_QUERY.lower().split()))) + "]"
     q["search_snippets"] = f"""
@@ -2570,7 +2573,7 @@ p AS (SELECT doc_id, toks,
       FROM d),
 b AS (SELECT doc_id, toks, cast(len(pos) AS bigint) AS n_matches,
              CASE WHEN len(pos) > 0 THEN
-               list_sort(list_transform(pos, s -> struct_pack(
+               list_sort(list_transform(pos[1 : {SNIPPET_CAND_CAP}], s -> struct_pack(
                  negcnt := -len(list_filter(pos,
                    x -> x >= s AND x < s + {SNIPPET_WINDOW})),
                  pos := s)))[1]

@@ -165,18 +165,22 @@ def global_rank(df: DataFrame, order_cols: list, rank_col: str = "rank") -> Data
     s = df.orderBy(*order_cols).withColumn("_pid", F.spark_partition_id())
     s = s.localCheckpoint(eager=True)  # pin the sort's partition placement
     counts = {r["_pid"]: r["n"] for r in s.groupBy("_pid").agg(F.count("*").alias("n")).collect()}
-    offsets, acc = {}, 0
+    offsets, acc = [], 0
     for pid in sorted(counts):
-        offsets[pid] = acc
+        offsets.append((pid, acc))
         acc += counts[pid]
-    off = F.create_map(
-        *[F.lit(x) for kv in offsets.items() for x in kv]
-    ) if offsets else F.create_map()
+    # offsets as a broadcast-joined relation, NOT a create_map literal — a
+    # literal map embeds numPartitions entries into the plan text, which
+    # breaks down at 10^5 sort partitions
+    off_df = df.sparkSession.createDataFrame(
+        offsets or [(0, 0)], "_pid int, _off long"
+    )
     w = Window.partitionBy("_pid").orderBy(*order_cols)
     return (
-        s.withColumn(
+        s.join(F.broadcast(off_df), "_pid", "left")
+        .withColumn(
             rank_col,
-            (F.row_number().over(w) + F.coalesce(off[F.col("_pid")], F.lit(0))).cast("long"),
+            (F.row_number().over(w) + F.coalesce(F.col("_off"), F.lit(0))).cast("long"),
         )
-        .drop("_pid")
+        .drop("_pid", "_off")
     )

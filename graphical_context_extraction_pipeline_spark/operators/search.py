@@ -216,6 +216,7 @@ def phrase_search(docs: DataFrame, phrase: str, k: int = 20) -> DataFrame:
 
 
 SNIPPET_WINDOW = 16
+SNIPPET_CAND_CAP = 1024
 
 
 def snippets(docs: DataFrame, query: str, k: int = 10, window: int = SNIPPET_WINDOW) -> DataFrame:
@@ -232,8 +233,13 @@ def snippets(docs: DataFrame, query: str, k: int = 10, window: int = SNIPPET_WIN
 
     Intra-row throughout (positions → candidate fold → slice), so the
     operator is scan → project → TakeOrderedAndProject: zero shuffles.
-    Candidate scoring is O(|matches|²) per doc — bounded by query-term
-    frequency, not document length.
+    Candidate scoring is O(|candidates|·|matches|) per doc; candidate
+    STARTS are capped at the first ``SNIPPET_CAND_CAP`` match positions
+    (windows still count every match inside them), so a stopword-dense
+    document costs O(cap·m), linear in m, instead of O(m²) — for a doc
+    with more matches than the cap, a best window starting beyond the
+    cap-th match is not considered (documented approximation; the oracle
+    applies the same cap).
     """
     from ..functions.exprs import bind
 
@@ -259,7 +265,7 @@ def snippets(docs: DataFrame, query: str, k: int = 10, window: int = SNIPPET_WIN
         def pick(p):
             best = F.array_min(
                 F.transform(
-                    p,
+                    F.slice(p, 1, SNIPPET_CAND_CAP),
                     lambda s: F.struct(
                         (-F.size(F.filter(p, lambda x: (x >= s) & (x < s + window))))
                         .cast("long")

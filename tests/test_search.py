@@ -163,3 +163,16 @@ def test_index_delta_equals_full_rebuild(spark):
     again = {r.token: (r.df, r.total_tf, r.postings)
              for r in SE.inverted_index_delta(idx, empty, cap=cap).collect()}
     assert again == {r.token: (r.df, r.total_tf, r.postings) for r in idx.collect()}
+
+
+def test_snippets_candidate_cap_excludes_late_windows(spark):
+    """A denser cluster whose window starts lie beyond the first
+    SNIPPET_CAND_CAP match positions is not considered (the documented
+    linear-cost approximation for stopword-dense docs)."""
+    text = ("cat x " * (SE.SNIPPET_CAND_CAP + 6)) + "cat cat cat cat cat"
+    docs = spark.createDataFrame([(1, text)], DDL)
+    r = SE.snippets(docs, "cat", window=6).collect()[0]
+    assert r.n_matches == SE.SNIPPET_CAND_CAP + 6 + 5
+    # every capped candidate sees the scattered 3-per-window density, not
+    # the trailing 5-adjacent run
+    assert r.window_hits == 3
