@@ -178,6 +178,31 @@ def _tailed_docs(docs: DataFrame) -> DataFrame:
     )
 
 
+def _robots_bodies() -> list:
+    """Deterministic robots.txt bodies: DEFAULT_ROBOTS_RULES rendered per
+    domain with parser chrome (comments, a foreign-agent group, consecutive
+    shared-group ua lines, an empty Disallow, unknown directives)."""
+    from graphical_context_extraction_pipeline_spark.operators.urls import DEFAULT_ROBOTS_RULES
+
+    by_dom: dict = {}
+    for d, kind, p in DEFAULT_ROBOTS_RULES:
+        by_dom.setdefault(d, []).append((kind.capitalize(), p))
+    bodies = []
+    for d in sorted(by_dom):
+        lines = [
+            "# synthetic robots body",
+            "User-agent: googlebot",
+            "Disallow: /google-only",
+            "",
+            "User-agent: *",
+            "User-agent: otherbot",
+        ]
+        lines += [f"{k}: {p}  # rule" for k, p in by_dom[d]]
+        lines += ["Crawl-delay: 10", "Disallow:"]
+        bodies.append((d, "\n".join(lines)))
+    return bodies
+
+
 def _planted_exact_src(docs: DataFrame) -> DataFrame:
     """Source-preserving exact-dup plant (corpus_health needs per-source
     dup structure; _planted_exact drops the source column)."""
@@ -340,6 +365,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         "link_reciprocity": lambda s, d: LG.link_reciprocity(
             LG.extract_links(_html_pages(s, d))
+        ),
+        # raw robots.txt bodies → the rules relation robots_filter consumes
+        "parse_robots": lambda s, d: UR.parse_robots(
+            s.createDataFrame(_robots_bodies(), "domain string, body string")
         ),
         "path_templates": lambda s, d: UR.path_templates(_html_pages(s, d)),
         # change profile between this crawl and a deterministic next crawl
@@ -1395,6 +1424,35 @@ FROM parsed p LEFT JOIN (SELECT doc_id, prefix, is_allow FROM m WHERE rn = 1) m
   USING (doc_id))"""
 
     q["robots_filter"] = f"WITH {_HPAGES}, {_ROBOTS_CHAIN} SELECT * FROM verdict"
+
+    # robots.txt body parsing replayed with window-based group tracking:
+    # opens = ua line not preceded by a ua line, gid = running opens count
+    _bodies_vals = ", ".join(
+        "('{}', '{}')".format(d, b.replace("'", "''")) for d, b in _robots_bodies()
+    )
+    q["parse_robots"] = f"""
+WITH bodies AS (SELECT * FROM (VALUES {_bodies_vals}) AS t(domain, body)),
+l AS (SELECT domain, unnest(string_split(body, chr(10))) AS ln,
+             generate_subscripts(string_split(body, chr(10)), 1) AS i
+      FROM bodies),
+p AS (SELECT domain, i,
+             lower(trim(regexp_extract(ln, '^\\s*([A-Za-z-]+)\\s*:', 1))) AS k,
+             trim(regexp_replace(regexp_extract(ln, '^\\s*[A-Za-z-]+\\s*:(.*)$', 1),
+                                 '#.*$', '', 'g')) AS v
+      FROM l),
+o AS (SELECT *, CASE WHEN k = 'user-agent'
+                      AND lag(k) OVER (PARTITION BY domain ORDER BY i)
+                          IS DISTINCT FROM 'user-agent'
+                     THEN 1 ELSE 0 END AS opens
+      FROM p),
+g AS (SELECT *, sum(opens) OVER (PARTITION BY domain ORDER BY i
+                                 ROWS UNBOUNDED PRECEDING) AS gid
+      FROM o),
+sg AS (SELECT DISTINCT domain, gid FROM g WHERE k = 'user-agent' AND v = '*')
+SELECT g.domain, cast(g.k = 'allow' AS bigint) AS is_allow, g.v AS prefix
+FROM g JOIN sg ON sg.domain = g.domain AND sg.gid = g.gid
+WHERE g.k IN ('allow', 'disallow') AND g.v <> ''
+"""
 
     # the composed crawl stack: robots gate, then canonical politeness waves
     q["polite_frontier"] = f"""

@@ -395,3 +395,85 @@ def polite_frontier(
         F.col("allowed") == 1
     )
     return frontier_schedule(allowed, max_per_domain=max_per_domain, url_col="url")
+
+
+def parse_robots(robots: DataFrame, agent: str = "*") -> DataFrame:
+    """Parse raw robots.txt bodies into the (domain, is_allow, prefix)
+    rules relation robots_filter consumes — closing the politeness stack
+    from raw crawler input. Grammar subset (the parts REP crawlers agree
+    on): case-insensitive ``user-agent:`` lines open a group, consecutive
+    user-agent lines share one group, ``allow:`` / ``disallow:`` lines
+    bind to the CURRENT group, ``#`` comments and unknown directives are
+    ignored, and only groups naming ``agent`` (default ``*``) contribute.
+    An empty-path disallow (``Disallow:`` with no value) means allow-all
+    and is dropped.
+
+    Input (domain string, body string); one robots.txt is a few KB, so
+    the per-row line fold is bounded — everything stays intra-row until
+    one explode, zero shuffles. Emits (domain, is_allow, prefix).
+    """
+    lines = F.split(F.col("body"), "\n")
+    # per line: (directive, value) with comments stripped, lowercased key
+    parsed = F.transform(
+        lines,
+        lambda ln: F.struct(
+            F.lower(F.trim(F.regexp_extract(ln, r"^\s*([A-Za-z-]+)\s*:", 1))).alias("k"),
+            F.trim(
+                F.regexp_replace(F.regexp_extract(ln, r"^\s*[A-Za-z-]+\s*:(.*)$", 1), r"#.*$", "")
+            ).alias("v"),
+        ),
+    )
+    # group id = running count of user-agent lines that OPEN a group (a
+    # user-agent line after rules opens a new group; consecutive ua lines
+    # share one) — computed positionally so the fold carries scalars only
+    def with_groups(p):
+        is_ua = F.transform(p, lambda r: (r["k"] == "user-agent").cast("int"))
+        opens = F.transform(
+            F.sequence(F.lit(1), F.size(p)),
+            lambda i: (
+                (F.element_at(is_ua, i.cast("int")) == 1)
+                & ((i == 1) | (F.element_at(is_ua, (i - 1).cast("int")) == 0))
+            ).cast("int"),
+        )
+        gid = F.transform(
+            F.sequence(F.lit(1), F.size(p)),
+            lambda i: F.aggregate(
+                F.slice(opens, 1, i.cast("int")), F.lit(0), lambda a, x: a + x
+            ),
+        )
+        return F.struct(p.alias("p"), is_ua.alias("ua"), gid.alias("gid"))
+
+    from ..functions.exprs import bind
+
+    g = bind(parsed, lambda p: F.when(F.size(p) >= 1, with_groups(p)))
+    rows = robots.select("domain", g.alias("g"))
+    # which group ids name our agent
+    star_groups = F.filter(
+        F.sequence(F.lit(1), F.size(F.col("g.p"))),
+        lambda i: (F.element_at(F.col("g.p"), i.cast("int"))["k"] == "user-agent")
+        & (F.element_at(F.col("g.p"), i.cast("int"))["v"] == agent),
+    )
+    star_gids = F.transform(
+        star_groups, lambda i: F.element_at(F.col("g.gid"), i.cast("int"))
+    )
+    rules = F.filter(
+        F.sequence(F.lit(1), F.size(F.col("g.p"))),
+        lambda i: F.element_at(F.col("g.p"), i.cast("int"))["k"].isin("allow", "disallow")
+        & F.array_contains(star_gids, F.element_at(F.col("g.gid"), i.cast("int")))
+        & (F.element_at(F.col("g.p"), i.cast("int"))["v"] != ""),
+    )
+    out = rows.where(F.col("g").isNotNull()).select(
+        "domain",
+        F.explode(
+            F.transform(
+                rules,
+                lambda i: F.struct(
+                    (F.element_at(F.col("g.p"), i.cast("int"))["k"] == "allow")
+                    .cast("long")
+                    .alias("is_allow"),
+                    F.element_at(F.col("g.p"), i.cast("int"))["v"].alias("prefix"),
+                ),
+            )
+        ).alias("r"),
+    )
+    return out.select("domain", F.col("r.is_allow").alias("is_allow"), F.col("r.prefix").alias("prefix"))

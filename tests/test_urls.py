@@ -292,3 +292,62 @@ def test_polite_frontier_excludes_blocked(spark):
     rows = UR.polite_frontier(pages, rules=rules).collect()
     assert {r.domain for r in rows} == {"a.example"}
     assert sorted(r.wave for r in rows) == [0, 1]
+
+
+def test_parse_robots_grammar_and_roundtrip(spark):
+    body = (
+        "# comment\n"
+        "User-agent: googlebot\n"
+        "Disallow: /google-only\n"
+        "\n"
+        "User-agent: *\n"
+        "User-Agent: otherbot\n"
+        "Disallow: /private   # trailing comment\n"
+        "Allow: /private/ok\n"
+        "Crawl-delay: 10\n"
+        "Disallow:\n"
+        "\n"
+        "User-agent: *\n"
+        "Disallow: /second-group\n"
+    )
+    robots = spark.createDataFrame(
+        [("a.example", body), ("b.example", "User-agent: *\nDisallow: /")],
+        "domain string, body string",
+    )
+    got = {(r.domain, r.is_allow, r.prefix) for r in UR.parse_robots(robots).collect()}
+    assert got == {
+        ("a.example", 0, "/private"),
+        ("a.example", 1, "/private/ok"),
+        ("a.example", 0, "/second-group"),
+        ("b.example", 0, "/"),
+    }
+    # agent filter: googlebot's group is only visible when asked for
+    gb = {(r.domain, r.prefix) for r in UR.parse_robots(robots, agent="googlebot").collect()}
+    assert gb == {("a.example", "/google-only")}
+    # bodies with no star group, or empty body, contribute nothing
+    none = spark.createDataFrame(
+        [("c.example", "User-agent: foo\nDisallow: /x"), ("d.example", "")],
+        "domain string, body string",
+    )
+    assert UR.parse_robots(none).count() == 0
+
+
+def test_parse_robots_feeds_robots_filter(spark):
+    """End-to-end: parsing a body and applying the parsed rules gives the
+    same verdicts as the literal rule tuples."""
+    body = "User-agent: *\nDisallow: /private\nAllow: /private/ok"
+    robots = spark.createDataFrame([("a.example", body)], "domain string, body string")
+    parsed = tuple(
+        ("a.example", "allow" if r.is_allow else "disallow", r.prefix)
+        for r in UR.parse_robots(robots).collect()
+    )
+    pages = _pages(
+        spark,
+        ["https://a.example/private/x", "https://a.example/private/ok/y", "https://a.example/open"],
+    )
+    via_parsed = {r.url: r.allowed for r in UR.robots_filter(pages, rules=parsed).collect()}
+    literal = (("a.example", "disallow", "/private"), ("a.example", "allow", "/private/ok"))
+    via_literal = {r.url: r.allowed for r in UR.robots_filter(pages, rules=literal).collect()}
+    assert via_parsed == via_literal
+    assert via_parsed["https://a.example/private/x"] == 0
+    assert via_parsed["https://a.example/private/ok/y"] == 1
