@@ -1,0 +1,85 @@
+"""Streaming inverted-index maintenance — the incremental twin of
+``operators/search.inverted_index`` via the delta-merge law.
+
+Each micro-batch of documents folds into the standing index with
+``search.inverted_index_delta`` inside ``foreachBatch``: the index lives as
+a parquet relation that is read, merged with the batch's posting deltas
+(only TOUCHED tokens shuffle — the standing index joins by token key),
+and atomically swapped (write to a new versioned directory, then update
+the pointer file — the same new-dir + swap discipline as
+``export.compact_parquet``). Because the merge provably equals a full
+rebuild over the union corpus (the index_delta merge-law oracle), the
+streamed index after N micro-batches is bit-identical to batch-indexing
+the whole corpus at once — pinned by test.
+
+Exactly-once: foreachBatch can re-run an epoch on failure; the version
+pointer is only advanced AFTER a successful write and records the epoch
+id, so a replayed epoch overwrites its own versioned directory instead of
+double-merging (read-modify-write keyed on epoch id).
+
+Ordering contract (from inverted_index_delta): doc_ids ascend across
+batches (append-only ingest), so posting concatenation preserves the
+ascending order a rebuild would produce.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import SparkSession
+from pyspark.sql.streaming import StreamingQuery
+
+from ..operators.search import POSTINGS_CAP, inverted_index, inverted_index_delta
+
+DOCS_STREAM_DDL = "doc_id long, text string"
+
+_POINTER = "CURRENT.json"
+
+
+def read_current_index(spark: SparkSession, index_dir: str):
+    """The standing index the pointer names, or None before the first
+    epoch commits."""
+    ptr = os.path.join(index_dir, _POINTER)
+    if not os.path.exists(ptr):
+        return None
+    with open(ptr) as f:
+        meta = json.load(f)
+    return spark.read.parquet(os.path.join(index_dir, meta["version"]))
+
+
+def stream_index_maintenance(
+    spark: SparkSession,
+    input_dir: str,
+    index_dir: str,
+    checkpoint_dir: str,
+    cap: int = POSTINGS_CAP,
+    max_files_per_trigger: int = 1,
+) -> StreamingQuery:
+    """Watch input_dir for new document files; maintain the index."""
+    os.makedirs(index_dir, exist_ok=True)
+    stream = (
+        spark.readStream.schema(DOCS_STREAM_DDL)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(input_dir)
+    )
+
+    def process_batch(batch_df, epoch_id: int) -> None:
+        current = read_current_index(spark, index_dir)
+        if current is None:
+            merged = inverted_index(batch_df, cap=cap)
+        else:
+            merged = inverted_index_delta(current, batch_df, cap=cap)
+        version = f"v{epoch_id:010d}"
+        merged.write.mode("overwrite").parquet(os.path.join(index_dir, version))
+        tmp = os.path.join(index_dir, f".{_POINTER}.tmp")
+        with open(tmp, "w") as f:
+            json.dump({"version": version, "epoch_id": epoch_id}, f)
+        os.replace(tmp, os.path.join(index_dir, _POINTER))
+
+    return (
+        stream.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

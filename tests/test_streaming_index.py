@@ -1,0 +1,57 @@
+"""Streaming index maintenance (streaming/index.py): after N micro-batches
+the streamed index is bit-identical to batch-indexing the union corpus —
+the delta-merge law carried across foreachBatch epochs."""
+
+import glob
+import os
+import shutil
+import time
+
+from graphical_context_extraction_pipeline_spark.operators.search import inverted_index
+from graphical_context_extraction_pipeline_spark.streaming.index import (
+    read_current_index,
+    stream_index_maintenance,
+)
+
+
+def _stage_file(df, staging_dir: str, dest_path: str) -> None:
+    df.coalesce(1).write.mode("overwrite").parquet(staging_dir)
+    part = glob.glob(os.path.join(staging_dir, "part-*.parquet"))[0]
+    shutil.copy(part, dest_path)
+
+
+def test_streamed_index_equals_batch_rebuild(spark, tmp_path):
+    b1 = spark.createDataFrame(
+        [(1, "grow cold a"), (2, "grow cold"), (3, "grow b")],
+        "doc_id long, text string",
+    )
+    b2 = spark.createDataFrame(
+        [(101, "grow fresh"), (102, "grow"), (103, "grow c"), (104, "newtok")],
+        "doc_id long, text string",
+    )
+    in_dir = str(tmp_path / "docs")
+    os.makedirs(in_dir)
+    _stage_file(b1, str(tmp_path / "s1"), os.path.join(in_dir, "f1.parquet"))
+    time.sleep(1.1)
+    _stage_file(b2, str(tmp_path / "s2"), os.path.join(in_dir, "f2.parquet"))
+
+    idx_dir = str(tmp_path / "index")
+    cap = 4  # 'grow' crosses the hot cap only through the second batch
+    q = stream_index_maintenance(
+        spark, in_dir, idx_dir, str(tmp_path / "ckpt"), cap=cap
+    )
+    q.awaitTermination(180)
+
+    got = {
+        r.token: (r.df, r.total_tf, r.postings)
+        for r in read_current_index(spark, idx_dir).collect()
+    }
+    want = {
+        r.token: (r.df, r.total_tf, r.postings)
+        for r in inverted_index(b1.unionAll(b2), cap=cap).collect()
+    }
+    assert got == want
+    assert got["grow"][2] == ""  # went hot via streamed growth
+    assert got["cold"][2] == "1\x1f2"
+    # two epochs committed, pointer names the latest version
+    assert len(glob.glob(os.path.join(idx_dir, "v*"))) == 2
