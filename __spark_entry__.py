@@ -598,6 +598,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             src="vec_a",
             dst="vec_b",
         ),
+        # per-cluster e6 centroids over the same embedding dup graph
+        "cluster_centroids": lambda s, d: similarity.cluster_centroids(
+            _planted_emb(_emb(s, d)),
+            CL.neardup_clusters(
+                similarity.embedding_cosine_dups(_planted_emb(_emb(s, d))),
+                src="vec_a",
+                dst="vec_b",
+            ),
+        ),
     }
 
 
@@ -3172,6 +3181,33 @@ FROM bl
     q["ivf_topk"] = _ivf_oracle(ids)
     q["embedding_cosine_dups"] = _emb_dups_oracle()
     q["embedding_neardup_survivors"] = _emb_neardup_survivors_oracle()
+
+    # per-cluster e6 centroids: quantize floor(1e6·v), sum bigints, divide
+    # POSITIVE offsets only (Spark DIV truncates, DuckDB // floors — they
+    # disagree exactly on negative numerators)
+    from graphical_context_extraction_pipeline_spark.operators.similarity import CENT_OFFSET
+
+    q["cluster_centroids"] = f"""
+WITH RECURSIVE {_emb_dups_chain()},
+np AS (SELECT vec_a AS doc_a, vec_b AS doc_b FROM scored WHERE cos_e4 >= 9000),
+{_CC_CHAIN},
+mem AS (SELECT cc.doc_id AS vec_id, cc.component, szs.n_members
+        FROM cc JOIN szs USING (component)),
+d AS (SELECT m.component, m.n_members,
+             generate_subscripts(c.embedding, 1) - 1 AS dim,
+             unnest(c.embedding) AS v
+      FROM corpus c JOIN mem m ON m.vec_id = c.vec_id),
+g AS (SELECT component, cast(dim AS bigint) AS dim,
+             sum(cast(floor(cast(v AS double) * 1000000) AS bigint)
+                 + {CENT_OFFSET}) AS s,
+             count(*) AS n,
+             max(n_members) AS n_members
+      FROM d GROUP BY 1, 2)
+SELECT component, dim,
+       cast((s // n) - {CENT_OFFSET} AS bigint) AS centroid_e6,
+       cast(n_members AS bigint) AS n_members
+FROM g
+"""
 
     q["cosine_topk"] = f"""
 WITH qv AS (SELECT vec_id AS query_id, cast(embedding AS DOUBLE[]) AS qv

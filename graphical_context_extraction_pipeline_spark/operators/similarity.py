@@ -343,3 +343,53 @@ def embedding_cosine_dups(
         )
         .where(F.col("cos_e4") >= min_cos_e4)
     )
+
+
+CENT_OFFSET = 1 << 30
+
+
+def cluster_centroids(emb: DataFrame, members: DataFrame, id_col: str = "vec_id") -> DataFrame:
+    """Per-cluster embedding centroid in e6 fixed point — the dedup-QA
+    table (how tight is each near-dup cluster? what does it look like?):
+    (component, dim, centroid_e6, n_members) with
+    centroid_e6 = floor(mean of floor(1e6·v)) per dimension.
+
+    Integer-exact cross-engine: each value quantizes to floor(1e6·v)
+    (identical doubles both engines), sums are bigints, and the mean
+    divides POSITIVE numbers only — values are offset by +2^30 before the
+    division because Spark's DIV truncates toward zero while DuckDB's //
+    floors, and they disagree exactly on negative numerators.
+
+    ``members`` is cluster.neardup_clusters output (doc_id, component,
+    n_members). One membership join (broadcast when the dup graph is
+    small) + one (component, dim) aggregation — partial-agg combinable,
+    no per-cluster buffers.
+    """
+    j = emb.join(
+        members.withColumnRenamed("doc_id", id_col).select(id_col, "component", "n_members"),
+        id_col,
+    )
+    d = j.select(
+        "component",
+        "n_members",
+        F.posexplode("embedding").alias("dim", "v"),
+    ).select(
+        "component",
+        "n_members",
+        F.col("dim").cast("long").alias("dim"),
+        (F.floor(F.col("v").cast("double") * 1e6).cast("long") + F.lit(CENT_OFFSET)).alias("w"),
+    )
+    return (
+        d.groupBy("component", "dim")
+        .agg(
+            F.sum("w").alias("s"),
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.max("n_members").cast("long").alias("n_members"),
+        )
+        .select(
+            "component",
+            "dim",
+            (F.expr("s DIV n") - F.lit(CENT_OFFSET)).cast("long").alias("centroid_e6"),
+            "n_members",
+        )
+    )

@@ -140,3 +140,32 @@ def test_star_rewriting_random_graphs_fuzz(spark):
         got = {r["doc_id"]: r["component"]
                for r in connected_components_star(df).collect()}
         assert got == want, seed
+
+
+def test_cluster_centroids_exact_means(spark):
+    """Centroid = floor of the per-dim mean of floor(1e6·v) — verified
+    against a hand computation including negative dimensions (the
+    DIV-vs-floor-division trap zone)."""
+    from graphical_context_extraction_pipeline_spark.operators import similarity as SIM
+
+    emb = spark.createDataFrame(
+        [
+            (1, [0.5, -0.25]),
+            (2, [0.7, -0.35]),
+            (3, [9.9, 9.9]),  # not a member — must not pollute
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    members = spark.createDataFrame(
+        [(1, 1, 2), (2, 1, 2)], "doc_id long, component long, n_members long"
+    )
+    got = {(r.component, r.dim): (r.centroid_e6, r.n_members)
+           for r in SIM.cluster_centroids(emb, members).collect()}
+    # dim0: floor((500000 + 700000)/2) = 600000 (0.7 float32 -> 0.699999...)
+    v07 = int(__import__("math").floor(float(__import__("numpy").float32(0.7)) * 1e6))
+    v035 = int(__import__("math").floor(float(__import__("numpy").float32(-0.35)) * 1e6))
+    import math
+    assert got[(1, 0)] == (math.floor((500000 + v07) / 2), 2)
+    # dim1: negative mean — floor semantics, not truncation
+    assert got[(1, 1)] == (math.floor((-250000 + v035) / 2), 2)
+    assert set(got) == {(1, 0), (1, 1)}
