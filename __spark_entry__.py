@@ -398,6 +398,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # constructions as curate_corpus so every status arm has members)
         # per-doc salient terms (integer TF-IDF top-k)
         "top_terms": lambda s, d: TA.top_terms(_flat_docs(s, d), k=5),
+        "collocation_lift": lambda s, d: TA.collocation_lift(_flat_docs(s, d)),
         "web_curate": lambda s, d: CU.curate_corpus(
             _planted_exact(
                 _planted_near(
@@ -2687,6 +2688,27 @@ h AS (SELECT doc_id,
       FROM d),
 r AS (SELECT doc_id, n_hits FROM h ORDER BY n_hits DESC, doc_id ASC LIMIT 20)
 SELECT doc_id, n_hits FROM r WHERE n_hits > 0
+"""
+
+    # PMI-style collocation lift: doc-capped distinct-token pairs, two-step
+    # floored lift (the int64-budgeted spec replayed verbatim)
+    from graphical_context_extraction_pipeline_spark.operators.text_analysis import PMI_DOC_CAP
+
+    q["collocation_lift"] = f"""
+WITH t AS (SELECT doc_id,
+                  list_sort(list_distinct({_TOKS}))[1 : {PMI_DOC_CAP}] AS ts
+           FROM documents),
+a AS (SELECT doc_id, unnest(ts) AS tok, generate_subscripts(ts, 1) AS i FROM t),
+p AS (SELECT x.tok AS tok_a, y.tok AS tok_b, cast(count(*) AS bigint) AS n_pair
+      FROM a x JOIN a y ON x.doc_id = y.doc_id AND x.i < y.i
+      GROUP BY 1, 2 HAVING count(*) >= 2),
+d AS (SELECT tok, cast(count(*) AS bigint) AS n_tok FROM a GROUP BY 1)
+SELECT p.tok_a, p.tok_b, p.n_pair, da.n_tok AS n_a, db.n_tok AS n_b,
+       cast((((p.n_pair * 10000) // da.n_tok)
+             * (SELECT count(*) FROM documents)) // db.n_tok AS bigint) AS lift_e4
+FROM p
+JOIN d da ON da.tok = p.tok_a
+JOIN d db ON db.tok = p.tok_b
 """
 
     # per-source health rollup over the source-preserving exact-dup plant;

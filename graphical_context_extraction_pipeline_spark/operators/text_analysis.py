@@ -485,3 +485,85 @@ def unigram_surprisal(docs: DataFrame) -> DataFrame:
             F.coalesce("surprisal_e2", F.lit(-1)).cast("long").alias("surprisal_e2"),
         )
     )
+
+
+PMI_DOC_CAP = 64
+
+
+def collocation_lift(
+    docs: DataFrame, min_pair: int = 2, doc_cap: int = PMI_DOC_CAP
+) -> DataFrame:
+    """Document-level collocation mining: for token pairs co-occurring in
+    ≥ ``min_pair`` documents, the PMI-style lift
+    P(x,y)/(P(x)·P(y)) = n_pair·N/(n_a·n_b) in e4 fixed point —
+    (tok_a, tok_b, n_pair, n_a, n_b, lift_e4), tok_a < tok_b.
+
+    Integer discipline: lift_e4 = ((n_pair·10000) DIV n_a · N) DIV n_b —
+    the TWO-STEP floor is the spec (replayed identically by the oracle)
+    and keeps every intermediate ≤ 1e4·N, inside int64 through 10^12
+    documents, where the single-expression n_pair·N·10000 would overflow.
+
+    Scale: each document contributes pairs from its first ``doc_cap``
+    distinct tokens (sorted — deterministic), bounding the pair fan-out
+    at C(cap,2) per doc regardless of document length; pair counts and
+    token document-frequencies are partial-agg rollups; the two
+    frequency joins key on tokens of pairs that already passed
+    ``min_pair``.
+    """
+    toks = F.slice(
+        F.array_sort(F.array_distinct(_tokens(F.col("text")))), 1, doc_cap
+    )
+
+    def pairs(t):
+        return F.flatten(
+            F.transform(
+                F.sequence(F.lit(1), F.size(t) - 1),
+                lambda i: F.transform(
+                    F.sequence(i + 1, F.size(t)),
+                    lambda j: F.struct(
+                        F.element_at(t, i.cast("int")).alias("tok_a"),
+                        F.element_at(t, j.cast("int")).alias("tok_b"),
+                    ),
+                ),
+            )
+        )
+
+    from ..functions.exprs import bind
+
+    n_docs = docs.count()
+    if n_docs == 0:
+        return docs.sparkSession.createDataFrame(
+            [], "tok_a string, tok_b string, n_pair long, n_a long, n_b long, lift_e4 long"
+        )
+    base = docs.select(
+        bind(toks, lambda t: F.when(F.size(t) >= 2, pairs(t))).alias("ps"),
+        bind(toks, lambda t: t).alias("ts"),
+    )
+    pair_counts = (
+        base.where(F.col("ps").isNotNull())
+        .select(F.explode("ps").alias("p"))
+        .groupBy("p.tok_a", "p.tok_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_pair"))
+        .where(F.col("n_pair") >= min_pair)
+    )
+    dfreq = (
+        base.select(F.explode("ts").alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_tok"))
+    )
+    j = (
+        pair_counts.join(dfreq.withColumnRenamed("tok", "tok_a"), "tok_a")
+        .withColumnRenamed("n_tok", "n_a")
+        .join(dfreq.withColumnRenamed("tok", "tok_b"), "tok_b")
+        .withColumnRenamed("n_tok", "n_b")
+    )
+    return j.select(
+        "tok_a",
+        "tok_b",
+        "n_pair",
+        "n_a",
+        "n_b",
+        F.expr(f"(((n_pair * 10000) DIV n_a) * {n_docs}) DIV n_b")
+        .cast("long")
+        .alias("lift_e4"),
+    )

@@ -374,3 +374,35 @@ def test_epoch_shuffle_determinism_and_coverage(spark):
     # a different epoch is a genuinely different permutation
     c = {r.doc_id: (r.shard, r.pos) for r in SA.epoch_shuffle(docs, epoch=2, n_shards=4).collect()}
     assert c != a and len(c) == 200
+
+
+def test_collocation_lift_hand_values(spark):
+    """4 docs: (cat,dog) together twice of N=4, cat in 2, dog in 3 →
+    lift = ((2·1e4)//2 · 4)//3 = 13333. Within-doc repeats count once."""
+    from graphical_context_extraction_pipeline_spark.operators import text_analysis as TA
+
+    docs = spark.createDataFrame(
+        [
+            (1, "cat dog dog cat"),
+            (2, "dog cat"),
+            (3, "dog fish fish"),
+            (4, "fish bird"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {(r.tok_a, r.tok_b): r for r in TA.collocation_lift(docs).collect()}
+    cd = got[("cat", "dog")]
+    assert (cd.n_pair, cd.n_a, cd.n_b) == (2, 2, 3)
+    assert cd.lift_e4 == ((2 * 10000) // 2 * 4) // 3
+    assert ("dog", "fish") not in got  # n_pair 1 < min_pair
+    # doc cap: only the first cap distinct tokens pair up
+    wide = spark.createDataFrame(
+        [(i, " ".join(f"t{j:03d}" for j in range(10))) for i in range(3)],
+        "doc_id long, text string",
+    )
+    capped = TA.collocation_lift(wide, doc_cap=3)
+    assert {(r.tok_a, r.tok_b) for r in capped.collect()} == {
+        ("t000", "t001"), ("t000", "t002"), ("t001", "t002"),
+    }
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    assert TA.collocation_lift(empty).count() == 0
