@@ -573,6 +573,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_rollup": lambda s, d: EV.event_rollup(_events(s, d)),
         "retention_cohorts": lambda s, d: EV.retention_cohorts(_events(s, d)),
         "rate_spikes": lambda s, d: EV.rate_spikes(_events(s, d)),
+        "conversion_lag": lambda s, d: EV.conversion_lag(_events(s, d)),
+        "cocitation": lambda s, d: LG.cocitation(LG.extract_links(_html_pages(s, d))),
         # as-of join (union–window formulation; DuckDB's native ASOF JOIN
         # is the independent oracle) + bucket-blocked interval overlap
         "asof_attribution": lambda s, d: TP.view_attribution(_events(s, d)),
@@ -1690,6 +1692,16 @@ SELECT n.domain,
 FROM nodes n
 LEFT JOIN h2 ON h2.domain = n.domain
 LEFT JOIN a2 ON a2.domain = n.domain
+"""
+
+    # co-citation strength over distinct (src, dst) edges
+    q["cocitation"] = f"""
+WITH {_EDGES},
+e AS (SELECT DISTINCT src_domain, dst_domain FROM edges)
+SELECT a.dst_domain AS dom_a, b.dst_domain AS dom_b,
+       cast(count(*) AS bigint) AS n_shared_sources
+FROM e a JOIN e b ON a.src_domain = b.src_domain AND a.dst_domain < b.dst_domain
+GROUP BY 1, 2 HAVING count(*) >= 2
 """
 
     # reciprocal-link (link-farm) profile: one reversed-key semi join over
@@ -2881,6 +2893,22 @@ UNION ALL
 SELECT 'click' AS step, cast(1 AS bigint) AS step_idx, cast(s1 AS bigint) AS n_users FROM t
 UNION ALL
 SELECT 'purchase' AS step, cast(2 AS bigint) AS step_idx, cast(s2 AS bigint) AS n_users FROM t
+"""
+
+    # time-to-convert distribution: first-view → first-purchase lag on the
+    # log2 bit-length scale (no float log in either engine)
+    q["conversion_lag"] = """
+WITH fs AS (SELECT user_id,
+                   min(CASE WHEN event_type = 'view' THEN epoch_ms(ts) END) AS t0,
+                   min(CASE WHEN event_type = 'purchase' THEN epoch_ms(ts) END) AS t1
+            FROM events GROUP BY user_id),
+l AS (SELECT t1 - t0 AS lag_ms FROM fs
+      WHERE t0 IS NOT NULL AND t1 IS NOT NULL AND t1 > t0)
+SELECT cast(length(bin(lag_ms + 1)) AS bigint) AS bucket,
+       cast(count(*) AS bigint) AS n_users,
+       cast(min(lag_ms) AS bigint) AS min_lag_ms,
+       cast(max(lag_ms) AS bigint) AS max_lag_ms
+FROM l GROUP BY 1
 """
 
     # weekly retention matrix: same integer epoch-week ids, distinct-first

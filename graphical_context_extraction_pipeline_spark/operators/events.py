@@ -194,3 +194,36 @@ def rate_spikes(
         (F.col("trailing_n") == trailing)
         & (F.col("n_events") * den * trailing >= F.lit(num) * F.col("trailing_sum")),
     )
+
+
+def conversion_lag(
+    events: DataFrame, start: str = "view", end: str = "purchase"
+) -> DataFrame:
+    """Time-to-convert distribution: for users whose first ``end`` event
+    comes strictly after their first ``start`` event, the lag bucketed on
+    a log2 scale (bucket = bit_length(lag_ms + 1), the same integer
+    bit-length trick as length_histogram — no float log in either
+    engine). Emits (bucket, n_users, min_lag_ms, max_lag_ms).
+
+    One per-user conditional-min shuffle (two cells per user, partial
+    agg) + a k-row bucket rollup."""
+    firsts = events.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == start, F.expr(_TS_MS))).alias("t0"),
+        F.min(F.when(F.col("event_type") == end, F.expr(_TS_MS))).alias("t1"),
+    )
+    lag = (
+        firsts.where(F.col("t0").isNotNull() & F.col("t1").isNotNull() & (F.col("t1") > F.col("t0")))
+        .select((F.col("t1") - F.col("t0")).alias("lag_ms"))
+    )
+    return (
+        lag.select(
+            F.length(F.bin(F.col("lag_ms") + 1)).cast("long").alias("bucket"),
+            "lag_ms",
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_users"),
+            F.min("lag_ms").cast("long").alias("min_lag_ms"),
+            F.max("lag_ms").cast("long").alias("max_lag_ms"),
+        )
+    )

@@ -373,3 +373,25 @@ def link_reciprocity(edges: DataFrame) -> DataFrame:
             ).cast("long").alias("reciprocity_bp"),
         )
     )
+
+
+def cocitation(edges: DataFrame, min_shared: int = 2) -> DataFrame:
+    """Co-citation strength: pairs of destination domains linked FROM the
+    same source domain, counted over distinct sources — the classic
+    related-domain signal (domains cited together are topically close).
+    Emits (dom_a, dom_b, n_shared_sources) for dom_a < dom_b with at
+    least ``min_shared`` shared citers.
+
+    One self-join of the deduped (src, dst) relation on src: fan-out is
+    C(out_degree, 2) per source — bounded by the domain graph's out
+    degrees, not page count."""
+    e = edges.select("src_domain", "dst_domain").distinct()
+    a = e.select(F.col("src_domain").alias("s"), F.col("dst_domain").alias("dom_a"))
+    b = e.select(F.col("src_domain").alias("s"), F.col("dst_domain").alias("dom_b"))
+    return (
+        a.join(b, "s")
+        .where(F.col("dom_a") < F.col("dom_b"))
+        .groupBy("dom_a", "dom_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared_sources"))
+        .where(F.col("n_shared_sources") >= min_shared)
+    )

@@ -139,3 +139,28 @@ def test_rate_spikes_hand_values(spark):
     assert by_hour[2].spike is False  # only 2 predecessors
     assert by_hour[3].spike is True and by_hour[3].trailing_sum == 6
     assert by_hour[4].spike is False and by_hour[4].trailing_sum == 10
+
+
+def test_conversion_lag_buckets(spark):
+    """Only strictly-converting users count; lag buckets are bit_length(lag+1)."""
+    from graphical_context_extraction_pipeline_spark.operators import events as EV
+
+    rows = [
+        # user 1: view at 0ms, purchase at 7ms -> lag 7 -> bucket len(bin(8)) = 4
+        (1, 1, "2020-01-01 00:00:00.000", "view"),
+        (2, 1, "2020-01-01 00:00:00.007", "purchase"),
+        # user 2: purchase BEFORE view -> excluded
+        (3, 2, "2020-01-01 00:00:00.000", "purchase"),
+        (4, 2, "2020-01-01 00:00:01.000", "view"),
+        # user 3: view only -> excluded
+        (5, 3, "2020-01-01 00:00:00.000", "view"),
+        # user 4: lag 1ms -> bucket len(bin(2)) = 2
+        (6, 4, "2020-01-01 00:00:00.000", "view"),
+        (7, 4, "2020-01-01 00:00:00.001", "purchase"),
+    ]
+    events = spark.createDataFrame(rows, "event_id long, user_id long, ts string, event_type string").selectExpr(
+        "event_id", "user_id", "cast(ts AS timestamp_ntz) AS ts", "event_type"
+    )
+    got = {r.bucket: (r.n_users, r.min_lag_ms, r.max_lag_ms)
+           for r in EV.conversion_lag(events).collect()}
+    assert got == {4: (1, 7, 7), 2: (1, 1, 1)}

@@ -190,3 +190,21 @@ def test_link_reciprocity_ratio(spark):
     assert got["farm2"].reciprocity_bp == 10000
     assert got["b"].reciprocity_bp == 10000  # b's single out-link is returned
     assert "c" not in got  # no outgoing edges, no row
+
+
+def test_cocitation_shared_sources(spark):
+    edges = spark.createDataFrame(
+        [
+            ("s1", "x", 1), ("s1", "y", 3), ("s1", "z", 1),
+            ("s2", "x", 1), ("s2", "y", 1),
+            ("s3", "x", 1), ("s3", "y", 1),
+            ("s3", "x", 1),  # duplicate edge rows count once per source
+        ],
+        "src_domain string, dst_domain string, n_links long",
+    )
+    got = {(r.dom_a, r.dom_b): r.n_shared_sources
+           for r in LG.cocitation(edges).collect()}
+    assert got == {("x", "y"): 3}  # (x,z) and (y,z) share only s1 -> below min
+    got2 = {(r.dom_a, r.dom_b): r.n_shared_sources
+            for r in LG.cocitation(edges, min_shared=1).collect()}
+    assert got2[("x", "z")] == 1 and got2[("y", "z")] == 1
