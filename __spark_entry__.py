@@ -449,6 +449,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ---- training-data ops: dedup ---------------------------------------
         "dedup_exact": lambda s, d: dedup.exact_duplicates(_planted_exact(_flat_docs(s, d))),
         "dedup_keep_first": lambda s, d: dedup.dedup_keep_first(_planted_exact(_flat_docs(s, d))),
+        # point near-dup lookup: "has this text been seen before?" — the
+        # query is doc 7's text + a suffix, taken from the corpus itself so
+        # both engines agree at any sf
+        "similar_to": lambda s, d: dedup.similar_to(
+            _flat_docs(s, d),
+            _flat_docs(s, d).where("doc_id = 7").first()["text"] + " graft query suffix",
+        ),
         # incremental: a synthetic "new batch" (copies of seen docs + fresh
         # texts + an in-batch duplicate pair) against the original corpus —
         # survivors are exactly the distinct fresh texts
@@ -2142,6 +2149,34 @@ FROM b
 """
 
     q["minhash_lsh_pairs"] = _minhash_oracle()
+
+    # point near-dup lookup: the query joins the corpus as doc_id = -1,
+    # band-collides against every real doc, exact jaccard over the shared
+    # shingle-hash rows the sig chain already exposes (hh)
+    q["similar_to"] = f"""
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT -1, (SELECT text FROM documents WHERE doc_id = 7) || ' graft query suffix'
+),
+{_minhash_sig_chain()},
+qb AS (SELECT band, bkey FROM banded WHERE doc_id = -1),
+cands AS (SELECT DISTINCT b.doc_id FROM banded b
+          JOIN qb ON b.band = qb.band AND b.bkey = qb.bkey
+          WHERE b.doc_id >= 0),
+sizes AS (SELECT doc_id, cast(count(*) AS bigint) AS n FROM hh GROUP BY 1),
+inter AS (SELECT d.doc_id, cast(count(*) AS bigint) AS i
+          FROM hh d JOIN hh qq ON qq.doc_id = -1 AND d.hh = qq.hh
+          WHERE d.doc_id >= 0 GROUP BY 1),
+scored AS (SELECT c.doc_id,
+                  cast((10000 * coalesce(x.i, 0))
+                       // (s.n + (SELECT n FROM sizes WHERE doc_id = -1)
+                           - coalesce(x.i, 0)) AS bigint) AS jaccard_bp
+           FROM cands c
+           JOIN sizes s ON s.doc_id = c.doc_id
+           LEFT JOIN inter x ON x.doc_id = c.doc_id)
+SELECT doc_id, jaccard_bp FROM scored WHERE jaccard_bp >= 1000
+"""
     q["minhash_incremental"] = _minhash_incremental_oracle()
     q["neardup_incr_survivors"] = _minhash_incr_survivors_oracle()
 

@@ -869,3 +869,62 @@ def strip_duplicate_passages(docs: DataFrame, n: int = 8, min_docs: int = 2) -> 
         F.col("r.n_tokens").alias("n_tokens"),
         F.col("r.n_removed").alias("n_removed"),
     )
+
+
+def similar_to(
+    docs: DataFrame,
+    query_text: str,
+    n: int = 3,
+    min_jaccard_bp: int = 1000,
+    n_hashes: int = N_MINHASH,
+    bands: int = LSH_BANDS,
+) -> DataFrame:
+    """Point near-dup lookup: documents similar to ONE given text —
+    (doc_id, jaccard_bp), jaccard over word-n-gram shingles, descending.
+    The retrieval twin of the pairwise dedup family: "has this text been
+    seen (approximately) before?" — ingest-time dedup probes, provenance
+    checks, contamination spot checks.
+
+    Scale path: the query's LSH band keys are computed on the driver (one
+    1-row job) and broadcast against the banded signature index — in
+    production the MATERIALIZED index relation, here derived — so only
+    band-colliding candidates are scanned for exact Jaccard; the query's
+    shingle set rides along as a literal array (KB-scale for any sane
+    query text). Recall is the LSH band recall (a true near-dup missing
+    all bands is missed — same contract as minhash_lsh_pairs).
+    """
+    spark = docs.sparkSession
+    qdf = spark.createDataFrame([(0, query_text)], "doc_id long, text string")
+    q_sh = qdf.select(_shingle_hash_pairs(F.col("text"), n).alias("sh")).first()["sh"]
+    if not q_sh:
+        return docs.select(
+            "doc_id", F.lit(0).cast("long").alias("jaccard_bp")
+        ).limit(0)
+    q_bands = banded_signatures(qdf, n_hashes, bands).collect()
+    keys = spark.createDataFrame(
+        [(int(r["band"]), int(r["bkey"])) for r in q_bands], "band int, bkey bigint"
+    )
+    cands = (
+        banded_signatures(docs, n_hashes, bands)
+        .join(F.broadcast(keys), ["band", "bkey"], "left_semi")
+        .select("doc_id")
+        .distinct()
+    )
+    q_arr = F.array(*[F.lit(int(h)) for h in sorted(q_sh)])
+    n_q = len(q_sh)
+    scored = (
+        docs.join(cands, "doc_id")
+        .select("doc_id", _shingle_hash_pairs(F.col("text"), n).alias("sh"))
+        .select(
+            "doc_id",
+            F.size("sh").alias("n_doc"),
+            F.size(F.array_intersect(F.col("sh"), q_arr)).alias("inter"),
+        )
+        .select(
+            "doc_id",
+            F.expr(f"(10000 * inter) DIV (n_doc + {n_q} - inter)")
+            .cast("long")
+            .alias("jaccard_bp"),
+        )
+    )
+    return scored.where(F.col("jaccard_bp") >= min_jaccard_bp)

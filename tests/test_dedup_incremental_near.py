@@ -115,3 +115,27 @@ def test_bloom_index_bounded_and_monotone(spark):
     assert bits_a <= bits_b
     assert all(0 <= p < 512 for p in bits_b)
     assert len(bits_b) <= 512
+
+
+def test_similar_to_point_lookup(spark):
+    """The retrieval twin of the pair family: an exact copy scores 10000,
+    a suffix-mutated copy scores high, unrelated text scores nothing, a
+    too-short query yields an empty (schema-stable) result."""
+    from graphical_context_extraction_pipeline_spark.operators import dedup
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 3
+    docs = spark.createDataFrame(
+        [
+            (1, base),
+            (2, base + " lambda mu"),
+            (3, "completely different words nothing shared here at all today"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r.jaccard_bp for r in dedup.similar_to(docs, base).collect()}
+    assert got[1] == 10000
+    assert 2 in got and 6000 <= got[2] < 10000
+    assert 3 not in got
+    # short query (< n tokens): empty result, schema intact
+    out = dedup.similar_to(docs, "one two")
+    assert out.count() == 0 and out.columns == ["doc_id", "jaccard_bp"]
