@@ -927,4 +927,9 @@ def similar_to(
             .alias("jaccard_bp"),
         )
     )
-    return scored.where(F.col("jaccard_bp") >= min_jaccard_bp)
+    # the docstring promises descending order — the survivor set is tiny
+    # (band-colliding candidates above the threshold), so the sort is a
+    # single small-partition TakeOrdered-class step, not a corpus shuffle
+    return scored.where(F.col("jaccard_bp") >= min_jaccard_bp).orderBy(
+        F.col("jaccard_bp").desc(), F.col("doc_id").asc()
+    )

@@ -39,6 +39,28 @@ E9 = 1_000_000_000
 _HREF_RE = r'<a\b[^>]*href="([^"]*)"'
 
 
+def _dst_domain(href, src_domain):
+    """Href → destination domain, the single resolution contract shared by
+    :func:`extract_links` and :func:`anchor_counts` (mirrored verbatim in
+    the DuckDB oracle CASE): absolute → its own host's domain,
+    protocol-relative ``//host/path`` → that host's domain (checked BEFORE
+    the root-relative arm, which its prefix would otherwise match —
+    silently misattributing the edge to the page's own domain),
+    root-relative ``/path`` → the page's domain, anything else dropped."""
+    pr_host = F.nullif(
+        F.regexp_replace(
+            F.lower(F.regexp_extract(href, r"^//([^/?#]+)", 1)), r"^www\.", ""
+        ),
+        F.lit(""),
+    )
+    return (
+        F.when(href.rlike(r"^https?://"), _domain(href))
+        .when(href.startswith("//"), pr_host)
+        .when(href.startswith("/"), src_domain)
+        .otherwise(F.lit(None))
+    )
+
+
 def extract_links(pages: DataFrame, url_col: str = "url") -> DataFrame:
     """Domain-level edge list: (src_domain, dst_domain, n_links), n_links
     the number of anchors. Self-links (site navigation) are kept — they
@@ -48,13 +70,7 @@ def extract_links(pages: DataFrame, url_col: str = "url") -> DataFrame:
         _domain(F.col(url_col)).alias("src_domain"),
         F.explode(F.regexp_extract_all(F.col("html"), F.lit(_HREF_RE), F.lit(1))).alias("href"),
     )
-    dst = (
-        F.when(
-            F.col("href").rlike(r"^https?://"), _domain(F.col("href"))
-        )
-        .when(F.col("href").startswith("/"), F.col("src_domain"))
-        .otherwise(F.lit(None))
-    )
+    dst = _dst_domain(F.col("href"), F.col("src_domain"))
     return (
         hrefs.select("src_domain", dst.alias("dst_domain"))
         .where(F.col("dst_domain").isNotNull())
@@ -106,11 +122,7 @@ def anchor_counts(pages: DataFrame, url_col: str = "url") -> DataFrame:
         ).alias("elem"),
     )
     href = F.regexp_extract(F.col("elem"), _HREF_RE, 1)
-    dst = (
-        F.when(href.rlike(r"^https?://"), _domain(href))
-        .when(href.startswith("/"), F.col("src_domain"))
-        .otherwise(F.lit(None))
-    )
+    dst = _dst_domain(href, F.col("src_domain"))
     txt = _norm_text(F.regexp_extract(F.col("elem"), _ANCHOR_INNER_RE, 1))
     return (
         elems.select(dst.alias("dst_domain"), txt.alias("anchor_text"))

@@ -14,8 +14,11 @@ the whole corpus at once — pinned by test.
 
 Exactly-once: foreachBatch can re-run an epoch on failure; the version
 pointer is only advanced AFTER a successful write and records the epoch
-id, so a replayed epoch overwrites its own versioned directory instead of
-double-merging (read-modify-write keyed on epoch id).
+id, and ``process_batch`` checks that recorded epoch FIRST — a replay of
+an epoch the pointer has already absorbed (crash between ``os.replace``
+and the streaming checkpoint commit) is an idempotent no-op, so the batch
+can neither double-merge into ``df``/``total_tf`` nor overwrite the very
+version directory the merge is lazily reading from.
 
 Ordering contract (from inverted_index_delta): doc_ids ascend across
 batches (append-only ingest), so posting concatenation preserves the
@@ -37,14 +40,22 @@ DOCS_STREAM_DDL = "doc_id long, text string"
 _POINTER = "CURRENT.json"
 
 
-def read_current_index(spark: SparkSession, index_dir: str):
-    """The standing index the pointer names, or None before the first
-    epoch commits."""
+def _read_pointer(index_dir: str) -> dict | None:
+    """The pointer metadata ({version, epoch_id}), or None before the
+    first epoch commits."""
     ptr = os.path.join(index_dir, _POINTER)
     if not os.path.exists(ptr):
         return None
     with open(ptr) as f:
-        meta = json.load(f)
+        return json.load(f)
+
+
+def read_current_index(spark: SparkSession, index_dir: str):
+    """The standing index the pointer names, or None before the first
+    epoch commits."""
+    meta = _read_pointer(index_dir)
+    if meta is None:
+        return None
     return spark.read.parquet(os.path.join(index_dir, meta["version"]))
 
 
@@ -65,10 +76,18 @@ def stream_index_maintenance(
     )
 
     def process_batch(batch_df, epoch_id: int) -> None:
-        current = read_current_index(spark, index_dir)
-        if current is None:
+        meta = _read_pointer(index_dir)
+        if meta is not None and meta["epoch_id"] >= epoch_id:
+            # Replay of an epoch the pointer already absorbed (crash landed
+            # between os.replace and the checkpoint commit): merging again
+            # would double df/total_tf AND overwrite the version directory
+            # the merge lazily reads. Idempotent no-op — the pointer state
+            # already equals this epoch's intended output.
+            return
+        if meta is None:
             merged = inverted_index(batch_df, cap=cap)
         else:
+            current = spark.read.parquet(os.path.join(index_dir, meta["version"]))
             merged = inverted_index_delta(current, batch_df, cap=cap)
         version = f"v{epoch_id:010d}"
         merged.write.mode("overwrite").parquet(os.path.join(index_dir, version))
