@@ -632,6 +632,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         # integer-BM25 keyword retrieval: one selective + two common terms
         "bm25_search": lambda s, d: SE.bm25(_flat_docs(s, d), BM25_QUERY, k=10),
+        # index-backed serving: score from the standing tailed posting
+        # index + norms table, never rescanning document text
+        "bm25_from_index": lambda s, d: SE.bm25_from_index(
+            SE.inverted_index(_tailed_docs(_flat_docs(s, d))),
+            SE.doc_norms(_tailed_docs(_flat_docs(s, d))),
+            BM25_INDEX_QUERY,
+            k=10,
+        ),
         "phrase_search": lambda s, d: SE.phrase_search(_flat_docs(s, d), PHRASE_QUERY, k=20),
         "search_snippets": lambda s, d: SE.snippets(_flat_docs(s, d), BM25_QUERY, k=10),
         # extraction feeds retrieval: BM25 over the DOM-extracted bodies
@@ -702,6 +710,13 @@ _TOKS = r"list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '')"
 # bm25_search registration query: 'dup' is selective (df≈25 at sf0.01),
 # 'vector'/'spark' are corpus-wide — both idf regimes exercised
 BM25_QUERY = "dup vector spark"
+
+# bm25_from_index registration: served from the standing tailed index —
+# 'tail42' stays selective at EVERY sf (df ≈ N/311), 'dup' crosses the
+# hot cap between sf0.01 (df 25) and sf0.1 (df 250), 'vector' is hot
+# everywhere: all three index regimes live in one query, non-empty at
+# every scale the driver runs
+BM25_INDEX_QUERY = "tail42 dup vector"
 
 # phrase_search registration: an adjacent pair that occurs multiple times
 # in some documents (multi-hit counting exercised) but not in most
@@ -2673,10 +2688,12 @@ dfc AS (SELECT token, cast(count(*) AS bigint) AS df,
                cast(sum(tf) AS bigint) AS total_tf
         FROM td GROUP BY 1),
 p AS (SELECT token,
-             string_agg(cast(doc_id AS varchar), chr(31) ORDER BY doc_id) AS postings
+             string_agg(cast(doc_id AS varchar), chr(31) ORDER BY doc_id) AS postings,
+             string_agg(cast(tf AS varchar), chr(31) ORDER BY doc_id) AS tfs
       FROM td WHERE token IN (SELECT token FROM dfc WHERE df <= {POSTINGS_CAP})
       GROUP BY 1)
-SELECT d.token, d.df, d.total_tf, coalesce(p.postings, '') AS postings
+SELECT d.token, d.df, d.total_tf, coalesce(p.postings, '') AS postings,
+       coalesce(p.tfs, '') AS tfs
 FROM dfc d LEFT JOIN p ON p.token = d.token
 """
 
@@ -2700,20 +2717,30 @@ dfc AS (SELECT token, cast(count(*) AS bigint) AS df,
                cast(sum(tf) AS bigint) AS total_tf
         FROM td GROUP BY 1),
 p AS (SELECT token,
-             string_agg(cast(doc_id AS varchar), chr(31) ORDER BY doc_id) AS postings
+             string_agg(cast(doc_id AS varchar), chr(31) ORDER BY doc_id) AS postings,
+             string_agg(cast(tf AS varchar), chr(31) ORDER BY doc_id) AS tfs
       FROM td WHERE token IN (SELECT token FROM dfc WHERE df <= {POSTINGS_CAP})
       GROUP BY 1)
-SELECT d.token, d.df, d.total_tf, coalesce(p.postings, '') AS postings
+SELECT d.token, d.df, d.total_tf, coalesce(p.postings, '') AS postings,
+       coalesce(p.tfs, '') AS tfs
 FROM dfc d LEFT JOIN p ON p.token = d.token
 """
 
     # integer-BM25: the exact fixed-point recurrence from search.bm25 —
-    # avg10 deci-token avgdl, e6-floored ln idf (measured bit-identical
-    # across libms over the integer df domain), per-term DIV floor
-    def _bm25_chain(corpus: str) -> str:
+    # avg10 deci-token avgdl, libm-free integer-recurrence idf (the
+    # intmath.ln_e6_sql twin of the driver-side ln_e6 — no float ln in
+    # either engine's chain), per-term DIV floor
+    from graphical_context_extraction_pipeline_spark.functions.intmath import (
+        ln_e6_sql,
+    )
+
+    def _bm25_chain(corpus: str, query: str = BM25_QUERY, hot_cap: int | None = None) -> str:
         """CTE tail computing bm25 top-10 over a relation named `corpus`
-        with (doc_id, text); append after a WITH prelude."""
-        terms = sorted(set(BM25_QUERY.lower().split()))
+        with (doc_id, text); append after a WITH prelude. With
+        ``hot_cap`` set it replays bm25_from_index's stopword semantics
+        instead: a term whose df exceeds the cap has no posting list in
+        the index, so it is excluded from scoring entirely."""
+        terms = sorted(set(query.lower().split()))
         tf = ",\n       ".join(
             f"cast(len(list_filter(toks, x -> x = '{w}')) AS bigint) AS tf{i}"
             for i, w in enumerate(terms)
@@ -2722,13 +2749,17 @@ FROM dfc d LEFT JOIN p ON p.token = d.token
             f"sum(CASE WHEN tf{i} > 0 THEN 1 ELSE 0 END) AS df{i}"
             for i in range(len(terms))
         )
-        idf = ",\n       ".join(
-            f"cast(floor(1000000 * ln((2 * nd + 2) / cast(2 * df{i} + 1 AS double)))"
-            f" AS bigint) AS idf{i}"
-            for i in range(len(terms))
+        idf_parts = []
+        for i in range(len(terms)):
+            items, col = ln_e6_sql(f"2 * nd + 2", f"2 * df{i} + 1", str(i))
+            idf_parts.append(f"{items},\n       {col} AS idf{i}, df{i}")
+        idf = ",\n       ".join(idf_parts)
+        hot = (
+            f" AND c.df{{i}} <= {hot_cap}" if hot_cap is not None else ""
         )
         score = " + ".join(
-            f"CASE WHEN s.tf{i} > 0 THEN (c.idf{i} * s.tf{i} * 22 * c.avg10)"
+            f"CASE WHEN s.tf{i} > 0{hot.format(i=i)} THEN"
+            f" (c.idf{i} * s.tf{i} * 22 * c.avg10)"
             f" // (10 * c.avg10 * s.tf{i} + 3 * c.avg10 + 90 * s.dl) ELSE 0 END"
             for i in range(len(terms))
         )
@@ -2747,6 +2778,18 @@ r AS (SELECT s.doc_id, cast({score} AS bigint) AS score_e6
 SELECT doc_id, score_e6 FROM r WHERE score_e6 > 0"""
 
     q["bm25_search"] = f"WITH {_bm25_chain('documents')}\n"
+
+    # index-backed serving twin: same recurrence, but scored FROM the
+    # materialized tailed posting index — the oracle recomputes df from
+    # the tailed corpus and replays the hot-exclusion (df > cap ⇒ term
+    # contributes nothing), independently proving both the tf-carrying
+    # postings and the stopword semantics
+    q["bm25_from_index"] = (
+        "WITH docs AS (SELECT doc_id, text || ' tail' ||"
+        " cast(doc_id % 311 AS varchar) AS text FROM documents),\n"
+        + _bm25_chain("docs", query=BM25_INDEX_QUERY, hot_cap=POSTINGS_CAP)
+        + "\n"
+    )
 
     # KWIC snippets: densest query-term window via the struct-ordered
     # (−count, pos) argmin, replayed with struct_pack + list_sort

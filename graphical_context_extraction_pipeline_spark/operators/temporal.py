@@ -139,15 +139,28 @@ def view_attribution(
     )
 
 
+# Pre-division offset for bucket ids: Spark DIV truncates toward zero
+# while a floor-dividing replay (DuckDB //) disagrees on negative
+# numerators (the repo's pinned trap). Bucket ids are internal — and both
+# truncation and floor are monotone, so the claim bucket always lies in
+# the replicated range either way — but offsetting keeps every numerator
+# positive so the two conventions are provably the SAME function on the
+# whole input domain instead of agreeing by a monotonicity argument.
+# 2^43 ms clears epoch-ms magnitudes back to year ~1691.
+_BUCKET_OFFSET = 1 << 43
+
+
 def _bucketed(intervals: DataFrame, bucket_ms: int, prefix: str) -> DataFrame:
     """Replicate each interval to every ``bucket_ms`` bucket it touches.
     Integer DIV keeps the bucket ids exact (float quotients round across
-    integer boundaries near 2^41 — the events.py trap)."""
+    integer boundaries near 2^41 — the events.py trap); the positive
+    offset makes DIV ≡ floor-division for pre-1970 timestamps too."""
     cols = [F.col(c).alias(f"{prefix}{c}") for c in intervals.columns]
     return intervals.select(
-        F.expr(f"explode(sequence(start_ms DIV {bucket_ms}, end_ms DIV {bucket_ms}))").alias(
-            "bucket"
-        ),
+        F.expr(
+            f"explode(sequence((start_ms + {_BUCKET_OFFSET}) DIV {bucket_ms},"
+            f" (end_ms + {_BUCKET_OFFSET}) DIV {bucket_ms}))"
+        ).alias("bucket"),
         *cols,
     )
 
@@ -185,7 +198,9 @@ def interval_overlap_counts(
     overlap = (F.col("a_start_ms") <= F.col("b_end_ms")) & (
         F.col("b_start_ms") <= F.col("a_end_ms")
     )
-    claim = F.col("bucket") == F.expr(f"greatest(a_start_ms, b_start_ms) DIV {bucket_ms}")
+    claim = F.col("bucket") == F.expr(
+        f"(greatest(a_start_ms, b_start_ms) + {_BUCKET_OFFSET}) DIV {bucket_ms}"
+    )
     pairs = a.join(b, on="bucket", how="inner").where(~same & overlap & claim)
     counts = pairs.groupBy(*[F.col(f"a_{k}").alias(k) for k in key_cols]).agg(
         F.count(F.lit(1)).cast("long").alias("n_overlaps")

@@ -156,3 +156,17 @@ def test_concurrent_sessions_planted(spark):
     got = {(r.user_id, r.session_idx): r.n_concurrent for r in
            T.concurrent_sessions(ev).collect()}
     assert got == {(1, 1): 1, (2, 1): 1, (2, 2): 0}
+
+
+def test_overlap_negative_timestamps(spark):
+    """Pre-1970 intervals: the positive bucket offset makes DIV a true
+    floor, so counts stay exact when intervals straddle zero — the pinned
+    truncate-vs-floor trap can't reach the bucket ids."""
+    rows = [
+        (1, 0, -100, -10), (2, 0, -50, 40), (3, 0, -9, -1),
+        (4, 0, 0, 60), (5, 0, -200, -150),
+    ]
+    expected = _overlaps(spark, rows, bucket_ms=1_000_000)  # single bucket = brute
+    assert expected == {(1, 0): 1, (2, 0): 3, (3, 0): 1, (4, 0): 1, (5, 0): 0}
+    for w in (3, 7, 16, 64):
+        assert _overlaps(spark, rows, bucket_ms=w) == expected, f"bucket_ms={w}"
