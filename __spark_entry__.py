@@ -752,7 +752,7 @@ _CORPUS_NEAR = (
 )
 _SHINGLES_CTE = f"""
 tk AS (SELECT doc_id, {_TOKS} AS toks FROM corpus),
-sh AS (SELECT doc_id, unnest(list_distinct(
+sh AS MATERIALIZED (SELECT doc_id, unnest(list_distinct(
          CASE WHEN len(toks) >= 3
               THEN list_transform(generate_series(1, len(toks) - 2),
                                   i -> array_to_string(list_slice(toks, i, i + 2), ' '))
@@ -830,14 +830,14 @@ SELECT DISTINCT doc_a, doc_b FROM (
 # so the walk enumerates exactly the (node, smaller-reachable-label) pairs
 # and min() per node is the component id, mirroring
 # operators/cluster.connected_components
-_CC_CHAIN = """edges AS (SELECT doc_a AS s, doc_b AS d FROM np
+_CC_CHAIN = """edges AS MATERIALIZED (SELECT doc_a AS s, doc_b AS d FROM np
           UNION SELECT doc_b AS s, doc_a AS d FROM np),
 walk(n, l) AS (
   SELECT DISTINCT s, s FROM edges
   UNION
   SELECT e.d, w.l FROM walk w JOIN edges e ON e.s = w.n WHERE w.l < e.d
 ),
-cc AS (SELECT n AS doc_id, min(l) AS component FROM walk GROUP BY n),
+cc AS MATERIALIZED (SELECT n AS doc_id, min(l) AS component FROM walk GROUP BY n),
 szs AS (SELECT component, count(*) AS n_members FROM cc GROUP BY component)"""
 
 
@@ -2138,11 +2138,11 @@ FROM fresh GROUP BY dup_key
     # corpus definition (the planted near corpus here; the exact-survivor
     # set in the curation oracle)
     ngram_chain = f"""{_SHINGLES_CTE},
-sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+sizes AS MATERIALIZED (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
 ok AS (SELECT shingle FROM sh GROUP BY shingle
        HAVING count(*) <= {MAX_DOCS_PER_SHINGLE}),
-shc AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN ok USING (shingle)),
-pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared
+shc AS MATERIALIZED (SELECT sh.doc_id, sh.shingle FROM sh JOIN ok USING (shingle)),
+pairs AS MATERIALIZED (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared
           FROM shc a JOIN shc b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
           GROUP BY 1, 2),
 -- all-hot fallback mirrored from dedup.ngram_jaccard_pairs: docs that kept
@@ -2154,7 +2154,7 @@ allhot AS (SELECT doc_id,
            GROUP BY doc_id),
 sigstats AS (SELECT sig, count(*) AS n_members, min(doc_id) AS hub
              FROM allhot GROUP BY sig),
-np AS (SELECT doc_a, doc_b, n_shared,
+np AS MATERIALIZED (SELECT doc_a, doc_b, n_shared,
        sa.n_sh + sb.n_sh - n_shared AS n_union,
        cast(floor(n_shared * 10000.0 / (sa.n_sh + sb.n_sh - n_shared)) AS bigint) AS jaccard_bp
 FROM pairs JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b
