@@ -287,6 +287,30 @@ def _planted_emb(emb: DataFrame) -> DataFrame:
     return emb.unionByName(shifted(1, 600000, 0.02)).unionByName(shifted(21, 700000, 0.05))
 
 
+def _emb_batch(emb: DataFrame) -> DataFrame:
+    """Ingest batch for the incremental embedding index: near-dup plants
+    (the same float32 +0.02/+0.05 perturbations as _planted_emb, ids
+    offset into the batch range) plus genuinely-new vectors (negated —
+    cosine −1 against their originals, so they exercise the
+    candidate-rejected-by-cosine path and the no-collision path)."""
+
+    def shifted(mod_match: int, id_off: int, delta: float) -> DataFrame:
+        return emb.where(F.col("vec_id") % 40 == mod_match).select(
+            (F.col("vec_id") + id_off).alias("vec_id"),
+            F.transform(
+                "embedding", lambda x: x + F.lit(delta).cast("float")
+            ).alias("embedding"),
+            "label",
+        )
+
+    negated = emb.where(F.col("vec_id") % 40 == 31).select(
+        (F.col("vec_id") + 800000).alias("vec_id"),
+        F.transform("embedding", lambda x: (-x).cast("float")).alias("embedding"),
+        "label",
+    )
+    return shifted(1, 600000, 0.02).unionByName(shifted(21, 700000, 0.05)).unionByName(negated)
+
+
 QUERY_IDS = list(range(10))
 
 
@@ -672,6 +696,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # n_iters=0: seeded-reservoir centroids, exactly DuckDB-oracled;
         # Lloyd-refined quality is pinned by tests/test_ann_recall.py
         "ivf_topk": lambda s, d: similarity.ivf_topk(_emb(s, d), QUERY_IDS, n_iters=0),
+        # incremental ANN-index maintenance: an ingest batch joined
+        # against the seen corpus' banded sign-bucket index
+        "embedding_incremental": lambda s, d: similarity.embedding_incremental_pairs(
+            _emb_batch(_emb(s, d)), _emb(s, d)
+        ),
         "embedding_cosine_dups": lambda s, d: similarity.embedding_cosine_dups(
             _planted_emb(_emb(s, d))
         ),
@@ -1080,6 +1109,56 @@ def _emb_dups_oracle(min_cos_e4: int = 9000) -> str:
     return f"""
 WITH {_emb_dups_chain()}
 SELECT vec_a, vec_b, cos_e4 FROM scored WHERE cos_e4 >= {min_cos_e4}
+"""
+
+
+def _emb_incremental_oracle(min_cos_e4: int = 9000, max_bucket: int = 64) -> str:
+    """Replays similarity.embedding_incremental_pairs over the _emb_batch
+    ingest: seen-side banded index with hot buckets collapsed to their
+    min-vec_id hub, batch×index bucket join, exact cosine gate. Batch ids
+    are ≥ 600000 by construction, so the banded relation splits by id
+    range exactly as the minhash incremental oracle does."""
+    from graphical_context_extraction_pipeline_spark.operators.similarity import (
+        EMB_DUP_PLANES,
+        EMB_DUP_SEED,
+        EMB_DUP_TABLES,
+    )
+
+    banded = _banded_sql(EMB_DUP_PLANES, EMB_DUP_TABLES, EMB_DUP_SEED, _emb_dim())
+    return f"""
+WITH batch AS (
+  SELECT vec_id + 600000 AS vec_id,
+         list_transform(embedding, x -> cast(x + cast(0.02 AS REAL) AS REAL)) AS embedding
+  FROM embeddings WHERE vec_id % 40 = 1
+  UNION ALL
+  SELECT vec_id + 700000 AS vec_id,
+         list_transform(embedding, x -> cast(x + cast(0.05 AS REAL) AS REAL)) AS embedding
+  FROM embeddings WHERE vec_id % 40 = 21
+  UNION ALL
+  SELECT vec_id + 800000 AS vec_id,
+         list_transform(embedding, x -> cast(-x AS REAL)) AS embedding
+  FROM embeddings WHERE vec_id % 40 = 31
+),
+e AS MATERIALIZED (SELECT vec_id, cast(embedding AS DOUBLE[]) AS v FROM embeddings
+     UNION ALL SELECT vec_id, cast(embedding AS DOUBLE[]) AS v FROM batch),
+b AS MATERIALIZED (
+{banded}
+),
+newb AS (SELECT * FROM b WHERE vec_id >= 600000),
+seenb AS (SELECT * FROM b WHERE vec_id < 600000),
+sstats AS (SELECT tbl, bucket, count(*) AS n_members, min(vec_id) AS hub
+           FROM seenb GROUP BY 1, 2),
+idx AS (SELECT s.tbl, s.bucket, s.vec_id
+        FROM seenb s JOIN sstats t ON t.tbl = s.tbl AND t.bucket = s.bucket
+        WHERE t.n_members <= {max_bucket} OR s.vec_id = t.hub),
+cand AS (SELECT DISTINCT n.vec_id AS vec_new, i.vec_id AS vec_seen
+         FROM newb n JOIN idx i ON i.tbl = n.tbl AND i.bucket = n.bucket),
+scored AS (SELECT c.vec_new, c.vec_seen,
+                  cast(floor(({_COS_SQL}) * 10000) AS bigint) AS cos_e4
+           FROM cand c
+           JOIN e ea ON ea.vec_id = c.vec_new
+           JOIN e eb ON eb.vec_id = c.vec_seen)
+SELECT vec_new, vec_seen, cos_e4 FROM scored WHERE cos_e4 >= {min_cos_e4}
 """
 
 
@@ -3384,6 +3463,7 @@ FROM bl
     q["ann_topk_lsh"] = _ann_lsh_oracle(ids)
     q["ivf_topk"] = _ivf_oracle(ids)
     q["embedding_cosine_dups"] = _emb_dups_oracle()
+    q["embedding_incremental"] = _emb_incremental_oracle()
     q["embedding_neardup_survivors"] = _emb_neardup_survivors_oracle()
 
     # per-cluster e6 centroids: quantize floor(1e6·v), sum bigints, divide

@@ -393,3 +393,82 @@ def cluster_centroids(emb: DataFrame, members: DataFrame, id_col: str = "vec_id"
             "n_members",
         )
     )
+
+
+EMB_MAX_BUCKET = 64
+
+
+def embedding_incremental_pairs(
+    new_emb: DataFrame,
+    seen_emb: DataFrame,
+    min_cos_e4: int = 9000,
+    n_planes: int = EMB_DUP_PLANES,
+    n_tables: int = EMB_DUP_TABLES,
+    seed: int = EMB_DUP_SEED,
+    max_bucket: int = EMB_MAX_BUCKET,
+) -> DataFrame:
+    """Embedding near-dups of an ingest batch against the already-seen
+    corpus: (vec_new, vec_seen, cos_e4) for batch vectors sharing a
+    sign-bucket with a seen vector in ANY hyperplane table AND passing
+    the exact cosine gate — ``minhash_incremental_pairs``' daily-ingest
+    shape (dedup.py) lifted to the embedding modality, and the
+    incremental twin of :func:`embedding_cosine_dups`.
+
+    Scale design: the seen side reduces to its multi-table banded index
+    (table, bucket, vec_id, embedding) — in production a MATERIALIZED
+    ANN index appended to per ingest (vectors ride along exactly as IVF
+    lists store them), so the 100 TB embedding corpus is never re-read.
+    Seen buckets larger than ``max_bucket`` (a giant boilerplate cluster
+    collapses to one sign pattern in every table) are represented by
+    their min-vec_id hub alone — a batch vector hitting such a bucket
+    gains exactly one candidate, all an accept/reject decision needs,
+    and per-batch-row join fan-out stays bounded by ``max_bucket`` per
+    table. The batch side is a day's ingest (small); AQE broadcasts it
+    into the index join. Both hyperplane families derive from one
+    ``dim`` sniff (one driver action total).
+
+    Merge law (pinned by test): with no hot bucket this equals the
+    (seen, new) cross-pairs of ``embedding_cosine_dups(seen ∪ new)`` —
+    the index join IS the full rebuild restricted to cross edges.
+    """
+    dim = _embedding_dim(seen_emb)
+
+    def banded(e: DataFrame) -> DataFrame:
+        tabs = [
+            lsh_bucket(e, n_planes, seed + 1000 * t, dim=dim).withColumn(
+                "table", F.lit(t)
+            )
+            for t in range(n_tables)
+        ]
+        out = tabs[0]
+        for t in tabs[1:]:
+            out = out.unionByName(t)
+        return out
+
+    seen_b = banded(seen_emb)
+    new_b = banded(new_emb)
+    stats = seen_b.groupBy("table", "bucket").agg(
+        F.count("*").alias("n_members"), F.min("vec_id").alias("hub")
+    )
+    index = (
+        seen_b.join(stats, ["table", "bucket"])
+        .where((F.col("n_members") <= max_bucket) | (F.col("vec_id") == F.col("hub")))
+        .select("table", "bucket", "vec_id", "embedding")
+    )
+    cand = (
+        new_b.alias("n")
+        .join(index.alias("s"), ["table", "bucket"])
+        .select(
+            F.col("n.vec_id").alias("vec_new"),
+            F.col("s.vec_id").alias("vec_seen"),
+            F.col("n.embedding").alias("en"),
+            F.col("s.embedding").alias("es"),
+        )
+        .dropDuplicates(["vec_new", "vec_seen"])
+    )
+    cos = _dot(F.col("en"), F.col("es")) / (_norm(F.col("en")) * _norm(F.col("es")))
+    return cand.select(
+        "vec_new",
+        "vec_seen",
+        F.floor(cos * 10000).cast("long").alias("cos_e4"),
+    ).where(F.col("cos_e4") >= min_cos_e4)
