@@ -59,6 +59,37 @@ def read_current_index(spark: SparkSession, index_dir: str):
     return spark.read.parquet(os.path.join(index_dir, meta["version"]))
 
 
+def merge_epoch(
+    spark: SparkSession,
+    index_dir: str,
+    batch_df,
+    epoch_id: int,
+    cap: int = POSTINGS_CAP,
+) -> bool:
+    """One foreachBatch epoch, module-level so the replay contract is
+    directly testable: returns True if the batch was merged, False when
+    the pointer shows this epoch (or a later one) already absorbed —
+    a replay after a crash between ``os.replace`` and the checkpoint
+    commit must be an idempotent no-op, because merging again would
+    double df/total_tf AND overwrite the very version directory the
+    delta-merge lazily reads."""
+    meta = _read_pointer(index_dir)
+    if meta is not None and meta["epoch_id"] >= epoch_id:
+        return False
+    if meta is None:
+        merged = inverted_index(batch_df, cap=cap)
+    else:
+        current = spark.read.parquet(os.path.join(index_dir, meta["version"]))
+        merged = inverted_index_delta(current, batch_df, cap=cap)
+    version = f"v{epoch_id:010d}"
+    merged.write.mode("overwrite").parquet(os.path.join(index_dir, version))
+    tmp = os.path.join(index_dir, f".{_POINTER}.tmp")
+    with open(tmp, "w") as f:
+        json.dump({"version": version, "epoch_id": epoch_id}, f)
+    os.replace(tmp, os.path.join(index_dir, _POINTER))
+    return True
+
+
 def stream_index_maintenance(
     spark: SparkSession,
     input_dir: str,
@@ -76,25 +107,7 @@ def stream_index_maintenance(
     )
 
     def process_batch(batch_df, epoch_id: int) -> None:
-        meta = _read_pointer(index_dir)
-        if meta is not None and meta["epoch_id"] >= epoch_id:
-            # Replay of an epoch the pointer already absorbed (crash landed
-            # between os.replace and the checkpoint commit): merging again
-            # would double df/total_tf AND overwrite the version directory
-            # the merge lazily reads. Idempotent no-op — the pointer state
-            # already equals this epoch's intended output.
-            return
-        if meta is None:
-            merged = inverted_index(batch_df, cap=cap)
-        else:
-            current = spark.read.parquet(os.path.join(index_dir, meta["version"]))
-            merged = inverted_index_delta(current, batch_df, cap=cap)
-        version = f"v{epoch_id:010d}"
-        merged.write.mode("overwrite").parquet(os.path.join(index_dir, version))
-        tmp = os.path.join(index_dir, f".{_POINTER}.tmp")
-        with open(tmp, "w") as f:
-            json.dump({"version": version, "epoch_id": epoch_id}, f)
-        os.replace(tmp, os.path.join(index_dir, _POINTER))
+        merge_epoch(spark, index_dir, batch_df, epoch_id, cap=cap)
 
     return (
         stream.writeStream.foreachBatch(process_batch)

@@ -55,3 +55,42 @@ def test_streamed_index_equals_batch_rebuild(spark, tmp_path):
     assert got["cold"][2] == "1\x1f2"
     # two epochs committed, pointer names the latest version
     assert len(glob.glob(os.path.join(idx_dir, "v*"))) == 2
+
+
+def test_epoch_replay_is_idempotent_noop(spark, tmp_path):
+    """Crash between pointer swap and checkpoint commit ⇒ foreachBatch
+    re-runs the epoch. The replay must neither double-merge df/total_tf
+    nor rewrite the version directory the standing index lives in."""
+    from graphical_context_extraction_pipeline_spark.streaming.index import (
+        _read_pointer,
+        merge_epoch,
+    )
+
+    idx_dir = str(tmp_path / "index")
+    os.makedirs(idx_dir)
+    b1 = spark.createDataFrame([(1, "a b"), (2, "a")], "doc_id long, text string")
+    b2 = spark.createDataFrame([(101, "a c")], "doc_id long, text string")
+
+    assert merge_epoch(spark, idx_dir, b1, 0) is True
+    assert merge_epoch(spark, idx_dir, b2, 1) is True
+    snapshot = {
+        r.token: (r.df, r.total_tf, r.postings, r.tfs)
+        for r in read_current_index(spark, idx_dir).collect()
+    }
+    assert snapshot["a"] == (3, 3, "1\x1f2\x1f101", "1\x1f1\x1f1")
+
+    # replay epoch 1 (and a stale epoch 0): both refuse to merge
+    assert merge_epoch(spark, idx_dir, b2, 1) is False
+    assert merge_epoch(spark, idx_dir, b1, 0) is False
+    assert _read_pointer(idx_dir)["epoch_id"] == 1
+    after = {
+        r.token: (r.df, r.total_tf, r.postings, r.tfs)
+        for r in read_current_index(spark, idx_dir).collect()
+    }
+    assert after == snapshot
+
+    # the NEXT epoch still merges normally
+    b3 = spark.createDataFrame([(201, "a")], "doc_id long, text string")
+    assert merge_epoch(spark, idx_dir, b3, 2) is True
+    final = {r.token: r.df for r in read_current_index(spark, idx_dir).collect()}
+    assert final["a"] == 4
