@@ -128,6 +128,27 @@ def run_suite(cpus: int, sf_dir: str) -> dict:
 
     extract_documents(docs.limit(64)).count()  # warmup
 
+    # standing serving structures for the index-backed lines: built once
+    # (build cost is its own line, "inverted_index"), read back from
+    # parquet so the timed call is the true serving shape — pushed-filter
+    # point lookups, never a corpus text scan
+    from pyspark.sql import functions as _F
+
+    idx_root = os.path.join(REPO, "data", tag, "bench_index")
+    SE.inverted_index(flat, cap=1024).write.mode("overwrite").parquet(
+        os.path.join(idx_root, "postings")
+    )
+    SE.doc_norms(flat).write.mode("overwrite").parquet(os.path.join(idx_root, "norms"))
+    idx_df = spark.read.parquet(os.path.join(idx_root, "postings"))
+    norms_df = spark.read.parquet(os.path.join(idx_root, "norms"))
+    emb_batch = emb.where(_F.col("vec_id") % 40 == 1).select(
+        (_F.col("vec_id") + 600000).alias("vec_id"),
+        _F.transform("embedding", lambda x: x + _F.lit(0.02).cast("float")).alias(
+            "embedding"
+        ),
+        "label",
+    )
+
     suite = {
         "extract": lambda: extract_documents(docs).count(),
         "chrome_tokens": lambda: R.chrome_tokens(docs).count(),
@@ -175,6 +196,16 @@ def run_suite(cpus: int, sf_dir: str) -> dict:
         # and the hot-capped posting index — suite grows by construction
         "bm25_search": lambda: SE.bm25(flat, "dup vector spark").count(),
         "inverted_index": lambda: SE.inverted_index(flat).count(),
+        # round 4: index-backed serving (point lookups into the standing
+        # parquet index + norms — no corpus text scan; cap 1024 keeps
+        # 'dup' selective at sf0.1 while true stopwords stay excluded)
+        # and incremental embedding-index maintenance
+        "bm25_from_index": lambda: SE.bm25_from_index(
+            idx_df, norms_df, "dup vector spark"
+        ).count(),
+        "embedding_incremental": lambda: similarity.embedding_incremental_pairs(
+            emb_batch, emb
+        ).count(),
     }
     timings: dict[str, float] = {}
     extract_wall = None
