@@ -1789,6 +1789,7 @@ ax AS (SELECT src_domain,
               {_dnorm("regexp_extract(elem, '(?s)^<a[^>]*>(.*)</a>$', 1)")} AS anchor_text
        FROM ae),
 ad AS (SELECT CASE WHEN regexp_matches(href, '^https?://') THEN {_DHREF_DOM}
+                   WHEN href LIKE '//%' THEN {_DHREF_PRD}
                    WHEN href LIKE '/%' THEN src_domain
                    ELSE NULL END AS dst_domain,
               anchor_text
@@ -1936,6 +1937,7 @@ ax AS (SELECT src_domain,
               {_dnorm("regexp_extract(elem, '(?s)^<a[^>]*>(.*)</a>$', 1)")} AS anchor_text
        FROM ae),
 ad AS (SELECT CASE WHEN regexp_matches(href, '^https?://') THEN {_DHREF_DOM}
+                   WHEN href LIKE '//%' THEN {_DHREF_PRD}
                    WHEN href LIKE '/%' THEN src_domain
                    ELSE NULL END AS dst_domain,
               anchor_text

@@ -208,3 +208,31 @@ def test_cocitation_shared_sources(spark):
     got2 = {(r.dom_a, r.dom_b): r.n_shared_sources
             for r in LG.cocitation(edges, min_shared=1).collect()}
     assert got2[("x", "z")] == 1 and got2[("y", "z")] == 1
+
+
+def test_protocol_relative_href_resolution(spark):
+    """'//host/path' resolves to that HOST's domain, never the page's own
+    (its '/' prefix would otherwise match the root-relative arm and
+    silently misattribute the edge — the round-3 advice item), for both
+    the edge extractor and the anchor profile."""
+    pages = _pages(
+        spark,
+        [
+            (
+                "https://www.a.example/p",
+                '<a href="//www.c.example/x">c</a>'
+                '<a href="//c.example/y">c2</a>'
+                '<a href="/local">l</a>',
+            )
+        ],
+    )
+    edges = {(r.src_domain, r.dst_domain): r.n_links for r in LG.extract_links(pages).collect()}
+    assert edges == {("a.example", "c.example"): 2, ("a.example", "a.example"): 1}
+    anchors = {
+        (r.dst_domain, r.anchor_text): r.n for r in LG.anchor_counts(pages).collect()
+    }
+    assert anchors == {
+        ("c.example", "c"): 1,
+        ("c.example", "c2"): 1,
+        ("a.example", "l"): 1,
+    }
