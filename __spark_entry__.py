@@ -566,6 +566,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_incremental": lambda s, d: dedup.minhash_incremental_pairs(
             _planted_batch(_flat_docs(s, d)), _flat_docs(s, d)
         ),
+        # third incremental-index modality: batch simhashes joined against
+        # the seen corpus' banded simhash index (two-tier hot buckets)
+        "simhash_incremental": lambda s, d: dedup.simhash_incremental_pairs(
+            _planted_batch(_flat_docs(s, d)), _flat_docs(s, d)
+        ),
         "neardup_incr_survivors": lambda s, d: dedup.neardup_incremental_survivors(
             _planted_batch(_flat_docs(s, d)), _flat_docs(s, d)
         ),
@@ -2350,6 +2355,40 @@ scored AS (SELECT c.doc_id,
 SELECT doc_id, jaccard_bp FROM scored WHERE jaccard_bp >= 1000
 """
     q["minhash_incremental"] = _minhash_incremental_oracle()
+
+    # batch-vs-seen simhash index join: seen side banded, two-tier hot
+    # buckets (per-distinct-simhash group hubs, min-hub residual past the
+    # cap), hamming gate — dedup.simhash_incremental_pairs replayed
+    q["simhash_incremental"] = f"""
+WITH {_CORPUS_SEEN_PLUS_BATCH},
+{_simhash_cte("corpus")},
+sb AS (SELECT doc_id, simhash, unnest([0, 1, 2, 3]) AS band,
+              [(simhash >> 0) & 32767, (simhash >> 15) & 32767,
+               (simhash >> 30) & 32767, (simhash >> 45) & 32767] AS keys
+       FROM sim),
+banded AS MATERIALIZED (SELECT doc_id, simhash, band, keys[band + 1] AS bkey FROM sb),
+newb AS (SELECT * FROM banded WHERE doc_id >= 100000),
+seenb AS MATERIALIZED (SELECT * FROM banded WHERE doc_id < 100000),
+bstats AS (SELECT band, bkey, count(*) AS n_members FROM seenb GROUP BY band, bkey),
+nonhot AS (SELECT b.* FROM seenb b JOIN bstats s ON s.band = b.band AND s.bkey = b.bkey
+           WHERE s.n_members <= {max_bucket}),
+hotm AS (SELECT b.* FROM seenb b JOIN bstats s ON s.band = b.band AND s.bkey = b.bkey
+         WHERE s.n_members > {max_bucket}),
+g AS (SELECT band, bkey, simhash, min(doc_id) AS doc_id
+      FROM hotm GROUP BY band, bkey, simhash),
+gstats AS (SELECT band, bkey, count(*) AS n_groups, min(doc_id) AS bhub
+           FROM g GROUP BY band, bkey),
+idx AS (SELECT band, bkey, doc_id, simhash FROM nonhot
+        UNION ALL
+        SELECT g.band, g.bkey, g.doc_id, g.simhash
+        FROM g JOIN gstats s ON s.band = g.band AND s.bkey = g.bkey
+        WHERE s.n_groups <= {max_bucket} OR g.doc_id = s.bhub),
+cand AS (SELECT DISTINCT n.doc_id AS doc_new, i.doc_id AS doc_seen,
+                n.simhash AS hn, i.simhash AS hs
+         FROM newb n JOIN idx i ON i.band = n.band AND i.bkey = n.bkey)
+SELECT doc_new, doc_seen, cast(bit_count(xor(hn, hs)) AS bigint) AS hamming
+FROM cand WHERE bit_count(xor(hn, hs)) <= 8
+"""
     q["neardup_incr_survivors"] = _minhash_incr_survivors_oracle()
 
     q["simhash"] = f"""

@@ -933,3 +933,87 @@ def similar_to(
     return scored.where(F.col("jaccard_bp") >= min_jaccard_bp).orderBy(
         F.col("jaccard_bp").desc(), F.col("doc_id").asc()
     )
+
+
+def simhash_incremental_pairs(
+    new_docs: DataFrame,
+    seen_docs: DataFrame,
+    max_hamming: int = 8,
+    max_bucket: int = MAX_DOCS_PER_BUCKET,
+) -> DataFrame:
+    """SimHash near-dups of an ingest batch against the seen corpus:
+    (doc_new, doc_seen, hamming) for batch docs whose simhash collides
+    with a seen doc in ≥1 of the 4 bands AND lies within ``max_hamming``
+    bits — the third member of the incremental-index family
+    (minhash_incremental_pairs for shingle LSH, embedding_incremental
+    for vector LSH; one per modality, same daily-ingest contract).
+
+    Scale design: the seen side reduces to its banded simhash index
+    (band, bkey, doc_id, simhash) — in production a materialized table
+    appended to per ingest, so the corpus text is never re-read. Hot
+    seen buckets (> ``max_bucket`` members) inherit simhash_near_pairs'
+    two-tier treatment rather than the plain minhash hub, because a
+    15-bit band key saturates long before content is actually similar:
+    the bucket's members group by FULL simhash and the index keeps one
+    min-doc hub per DISTINCT simhash (a batch doc identical to any group
+    still matches at hamming 0 — giant identical-content clusters stay
+    lossless); buckets with more than ``max_bucket`` distinct simhashes
+    keep only the min group hub (the same documented residual as
+    simhash_near_pairs — at that scale the fix is wider bands, not a
+    smarter within-bucket algorithm). Per-batch-row join fan-out is
+    bounded by ``max_bucket`` per band by construction. The batch side
+    is small; AQE broadcasts it into the index join.
+    """
+    def banded(sim: DataFrame) -> DataFrame:
+        return sim.select(
+            "doc_id",
+            "simhash",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(F.lit(i).alias("band"), F.col(f"band{i}").alias("bkey"))
+                        for i in range(4)
+                    ]
+                )
+            ).alias("b"),
+        ).select("doc_id", "simhash", F.col("b.band").alias("band"), F.col("b.bkey").alias("bkey"))
+
+    keys = ["band", "bkey"]
+    seen_b = banded(simhash(seen_docs))
+    hot = (
+        seen_b.groupBy(*keys)
+        .agg(F.count("*").alias("n_members"))
+        .where(F.col("n_members") > max_bucket)
+        .select(*keys)
+    )
+    nonhot = seen_b.join(hot, keys, "left_anti")
+    ghubs = (
+        seen_b.join(hot, keys)
+        .groupBy("band", "bkey", "simhash")
+        .agg(F.min("doc_id").alias("doc_id"))
+    )
+    gstats = ghubs.groupBy(*keys).agg(
+        F.count("*").alias("n_groups"), F.min("doc_id").alias("bhub")
+    )
+    ghub_rows = (
+        ghubs.join(gstats, keys)
+        .where((F.col("n_groups") <= max_bucket) | (F.col("doc_id") == F.col("bhub")))
+        .select("band", "bkey", "doc_id", "simhash")
+    )
+    index = nonhot.select("band", "bkey", "doc_id", "simhash").unionByName(ghub_rows)
+
+    cand = (
+        banded(simhash(new_docs)).alias("n")
+        .join(index.alias("s"), keys)
+        .select(
+            F.col("n.doc_id").alias("doc_new"),
+            F.col("s.doc_id").alias("doc_seen"),
+            F.col("n.simhash").alias("hn"),
+            F.col("s.simhash").alias("hs"),
+        )
+        .dropDuplicates(["doc_new", "doc_seen"])
+    )
+    hamming = F.bit_count(F.col("hn").bitwiseXOR(F.col("hs")))
+    return cand.select("doc_new", "doc_seen", hamming.alias("hamming")).where(
+        hamming <= max_hamming
+    )

@@ -139,3 +139,49 @@ def test_similar_to_point_lookup(spark):
     # short query (< n tokens): empty result, schema intact
     out = dedup.similar_to(docs, "one two")
     assert out.count() == 0 and out.columns == ["doc_id", "jaccard_bp"]
+
+
+def test_simhash_incremental_matches_full_rebuild_cross_pairs(spark):
+    """No hot bucket ⇒ simhash_incremental_pairs(new, seen) ≡ the
+    (seen, new) cross-pairs of simhash_near_pairs(seen ∪ new) — the
+    incremental index join IS the full rebuild restricted to cross edges
+    (batch ids are all above the seen range, and near_pairs orders
+    doc_a < doc_b, so cross pairs are exactly doc_a<100000<=doc_b)."""
+    seen = spark.createDataFrame(
+        [(i, f"alpha beta gamma delta doc{i} epsilon zeta eta theta") for i in range(30)],
+        "doc_id long, text string",
+    )
+    batch = spark.createDataFrame(
+        [(100000 + i, f"alpha beta gamma delta doc{i} epsilon zeta eta iota")
+         for i in range(0, 30, 3)],
+        "doc_id long, text string",
+    )
+    incr = {
+        (r.doc_seen, r.doc_new, r.hamming)
+        for r in dedup.simhash_incremental_pairs(batch, seen, max_bucket=10_000).collect()
+    }
+    rebuild = {
+        (r.doc_a, r.doc_b, r.hamming)
+        for r in dedup.simhash_near_pairs(
+            seen.unionAll(batch), max_bucket=10_000
+        ).collect()
+        if r.doc_a < 100000 <= r.doc_b
+    }
+    assert incr == rebuild and len(incr) > 0
+
+
+def test_simhash_incremental_hot_bucket_identical_group_lossless(spark):
+    """Two-tier hot handling: a hot seen bucket made of IDENTICAL text
+    collapses to one group hub, and an identical batch doc still matches
+    it at hamming 0 (lossless for the clusters that actually create hot
+    buckets); fan-out is one candidate, not one per member."""
+    seen = spark.createDataFrame(
+        [(i, "same boilerplate text everywhere always") for i in range(12)],
+        "doc_id long, text string",
+    )
+    batch = spark.createDataFrame(
+        [(100001, "same boilerplate text everywhere always")],
+        "doc_id long, text string",
+    )
+    got = dedup.simhash_incremental_pairs(batch, seen, max_bucket=5).collect()
+    assert [(r.doc_new, r.doc_seen, r.hamming) for r in got] == [(100001, 0, 0)]
