@@ -145,6 +145,47 @@ def main() -> None:
         ),
     ]
 
+    # index-backed BM25 serving: materialize the index + norms to parquet
+    # first (as production would) so the plan shows the true serving shape
+    import tempfile
+
+    from graphical_context_extraction_pipeline_spark.operators import search as SE
+
+    idx_dir = tempfile.mkdtemp(prefix="plans_idx_")
+    SE.inverted_index(flat).write.mode("overwrite").parquet(f"{idx_dir}/postings")
+    SE.doc_norms(flat).write.mode("overwrite").parquet(f"{idx_dir}/norms")
+    entries += [
+        (
+            "bm25_from_index (serving path)",
+            SE.bm25_from_index(
+                spark.read.parquet(f"{idx_dir}/postings"),
+                spark.read.parquet(f"{idx_dir}/norms"),
+                "dup graft",
+            ),
+            "PushedFilters shows token IN (...) reaching the index parquet "
+            "scan (a point lookup, not a corpus scan); the parsed candidate "
+            "rows broadcast-join the norms table; the only aggregation is "
+            "over candidates (≤ cap·|terms| rows by index construction).",
+        ),
+        (
+            "embedding_incremental (batch vs seen ANN index)",
+            __import__(
+                "graphical_context_extraction_pipeline_spark.operators.similarity",
+                fromlist=["similarity"],
+            ).embedding_incremental_pairs(
+                spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+                .where(F.col("vec_id") % 40 == 1)
+                .withColumn("vec_id", F.col("vec_id") + 600000),
+                spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet"),
+            ),
+            "each side is banded by ONE vectorized ArrowEvalPython node "
+            "(all 10 hyperplane tables in a single numpy matmul — no "
+            "per-table rescan, no interpreted HOF folds); candidates come "
+            "from the (table, bucket) equi-join against the hub-capped "
+            "seen index only.",
+        ),
+    ]
+
     from graphical_context_extraction_pipeline_spark.datagen import ensure_html
     from graphical_context_extraction_pipeline_spark.operators import (
         html_extract as HT,

@@ -683,3 +683,55 @@ def test_html_sections_zero_shuffle(spark):
     plan = physical_plan(out)
     assert count_exchanges(out) == 0, plan
     assert "Generate" in plan, plan  # posexplode, not a join fan-out
+
+
+def test_bm25_from_index_point_lookup_and_broadcast(spark, tmp_path):
+    """Serving shape: the token filter is PUSHED to the index parquet
+    scan (point lookup — 'dup' appears in PushedFilters), the candidate
+    relation broadcast-joins norms, and the norms scan reads only its
+    two columns."""
+    from graphical_context_extraction_pipeline_spark.operators import search as SE
+    from graphical_context_extraction_pipeline_spark.plans.explain import (
+        has_broadcast_join,
+        physical_plan,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    SE.inverted_index(docs).write.parquet(str(tmp_path / "postings"))
+    SE.doc_norms(docs).write.parquet(str(tmp_path / "norms"))
+    out = SE.bm25_from_index(
+        spark.read.parquet(str(tmp_path / "postings")),
+        spark.read.parquet(str(tmp_path / "norms")),
+        "dup graft",
+    )
+    plan = physical_plan(out)
+    assert has_broadcast_join(out), plan
+    assert "SinglePartition" not in plan, plan
+    # scoring never rescans the corpus text
+    assert "documents.parquet" not in plan, plan
+
+
+def test_embedding_incremental_single_banding_node_per_side(spark):
+    """The 10-table banding is ONE vectorized ArrowEvalPython node per
+    banding evaluation (a single numpy matmul), not 10 unioned per-table
+    scans or 80 interpreted HOF folds — the round-4 11.6 s → 1.1 s fix,
+    pinned. Exactly 3 evaluations: batch once, seen twice (the seen
+    banding subtree feeds both the bucket stats and the index join; in
+    production the seen index is a materialized table, so the double
+    evaluation is a test-fixture artifact, not a serving cost)."""
+    from pyspark.sql import functions as F
+
+    from graphical_context_extraction_pipeline_spark.operators.similarity import (
+        embedding_incremental_pairs,
+    )
+    from graphical_context_extraction_pipeline_spark.plans.explain import (
+        physical_plan,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    batch = emb.where(F.col("vec_id") % 40 == 1).withColumn(
+        "vec_id", F.col("vec_id") + 600000
+    )
+    plan = physical_plan(embedding_incremental_pairs(batch, emb))
+    assert plan.count("ArrowEvalPython") == 3, plan
+    assert "SinglePartition" not in plan, plan
