@@ -162,10 +162,20 @@ def main() -> None:
                 spark.read.parquet(f"{idx_dir}/norms"),
                 "dup graft",
             ),
-            "PushedFilters shows token IN (...) reaching the index parquet "
-            "scan (a point lookup, not a corpus scan); the parsed candidate "
-            "rows broadcast-join the norms table; the only aggregation is "
-            "over candidates (≤ cap·|terms| rows by index construction).",
+            "the scoring tail: parsed candidate rows broadcast-join the "
+            "norms table; the only aggregation is over candidates "
+            "(≤ cap·|terms| rows by index construction). The candidate "
+            "fetch itself runs as a separate point-lookup job — see the "
+            "next probe for its pushed filter.",
+        ),
+        (
+            "bm25_from_index candidate fetch (pushdown probe)",
+            spark.read.parquet(f"{idx_dir}/postings")
+            .where(F.col("token").isin(["dup", "graft"]))
+            .select("df", "postings", "tfs"),
+            "PushedFilters shows In(token, [dup,graft]) reaching the index "
+            "parquet scan — the lookup reads matching row groups only, "
+            "never the corpus.",
         ),
         (
             "embedding_incremental (batch vs seen ANN index)",
