@@ -116,13 +116,7 @@ def ann_topk_lsh(
     the sharper instrument when a codebook is affordable.
     """
     dim = _embedding_dim(emb)  # sniffed ONCE for all tables
-    tables = [
-        lsh_bucket(emb, n_planes, seed + 1000 * t, dim=dim).withColumn("table", F.lit(t))
-        for t in range(n_tables)
-    ]
-    bucketed = tables[0]
-    for t in tables[1:]:
-        bucketed = bucketed.unionByName(t)
+    bucketed = lsh_bucket_multi(emb, n_planes, n_tables, seed, dim)  # one scan
     queries = bucketed.where(F.col("vec_id").isin(query_ids)).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("qv"),
