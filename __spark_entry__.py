@@ -659,6 +659,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             SE.inverted_index(_tailed_docs(_flat_docs(s, d))),
             _planted_batch(_flat_docs(s, d)),
         ),
+        # GDPR deletion maintenance: subtract a forget batch (rows of the
+        # indexed corpus) from the standing tailed index; hot stays sticky
+        "index_forget": lambda s, d: SE.inverted_index_forget(
+            SE.inverted_index(_tailed_docs(_flat_docs(s, d))),
+            _tailed_docs(_flat_docs(s, d)).where(F.col("doc_id") % 17 == 3),
+        ),
         # integer-BM25 keyword retrieval: one selective + two common terms
         "bm25_search": lambda s, d: SE.bm25(_flat_docs(s, d), BM25_QUERY, k=10),
         # index-backed serving: score from the standing tailed posting
@@ -2844,6 +2850,57 @@ p AS (SELECT token,
 SELECT d.token, d.df, d.total_tf, coalesce(p.postings, '') AS postings,
        coalesce(p.tfs, '') AS tfs
 FROM dfc d LEFT JOIN p ON p.token = d.token
+"""
+
+    # GDPR index deletion: standing tailed index minus the forget batch's
+    # own (uncapped) index — exact df/total_tf subtraction, positional
+    # postings/tfs filtering, STICKY hot tokens ('' stays ''), df=0 rows
+    # vanish; dedup of the engine's semantics, not a rebuild (a rebuild
+    # would resurrect postings for hot tokens that fall under the cap)
+    q["index_forget"] = f"""
+WITH docs AS (SELECT doc_id,
+                     text || ' tail' || cast(doc_id % 311 AS varchar) AS text
+              FROM documents),
+t AS (SELECT doc_id, unnest({_TOKS}) AS token FROM docs),
+td AS MATERIALIZED (SELECT token, doc_id, cast(count(*) AS bigint) AS tf
+                    FROM t GROUP BY 1, 2),
+dfc AS (SELECT token, cast(count(*) AS bigint) AS df,
+               cast(sum(tf) AS bigint) AS total_tf
+        FROM td GROUP BY 1),
+p AS (SELECT token,
+             string_agg(cast(doc_id AS varchar), chr(31) ORDER BY doc_id) AS postings,
+             string_agg(cast(tf AS varchar), chr(31) ORDER BY doc_id) AS tfs
+      FROM td WHERE token IN (SELECT token FROM dfc WHERE df <= {POSTINGS_CAP})
+      GROUP BY 1),
+idx AS MATERIALIZED (SELECT d.token, d.df, d.total_tf,
+             coalesce(p.postings, '') AS postings, coalesce(p.tfs, '') AS tfs
+      FROM dfc d LEFT JOIN p ON p.token = d.token),
+ftd AS (SELECT td.token, td.doc_id, td.tf FROM td WHERE td.doc_id % 17 = 3),
+fp AS MATERIALIZED (SELECT token, cast(count(*) AS bigint) AS f_df,
+             cast(sum(tf) AS bigint) AS f_tf,
+             list(cast(doc_id AS varchar) ORDER BY doc_id) AS f_ids
+      FROM ftd GROUP BY token),
+res AS (SELECT i.token,
+               i.df - coalesce(fp.f_df, 0) AS df,
+               i.total_tf - coalesce(fp.f_tf, 0) AS total_tf,
+               string_split(i.postings, chr(31)) AS ps,
+               string_split(i.tfs, chr(31)) AS ts,
+               fp.f_ids,
+               i.postings AS p0, i.tfs AS t0
+        FROM idx i LEFT JOIN fp USING (token)),
+outp AS (SELECT token, df, total_tf,
+                CASE WHEN p0 = '' THEN ''
+                     WHEN f_ids IS NULL THEN p0
+                     ELSE array_to_string(
+                       [ps[k] FOR k IN range(1, len(ps) + 1)
+                        IF NOT list_contains(f_ids, ps[k])], chr(31)) END AS postings,
+                CASE WHEN t0 = '' THEN ''
+                     WHEN f_ids IS NULL THEN t0
+                     ELSE array_to_string(
+                       [ts[k] FOR k IN range(1, len(ps) + 1)
+                        IF NOT list_contains(f_ids, ps[k])], chr(31)) END AS tfs
+         FROM res)
+SELECT token, df, total_tf, postings, tfs FROM outp WHERE df > 0
 """
 
     # integer-BM25: the exact fixed-point recurrence from search.bm25 —

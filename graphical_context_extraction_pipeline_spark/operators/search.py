@@ -453,3 +453,70 @@ def bm25_from_index(
         .limit(k)
         .where(F.col("score_e6") > 0)
     )
+
+
+def inverted_index_forget(
+    index: DataFrame, forget_docs: DataFrame, cap: int = POSTINGS_CAP
+) -> DataFrame:
+    """Right-to-be-forgotten maintenance for the posting index: remove a
+    batch of documents (id AND text available — the forget request ships
+    the stored rows, as in corpus.forget_audit) from a standing
+    :func:`inverted_index` relation WITHOUT rescanning the indexed
+    corpus. The GDPR twin of :func:`inverted_index_delta`.
+
+    Per token: the forget batch's own index (built uncapped, so its
+    postings are always traversable) supplies exactly which doc_ids and
+    how many occurrences to subtract — df/total_tf decrement exactly;
+    postings/tfs drop the forgotten positions by zipping the two aligned
+    strings and filtering pairs (intra-row array ops after ONE join on
+    the token key; only touched tokens shuffle). Tokens whose df reaches
+    0 disappear.
+
+    Hot-token semantics (documented, deliberate): a token that was hot
+    (df > cap, postings dropped at build time) stays hot even if the
+    deletion brings df back under the cap — its posting list no longer
+    exists to shrink, so hotness is STICKY until the next full rebuild,
+    exactly like real engines that tombstone deletes and recover space
+    at merge/rebuild time. Statistics stay exact throughout. The merge
+    law (pinned by test): forget(index(docs), f) ≡ index(docs ∖ f) for
+    every token except sticky-hot ones, which keep '' postings but
+    identical df/total_tf.
+    """
+    fidx = inverted_index(forget_docs, cap=2**62)  # uncapped: always traversable
+    f = fidx.select(
+        "token",
+        F.col("df").alias("f_df"),
+        F.col("total_tf").alias("f_tf"),
+        F.split(F.col("postings"), SEP).alias("f_ids"),
+    )
+    j = index.join(f, "token", "left")
+    z = F.lit(0).cast("long")
+    df_new = F.col("df") - F.coalesce("f_df", z)
+    tf_new = F.col("total_tf") - F.coalesce("f_tf", z)
+    zipped = F.arrays_zip(
+        F.split(F.col("postings"), SEP).alias("p"),
+        F.split(F.col("tfs"), SEP).alias("t"),
+    )
+    kept = F.filter(zipped, lambda x: ~F.array_contains(F.col("f_ids"), x["p"]))
+    p_new = F.when(
+        F.col("postings") == "", F.lit("")  # sticky hot
+    ).otherwise(
+        F.when(
+            F.col("f_ids").isNull(), F.col("postings")
+        ).otherwise(F.array_join(F.transform(kept, lambda x: x["p"]), SEP))
+    )
+    t_new = F.when(F.col("tfs") == "", F.lit("")).otherwise(
+        F.when(F.col("f_ids").isNull(), F.col("tfs")).otherwise(
+            F.array_join(F.transform(kept, lambda x: x["t"]), SEP)
+        )
+    )
+    return (
+        j.select(
+            "token",
+            df_new.alias("df"),
+            tf_new.alias("total_tf"),
+            p_new.alias("postings"),
+            t_new.alias("tfs"),
+        )
+        .where(F.col("df") > 0)
+    )

@@ -236,3 +236,49 @@ def test_bm25_from_index_empty_inputs(spark):
     idx, norms = SE.inverted_index(docs), SE.doc_norms(docs)
     assert SE.bm25_from_index(idx, norms, "cat").count() == 0
     assert SE.bm25_from_index(idx, norms, "").count() == 0
+
+
+def test_index_forget_merge_law_and_sticky_hot(spark):
+    """forget(index(docs), f) ≡ index(docs ∖ f) exactly, except tokens
+    that were hot at build time and fall back under the cap — those stay
+    '' (sticky hotness, rebuild recovers them) with EXACT df/total_tf."""
+    docs = spark.createDataFrame(
+        [(i, f"alpha t{i % 6} beta" + (" gamma" if i % 2 == 0 else ""))
+         for i in range(12)],
+        DDL,
+    )
+    forget = docs.where("doc_id % 3 = 0")
+    cap = 4  # 'alpha' (df 12), 'beta' (12), 'gamma' (6) hot; 't0..t5' (2) stay
+    got = {
+        r.token: (r.df, r.total_tf, r.postings, r.tfs)
+        for r in SE.inverted_index_forget(
+            SE.inverted_index(docs, cap=cap), forget, cap=cap
+        ).collect()
+    }
+    rebuilt = {
+        r.token: (r.df, r.total_tf, r.postings, r.tfs)
+        for r in SE.inverted_index(docs.join(forget, "doc_id", "left_anti"), cap=cap).collect()
+    }
+    assert set(got) == set(rebuilt)
+    for tok in rebuilt:
+        if got[tok] != rebuilt[tok]:
+            # only sticky-hot may differ, and only in the list columns
+            assert got[tok][:2] == rebuilt[tok][:2], tok
+            assert got[tok][2] == "" and got[tok][3] == "", tok
+    # 'gamma': df 6→2 (forgotten 0,6 even... ids 0,3,6,9 forgotten; evens
+    # among them 0,6 carry gamma) — falls under cap yet stays sticky-hot
+    assert got["gamma"][0] == 4 and got["gamma"][2] == ""
+    assert rebuilt["gamma"][2] != ""
+
+
+def test_index_forget_token_vanishes_and_idempotent_shape(spark):
+    docs = spark.createDataFrame([(1, "unique cat"), (2, "cat")], DDL)
+    idx = SE.inverted_index(docs)
+    after = {
+        r.token: (r.df, r.postings, r.tfs)
+        for r in SE.inverted_index_forget(idx, docs.where("doc_id = 1")).collect()
+    }
+    assert "unique" not in after
+    assert after["cat"] == (1, "2", "1")
+    # forgetting everything empties the index
+    assert SE.inverted_index_forget(idx, docs).count() == 0
