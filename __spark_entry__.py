@@ -704,6 +704,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         "cosine_topk": lambda s, d: similarity.cosine_topk(_emb(s, d), QUERY_IDS),
         "ann_topk_lsh": lambda s, d: similarity.ann_topk_lsh(_emb(s, d), QUERY_IDS),
+        # index-backed ANN serving: probe the standing banded index with
+        # a literal query vector (vec 3's embedding, self excluded) — the
+        # vector twin of bm25_from_index; no corpus scan, no banding job
+        "ann_from_index": lambda s, d: similarity.ann_from_index(
+            similarity.lsh_bucket_multi(
+                _emb(s, d),
+                similarity.EMB_DUP_PLANES,
+                similarity.EMB_DUP_TABLES,
+                similarity.EMB_DUP_SEED,
+                similarity._embedding_dim(_emb(s, d)),
+            ),
+            list(_emb(s, d).where(F.col("vec_id") == 3).first()["embedding"]),
+            exclude_ids=(3,),
+        ),
         # n_iters=0: seeded-reservoir centroids, exactly DuckDB-oracled;
         # Lloyd-refined quality is pinned by tests/test_ann_recall.py
         "ivf_topk": lambda s, d: similarity.ivf_topk(_emb(s, d), QUERY_IDS, n_iters=0),
@@ -1032,6 +1046,45 @@ ranked AS (SELECT query_id, vec_id, cos_e4,
                        ORDER BY cos_e4 DESC, vec_id) AS bigint) AS rank
            FROM scored)
 SELECT query_id, vec_id, cos_e4, rank FROM ranked WHERE rank <= {k}
+"""
+
+
+def _ann_from_index_oracle(qid: int, k: int = 10) -> str:
+    """Replays similarity.ann_from_index over the full banded index (the
+    registered query builds it from the embeddings table): the query's
+    probe keys are its own banded rows, candidates dedup across tables,
+    exact cosine vs the query vector, (cos desc, vec_id asc) top-k with
+    dense ranks. Same hyperplane-literal convention as _ann_lsh_oracle,
+    at the EMB_DUP (8-plane × 10-table, seed 7) family."""
+    from graphical_context_extraction_pipeline_spark.operators.similarity import (
+        EMB_DUP_PLANES,
+        EMB_DUP_SEED,
+        EMB_DUP_TABLES,
+    )
+
+    banded = _banded_sql(EMB_DUP_PLANES, EMB_DUP_TABLES, EMB_DUP_SEED, _emb_dim())
+    return f"""
+WITH e AS (SELECT vec_id, cast(embedding AS DOUBLE[]) AS v FROM embeddings),
+b AS (
+{banded}
+),
+qb AS (SELECT tbl, bucket FROM b WHERE vec_id = {qid}),
+cand AS (SELECT DISTINCT b.vec_id
+         FROM b JOIN qb ON b.tbl = qb.tbl AND b.bucket = qb.bucket
+         WHERE b.vec_id <> {qid}),
+scored AS (SELECT c.vec_id,
+                  cast(floor((list_dot_product(ea.v, eq.v)
+                       / (sqrt(list_dot_product(ea.v, ea.v))
+                          * sqrt(list_dot_product(eq.v, eq.v)))) * 10000)
+                       AS bigint) AS cos_e4
+           FROM cand c
+           JOIN e ea ON ea.vec_id = c.vec_id
+           CROSS JOIN (SELECT v FROM e WHERE vec_id = {qid}) eq),
+ranked AS (SELECT vec_id, cos_e4,
+                  cast(row_number() OVER (ORDER BY cos_e4 DESC, vec_id)
+                       AS bigint) AS rank
+           FROM scored)
+SELECT vec_id, cos_e4, rank FROM ranked WHERE rank <= {k}
 """
 
 
@@ -3559,6 +3612,7 @@ FROM bl
 
     ids = ", ".join(str(i) for i in QUERY_IDS)
     q["ann_topk_lsh"] = _ann_lsh_oracle(ids)
+    q["ann_from_index"] = _ann_from_index_oracle(3)
     q["ivf_topk"] = _ivf_oracle(ids)
     q["embedding_cosine_dups"] = _emb_dups_oracle()
     q["embedding_incremental"] = _emb_incremental_oracle()

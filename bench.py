@@ -141,6 +141,15 @@ def run_suite(cpus: int, sf_dir: str) -> dict:
     SE.doc_norms(flat).write.mode("overwrite").parquet(os.path.join(idx_root, "norms"))
     idx_df = spark.read.parquet(os.path.join(idx_root, "postings"))
     norms_df = spark.read.parquet(os.path.join(idx_root, "norms"))
+    similarity.lsh_bucket_multi(
+        emb,
+        similarity.EMB_DUP_PLANES,
+        similarity.EMB_DUP_TABLES,
+        similarity.EMB_DUP_SEED,
+        similarity._embedding_dim(emb),
+    ).write.mode("overwrite").parquet(os.path.join(idx_root, "embindex"))
+    embindex_df = spark.read.parquet(os.path.join(idx_root, "embindex"))
+    bench_qv = list(emb.where(_F.col("vec_id") == 3).first()["embedding"])
     emb_batch = emb.where(_F.col("vec_id") % 40 == 1).select(
         (_F.col("vec_id") + 600000).alias("vec_id"),
         _F.transform("embedding", lambda x: x + _F.lit(0.02).cast("float")).alias(
@@ -205,6 +214,12 @@ def run_suite(cpus: int, sf_dir: str) -> dict:
         ).count(),
         "embedding_incremental": lambda: similarity.embedding_incremental_pairs(
             emb_batch, emb
+        ).count(),
+        # round 4: vector serving from the standing banded index — 10
+        # pushed (table, bucket) probes, exact-cosine re-rank, no corpus
+        # scan and no banding job at query time
+        "ann_from_index": lambda: similarity.ann_from_index(
+            embindex_df, bench_qv, exclude_ids=(3,)
         ).count(),
     }
     timings: dict[str, float] = {}

@@ -65,3 +65,65 @@ def test_ivf_probe_sweep_monotone(spark):
     r2, r16 = recall(2), recall(16)
     assert r16 >= r2
     assert r16 >= 0.99  # probing every list IS the exact search
+
+
+def test_ann_from_index_merge_law(spark):
+    """Serving from the materialized banded index ≡ ann_topk_lsh over the
+    corpus, per query, at the same (planes, tables, seed) — the vector
+    twin of the bm25_from_index merge law."""
+    emb = _emb(spark)
+    dim = similarity._embedding_dim(emb)
+    index = similarity.lsh_bucket_multi(
+        emb,
+        similarity.EMB_DUP_PLANES,
+        similarity.EMB_DUP_TABLES,
+        similarity.EMB_DUP_SEED,
+        dim,
+    )
+    want_all = _by_query(
+        similarity.ann_topk_lsh(
+            emb,
+            QUERY_IDS[:3],
+            k=K,
+            n_planes=similarity.EMB_DUP_PLANES,
+            n_tables=similarity.EMB_DUP_TABLES,
+            seed=similarity.EMB_DUP_SEED,
+        ).collect()
+    )
+    qvs = {
+        r["vec_id"]: list(r["embedding"])
+        for r in emb.where(emb.vec_id.isin(QUERY_IDS[:3])).collect()
+    }
+    for q in QUERY_IDS[:3]:
+        got = {
+            r["vec_id"]: (r["cos_e4"], r["rank"])
+            for r in similarity.ann_from_index(
+                index, qvs[q], k=K, exclude_ids=(q,)
+            ).collect()
+        }
+        want = want_all.get(q, {})
+        assert {v: c for v, (c, _) in got.items()} == want, q
+        # rank order: dense 1..n by (cos desc, vec_id asc)
+        ranked = sorted(got.items(), key=lambda kv: (-kv[1][0], kv[0]))
+        assert [r for _, (_, r) in ranked] == list(range(1, len(ranked) + 1))
+
+
+def test_ann_from_index_probe_misses_and_self(spark):
+    emb = _emb(spark)
+    dim = similarity._embedding_dim(emb)
+    index = similarity.lsh_bucket_multi(
+        emb,
+        similarity.EMB_DUP_PLANES,
+        similarity.EMB_DUP_TABLES,
+        similarity.EMB_DUP_SEED,
+        dim,
+    )
+    qv = list(emb.where("vec_id = 0").first()["embedding"])
+    # without exclusion the query's own row is the top hit (cos 10000 or
+    # 9999 on the e4 floor boundary)
+    top = similarity.ann_from_index(index, qv, k=1).first()
+    assert top["vec_id"] == 0 and top["cos_e4"] >= 9999 and top["rank"] == 1
+    # empty index → empty result, stable schema
+    got = similarity.ann_from_index(index.limit(0), qv, k=5)
+    assert got.count() == 0
+    assert got.columns == ["vec_id", "cos_e4", "rank"]

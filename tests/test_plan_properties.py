@@ -735,3 +735,31 @@ def test_embedding_incremental_single_banding_node_per_side(spark):
     plan = physical_plan(embedding_incremental_pairs(batch, emb))
     assert plan.count("ArrowEvalPython") == 3, plan
     assert "SinglePartition" not in plan, plan
+
+
+def test_ann_from_index_probe_pushdown_no_shuffle(spark, tmp_path):
+    """Vector serving shape: the query's 10 (table, bucket) probe keys
+    are PUSHED into the materialized index's parquet scan (Or(And(
+    EqualTo(table,..), EqualTo(bucket,..))..) in PushedFilters), no
+    banding job runs at query time (zero ArrowEvalPython), and the only
+    exchange is the ≤k-row ordered take — never a corpus-sized shuffle."""
+    from graphical_context_extraction_pipeline_spark.operators import similarity
+    from graphical_context_extraction_pipeline_spark.plans.explain import (
+        physical_plan,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    dim = similarity._embedding_dim(emb)
+    similarity.lsh_bucket_multi(
+        emb,
+        similarity.EMB_DUP_PLANES,
+        similarity.EMB_DUP_TABLES,
+        similarity.EMB_DUP_SEED,
+        dim,
+    ).write.parquet(str(tmp_path / "embindex"))
+    index = spark.read.parquet(str(tmp_path / "embindex"))
+    qv = list(emb.where("vec_id = 0").first()["embedding"])
+    plan = physical_plan(similarity.ann_from_index(index, qv, k=5))
+    assert "PushedFilters: [Or(" in plan or "EqualTo(table," in plan, plan
+    assert "ArrowEvalPython" not in plan, plan  # no banding at query time
+    assert "embeddings.parquet" not in plan, plan  # corpus never rescanned
