@@ -675,6 +675,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             BM25_INDEX_QUERY,
             k=10,
         ),
+        # batched serving: three queries (selective tail term / common /
+        # hot-stopword mix) scored in ONE distributed job from the same
+        # standing index — postings never visit the driver
+        "bm25_serve_batch": lambda s, d: SE.bm25_serve_batch(
+            SE.inverted_index(_tailed_docs(_flat_docs(s, d))),
+            SE.doc_norms(_tailed_docs(_flat_docs(s, d))),
+            s.createDataFrame(list(BM25_BATCH), "query_id long, query string"),
+            k=10,
+        ),
         "phrase_search": lambda s, d: SE.phrase_search(_flat_docs(s, d), PHRASE_QUERY, k=20),
         "search_snippets": lambda s, d: SE.snippets(_flat_docs(s, d), BM25_QUERY, k=10),
         # extraction feeds retrieval: BM25 over the DOM-extracted bodies
@@ -771,6 +780,13 @@ BM25_QUERY = "dup vector spark"
 # everywhere: all three index regimes live in one query, non-empty at
 # every scale the driver runs
 BM25_INDEX_QUERY = "tail42 dup vector"
+
+# bm25_serve_batch registration: three queries spanning the same three
+# index regimes in one batched job — a selective tail term, a term that
+# crosses the hot cap with sf, and a shared-term pair whose idf/tf mix
+# differs from query 1 (overlapping vocab exercises the shared broadcast
+# idf relation)
+BM25_BATCH = ((1, "tail42 dup vector"), (2, "dup spark"), (3, "tail7 vector graft"))
 
 # phrase_search registration: an adjacent pair that occurs multiple times
 # in some documents (multi-hit counting exercised) but not in most
@@ -3020,6 +3036,53 @@ SELECT doc_id, score_e6 FROM r WHERE score_e6 > 0"""
         + _bm25_chain("docs", query=BM25_INDEX_QUERY, hot_cap=POSTINGS_CAP)
         + "\n"
     )
+
+    # batched serving twin: a fully DATA-DRIVEN replay (no per-term
+    # columns) — the (query_id, token) relation is a VALUES literal, df
+    # comes from the tailed-corpus chain, idf from the ln_e6_sql integer
+    # recurrence evaluated per matched (token, df) row, hot terms
+    # (df > cap) excluded, per-query top-10 with the (score desc, doc_id)
+    # tiebreak
+    _batch_vals = ",\n             ".join(
+        f"({qid}, '{tok}')"
+        for qid, qtext in BM25_BATCH
+        for tok in sorted(set(qtext.lower().split()))
+    )
+    _idf_items, _idf_col = ln_e6_sql("2 * nd + 2", "2 * df + 1", "b")
+    q["bm25_serve_batch"] = f"""
+WITH docs AS (SELECT doc_id,
+                     text || ' tail' || cast(doc_id % 311 AS varchar) AS text
+              FROM documents),
+d AS (SELECT doc_id, {_TOKS} AS toks FROM docs),
+n AS (SELECT doc_id, cast(len(toks) AS bigint) AS dl FROM d),
+t AS (SELECT doc_id, unnest(toks) AS token FROM d),
+td AS MATERIALIZED (SELECT token, doc_id, cast(count(*) AS bigint) AS tf
+                    FROM t GROUP BY 1, 2),
+dfc AS (SELECT token, cast(count(*) AS bigint) AS df FROM td GROUP BY 1),
+g AS (SELECT count(*) AS nd, sum(dl) AS tt FROM n),
+st AS (SELECT nd, (10 * tt) // nd AS avg10 FROM g),
+qt(query_id, token) AS (VALUES {_batch_vals}),
+qm AS (SELECT qt.query_id, qt.token, dfc.df, st.nd, st.avg10
+       FROM qt JOIN dfc USING (token) CROSS JOIN st
+       WHERE dfc.df <= {POSTINGS_CAP}),
+idf AS (SELECT query_id, token, avg10,
+        {_idf_items}
+        FROM qm),
+cand AS (SELECT i.query_id, td.doc_id, td.tf, i.{_idf_col} AS idf_e6, i.avg10
+         FROM idf i JOIN td USING (token)),
+scored AS (SELECT c.query_id, c.doc_id,
+                  cast(sum((c.idf_e6 * c.tf * 22 * c.avg10)
+                       // (10 * c.avg10 * c.tf + 3 * c.avg10 + 90 * n.dl))
+                       AS bigint) AS score_e6
+           FROM cand c JOIN n USING (doc_id)
+           GROUP BY 1, 2),
+ranked AS (SELECT query_id, doc_id, score_e6,
+                  cast(row_number() OVER (PARTITION BY query_id
+                       ORDER BY score_e6 DESC, doc_id ASC) AS bigint) AS rank
+           FROM scored)
+SELECT query_id, doc_id, score_e6, rank FROM ranked
+WHERE rank <= 10 AND score_e6 > 0
+"""
 
     # KWIC snippets: densest query-term window via the struct-ordered
     # (−count, pos) argmin, replayed with struct_pack + list_sort

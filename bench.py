@@ -215,6 +215,25 @@ def run_suite(cpus: int, sf_dir: str) -> dict:
         "embedding_incremental": lambda: similarity.embedding_incremental_pairs(
             emb_batch, emb
         ).count(),
+        # round 4: batched serving — 8 queries in ONE distributed job
+        # from the same standing index (postings never visit the driver)
+        "bm25_serve_batch": lambda: SE.bm25_serve_batch(
+            idx_df,
+            norms_df,
+            spark.createDataFrame(
+                [
+                    (1, "dup vector spark"),
+                    (2, "dup graft"),
+                    (3, "vector pipeline"),
+                    (4, "spark shuffle"),
+                    (5, "dup spark"),
+                    (6, "graft vector"),
+                    (7, "pipeline dup"),
+                    (8, "shuffle vector spark"),
+                ],
+                "query_id long, query string",
+            ),
+        ).count(),
         # round 4: vector serving from the standing banded index — 10
         # pushed (table, bucket) probes, exact-cosine re-rank, no corpus
         # scan and no banding job at query time

@@ -520,3 +520,107 @@ def inverted_index_forget(
         )
         .where(F.col("df") > 0)
     )
+
+
+def bm25_serve_batch(
+    index: DataFrame, norms: DataFrame, queries: DataFrame, k: int = 10
+) -> DataFrame:
+    """Batched index-backed BM25: score MANY queries in one job from the
+    materialized :func:`inverted_index` + :func:`doc_norms` relations —
+    the offline-retrieval shape (mining query→document training pairs,
+    nightly eval sweeps) where :func:`bm25_from_index`'s per-query
+    driver collect of posting rows would serialize the batch.
+
+    ``queries`` is (query_id long, query string). Per query the scores
+    and the (score desc, doc_id asc) top-k tiebreak are IDENTICAL to
+    bm25_from_index — same fixed-point recurrence, same hot-term
+    exclusion (a df>cap index row has no postings and contributes
+    nothing). Merge law (pinned by test): each query_id's rows equal
+    bm25_from_index(index, norms, that query, k).
+
+    Plan shape — everything corpus-sized stays distributed:
+      * the query-term relation (query_id, token) is tiny and BROADCAST
+        into the index join, so only matched tokens' posting rows
+        survive the scan (token-key pushdown at the parquet level when
+        the index is bucketed by token);
+      * postings explode into (token, doc_id, tf) ON THE EXECUTORS —
+        unlike bm25_from_index, posting lists never visit the driver;
+      * idf needs ln over data-dependent df: the distinct (token, df)
+        pairs of the MATCHED terms are collected (bounded by the query
+        batch's vocabulary — KBs for thousands of queries, never
+        corpus-scale), idf'd driver-side with intmath.ln_e6, and
+        broadcast back;
+      * one shuffle joins candidates to norms on doc_id for dl, one
+        partial-agg groupBy sums per (query_id, doc_id), and the top-k
+        window partitions BY QUERY — never a SinglePartition.
+    """
+    from pyspark.sql import Window
+
+    from ..functions.intmath import ln_e6
+
+    spark = index.sparkSession
+    empty = spark.createDataFrame(
+        [], "query_id long, doc_id long, score_e6 long, rank long"
+    )
+    qt = (
+        queries.select(
+            "query_id",
+            F.explode(F.array_distinct(F.split(F.lower("query"), " "))).alias(
+                "token"
+            ),
+        )
+        .where(F.col("token") != "")
+    )
+    stats = norms.agg(
+        F.count(F.lit(1)).alias("nd"), F.sum("dl").alias("tt")
+    ).first()
+    nd, tt = int(stats["nd"] or 0), int(stats["tt"] or 0)
+    if nd == 0 or tt == 0:
+        return empty
+    avg10 = (10 * tt) // nd
+
+    matched = index.join(
+        F.broadcast(qt.select("token").distinct()), "token"
+    ).where(F.col("postings") != "")
+    tdf = matched.select("token", "df").distinct().collect()
+    if not tdf:
+        return empty
+    idf_df = spark.createDataFrame(
+        [(r["token"], ln_e6(2 * nd + 2, 2 * int(r["df"]) + 1)) for r in tdf],
+        "token string, idf_e6 long",
+    )
+    post = matched.select(
+        "token",
+        F.explode(
+            F.arrays_zip(
+                F.split(F.col("postings"), SEP).alias("d"),
+                F.split(F.col("tfs"), SEP).alias("t"),
+            )
+        ).alias("pt"),
+    ).select(
+        "token",
+        F.col("pt.d").cast("long").alias("doc_id"),
+        F.col("pt.t").cast("long").alias("tf"),
+    )
+    cand = post.join(F.broadcast(idf_df), "token").join(F.broadcast(qt), "token")
+    scored = (
+        cand.join(norms, "doc_id")
+        .select(
+            "query_id",
+            "doc_id",
+            F.expr(
+                f"(idf_e6 * tf * 22 * {avg10}) DIV "
+                f"(10 * {avg10} * tf + 3 * {avg10} + 90 * dl)"
+            ).alias("s"),
+        )
+        .groupBy("query_id", "doc_id")
+        .agg(F.sum("s").cast("long").alias("score_e6"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score_e6").desc(), F.col("doc_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where((F.col("rank") <= k) & (F.col("score_e6") > 0))
+        .select("query_id", "doc_id", "score_e6", "rank")
+    )

@@ -763,3 +763,32 @@ def test_ann_from_index_probe_pushdown_no_shuffle(spark, tmp_path):
     assert "PushedFilters: [Or(" in plan or "EqualTo(table," in plan, plan
     assert "ArrowEvalPython" not in plan, plan  # no banding at query time
     assert "embeddings.parquet" not in plan, plan  # corpus never rescanned
+
+
+def test_bm25_serve_batch_distributed_no_singlepartition(spark, tmp_path):
+    """Batched serving shape: query terms broadcast into the index join,
+    postings explode executor-side (a Generate node over the index scan,
+    NOT a driver collect), the top-k window partitions by query_id —
+    never SinglePartition — and document text is never rescanned."""
+    from graphical_context_extraction_pipeline_spark.operators import search as SE
+    from graphical_context_extraction_pipeline_spark.plans.explain import (
+        has_broadcast_join,
+        physical_plan,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    SE.inverted_index(docs).write.parquet(str(tmp_path / "postings"))
+    SE.doc_norms(docs).write.parquet(str(tmp_path / "norms"))
+    qdf = spark.createDataFrame(
+        [(1, "dup graft"), (2, "vector")], "query_id long, query string"
+    )
+    out = SE.bm25_serve_batch(
+        spark.read.parquet(str(tmp_path / "postings")),
+        spark.read.parquet(str(tmp_path / "norms")),
+        qdf,
+    )
+    plan = physical_plan(out)
+    assert has_broadcast_join(out), plan
+    assert "SinglePartition" not in plan, plan
+    assert "Generate explode" in plan, plan  # postings explode in-plan
+    assert "documents.parquet" not in plan, plan

@@ -282,3 +282,42 @@ def test_index_forget_token_vanishes_and_idempotent_shape(spark):
     assert after["cat"] == (1, "2", "1")
     # forgetting everything empties the index
     assert SE.inverted_index_forget(idx, docs).count() == 0
+
+
+def test_bm25_serve_batch_merge_law(spark):
+    """Each query_id's batched rows ≡ bm25_from_index for that query —
+    including a hot term (excluded both paths), an absent term, and an
+    empty query (no rows)."""
+    docs = spark.createDataFrame(
+        [(i, f"alpha t{i % 6} beta cat" if i % 4 == 0 else f"alpha t{i % 6} beta")
+         for i in range(12)],
+        DDL,
+    )
+    cap = 4  # alpha/beta hot (df 12); cat df 3; t0..t5 df 2
+    idx, norms = SE.inverted_index(docs, cap=cap), SE.doc_norms(docs)
+    qdf = spark.createDataFrame(
+        [(1, "cat alpha"), (2, "t1 beta"), (3, ""), (4, "zzz")],
+        "query_id long, query string",
+    )
+    got = {}
+    for r in SE.bm25_serve_batch(idx, norms, qdf, k=5).collect():
+        got.setdefault(r.query_id, {})[r.doc_id] = (r.score_e6, r.rank)
+    assert set(got) <= {1, 2}  # empty + all-absent queries yield nothing
+    for qid, qtext in [(1, "cat alpha"), (2, "t1 beta")]:
+        want = {
+            r.doc_id: r.score_e6
+            for r in SE.bm25_from_index(idx, norms, qtext, k=5).collect()
+        }
+        assert {d: s for d, (s, _) in got.get(qid, {}).items()} == want, qid
+        ranked = sorted(got.get(qid, {}).items(), key=lambda kv: (-kv[1][0], kv[0]))
+        assert [rk for _, (_, rk) in ranked] == list(range(1, len(ranked) + 1))
+
+
+def test_bm25_serve_batch_empty_inputs(spark):
+    docs = spark.createDataFrame([(1, "cat dog")], DDL)
+    idx, norms = SE.inverted_index(docs), SE.doc_norms(docs)
+    empty_q = spark.createDataFrame([], "query_id long, query string")
+    assert SE.bm25_serve_batch(idx, norms, empty_q).count() == 0
+    out = SE.bm25_serve_batch(idx.limit(0), norms.limit(0), empty_q)
+    assert out.columns == ["query_id", "doc_id", "score_e6", "rank"]
+    assert out.count() == 0
