@@ -716,6 +716,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # index-backed ANN serving: probe the standing banded index with
         # a literal query vector (vec 3's embedding, self excluded) — the
         # vector twin of bm25_from_index; no corpus scan, no banding job
+        # batched vector serving: three stored query vectors against the
+        # standing banded index in ONE job (queries banded with a single
+        # vectorized kernel and broadcast; index side never shuffles)
+        "ann_serve_batch": lambda s, d: similarity.ann_serve_batch(
+            similarity.lsh_bucket_multi(
+                _emb(s, d),
+                similarity.EMB_DUP_PLANES,
+                similarity.EMB_DUP_TABLES,
+                similarity.EMB_DUP_SEED,
+                similarity._embedding_dim(_emb(s, d)),
+            ),
+            _emb(s, d)
+            .where(F.col("vec_id").isin([0, 1, 2]))
+            .select(F.col("vec_id").alias("query_id"), "embedding"),
+        ),
         "ann_from_index": lambda s, d: similarity.ann_from_index(
             similarity.lsh_bucket_multi(
                 _emb(s, d),
@@ -3676,6 +3691,17 @@ FROM bl
     ids = ", ".join(str(i) for i in QUERY_IDS)
     q["ann_topk_lsh"] = _ann_lsh_oracle(ids)
     q["ann_from_index"] = _ann_from_index_oracle(3)
+    # batched index serving ≡ ann_topk_lsh at the EMB_DUP family — the
+    # generalized oracle replays the same banding/cosine/rank chain
+    from graphical_context_extraction_pipeline_spark.operators.similarity import (
+        EMB_DUP_PLANES as _EDP,
+        EMB_DUP_SEED as _EDS,
+        EMB_DUP_TABLES as _EDT,
+    )
+
+    q["ann_serve_batch"] = _ann_lsh_oracle(
+        "0, 1, 2", n_planes=_EDP, n_tables=_EDT, seed=_EDS
+    )
     q["ivf_topk"] = _ivf_oracle(ids)
     q["embedding_cosine_dups"] = _emb_dups_oracle()
     q["embedding_incremental"] = _emb_incremental_oracle()

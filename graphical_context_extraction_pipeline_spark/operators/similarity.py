@@ -571,3 +571,70 @@ def ann_from_index(
     )
     w = Window.orderBy(F.desc("cos_e4"), F.asc("vec_id"))  # ≤k rows: tiny
     return topk.withColumn("rank", F.row_number().over(w).cast("long"))
+
+
+def ann_serve_batch(
+    index: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_planes: int = EMB_DUP_PLANES,
+    n_tables: int = EMB_DUP_TABLES,
+    seed: int = EMB_DUP_SEED,
+    dim: int | None = None,
+) -> DataFrame:
+    """Batched index-backed ANN: top-k cosine neighbours for MANY query
+    vectors in one distributed job against the standing banded index —
+    the offline twin of :func:`ann_from_index` (which serves one literal
+    vector via pushed point probes) and the vector sibling of
+    search.bm25_serve_batch. ``queries`` is (query_id long, embedding
+    array<float>).
+
+    Plan shape: the query batch is banded with ONE vectorized kernel
+    (lsh_bucket_multi — same single ArrowEvalPython node as the index
+    build) and BROADCAST into the (table, bucket) join against the
+    index, so the index side never shuffles; candidates dedup per
+    (query_id, vec_id) across tables, one exact-cosine projection, and
+    the top-k window partitions BY QUERY. Self-matches (a stored query
+    probing the index that contains it) keep the family's exclusion
+    rule: vec_id == query_id rows are dropped, so for stored queries
+    this ≡ ann_topk_lsh at the same (planes, tables, seed) — the merge
+    law pinned by test.
+    """
+    if dim is None:
+        dim = _embedding_dim(queries)
+    q_b = lsh_bucket_multi(
+        queries.select(F.col("query_id").alias("vec_id"), "embedding"),
+        n_planes,
+        n_tables,
+        seed,
+        dim,
+    ).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qv"),
+        "table",
+        "bucket",
+    )
+    cand = (
+        index.alias("s")
+        .join(F.broadcast(q_b).alias("q"), ["table", "bucket"])
+        .where(F.col("s.vec_id") != F.col("q.query_id"))
+        .select(
+            F.col("q.query_id").alias("query_id"),
+            F.col("s.vec_id").alias("vec_id"),
+            F.col("q.qv").alias("qv"),
+            F.col("s.embedding").alias("embedding"),
+        )
+        .dropDuplicates(["query_id", "vec_id"])
+    )
+    cos = _dot(F.col("embedding"), F.col("qv")) / (
+        _norm(F.col("embedding")) * _norm(F.col("qv"))
+    )
+    scored = cand.select(
+        "query_id", "vec_id", F.floor(cos * 10000).cast("long").alias("cos_e4")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_e4"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k)
+        .select("query_id", "vec_id", "cos_e4", "rank")
+    )

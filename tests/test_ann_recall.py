@@ -127,3 +127,41 @@ def test_ann_from_index_probe_misses_and_self(spark):
     got = similarity.ann_from_index(index.limit(0), qv, k=5)
     assert got.count() == 0
     assert got.columns == ["vec_id", "cos_e4", "rank"]
+
+
+def test_ann_serve_batch_merge_law(spark):
+    """Batched serving from the materialized index ≡ ann_topk_lsh per
+    stored query at the same (planes, tables, seed)."""
+    from pyspark.sql import functions as F
+
+    emb = _emb(spark)
+    dim = similarity._embedding_dim(emb)
+    index = similarity.lsh_bucket_multi(
+        emb,
+        similarity.EMB_DUP_PLANES,
+        similarity.EMB_DUP_TABLES,
+        similarity.EMB_DUP_SEED,
+        dim,
+    )
+    qids = QUERY_IDS[:3]
+    queries = emb.where(emb.vec_id.isin(qids)).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    got = _by_query(
+        similarity.ann_serve_batch(index, queries, k=K, dim=dim).collect()
+    )
+    want = _by_query(
+        similarity.ann_topk_lsh(
+            emb,
+            qids,
+            k=K,
+            n_planes=similarity.EMB_DUP_PLANES,
+            n_tables=similarity.EMB_DUP_TABLES,
+            seed=similarity.EMB_DUP_SEED,
+        ).collect()
+    )
+    assert got == want
+    # empty query batch → empty, schema stable
+    out = similarity.ann_serve_batch(index, queries.limit(0), k=K, dim=dim)
+    assert out.count() == 0
+    assert out.columns == ["query_id", "vec_id", "cos_e4", "rank"]

@@ -792,3 +792,36 @@ def test_bm25_serve_batch_distributed_no_singlepartition(spark, tmp_path):
     assert "SinglePartition" not in plan, plan
     assert "Generate explode" in plan, plan  # postings explode in-plan
     assert "documents.parquet" not in plan, plan
+
+
+def test_ann_serve_batch_broadcasts_queries_index_never_shuffles(spark, tmp_path):
+    """Batched vector serving: exactly ONE ArrowEvalPython node (the
+    query batch's banding — the materialized index needs none), the
+    banded queries broadcast into the bucket join, the top-k window
+    partitions by query — no SinglePartition, no corpus rescan."""
+    from pyspark.sql import functions as F
+
+    from graphical_context_extraction_pipeline_spark.operators import similarity
+    from graphical_context_extraction_pipeline_spark.plans.explain import (
+        has_broadcast_join,
+        physical_plan,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    dim = similarity._embedding_dim(emb)
+    similarity.lsh_bucket_multi(
+        emb,
+        similarity.EMB_DUP_PLANES,
+        similarity.EMB_DUP_TABLES,
+        similarity.EMB_DUP_SEED,
+        dim,
+    ).write.parquet(str(tmp_path / "embindex"))
+    index = spark.read.parquet(str(tmp_path / "embindex"))
+    queries = emb.where(emb.vec_id.isin([0, 1])).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = similarity.ann_serve_batch(index, queries, k=5, dim=dim)
+    plan = physical_plan(out)
+    assert plan.count("ArrowEvalPython") == 1, plan
+    assert has_broadcast_join(out), plan
+    assert "SinglePartition" not in plan, plan
