@@ -684,6 +684,40 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             s.createDataFrame(list(BM25_BATCH), "query_id long, query string"),
             k=10,
         ),
+        # hybrid retrieval: reciprocal-rank fusion of the lexical and
+        # vector serving paths (doc embeddings share the document id
+        # space), integer e6 contributions — the standard BM25+ANN mixer
+        "hybrid_search": lambda s, d: SE.rrf_fuse(
+            [
+                (
+                    SE.bm25_from_index(
+                        SE.inverted_index(_tailed_docs(_flat_docs(s, d))),
+                        SE.doc_norms(_tailed_docs(_flat_docs(s, d))),
+                        BM25_INDEX_QUERY,
+                        k=10,
+                    ),
+                    "doc_id",
+                    "score_e6",
+                ),
+                (
+                    similarity.ann_from_index(
+                        similarity.lsh_bucket_multi(
+                            _emb(s, d),
+                            similarity.EMB_DUP_PLANES,
+                            similarity.EMB_DUP_TABLES,
+                            similarity.EMB_DUP_SEED,
+                            similarity._embedding_dim(_emb(s, d)),
+                        ),
+                        list(
+                            _emb(s, d).where(F.col("vec_id") == 3).first()["embedding"]
+                        ),
+                        exclude_ids=(3,),
+                    ),
+                    "vec_id",
+                    "cos_e4",
+                ),
+            ]
+        ),
         "phrase_search": lambda s, d: SE.phrase_search(_flat_docs(s, d), PHRASE_QUERY, k=20),
         "search_snippets": lambda s, d: SE.snippets(_flat_docs(s, d), BM25_QUERY, k=10),
         # extraction feeds retrieval: BM25 over the DOM-extracted bodies
@@ -1080,7 +1114,9 @@ SELECT query_id, vec_id, cos_e4, rank FROM ranked WHERE rank <= {k}
 """
 
 
-def _ann_from_index_oracle(qid: int, k: int = 10) -> str:
+def _ann_from_index_oracle(
+    qid: int, k: int = 10, as_cte: str | None = None, with_prefix: bool = True
+) -> str:
     """Replays similarity.ann_from_index over the full banded index (the
     registered query builds it from the embeddings table): the query's
     probe keys are its own banded rows, candidates dedup across tables,
@@ -1094,8 +1130,14 @@ def _ann_from_index_oracle(qid: int, k: int = 10) -> str:
     )
 
     banded = _banded_sql(EMB_DUP_PLANES, EMB_DUP_TABLES, EMB_DUP_SEED, _emb_dim())
+    final = (
+        f",\n{as_cte} AS (SELECT vec_id, cos_e4 FROM ranked WHERE rank <= {k})"
+        if as_cte
+        else f"\nSELECT vec_id, cos_e4, rank FROM ranked WHERE rank <= {k}"
+    )
+    prefix = "WITH " if with_prefix else ""
     return f"""
-WITH e AS (SELECT vec_id, cast(embedding AS DOUBLE[]) AS v FROM embeddings),
+{prefix}e AS (SELECT vec_id, cast(embedding AS DOUBLE[]) AS v FROM embeddings),
 b AS (
 {banded}
 ),
@@ -1114,8 +1156,7 @@ scored AS (SELECT c.vec_id,
 ranked AS (SELECT vec_id, cos_e4,
                   cast(row_number() OVER (ORDER BY cos_e4 DESC, vec_id)
                        AS bigint) AS rank
-           FROM scored)
-SELECT vec_id, cos_e4, rank FROM ranked WHERE rank <= {k}
+           FROM scored){final}
 """
 
 
@@ -2995,12 +3036,19 @@ SELECT token, df, total_tf, postings, tfs FROM outp WHERE df > 0
         ln_e6_sql,
     )
 
-    def _bm25_chain(corpus: str, query: str = BM25_QUERY, hot_cap: int | None = None) -> str:
+    def _bm25_chain(
+        corpus: str,
+        query: str = BM25_QUERY,
+        hot_cap: int | None = None,
+        as_cte: str | None = None,
+    ) -> str:
         """CTE tail computing bm25 top-10 over a relation named `corpus`
         with (doc_id, text); append after a WITH prelude. With
         ``hot_cap`` set it replays bm25_from_index's stopword semantics
         instead: a term whose df exceeds the cap has no posting list in
-        the index, so it is excluded from scoring entirely."""
+        the index, so it is excluded from scoring entirely. With
+        ``as_cte`` the result lands in a named CTE (for composition,
+        e.g. the hybrid_search fusion) instead of the final SELECT."""
         terms = sorted(set(query.lower().split()))
         tf = ",\n       ".join(
             f"cast(len(list_filter(toks, x -> x = '{w}')) AS bigint) AS tf{i}"
@@ -3024,6 +3072,11 @@ SELECT token, df, total_tf, postings, tfs FROM outp WHERE df > 0
             f" // (10 * c.avg10 * s.tf{i} + 3 * c.avg10 + 90 * s.dl) ELSE 0 END"
             for i in range(len(terms))
         )
+        final = (
+            f",\n{as_cte} AS (SELECT doc_id, score_e6 FROM r WHERE score_e6 > 0)"
+            if as_cte
+            else "\nSELECT doc_id, score_e6 FROM r WHERE score_e6 > 0"
+        )
         return f"""
 d AS (SELECT doc_id, {_TOKS} AS toks FROM {corpus}),
 s AS (SELECT doc_id, cast(len(toks) AS bigint) AS dl,
@@ -3035,8 +3088,7 @@ c AS (SELECT (10 * tt) // nd AS avg10, nd,
       FROM g),
 r AS (SELECT s.doc_id, cast({score} AS bigint) AS score_e6
       FROM s, c
-      ORDER BY score_e6 DESC, s.doc_id ASC LIMIT 10)
-SELECT doc_id, score_e6 FROM r WHERE score_e6 > 0"""
+      ORDER BY score_e6 DESC, s.doc_id ASC LIMIT 10){final}"""
 
     q["bm25_search"] = f"WITH {_bm25_chain('documents')}\n"
 
@@ -3098,6 +3150,36 @@ ranked AS (SELECT query_id, doc_id, score_e6,
 SELECT query_id, doc_id, score_e6, rank FROM ranked
 WHERE rank <= 10 AND score_e6 > 0
 """
+
+    # hybrid retrieval: both serving chains composed in one WITH (CTE
+    # namespaces are disjoint by construction) + the integer RRF mixer —
+    # rank within each list by (score desc, id asc), contribution
+    # 1000000 // (60 + rank), fuse by (rrf desc, id asc)
+    q["hybrid_search"] = (
+        "WITH docs AS (SELECT doc_id, text || ' tail' ||"
+        " cast(doc_id % 311 AS varchar) AS text FROM documents),"
+        + _bm25_chain(
+            "docs", query=BM25_INDEX_QUERY, hot_cap=POSTINGS_CAP, as_cte="bmres"
+        )
+        + ","
+        + _ann_from_index_oracle(3, as_cte="annres", with_prefix=False)
+        + f"""
+, l1 AS (SELECT doc_id AS id,
+                row_number() OVER (ORDER BY score_e6 DESC, doc_id) AS rr
+         FROM bmres),
+l2 AS (SELECT vec_id AS id,
+              row_number() OVER (ORDER BY cos_e4 DESC, vec_id) AS rr
+       FROM annres),
+u AS (SELECT id, rr FROM l1 UNION ALL SELECT id, rr FROM l2),
+f AS (SELECT id, cast(sum(1000000 // (60 + rr)) AS bigint) AS rrf_e6,
+             cast(count(*) AS bigint) AS n_lists
+      FROM u GROUP BY 1),
+fr AS (SELECT id, rrf_e6, n_lists,
+              cast(row_number() OVER (ORDER BY rrf_e6 DESC, id) AS bigint) AS rank
+       FROM f)
+SELECT id, rrf_e6, n_lists, rank FROM fr WHERE rank <= 10
+"""
+    )
 
     # KWIC snippets: densest query-term window via the struct-ordered
     # (−count, pos) argmin, replayed with struct_pack + list_sort

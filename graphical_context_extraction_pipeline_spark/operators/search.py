@@ -624,3 +624,53 @@ def bm25_serve_batch(
         .where((F.col("rank") <= k) & (F.col("score_e6") > 0))
         .select("query_id", "doc_id", "score_e6", "rank")
     )
+
+
+def rrf_fuse(
+    rankings: list[tuple[DataFrame, str, str]], k: int = 10, c: int = 60
+) -> DataFrame:
+    """Reciprocal-rank fusion of serving results — the standard hybrid-
+    retrieval combiner (Cormack et al., SIGIR'09; every engine that
+    mixes BM25 with vector search fuses this way): each input list
+    contributes 1/(c + rank) per id, summed across lists, re-ranked.
+
+    ``rankings`` is a list of (result, id_col, score_col) triples —
+    e.g. [(bm25_from_index(...), 'doc_id', 'score_e6'),
+    (ann_from_index(...), 'vec_id', 'cos_e4')] for a corpus whose
+    embeddings share the document id space. Ranks are (score desc, id
+    asc) positions WITHIN each list, recomputed here so any scored
+    relation fuses without carrying a rank column.
+
+    Integer-exact: contribution = 1000000 DIV (c + rank) — e6 fixed
+    point, identical in every engine (operands positive). Output
+    (id, rrf_e6, n_lists, rank) by (rrf_e6 desc, id asc).
+
+    Scale note: inputs are top-k serving lists (≤ k rows each by
+    construction), so the per-list ranking windows and the final fuse
+    run on KB-scale relations — the expensive distributed work already
+    happened inside the serving operators being fused.
+    """
+    from functools import reduce
+
+    from pyspark.sql import Window
+
+    parts = []
+    for df, idc, sc in rankings:
+        w = Window.orderBy(F.col(sc).desc(), F.col(idc).asc())  # ≤k rows
+        parts.append(
+            df.select(
+                F.col(idc).cast("long").alias("id"),
+                F.row_number().over(w).alias("r"),
+            )
+        )
+    u = reduce(lambda a, b: a.unionByName(b), parts)
+    scored = u.groupBy("id").agg(
+        F.sum(F.expr(f"1000000 DIV ({c} + r)")).cast("long").alias("rrf_e6"),
+        F.count(F.lit(1)).cast("long").alias("n_lists"),
+    )
+    w = Window.orderBy(F.col("rrf_e6").desc(), F.col("id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k)
+        .select("id", "rrf_e6", "n_lists", "rank")
+    )

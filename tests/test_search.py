@@ -321,3 +321,38 @@ def test_bm25_serve_batch_empty_inputs(spark):
     out = SE.bm25_serve_batch(idx.limit(0), norms.limit(0), empty_q)
     assert out.columns == ["query_id", "doc_id", "score_e6", "rank"]
     assert out.count() == 0
+
+
+def test_rrf_fuse_hand_values(spark):
+    """Two overlapping top lists, hand-computed e6 fusion: shared id 7
+    is rank 2 in list A and rank 1 in list B → 1000000//62 + 1000000//61
+    = 16129 + 16393 = 32522, beating either list's unique leader."""
+    a = spark.createDataFrame(
+        [(3, 900), (7, 800), (5, 700)], "doc_id long, score_e6 long"
+    )
+    b = spark.createDataFrame(
+        [(7, 9500), (9, 9400)], "vec_id long, cos_e4 long"
+    )
+    got = {
+        r.id: (r.rrf_e6, r.n_lists, r.rank)
+        for r in SE.rrf_fuse([(a, "doc_id", "score_e6"), (b, "vec_id", "cos_e4")]).collect()
+    }
+    assert got[7] == (32522, 2, 1)
+    assert got[3] == (1000000 // 61, 1, 2)  # r1 in A
+    assert got[9] == (1000000 // 62, 1, 3)  # r2 in B
+    assert got[5] == (1000000 // 63, 1, 4)
+    # k cuts: only the top-2 survive k=2
+    top2 = SE.rrf_fuse(
+        [(a, "doc_id", "score_e6"), (b, "vec_id", "cos_e4")], k=2
+    ).collect()
+    assert sorted(r.id for r in top2) == [3, 7]
+
+
+def test_rrf_fuse_score_tie_uses_id_asc_rank(spark):
+    """Within one list, equal scores rank by id asc — pinning the same
+    tiebreak the serving operators use."""
+    a = spark.createDataFrame(
+        [(10, 500), (2, 500), (30, 500)], "doc_id long, score_e6 long"
+    )
+    got = {r.id: r.rrf_e6 for r in SE.rrf_fuse([(a, "doc_id", "score_e6")]).collect()}
+    assert got == {2: 1000000 // 61, 10: 1000000 // 62, 30: 1000000 // 63}
