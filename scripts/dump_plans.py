@@ -196,6 +196,59 @@ def main() -> None:
         ),
     ]
 
+    # round-4 session-2 serving family: batched lexical serving, vector
+    # point serving, batched vector serving — all against materialized
+    # index tables, never the corpus
+    sim = __import__(
+        "graphical_context_extraction_pipeline_spark.operators.similarity",
+        fromlist=["similarity"],
+    )
+    emb_t = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    dim = sim._embedding_dim(emb_t)
+    sim.lsh_bucket_multi(
+        emb_t, sim.EMB_DUP_PLANES, sim.EMB_DUP_TABLES, sim.EMB_DUP_SEED, dim
+    ).write.mode("overwrite").parquet(f"{idx_dir}/embindex")
+    embindex = spark.read.parquet(f"{idx_dir}/embindex")
+    qv = list(emb_t.where(F.col("vec_id") == 3).first()["embedding"])
+    entries += [
+        (
+            "bm25_serve_batch (batched lexical serving)",
+            SE.bm25_serve_batch(
+                spark.read.parquet(f"{idx_dir}/postings"),
+                spark.read.parquet(f"{idx_dir}/norms"),
+                spark.createDataFrame(
+                    [(1, "dup graft"), (2, "vector spark")],
+                    "query_id long, query string",
+                ),
+            ),
+            "query terms broadcast into the index join; postings explode "
+            "executor-side (Generate over the index scan — never a driver "
+            "collect); the top-k window partitions by query_id, never "
+            "SinglePartition; document text appears nowhere.",
+        ),
+        (
+            "ann_from_index (vector point serving)",
+            sim.ann_from_index(embindex, qv, exclude_ids=(3,)),
+            "the query's 10 (table, bucket) probe keys are a pushed "
+            "OR-of-conjunctions filter on the index parquet scan; zero "
+            "ArrowEvalPython (no banding at query time), zero corpus "
+            "touch; the only 'shuffle' is the ≤k-row ordered take.",
+        ),
+        (
+            "ann_serve_batch (batched vector serving)",
+            sim.ann_serve_batch(
+                embindex,
+                emb_t.where(F.col("vec_id").isin([0, 1])).select(
+                    F.col("vec_id").alias("query_id"), "embedding"
+                ),
+                dim=dim,
+            ),
+            "exactly ONE ArrowEvalPython node (the query batch's banding); "
+            "the banded queries broadcast into the bucket join so the "
+            "index side never shuffles; per-query top-k window.",
+        ),
+    ]
+
     from graphical_context_extraction_pipeline_spark.datagen import ensure_html
     from graphical_context_extraction_pipeline_spark.operators import (
         html_extract as HT,
