@@ -51,6 +51,10 @@ from ..operators.similarity import (
     lsh_bucket_multi,
 )
 
+# same {version dir, CURRENT.json pointer} protocol as the lexical twin,
+# so its version listing / pruning apply verbatim to this store
+from .index import list_versions, prune_versions  # noqa: F401
+
 EMB_STREAM_DDL = "vec_id long, embedding array<float>, label int"
 
 _POINTER = "CURRENT.json"

@@ -115,3 +115,43 @@ def stream_index_maintenance(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def list_versions(index_dir: str) -> list[str]:
+    """All committed version directories (``v``-prefixed, zero-padded so
+    lexicographic == numeric order), ascending."""
+    if not os.path.isdir(index_dir):
+        return []
+    return sorted(
+        d
+        for d in os.listdir(index_dir)
+        if d.startswith("v") and os.path.isdir(os.path.join(index_dir, d))
+    )
+
+
+def prune_versions(index_dir: str, keep_last: int = 2) -> list[str]:
+    """Bound the versioned store's disk growth: delete old version
+    directories, keeping the pointer's CURRENT version, ``keep_last - 1``
+    versions immediately before it (rollback / time-travel window), and
+    anything NEWER than the pointer (a crash can leave an in-flight
+    version directory ahead of the pointer; the next merge overwrites it,
+    so pruning must never race that write). Returns the removed names.
+
+    Safe against every replay in the epoch contract: merge_epoch refuses
+    a replayed epoch BEFORE reading any version directory, so no reader
+    ever dereferences a pruned version — the pointer is the only entry
+    point and it always survives.
+    """
+    import shutil
+
+    meta = _read_pointer(index_dir)
+    if meta is None or keep_last < 1:
+        return []
+    versions = list_versions(index_dir)
+    if meta["version"] not in versions:
+        return []
+    cur = versions.index(meta["version"])
+    doomed = versions[: max(0, cur - (keep_last - 1))]
+    for v in doomed:
+        shutil.rmtree(os.path.join(index_dir, v))
+    return doomed

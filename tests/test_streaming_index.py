@@ -94,3 +94,59 @@ def test_epoch_replay_is_idempotent_noop(spark, tmp_path):
     assert merge_epoch(spark, idx_dir, b3, 2) is True
     final = {r.token: r.df for r in read_current_index(spark, idx_dir).collect()}
     assert final["a"] == 4
+
+
+def test_prune_versions_keeps_current_and_window(spark, tmp_path):
+    """Pruning bounds disk growth: old versions vanish, the pointer's
+    version (and the keep_last-1 before it) survive, replay refusal is
+    unaffected, and pruning an embindex store works identically (shared
+    pointer protocol)."""
+    from graphical_context_extraction_pipeline_spark.streaming.index import (
+        _read_pointer,
+        list_versions,
+        merge_epoch,
+        prune_versions,
+    )
+
+    idx_dir = str(tmp_path / "index")
+    os.makedirs(idx_dir)
+    docs = lambda i: spark.createDataFrame(  # noqa: E731
+        [(i * 10, f"cat dog{i}")], "doc_id long, text string"
+    )
+    for e in range(4):
+        assert merge_epoch(spark, idx_dir, docs(e), e) is True
+    assert list_versions(idx_dir) == [f"v{e:010d}" for e in range(4)]
+
+    removed = prune_versions(idx_dir, keep_last=2)
+    assert removed == ["v0000000000", "v0000000001"]
+    assert list_versions(idx_dir) == ["v0000000002", "v0000000003"]
+    # pointer untouched; current still reads; replay still refused
+    assert _read_pointer(idx_dir)["version"] == "v0000000003"
+    assert read_current_index(spark, idx_dir).count() > 0
+    assert merge_epoch(spark, idx_dir, docs(0), 0) is False
+    # keep_last=1 leaves only the current version
+    assert prune_versions(idx_dir, keep_last=1) == ["v0000000002"]
+    assert list_versions(idx_dir) == ["v0000000003"]
+    # idempotent / degenerate calls
+    assert prune_versions(idx_dir, keep_last=1) == []
+    assert prune_versions(str(tmp_path / "nowhere")) == []
+
+
+def test_prune_never_removes_versions_newer_than_pointer(spark, tmp_path):
+    """A crash can leave an in-flight version directory AHEAD of the
+    pointer; pruning must not race the write that will overwrite it."""
+    from graphical_context_extraction_pipeline_spark.streaming.index import (
+        list_versions,
+        merge_epoch,
+        prune_versions,
+    )
+
+    idx_dir = str(tmp_path / "index")
+    os.makedirs(idx_dir)
+    docs = spark.createDataFrame([(1, "cat")], "doc_id long, text string")
+    assert merge_epoch(spark, idx_dir, docs, 0) is True
+    # simulate the in-flight write of epoch 1 (version exists, pointer not
+    # yet swapped)
+    os.makedirs(os.path.join(idx_dir, "v0000000001"))
+    assert prune_versions(idx_dir, keep_last=1) == []
+    assert list_versions(idx_dir) == ["v0000000000", "v0000000001"]
