@@ -667,6 +667,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         # integer-BM25 keyword retrieval: one selective + two common terms
         "bm25_search": lambda s, d: SE.bm25(_flat_docs(s, d), BM25_QUERY, k=10),
+        # retrieval eval harness: ANN quality vs the exact brute-force
+        # truth — per-query recall@10 (bp) and first-hit MRR (e6)
+        "retrieval_metrics": lambda s, d: SE.retrieval_metrics(
+            similarity.ann_topk_lsh(_emb(s, d), QUERY_IDS),
+            similarity.cosine_topk(_emb(s, d), QUERY_IDS),
+        ),
         # index-backed serving: score from the standing tailed posting
         # index + norms table, never rescanning document text
         "bm25_from_index": lambda s, d: SE.bm25_from_index(
@@ -1089,12 +1095,28 @@ _COS_SQL = (
 )
 
 
-def _ann_lsh_oracle(ids: str, k: int = 10, n_planes: int = 4, n_tables: int = 8, seed: int = 42) -> str:
+def _ann_lsh_oracle(
+    ids: str,
+    k: int = 10,
+    n_planes: int = 4,
+    n_tables: int = 8,
+    seed: int = 42,
+    as_cte: str | None = None,
+    with_prefix: bool = True,
+) -> str:
     """Replays similarity.ann_topk_lsh exactly: same hyperplane literals,
-    same multi-table candidate union, same exact cosine re-rank."""
+    same multi-table candidate union, same exact cosine re-rank. With
+    ``as_cte``/``with_prefix`` the chain composes into a larger WITH
+    (e.g. the retrieval_metrics oracle)."""
     banded = _banded_sql(n_planes, n_tables, seed, _emb_dim())
+    final = (
+        f",\n{as_cte} AS (SELECT query_id, vec_id, cos_e4, rank FROM ranked WHERE rank <= {k})"
+        if as_cte
+        else f"\nSELECT query_id, vec_id, cos_e4, rank FROM ranked WHERE rank <= {k}"
+    )
+    prefix = "WITH " if with_prefix else ""
     return f"""
-WITH e AS (SELECT vec_id, cast(embedding AS DOUBLE[]) AS v FROM embeddings),
+{prefix}e AS (SELECT vec_id, cast(embedding AS DOUBLE[]) AS v FROM embeddings),
 b AS (
 {banded}
 ),
@@ -1109,8 +1131,7 @@ scored AS (SELECT c.query_id, c.vec_id,
 ranked AS (SELECT query_id, vec_id, cos_e4,
                   cast(row_number() OVER (PARTITION BY query_id
                        ORDER BY cos_e4 DESC, vec_id) AS bigint) AS rank
-           FROM scored)
-SELECT query_id, vec_id, cos_e4, rank FROM ranked WHERE rank <= {k}
+           FROM scored){final}
 """
 
 
@@ -3773,6 +3794,37 @@ FROM bl
     ids = ", ".join(str(i) for i in QUERY_IDS)
     q["ann_topk_lsh"] = _ann_lsh_oracle(ids)
     q["ann_from_index"] = _ann_from_index_oracle(3)
+    # eval harness: the ANN chain lands in CTE `res`, the exact-cosine
+    # truth is replayed inline, then the integer recall/MRR arithmetic
+    q["retrieval_metrics"] = (
+        _ann_lsh_oracle(ids, as_cte="res")
+        + f""", tsc AS (SELECT qe.vec_id AS query_id, ea.vec_id,
+              cast(floor((list_dot_product(ea.v, qe.v)
+                   / (sqrt(list_dot_product(ea.v, ea.v))
+                      * sqrt(list_dot_product(qe.v, qe.v)))) * 10000)
+                   AS bigint) AS cos_e4
+       FROM e qe JOIN e ea ON ea.vec_id <> qe.vec_id
+       WHERE qe.vec_id IN ({ids})),
+trk AS (SELECT query_id, vec_id,
+               cast(row_number() OVER (PARTITION BY query_id
+                    ORDER BY cos_e4 DESC, vec_id) AS bigint) AS rank
+        FROM tsc),
+truth AS (SELECT query_id, vec_id, rank FROM trk WHERE rank <= 10),
+pt AS (SELECT query_id, cast(count(*) AS bigint) AS n_truth
+       FROM truth GROUP BY 1),
+ph AS (SELECT r.query_id, cast(count(*) AS bigint) AS n_hits,
+              min(r.rank) AS first_hit
+       FROM res r JOIN truth t ON t.query_id = r.query_id
+                              AND t.vec_id = r.vec_id
+       GROUP BY 1)
+SELECT pt.query_id, pt.n_truth,
+       cast(coalesce(ph.n_hits, 0) AS bigint) AS n_hits,
+       cast((10000 * coalesce(ph.n_hits, 0)) // pt.n_truth AS bigint) AS recall_bp,
+       cast(CASE WHEN ph.first_hit IS NULL THEN 0
+                 ELSE 1000000 // ph.first_hit END AS bigint) AS mrr_e6
+FROM pt LEFT JOIN ph ON ph.query_id = pt.query_id
+"""
+    )
     # batched index serving ≡ ann_topk_lsh at the EMB_DUP family — the
     # generalized oracle replays the same banding/cosine/rank chain
     from graphical_context_extraction_pipeline_spark.operators.similarity import (

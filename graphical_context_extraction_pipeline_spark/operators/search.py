@@ -674,3 +674,58 @@ def rrf_fuse(
         .where(F.col("rank") <= k)
         .select("id", "rrf_e6", "n_lists", "rank")
     )
+
+
+def retrieval_metrics(
+    results: DataFrame,
+    truth: DataFrame,
+    k: int = 10,
+    query_col: str = "query_id",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Per-query retrieval quality of ``results`` against a ``truth``
+    ranking — the eval harness of the serving family (how good is the
+    ANN index vs brute force? did a rebuild change quality?). Both
+    inputs are ranked relations with (query_col, id_col, rank) — e.g.
+    ann_serve_batch output evaluated against cosine_topk.
+
+    Output (query_id, n_truth, n_hits, recall_bp, mrr_e6):
+      * recall_bp = 10000·|results∩truth@k| / |truth@k| (basis points,
+        exact integer);
+      * mrr_e6 = 1000000 DIV (rank of the FIRST result id that appears
+        in truth@k), 0 when none do — the e6 reciprocal rank.
+
+    Queries present in truth but absent from results score 0 on both
+    (the harness must expose a recall hole, not drop the row). All
+    arithmetic integer; both relations are top-k serving outputs, so
+    every join here is KB-per-query — the heavy work happened upstream.
+    """
+    t = truth.where(F.col("rank") <= k).select(
+        F.col(query_col).alias("qid"), F.col(id_col).alias("tid")
+    )
+    r = results.where(F.col("rank") <= k).select(
+        F.col(query_col).alias("qid"),
+        F.col(id_col).alias("rid"),
+        F.col("rank").cast("long").alias("rrank"),
+    )
+    hits = r.join(t, (r["qid"] == t["qid"]) & (r["rid"] == t["tid"])).select(
+        r["qid"].alias("qid"), "rrank"
+    )
+    per_truth = t.groupBy("qid").agg(F.count(F.lit(1)).cast("long").alias("n_truth"))
+    per_hits = hits.groupBy("qid").agg(
+        F.count(F.lit(1)).cast("long").alias("n_hits"),
+        F.min("rrank").alias("first_hit"),
+    )
+    z = F.lit(0).cast("long")
+    return (
+        per_truth.join(per_hits, "qid", "left")
+        .select(
+            F.col("qid").alias("query_id"),
+            "n_truth",
+            F.coalesce("n_hits", z).alias("n_hits"),
+            F.expr("(10000 * coalesce(n_hits, 0)) DIV n_truth").alias("recall_bp"),
+            F.when(
+                F.col("first_hit").isNull(), z
+            ).otherwise(F.expr("1000000 DIV first_hit")).alias("mrr_e6"),
+        )
+    )

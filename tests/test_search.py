@@ -356,3 +356,39 @@ def test_rrf_fuse_score_tie_uses_id_asc_rank(spark):
     )
     got = {r.id: r.rrf_e6 for r in SE.rrf_fuse([(a, "doc_id", "score_e6")]).collect()}
     assert got == {2: 1000000 // 61, 10: 1000000 // 62, 30: 1000000 // 63}
+
+
+def test_retrieval_metrics_hand_values(spark):
+    """truth@2 per query; results hit 2/2, 1/2 (at rank 3 → beyond k
+    when k=2? no — k filters BOTH sides), and 0/2; a query missing from
+    results entirely scores 0/0-hit row (never dropped)."""
+    truth = spark.createDataFrame(
+        [(1, 10, 1), (1, 11, 2),
+         (2, 20, 1), (2, 21, 2),
+         (3, 30, 1), (3, 31, 2),
+         (4, 40, 1)],
+        "query_id long, vec_id long, rank long",
+    )
+    results = spark.createDataFrame(
+        [(1, 11, 1), (1, 10, 2),      # both truth ids, first hit rank 1
+         (2, 99, 1), (2, 21, 2),      # one hit at rank 2
+         (3, 98, 1), (3, 97, 2)],     # no hits
+        "query_id long, vec_id long, rank long",
+    )
+    got = {
+        r.query_id: (r.n_truth, r.n_hits, r.recall_bp, r.mrr_e6)
+        for r in SE.retrieval_metrics(results, truth, k=2).collect()
+    }
+    assert got[1] == (2, 2, 10000, 1000000)
+    assert got[2] == (2, 1, 5000, 500000)
+    assert got[3] == (2, 0, 0, 0)
+    assert got[4] == (1, 0, 0, 0)  # absent from results → exposed, not dropped
+    # k cut: a rank-3 result row is invisible at k=2
+    res3 = results.union(
+        spark.createDataFrame([(3, 30, 3)], "query_id long, vec_id long, rank long")
+    )
+    got3 = {
+        r.query_id: r.n_hits
+        for r in SE.retrieval_metrics(res3, truth, k=2).collect()
+    }
+    assert got3[3] == 0
