@@ -665,6 +665,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             SE.inverted_index(_tailed_docs(_flat_docs(s, d))),
             _tailed_docs(_flat_docs(s, d)).where(F.col("doc_id") % 17 == 3),
         ),
+        # serving-side vocabulary utilities over the standing index:
+        # type-ahead completions (pushed StartsWith + ordered take) and
+        # Levenshtein spell-correction candidates (length-band prune)
+        "prefix_completions": lambda s, d: SE.prefix_completions(
+            SE.inverted_index(_tailed_docs(_flat_docs(s, d))), "tail", k=10
+        ),
+        "fuzzy_terms": lambda s, d: SE.fuzzy_terms(
+            SE.inverted_index(_tailed_docs(_flat_docs(s, d))),
+            "tail42",
+            max_dist=1,
+            k=10,
+        ),
         # integer-BM25 keyword retrieval: one selective + two common terms
         "bm25_search": lambda s, d: SE.bm25(_flat_docs(s, d), BM25_QUERY, k=10),
         # retrieval eval harness: ANN quality vs the exact brute-force
@@ -3124,6 +3136,27 @@ r AS (SELECT s.doc_id, cast({score} AS bigint) AS score_e6
         + _bm25_chain("docs", query=BM25_INDEX_QUERY, hot_cap=POSTINGS_CAP)
         + "\n"
     )
+
+    # vocabulary utilities: df chain over the tailed corpus + the same
+    # prefix / length-band / edit-distance / ordering rules
+    _VOCAB_CTES = f"""docs AS (SELECT doc_id,
+                     text || ' tail' || cast(doc_id % 311 AS varchar) AS text
+              FROM documents),
+t AS (SELECT doc_id, unnest({_TOKS}) AS token FROM docs),
+td AS (SELECT token, doc_id FROM t GROUP BY 1, 2),
+dfc AS (SELECT token, cast(count(*) AS bigint) AS df FROM td GROUP BY 1)"""
+    q["prefix_completions"] = f"""
+WITH {_VOCAB_CTES}
+SELECT token, df FROM dfc WHERE token LIKE 'tail%'
+ORDER BY df DESC, token ASC LIMIT 10
+"""
+    q["fuzzy_terms"] = f"""
+WITH {_VOCAB_CTES},
+f AS (SELECT token, df, cast(levenshtein(token, 'tail42') AS bigint) AS dist
+      FROM dfc WHERE len(token) BETWEEN 5 AND 7)
+SELECT token, df, dist FROM f WHERE dist <= 1
+ORDER BY dist ASC, df DESC, token ASC LIMIT 10
+"""
 
     # batched serving twin: a fully DATA-DRIVEN replay (no per-term
     # columns) — the (query_id, token) relation is a VALUES literal, df

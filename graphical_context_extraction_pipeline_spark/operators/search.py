@@ -729,3 +729,61 @@ def retrieval_metrics(
             ).otherwise(F.expr("1000000 DIV first_hit")).alias("mrr_e6"),
         )
     )
+
+
+def prefix_completions(index: DataFrame, prefix: str, k: int = 10) -> DataFrame:
+    """Type-ahead completions from the standing :func:`inverted_index`:
+    the ``k`` most frequent tokens starting with ``prefix``, by
+    (df desc, token asc). The filter is a StartsWith predicate — pushed
+    into the index parquet scan (min/max row-group pruning on the token
+    column, which the index naturally sorts by when written from the
+    token-grouped aggregation) — and the take is ordered, so a keystroke
+    costs a pruned point scan, never an index pass. Hot tokens rank
+    first by construction (their df survives the posting cap).
+    """
+    p = (prefix or "").lower()
+    if not p:
+        return index.select("token", "df").limit(0)
+    return (
+        index.where(F.col("token").startswith(p))
+        .select("token", "df")
+        .orderBy(F.col("df").desc(), F.col("token").asc())
+        .limit(k)
+    )
+
+
+def fuzzy_terms(index: DataFrame, term: str, max_dist: int = 2, k: int = 10) -> DataFrame:
+    """Spell-correction candidates from the index vocabulary: tokens
+    within ``max_dist`` Levenshtein edits of ``term``, by (distance asc,
+    df desc, token asc) — what a query parser consults before scoring a
+    misspelled query term (Lucene's FuzzyQuery shape).
+
+    Scale design: the classic DFA/trie intersection doesn't exist in
+    SQL, but the standard length-band prune does — |len(t) − len(term)|
+    ≤ max_dist is a pushable range predicate on an 8-byte column, so the
+    edit-distance evaluation (JVM levenshtein, codegen) runs on the
+    pruned band only, and the result is an ordered take. The vocabulary
+    relation is orders of magnitude smaller than the corpus (it IS the
+    distinct-token table), so even the banded scan is KB-to-MB scale at
+    100 TB of documents.
+    """
+    t = (term or "").lower()
+    if not t:
+        return index.select(
+            "token", "df", F.lit(0).cast("long").alias("dist")
+        ).limit(0)
+    n = len(t)
+    return (
+        index.where(
+            (F.length("token") >= n - max_dist)
+            & (F.length("token") <= n + max_dist)
+        )
+        .select(
+            "token",
+            "df",
+            F.levenshtein(F.col("token"), F.lit(t)).cast("long").alias("dist"),
+        )
+        .where(F.col("dist") <= max_dist)
+        .orderBy(F.col("dist").asc(), F.col("df").desc(), F.col("token").asc())
+        .limit(k)
+    )

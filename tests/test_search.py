@@ -392,3 +392,27 @@ def test_retrieval_metrics_hand_values(spark):
         for r in SE.retrieval_metrics(res3, truth, k=2).collect()
     }
     assert got3[3] == 0
+
+
+def test_prefix_completions_and_fuzzy_terms(spark):
+    docs = spark.createDataFrame(
+        [(1, "care card cart cartoon dog"), (2, "care card"), (3, "care")],
+        DDL,
+    )
+    idx = SE.inverted_index(docs)
+    got = [(r.token, r.df) for r in SE.prefix_completions(idx, "car").collect()]
+    assert got == [("care", 3), ("card", 2), ("cart", 1), ("cartoon", 1)]
+    assert [r.token for r in SE.prefix_completions(idx, "car", k=2).collect()] == [
+        "care", "card"
+    ]
+    assert SE.prefix_completions(idx, "").count() == 0
+    assert SE.prefix_completions(idx, "zzz").count() == 0
+
+    fz = [(r.token, r.dist) for r in SE.fuzzy_terms(idx, "carf", max_dist=1).collect()]
+    # one edit away: care/card/cart (substitution); 'cartoon' banded out
+    assert fz == [("care", 1), ("card", 1), ("cart", 1)]
+    fz2 = [(r.token, r.dist) for r in SE.fuzzy_terms(idx, "card", max_dist=0).collect()]
+    assert fz2 == [("card", 0)]
+    assert SE.fuzzy_terms(idx, "", max_dist=2).count() == 0
+    out = SE.fuzzy_terms(idx, "qqqqqqqqqq", max_dist=1)
+    assert out.count() == 0 and out.columns == ["token", "df", "dist"]
