@@ -374,7 +374,11 @@ def doc_norms(docs: DataFrame) -> DataFrame:
 
 
 def bm25_from_index(
-    index: DataFrame, norms: DataFrame, query: str, k: int = 10
+    index: DataFrame,
+    norms: DataFrame,
+    query: str,
+    k: int = 10,
+    stats: tuple[int, int] | None = None,
 ) -> DataFrame:
     """Index-backed BM25 serving: identical scores to :func:`bm25` —
     same fixed-point recurrence, same (score desc, doc_id asc) top-k —
@@ -390,10 +394,15 @@ def bm25_from_index(
     collected driver-side (bounded: each posting string holds ≤ cap
     entries by index construction), parsed into a candidates relation
     of ≤ cap·len(terms) (doc_id, tf, idf) rows, and broadcast-joined
-    against norms for dl. The only corpus-sized touch is one partial-agg
-    (count, sum) over the two-column norms relation for (N, avgdl) — a
-    real deployment caches those two scalars with the index; they are
-    recomputed here so the operator stays a pure function of its inputs.
+    against norms for dl — with the candidate doc_ids PUSHED as an
+    isin() filter on the norms scan first, so the dl fetch is a point
+    lookup too (row-group pruning on a doc_id-sorted norms table), never
+    a full norms pass. ``stats`` optionally supplies the two corpus
+    scalars (n_docs, total_dl) a deployment caches with the index; when
+    None they are recomputed with one partial-agg over the two-column
+    norms relation — the only corpus-sized touch, and only in the
+    uncached form (the serving-curve measurement in
+    BENCH/SERVING_CURVE.md runs the cached form).
 
     Hot-term semantics (defined explicitly, per the ask): a term whose
     index row has df > cap carries statistics but no postings, so it is
@@ -414,10 +423,12 @@ def bm25_from_index(
     if not terms:
         return empty
 
-    stats = norms.agg(
-        F.count(F.lit(1)).alias("nd"), F.sum("dl").alias("tt")
-    ).first()
-    nd, tt = int(stats["nd"] or 0), int(stats["tt"] or 0)
+    if stats is None:
+        row = norms.agg(
+            F.count(F.lit(1)).alias("nd"), F.sum("dl").alias("tt")
+        ).first()
+        stats = (int(row["nd"] or 0), int(row["tt"] or 0))
+    nd, tt = stats
     if nd == 0 or tt == 0:
         return empty
     avg10 = (10 * tt) // nd
@@ -436,8 +447,10 @@ def bm25_from_index(
         return empty
 
     cdf = spark.createDataFrame(cand, "doc_id long, tf long, idf_e6 long")
+    cand_ids = sorted({c[0] for c in cand})  # ≤ cap·|terms| by construction
     scored = (
-        norms.join(F.broadcast(cdf), "doc_id")
+        norms.where(F.col("doc_id").isin(cand_ids))  # pushed point lookup
+        .join(F.broadcast(cdf), "doc_id")
         .select(
             "doc_id",
             F.expr(
@@ -523,7 +536,11 @@ def inverted_index_forget(
 
 
 def bm25_serve_batch(
-    index: DataFrame, norms: DataFrame, queries: DataFrame, k: int = 10
+    index: DataFrame,
+    norms: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    stats: tuple[int, int] | None = None,
 ) -> DataFrame:
     """Batched index-backed BM25: score MANY queries in one job from the
     materialized :func:`inverted_index` + :func:`doc_norms` relations —
@@ -552,7 +569,9 @@ def bm25_serve_batch(
         broadcast back;
       * one shuffle joins candidates to norms on doc_id for dl, one
         partial-agg groupBy sums per (query_id, doc_id), and the top-k
-        window partitions BY QUERY — never a SinglePartition.
+        window partitions BY QUERY — never a SinglePartition;
+      * ``stats`` optionally supplies the cached (n_docs, total_dl)
+        corpus scalars, as in :func:`bm25_from_index`.
     """
     from pyspark.sql import Window
 
@@ -571,10 +590,12 @@ def bm25_serve_batch(
         )
         .where(F.col("token") != "")
     )
-    stats = norms.agg(
-        F.count(F.lit(1)).alias("nd"), F.sum("dl").alias("tt")
-    ).first()
-    nd, tt = int(stats["nd"] or 0), int(stats["tt"] or 0)
+    if stats is None:
+        row = norms.agg(
+            F.count(F.lit(1)).alias("nd"), F.sum("dl").alias("tt")
+        ).first()
+        stats = (int(row["nd"] or 0), int(row["tt"] or 0))
+    nd, tt = stats
     if nd == 0 or tt == 0:
         return empty
     avg10 = (10 * tt) // nd

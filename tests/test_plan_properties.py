@@ -709,6 +709,9 @@ def test_bm25_from_index_point_lookup_and_broadcast(spark, tmp_path):
     assert "SinglePartition" not in plan, plan
     # scoring never rescans the corpus text
     assert "documents.parquet" not in plan, plan
+    # the dl fetch is a point lookup too: candidate doc_ids pushed into
+    # the norms scan
+    assert "PushedFilters: [In(doc_id" in plan, plan
 
 
 def test_embedding_incremental_single_banding_node_per_side(spark):

@@ -416,3 +416,27 @@ def test_prefix_completions_and_fuzzy_terms(spark):
     assert SE.fuzzy_terms(idx, "", max_dist=2).count() == 0
     out = SE.fuzzy_terms(idx, "qqqqqqqqqq", max_dist=1)
     assert out.count() == 0 and out.columns == ["token", "df", "dist"]
+
+
+def test_bm25_from_index_cached_stats_identical(spark):
+    """Supplying the cached (n_docs, total_dl) scalars must not change a
+    single score — for both serving operators."""
+    docs = spark.createDataFrame(
+        [(i, f"alpha t{i % 6} beta cat" if i % 4 == 0 else f"alpha t{i % 6}")
+         for i in range(12)],
+        DDL,
+    )
+    idx, norms = SE.inverted_index(docs, cap=4), SE.doc_norms(docs)
+    row = norms.groupBy().agg({"dl": "sum", "*": "count"}).collect()[0]
+    stats = (row["count(1)"], row["sum(dl)"])
+    base = SE.bm25_from_index(idx, norms, "cat t1", k=5).collect()
+    cached = SE.bm25_from_index(idx, norms, "cat t1", k=5, stats=stats).collect()
+    assert [(r.doc_id, r.score_e6) for r in base] == [
+        (r.doc_id, r.score_e6) for r in cached
+    ]
+    qdf = spark.createDataFrame([(1, "cat t1")], "query_id long, query string")
+    b1 = {(r.query_id, r.doc_id): r.score_e6
+          for r in SE.bm25_serve_batch(idx, norms, qdf).collect()}
+    b2 = {(r.query_id, r.doc_id): r.score_e6
+          for r in SE.bm25_serve_batch(idx, norms, qdf, stats=stats).collect()}
+    assert b1 == b2 and b1
