@@ -659,6 +659,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             SE.inverted_index(_tailed_docs(_flat_docs(s, d))),
             _planted_batch(_flat_docs(s, d)),
         ),
+        # version audit: what did the delta merge change? (added fresh
+        # tokens, changed touched tokens; unchanged rows not emitted)
+        "index_diff": lambda s, d: SE.index_diff(
+            SE.inverted_index(_tailed_docs(_flat_docs(s, d))),
+            SE.inverted_index_delta(
+                SE.inverted_index(_tailed_docs(_flat_docs(s, d))),
+                _planted_batch(_flat_docs(s, d)),
+            ),
+        ),
         # GDPR deletion maintenance: subtract a forget batch (rows of the
         # indexed corpus) from the standing tailed index; hot stays sticky
         "index_forget": lambda s, d: SE.inverted_index_forget(
@@ -3008,6 +3017,67 @@ p AS (SELECT token,
 SELECT d.token, d.df, d.total_tf, coalesce(p.postings, '') AS postings,
        coalesce(p.tfs, '') AS tfs
 FROM dfc d LEFT JOIN p ON p.token = d.token
+"""
+
+    # version audit: both index versions rebuilt independently (old =
+    # tailed corpus, new = tailed ∪ planted batch — the index_delta
+    # union), full-outer token join, status arithmetic; the engine's
+    # delta-merge path must produce exactly this diff
+    q["index_diff"] = f"""
+WITH docs_o AS (SELECT doc_id,
+                       text || ' tail' || cast(doc_id % 311 AS varchar) AS text
+                FROM documents),
+docs_n AS (
+  SELECT doc_id, text || ' tail' || cast(doc_id % 311 AS varchar) AS text
+  FROM documents
+  UNION ALL
+  SELECT doc_id + 100000, text FROM documents WHERE doc_id % 50 = 0
+  UNION ALL
+  SELECT doc_id + 300000, text || '{_FRESH_TAIL}' FROM documents WHERE doc_id % 30 = 2
+  UNION ALL
+  SELECT doc_id + 400000, text || '{_FRESH_TAIL}' FROM documents WHERE doc_id % 60 = 2
+),
+to_ AS (SELECT doc_id, unnest({_TOKS}) AS token FROM docs_o),
+tdo AS MATERIALIZED (SELECT token, doc_id, cast(count(*) AS bigint) AS tf
+                     FROM to_ GROUP BY 1, 2),
+dfo AS (SELECT token, cast(count(*) AS bigint) AS df,
+               cast(sum(tf) AS bigint) AS total_tf FROM tdo GROUP BY 1),
+po AS (SELECT token,
+              string_agg(cast(doc_id AS varchar), chr(31) ORDER BY doc_id) AS postings,
+              string_agg(cast(tf AS varchar), chr(31) ORDER BY doc_id) AS tfs
+       FROM tdo WHERE token IN (SELECT token FROM dfo WHERE df <= {POSTINGS_CAP})
+       GROUP BY 1),
+iold AS MATERIALIZED (SELECT d.token, d.df, d.total_tf,
+              coalesce(p.postings, '') AS postings, coalesce(p.tfs, '') AS tfs
+       FROM dfo d LEFT JOIN po p ON p.token = d.token),
+tn AS (SELECT doc_id, unnest({_TOKS}) AS token FROM docs_n),
+tdn AS MATERIALIZED (SELECT token, doc_id, cast(count(*) AS bigint) AS tf
+                     FROM tn GROUP BY 1, 2),
+dfn AS (SELECT token, cast(count(*) AS bigint) AS df,
+               cast(sum(tf) AS bigint) AS total_tf FROM tdn GROUP BY 1),
+pn AS (SELECT token,
+              string_agg(cast(doc_id AS varchar), chr(31) ORDER BY doc_id) AS postings,
+              string_agg(cast(tf AS varchar), chr(31) ORDER BY doc_id) AS tfs
+       FROM tdn WHERE token IN (SELECT token FROM dfn WHERE df <= {POSTINGS_CAP})
+       GROUP BY 1),
+inew AS MATERIALIZED (SELECT d.token, d.df, d.total_tf,
+              coalesce(p.postings, '') AS postings, coalesce(p.tfs, '') AS tfs
+       FROM dfn d LEFT JOIN pn p ON p.token = d.token),
+j AS (SELECT coalesce(o.token, n.token) AS token,
+             CASE WHEN o.token IS NULL THEN 'added'
+                  WHEN n.token IS NULL THEN 'removed'
+                  WHEN o.df = n.df AND o.total_tf = n.total_tf
+                       AND o.postings = n.postings AND o.tfs = n.tfs
+                       THEN 'unchanged'
+                  ELSE 'changed' END AS status,
+             coalesce(o.df, -1) AS df_old, coalesce(n.df, -1) AS df_new,
+             coalesce(o.total_tf, -1) AS tf_old,
+             coalesce(n.total_tf, -1) AS tf_new
+      FROM iold o FULL OUTER JOIN inew n ON o.token = n.token)
+SELECT token, status, cast(df_old AS bigint) AS df_old,
+       cast(df_new AS bigint) AS df_new, cast(tf_old AS bigint) AS tf_old,
+       cast(tf_new AS bigint) AS tf_new
+FROM j WHERE status <> 'unchanged'
 """
 
     # GDPR index deletion: standing tailed index minus the forget batch's

@@ -808,3 +808,60 @@ def fuzzy_terms(index: DataFrame, term: str, max_dist: int = 2, k: int = 10) -> 
         .orderBy(F.col("dist").asc(), F.col("df").desc(), F.col("token").asc())
         .limit(k)
     )
+
+
+def index_diff(old: DataFrame, new: DataFrame) -> DataFrame:
+    """Token-level diff of two :func:`inverted_index` versions — the
+    audit tool for the versioned store (what did last night's merge /
+    forget / rebuild actually change?): one row per token whose entry
+    differs, status ∈ {'added', 'removed', 'changed'}, with both sides'
+    statistics (−1 sentinel for the absent side — never NULL, which
+    NaN-breaks pandas hash compares downstream). Unchanged tokens are
+    NOT emitted: a diff's size tracks the change, not the vocabulary.
+
+    'changed' compares all four fields (df, total_tf, postings, tfs) —
+    under the append-only contract counts and lists move together, but
+    a forget or a cap change can alter lists alone, and the diff must
+    see it. One full-outer token join (both sides already keyed by
+    token); no driver collects, no windows — scale-safe against any two
+    versions of a 100 TB corpus' index.
+    """
+    o = old.select(
+        "token",
+        F.col("df").alias("df_old"),
+        F.col("total_tf").alias("tf_old"),
+        F.col("postings").alias("p_old"),
+        F.col("tfs").alias("t_old"),
+    )
+    n = new.select(
+        "token",
+        F.col("df").alias("df_new"),
+        F.col("total_tf").alias("tf_new"),
+        F.col("postings").alias("p_new"),
+        F.col("tfs").alias("t_new"),
+    )
+    j = o.join(n, "token", "full_outer")
+    same = (
+        (F.col("df_old") == F.col("df_new"))
+        & (F.col("tf_old") == F.col("tf_new"))
+        & (F.col("p_old") == F.col("p_new"))
+        & (F.col("t_old") == F.col("t_new"))
+    )
+    status = (
+        F.when(F.col("df_old").isNull(), F.lit("added"))
+        .when(F.col("df_new").isNull(), F.lit("removed"))
+        .when(same, F.lit("unchanged"))
+        .otherwise(F.lit("changed"))
+    )
+    neg = F.lit(-1).cast("long")
+    return (
+        j.select(
+            "token",
+            status.alias("status"),
+            F.coalesce("df_old", neg).alias("df_old"),
+            F.coalesce("df_new", neg).alias("df_new"),
+            F.coalesce("tf_old", neg).alias("tf_old"),
+            F.coalesce("tf_new", neg).alias("tf_new"),
+        )
+        .where(F.col("status") != "unchanged")
+    )

@@ -440,3 +440,33 @@ def test_bm25_from_index_cached_stats_identical(spark):
     b2 = {(r.query_id, r.doc_id): r.score_e6
           for r in SE.bm25_serve_batch(idx, norms, qdf, stats=stats).collect()}
     assert b1 == b2 and b1
+
+
+def test_index_diff_statuses(spark):
+    old_docs = spark.createDataFrame(
+        [(1, "keep gone shift"), (2, "keep shift")], DDL
+    )
+    new_docs = spark.createDataFrame(
+        [(1, "keep shift"), (2, "keep shift shift"), (3, "fresh")], DDL
+    )
+    got = {
+        r.token: (r.status, r.df_old, r.df_new, r.tf_old, r.tf_new)
+        for r in SE.index_diff(
+            SE.inverted_index(old_docs), SE.inverted_index(new_docs)
+        ).collect()
+    }
+    assert got["gone"] == ("removed", 1, -1, 1, -1)
+    assert got["fresh"] == ("added", -1, 1, -1, 1)
+    assert got["shift"] == ("changed", 2, 2, 2, 3)  # tf moved, df same
+    assert "keep" not in got  # unchanged rows are not emitted
+    # a forget that only shrinks a posting list still surfaces
+    forgotten = SE.inverted_index_forget(
+        SE.inverted_index(new_docs), new_docs.where("doc_id = 3")
+    )
+    d2 = {r.token: r.status for r in SE.index_diff(
+        SE.inverted_index(new_docs), forgotten).collect()}
+    assert d2 == {"fresh": "removed"}
+    # identical versions → empty diff
+    assert SE.index_diff(
+        SE.inverted_index(old_docs), SE.inverted_index(old_docs)
+    ).count() == 0
