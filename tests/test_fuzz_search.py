@@ -131,3 +131,27 @@ def test_inverted_index_matches_counter(spark, texts, cap):
         for w in df_exact
     }
     assert got == want, (texts, cap)
+
+
+@given(_corpus, st.lists(_query, min_size=1, max_size=3), st.integers(2, 6))
+@settings(max_examples=6, deadline=None, derandomize=True)
+def test_serve_batch_matches_per_query_serving(spark, texts, queries, cap):
+    """bm25_serve_batch ≡ bm25_from_index per query on randomized tiny
+    corpora and caps (hot-term regimes drift with cap) — the merge law
+    swept, not just the hand-built case."""
+    docs = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    idx, norms = SE.inverted_index(docs, cap=cap), SE.doc_norms(docs)
+    qdf = spark.createDataFrame(
+        list(enumerate(queries)), "query_id long, query string"
+    )
+    got = {}
+    for r in SE.bm25_serve_batch(idx, norms, qdf, k=10).collect():
+        got.setdefault(r.query_id, {})[r.doc_id] = r.score_e6
+    for qid, qtext in enumerate(queries):
+        want = {
+            r.doc_id: r.score_e6
+            for r in SE.bm25_from_index(idx, norms, qtext, k=10).collect()
+        }
+        assert got.get(qid, {}) == want, (qid, qtext, cap)
