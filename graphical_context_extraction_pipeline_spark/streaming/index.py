@@ -33,7 +33,12 @@ import os
 from pyspark.sql import SparkSession
 from pyspark.sql.streaming import StreamingQuery
 
-from ..operators.search import POSTINGS_CAP, inverted_index, inverted_index_delta
+from ..operators.search import (
+    POSTINGS_CAP,
+    inverted_index,
+    inverted_index_delta,
+    inverted_index_forget,
+)
 
 DOCS_STREAM_DDL = "doc_id long, text string"
 
@@ -155,3 +160,76 @@ def prune_versions(index_dir: str, keep_last: int = 2) -> list[str]:
     for v in doomed:
         shutil.rmtree(os.path.join(index_dir, v))
     return doomed
+
+
+LOG_STREAM_DDL = "op string, doc_id long, text string"
+
+
+def apply_epoch(
+    spark: SparkSession,
+    index_dir: str,
+    batch_df,
+    epoch_id: int,
+    cap: int = POSTINGS_CAP,
+) -> bool:
+    """One epoch of the unified maintenance LOG: the batch carries both
+    'add' and 'forget' rows (CDC shape — one ordered request log, one
+    writer, so merges and GDPR deletions share a single epoch sequence
+    and the pointer's monotonicity check covers both). Within an epoch,
+    adds apply before forgets (an add+forget of the same doc in one
+    epoch nets to absent — the order a compliance log requires).
+
+    Same replay contract as merge_epoch: pointer-recorded epochs are
+    refused before any version read. Forget rows must reference
+    previously indexed documents (the request ships the stored rows, as
+    in corpus.forget_audit) — inverted_index_forget's contract.
+    """
+    from pyspark.sql import functions as F
+
+    meta = _read_pointer(index_dir)
+    if meta is not None and meta["epoch_id"] >= epoch_id:
+        return False
+    adds = batch_df.where(F.col("op") == "add").select("doc_id", "text")
+    forgets = batch_df.where(F.col("op") == "forget").select("doc_id", "text")
+    if meta is None:
+        merged = inverted_index(adds, cap=cap)
+    else:
+        current = spark.read.parquet(os.path.join(index_dir, meta["version"]))
+        merged = inverted_index_delta(current, adds, cap=cap)
+    if forgets.limit(1).count() > 0:
+        merged = inverted_index_forget(merged, forgets, cap=cap)
+    version = f"v{epoch_id:010d}"
+    merged.write.mode("overwrite").parquet(os.path.join(index_dir, version))
+    tmp = os.path.join(index_dir, f".{_POINTER}.tmp")
+    with open(tmp, "w") as f:
+        json.dump({"version": version, "epoch_id": epoch_id}, f)
+    os.replace(tmp, os.path.join(index_dir, _POINTER))
+    return True
+
+
+def stream_index_log(
+    spark: SparkSession,
+    input_dir: str,
+    index_dir: str,
+    checkpoint_dir: str,
+    cap: int = POSTINGS_CAP,
+    max_files_per_trigger: int = 1,
+) -> StreamingQuery:
+    """Watch input_dir for new (op, doc_id, text) log files; maintain the
+    index through adds AND forgets in one epoch sequence."""
+    os.makedirs(index_dir, exist_ok=True)
+    stream = (
+        spark.readStream.schema(LOG_STREAM_DDL)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(input_dir)
+    )
+
+    def process_batch(batch_df, epoch_id: int) -> None:
+        apply_epoch(spark, index_dir, batch_df, epoch_id, cap=cap)
+
+    return (
+        stream.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

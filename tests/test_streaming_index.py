@@ -150,3 +150,61 @@ def test_prune_never_removes_versions_newer_than_pointer(spark, tmp_path):
     os.makedirs(os.path.join(idx_dir, "v0000000001"))
     assert prune_versions(idx_dir, keep_last=1) == []
     assert list_versions(idx_dir) == ["v0000000000", "v0000000001"]
+
+
+def test_unified_log_stream_adds_and_forgets(spark, tmp_path):
+    """The CDC log shape: epoch 1 adds docs 1-3; epoch 2 adds doc 4 and
+    forgets doc 2 — the final index equals the batch construction
+    forget(delta(index(d1..3), d4), d2); replays are no-ops; an
+    add+forget of the same doc within one epoch nets to absent."""
+    from pyspark.sql import functions as F
+
+    from graphical_context_extraction_pipeline_spark.operators.search import (
+        inverted_index as bidx,
+        inverted_index_delta as bdelta,
+        inverted_index_forget as bforget,
+    )
+    from graphical_context_extraction_pipeline_spark.streaming.index import (
+        LOG_STREAM_DDL,
+        apply_epoch,
+        stream_index_log,
+    )
+
+    rows1 = [("add", i, f"cat tok{i}") for i in (1, 2, 3)]
+    rows2 = [("add", 4, "cat fresh"), ("forget", 2, "cat tok2")]
+    b1 = spark.createDataFrame(rows1, LOG_STREAM_DDL)
+    b2 = spark.createDataFrame(rows2, LOG_STREAM_DDL)
+
+    in_dir = str(tmp_path / "log")
+    os.makedirs(in_dir)
+    _stage_file(b1, str(tmp_path / "s1"), os.path.join(in_dir, "f1.parquet"))
+    time.sleep(1.1)
+    _stage_file(b2, str(tmp_path / "s2"), os.path.join(in_dir, "f2.parquet"))
+    idx_dir = str(tmp_path / "index")
+    q = stream_index_log(spark, in_dir, idx_dir, str(tmp_path / "ckpt"))
+    q.awaitTermination(180)
+
+    got = {
+        r.token: (r.df, r.total_tf, r.postings, r.tfs)
+        for r in read_current_index(spark, idx_dir).collect()
+    }
+    DDL = "doc_id long, text string"
+    d13 = spark.createDataFrame([(i, f"cat tok{i}") for i in (1, 2, 3)], DDL)
+    d4 = spark.createDataFrame([(4, "cat fresh")], DDL)
+    f2 = spark.createDataFrame([(2, "cat tok2")], DDL)
+    want = {
+        r.token: (r.df, r.total_tf, r.postings, r.tfs)
+        for r in bforget(bdelta(bidx(d13), d4), f2).collect()
+    }
+    assert got == want
+    assert "tok2" not in got and got["cat"][0] == 3
+
+    # replay refusal + same-epoch add+forget nets to absent
+    idx2 = str(tmp_path / "index2")
+    os.makedirs(idx2)
+    both = spark.createDataFrame(
+        [("add", 1, "solo here"), ("forget", 1, "solo here")], LOG_STREAM_DDL
+    )
+    assert apply_epoch(spark, idx2, both, 0) is True
+    assert apply_epoch(spark, idx2, both, 0) is False
+    assert read_current_index(spark, idx2).count() == 0
