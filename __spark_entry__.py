@@ -128,6 +128,20 @@ def _planted_forget(docs: DataFrame) -> DataFrame:
     return present.unionAll(absent)
 
 
+def _ivf_serving(s: SparkSession, d: str) -> DataFrame:
+    """ivf_from_index registration: serve vec 3's embedding (self
+    excluded) from the materialized assignment at the n_iters=0 codebook
+    (engine-independent, hence oracle-able — see similarity.ivf_topk)."""
+    from graphical_context_extraction_pipeline_spark.operators import similarity
+
+    emb = _emb(s, d)
+    cents = similarity.ivf_centroids(emb, n_centroids=16, n_iters=0)
+    qv = list(emb.where(F.col("vec_id") == 3).first()["embedding"])
+    return similarity.ivf_from_index(
+        similarity.ivf_assign(emb, cents), cents, qv, exclude_ids=(3,)
+    )
+
+
 def _planted_batch(docs: DataFrame) -> DataFrame:
     """A synthetic ingest batch for incremental dedup: exact copies of seen
     docs (pure duplicates), fresh texts, and an in-batch duplicate pair of
@@ -806,6 +820,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # n_iters=0: seeded-reservoir centroids, exactly DuckDB-oracled;
         # Lloyd-refined quality is pinned by tests/test_ann_recall.py
         "ivf_topk": lambda s, d: similarity.ivf_topk(_emb(s, d), QUERY_IDS, n_iters=0),
+        # IVF serving from the materialized assignment table (probe cids
+        # pushed; in production the assignment is partitioned by cid)
+        "ivf_from_index": _ivf_serving,
         # incremental ANN-index maintenance: an ingest batch joined
         # against the seen corpus' banded sign-bucket index
         "embedding_incremental": lambda s, d: similarity.embedding_incremental_pairs(
@@ -1202,7 +1219,13 @@ ranked AS (SELECT vec_id, cos_e4,
 """
 
 
-def _ivf_oracle(ids: str, k: int = 10, n_centroids: int = 16, n_probe: int = 4) -> str:
+def _ivf_oracle(
+    ids: str,
+    k: int = 10,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    drop_query_col: bool = False,
+) -> str:
     """Replays similarity.ivf_topk(n_iters=0) exactly: seeded-reservoir
     centroid choice (md5-priority order statistics), argmax assignment with
     the (dot DESC, cid DESC) tiebreak of Spark's array_max on
@@ -1241,7 +1264,8 @@ ranked AS (SELECT query_id, vec_id, cos_e4,
                   cast(row_number() OVER (PARTITION BY query_id
                        ORDER BY cos_e4 DESC, vec_id) AS bigint) AS rank
            FROM scored)
-SELECT query_id, vec_id, cos_e4, rank FROM ranked WHERE rank <= {k}
+SELECT {"" if drop_query_col else "query_id, "}vec_id, cos_e4, rank
+FROM ranked WHERE rank <= {k}
 """
 
 
@@ -3940,6 +3964,7 @@ FROM pt LEFT JOIN ph ON ph.query_id = pt.query_id
         "0, 1, 2", n_planes=_EDP, n_tables=_EDT, seed=_EDS
     )
     q["ivf_topk"] = _ivf_oracle(ids)
+    q["ivf_from_index"] = _ivf_oracle("3", drop_query_col=True)
     q["embedding_cosine_dups"] = _emb_dups_oracle()
     q["embedding_incremental"] = _emb_incremental_oracle()
     q["embedding_neardup_survivors"] = _emb_neardup_survivors_oracle()

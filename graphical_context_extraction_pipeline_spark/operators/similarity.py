@@ -638,3 +638,57 @@ def ann_serve_batch(
         .where(F.col("rank") <= k)
         .select("query_id", "vec_id", "cos_e4", "rank")
     )
+
+
+def ivf_probe_cids(
+    centroids: list[list[float]], query_vec: list[float], n_probe: int = 4
+) -> list[int]:
+    """The query's ``n_probe`` inverted-list ids — driver-side argmax over
+    the KB-scale codebook with EXACTLY ivf_topk's tiebreak (dot desc, cid
+    desc: Spark's array_max over struct(dot, cid) is lexicographic). The
+    Python left-to-right sum matches Spark's sequential fold bit-for-bit
+    on identical double literals."""
+    dots = [
+        (sum(float(a) * float(b) for a, b in zip(query_vec, c)), i)
+        for i, c in enumerate(centroids)
+    ]
+    return [i for _, i in sorted(dots, key=lambda t: (-t[0], -t[1]))[:n_probe]]
+
+
+def ivf_from_index(
+    assigned: DataFrame,
+    centroids: list[list[float]],
+    query_vec: list[float],
+    k: int = 10,
+    n_probe: int = 4,
+    exclude_ids: tuple[int, ...] = (),
+) -> DataFrame:
+    """IVF serving from a MATERIALIZED assignment table — the third
+    serving symmetry (lexical: bm25_from_index; banded ANN:
+    ann_from_index; coarse-quantized ANN: this). ``assigned`` is
+    ivf_assign output (vec_id, embedding, cid) persisted at index-build
+    time — in production partitioned BY cid, so the probe below is
+    partition pruning, not just row-group pruning; ``centroids`` is the
+    KB-scale codebook stored beside it.
+
+    Plan shape: probe cids computed driver-side (:func:`ivf_probe_cids`,
+    a codebook argmax), pushed as an In(cid) filter into the assignment
+    scan — a query reads ~n_probe/n_centroids of the table; exact cosine
+    vs the query literal, ordered take, rank over the ≤k rows. Merge law
+    (pinned): for a stored query vector with its own id excluded this
+    ≡ ivf_topk at the same codebook (n_iters=0 makes the codebook an
+    engine-independent function of the stored table, hence oracle-able).
+    """
+    probes = ivf_probe_cids(centroids, query_vec, n_probe)
+    cand = assigned.where(F.col("cid").isin(probes))
+    if exclude_ids:
+        cand = cand.where(~F.col("vec_id").isin(list(exclude_ids)))
+    qv = F.array(*[F.lit(float(x)) for x in query_vec])
+    cos = _dot(F.col("embedding"), qv) / (_norm(F.col("embedding")) * _norm(qv))
+    topk = (
+        cand.select("vec_id", F.floor(cos * 10000).cast("long").alias("cos_e4"))
+        .orderBy(F.desc("cos_e4"), F.asc("vec_id"))
+        .limit(k)
+    )
+    w = Window.orderBy(F.desc("cos_e4"), F.asc("vec_id"))  # ≤k rows
+    return topk.withColumn("rank", F.row_number().over(w).cast("long"))

@@ -165,3 +165,31 @@ def test_ann_serve_batch_merge_law(spark):
     out = similarity.ann_serve_batch(index, queries.limit(0), k=K, dim=dim)
     assert out.count() == 0
     assert out.columns == ["query_id", "vec_id", "cos_e4", "rank"]
+
+
+def test_ivf_from_index_merge_law(spark):
+    """Serving from the materialized assignment ≡ ivf_topk(n_iters=0)
+    per stored query at the same codebook."""
+    from pyspark.sql import functions as F
+
+    emb = _emb(spark)
+    cents = similarity.ivf_centroids(emb, n_centroids=16, n_iters=0)
+    assigned = similarity.ivf_assign(emb, cents)
+    want_all = _by_query(
+        similarity.ivf_topk(emb, QUERY_IDS[:3], k=K, n_centroids=16, n_iters=0).collect()
+    )
+    qvs = {
+        r["vec_id"]: list(r["embedding"])
+        for r in emb.where(F.col("vec_id").isin(QUERY_IDS[:3])).collect()
+    }
+    for q in QUERY_IDS[:3]:
+        got = {
+            r["vec_id"]: r["cos_e4"]
+            for r in similarity.ivf_from_index(
+                assigned, cents, qvs[q], k=K, exclude_ids=(q,)
+            ).collect()
+        }
+        assert got == want_all.get(q, {}), q
+    # empty probe result keeps the schema
+    out = similarity.ivf_from_index(assigned.limit(0), cents, qvs[QUERY_IDS[0]])
+    assert out.count() == 0 and out.columns == ["vec_id", "cos_e4", "rank"]
