@@ -468,9 +468,7 @@ def bm25_from_index(
     )
 
 
-def inverted_index_forget(
-    index: DataFrame, forget_docs: DataFrame, cap: int = POSTINGS_CAP
-) -> DataFrame:
+def inverted_index_forget(index: DataFrame, forget_docs: DataFrame) -> DataFrame:
     """Right-to-be-forgotten maintenance for the posting index: remove a
     batch of documents (id AND text available — the forget request ships
     the stored rows, as in corpus.forget_audit) from a standing

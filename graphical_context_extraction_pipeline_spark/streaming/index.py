@@ -197,7 +197,7 @@ def apply_epoch(
         current = spark.read.parquet(os.path.join(index_dir, meta["version"]))
         merged = inverted_index_delta(current, adds, cap=cap)
     if forgets.limit(1).count() > 0:
-        merged = inverted_index_forget(merged, forgets, cap=cap)
+        merged = inverted_index_forget(merged, forgets)
     version = f"v{epoch_id:010d}"
     merged.write.mode("overwrite").parquet(os.path.join(index_dir, version))
     tmp = os.path.join(index_dir, f".{_POINTER}.tmp")

@@ -252,7 +252,7 @@ def test_index_forget_merge_law_and_sticky_hot(spark):
     got = {
         r.token: (r.df, r.total_tf, r.postings, r.tfs)
         for r in SE.inverted_index_forget(
-            SE.inverted_index(docs, cap=cap), forget, cap=cap
+            SE.inverted_index(docs, cap=cap), forget
         ).collect()
     }
     rebuilt = {
