@@ -496,6 +496,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank": lambda s, d: LG.pagerank(LG.extract_links(_html_pages(s, d)), n_iters=3),
         "hits": lambda s, d: LG.hits(LG.extract_links(_html_pages(s, d)), n_iters=2),
         "domain_components": lambda s, d: LG.domain_components(_html_pages(s, d)),
+        # deterministic label-propagation communities (keep-current tie
+        # rule; 3 synchronous rounds replayed bit-for-bit by the oracle)
+        "lp_communities": lambda s, d: LG.label_propagation(
+            LG.extract_links(_html_pages(s, d))
+        ),
         # ---- interleaved text+media training-data construction ----------------
         "caption_pairs": lambda s, d: MM.caption_pairs(_spans_docs(s, d)),
         "mm_sequence": lambda s, d: MM.mm_sequence(_spans_docs(s, d)),
@@ -2117,6 +2122,33 @@ szs AS (SELECT component, count(*) AS n_members FROM cc GROUP BY component)
 SELECT cc.domain, cc.component, cast(szs.n_members AS bigint) AS n_members
 FROM cc JOIN szs USING (component)
 """
+
+    # deterministic LP communities: 3 synchronous rounds unrolled as
+    # chained CTEs, the engine's exact tiebreak (count desc, keep-current,
+    # label asc) replayed with a row_number over the joined previous round
+    _lp_rounds = []
+    for _r in (1, 2, 3):
+        _lp_rounds.append(f"""
+c{_r} AS (SELECT u.a AS node, l.label, cast(count(*) AS bigint) AS c
+       FROM ue u JOIN l{_r - 1} l ON l.node = u.b GROUP BY 1, 2),
+l{_r} AS (SELECT node, label FROM (
+       SELECT c.node, c.label,
+              row_number() OVER (PARTITION BY c.node
+                  ORDER BY c.c DESC,
+                           CASE WHEN c.label = p.label THEN 0 ELSE 1 END,
+                           c.label) AS rn
+       FROM c{_r} c JOIN l{_r - 1} p ON p.node = c.node)
+     WHERE rn = 1)""")
+    q["lp_communities"] = (
+        f"""
+WITH {_EDGES},
+ed AS (SELECT DISTINCT src_domain AS a, dst_domain AS b FROM edges
+       WHERE src_domain <> dst_domain),
+ue AS (SELECT a, b FROM ed UNION SELECT b, a FROM ed),
+l0 AS (SELECT DISTINCT a AS node, a AS label FROM ue),"""
+        + ",".join(_lp_rounds)
+        + "\nSELECT node AS domain, label AS community FROM l3\n"
+    )
 
     # composed per-domain verdict table: crawl mass + degrees + PageRank +
     # anchor evidence over a key-union base, absent signals → 0

@@ -236,3 +236,32 @@ def test_protocol_relative_href_resolution(spark):
         ("c.example", "c2"): 1,
         ("a.example", "l"): 1,
     }
+
+
+def test_label_propagation_hand_graph(spark):
+    """Two triangles bridged by one thin edge: weak connectivity merges
+    them into one component, LP keeps two communities. Hand-walk: after
+    round 1 every triangle node holds its triangle's min label (ties →
+    lexicographic min among two neighbor labels); stable thereafter."""
+    from graphical_context_extraction_pipeline_spark.operators import linkgraph as LG
+
+    E = "src_domain string, dst_domain string"
+    tri1 = [("a1", "a2"), ("a2", "a3"), ("a3", "a1")]
+    tri2 = [("b1", "b2"), ("b2", "b3"), ("b3", "b1")]
+    edges = spark.createDataFrame(tri1 + tri2 + [("a1", "b1"), ("x", "x")], E)
+    got = {
+        r.domain: r.community
+        for r in LG.label_propagation(edges, n_rounds=3).collect()
+    }
+    # hand-walked with the keep-current-on-tie rule: round 1 sends every
+    # node to its neighborhood min (b1 briefly adopts a1 through the
+    # bridge), round 2 the triangle majorities pull both cores back to
+    # their own min labels, round 3 is stable: a-core = a1, b-core = b1
+    assert {got["a1"], got["a2"], got["a3"]} == {"a1"}
+    assert {got["b1"], got["b2"], got["b3"]} == {"b1"}
+    # the two cores do NOT share a label (thin bridge) even though weak
+    # connectivity puts all six in one component — a bare min-label
+    # tiebreak would have flooded a1 across the bridge (the degenerate
+    # LP == components failure this test pins against)
+    assert got["b2"] != got["a2"]
+    assert "x" not in got  # self-loop-only node has no neighbors
