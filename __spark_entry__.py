@@ -501,6 +501,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lp_communities": lambda s, d: LG.label_propagation(
             LG.extract_links(_html_pages(s, d))
         ),
+        # per-domain triangles + clustering coefficient (link-farm ring
+        # density; id-ordered wedge join, each triangle counted once)
+        "triangle_stats": lambda s, d: LG.triangle_stats(
+            LG.extract_links(_html_pages(s, d))
+        ),
         # ---- interleaved text+media training-data construction ----------------
         "caption_pairs": lambda s, d: MM.caption_pairs(_spans_docs(s, d)),
         "mm_sequence": lambda s, d: MM.mm_sequence(_spans_docs(s, d)),
@@ -2149,6 +2154,34 @@ l0 AS (SELECT DISTINCT a AS node, a AS label FROM ue),"""
         + ",".join(_lp_rounds)
         + "\nSELECT node AS domain, label AS community FROM l3\n"
     )
+
+    # triangles + clustering coefficient: the same canonical a<b edge,
+    # id-ordered wedge enumeration, closure join, corner explode, and
+    # the 0-guarded 2T/(d(d-1)) bp arithmetic
+    q["triangle_stats"] = f"""
+WITH {_EDGES},
+ed AS (SELECT DISTINCT least(src_domain, dst_domain) AS a,
+              greatest(src_domain, dst_domain) AS b
+       FROM edges WHERE src_domain <> dst_domain),
+deg AS (SELECT domain, cast(count(*) AS bigint) AS degree FROM (
+          SELECT a AS domain FROM ed UNION ALL SELECT b FROM ed)
+        GROUP BY 1),
+tri AS (SELECT e1.a, e1.b, e2.b AS c
+        FROM ed e1 JOIN ed e2 ON e2.a = e1.b
+        JOIN ed e3 ON e3.a = e1.a AND e3.b = e2.b),
+corners AS (SELECT domain, cast(count(*) AS bigint) AS n_triangles FROM (
+              SELECT a AS domain FROM tri
+              UNION ALL SELECT b FROM tri
+              UNION ALL SELECT c FROM tri)
+            GROUP BY 1)
+SELECT d.domain, d.degree,
+       cast(coalesce(c.n_triangles, 0) AS bigint) AS n_triangles,
+       cast(CASE WHEN d.degree < 2 THEN 0
+                 ELSE (20000 * coalesce(c.n_triangles, 0))
+                      // (d.degree * (d.degree - 1)) END AS bigint)
+            AS clustering_bp
+FROM deg d LEFT JOIN corners c USING (domain)
+"""
 
     # composed per-domain verdict table: crawl mass + degrees + PageRank +
     # anchor evidence over a key-union base, absent signals → 0

@@ -471,3 +471,68 @@ def label_propagation(edges: DataFrame, n_rounds: int = 3) -> DataFrame:
     return labels.select(
         F.col("node").alias("domain"), F.col("label").alias("community")
     )
+
+
+def triangle_stats(edges: DataFrame) -> DataFrame:
+    """Per-domain triangle count and local clustering coefficient over
+    the undirected domain graph — (domain, degree, n_triangles,
+    clustering_bp) with clustering_bp = (20000·T) DIV (d·(d−1)), the
+    2T/(d(d−1)) coefficient in basis points (0 when degree < 2).
+    Link-farm rings and tightly knit spam clusters light up as
+    high-clustering cores; organic hub domains sit low.
+
+    Shape: canonicalize each undirected edge once as (a < b), enumerate
+    wedges with the id-ordered two-hop join (a < b < c — each triangle
+    materializes exactly once), close them against the edge relation,
+    then explode each closed triangle to its three corners for the
+    per-node rollup. Joins are all keyed on domain ids; at web scale the
+    standard refinement is DEGREE ordering instead of id ordering (hubs
+    become wedge middles at most once), which changes only the ordering
+    key — the plan shape is identical.
+    """
+    e = (
+        edges.select("src_domain", "dst_domain")
+        .where(F.col("src_domain") != F.col("dst_domain"))
+        .select(
+            F.least("src_domain", "dst_domain").alias("a"),
+            F.greatest("src_domain", "dst_domain").alias("b"),
+        )
+        .distinct()
+    )
+    deg = (
+        e.select(F.col("a").alias("domain"))
+        .unionByName(e.select(F.col("b").alias("domain")))
+        .groupBy("domain")
+        .agg(F.count(F.lit(1)).cast("long").alias("degree"))
+    )
+    # wedges a<b<c (b is the middle), closed by the (a, c) edge
+    w = e.alias("e1").join(
+        e.alias("e2"), F.col("e1.b") == F.col("e2.a")
+    ).select(
+        F.col("e1.a").alias("a"), F.col("e1.b").alias("b"), F.col("e2.b").alias("c")
+    )
+    tri = w.join(
+        e.select(F.col("a").alias("ta"), F.col("b").alias("tc")),
+        (F.col("a") == F.col("ta")) & (F.col("c") == F.col("tc")),
+    ).select("a", "b", "c")
+    corners = (
+        tri.select(F.col("a").alias("domain"))
+        .unionByName(tri.select(F.col("b").alias("domain")))
+        .unionByName(tri.select(F.col("c").alias("domain")))
+        .groupBy("domain")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_triangles"))
+    )
+    z = F.lit(0).cast("long")
+    return (
+        deg.join(corners, "domain", "left")
+        .select(
+            "domain",
+            "degree",
+            F.coalesce("n_triangles", z).alias("n_triangles"),
+            F.when(F.col("degree") < 2, z)
+            .otherwise(
+                F.expr("(20000 * coalesce(n_triangles, 0)) DIV (degree * (degree - 1))")
+            )
+            .alias("clustering_bp"),
+        )
+    )

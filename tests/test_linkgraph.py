@@ -265,3 +265,28 @@ def test_label_propagation_hand_graph(spark):
     # LP == components failure this test pins against)
     assert got["b2"] != got["a2"]
     assert "x" not in got  # self-loop-only node has no neighbors
+
+
+def test_triangle_stats_hand_graph(spark):
+    """Diamond p-q-r / p-q-s (two triangles sharing edge p-q) plus a
+    pendant t off s: p and q touch both triangles (cc = 2·2·10000/6 =
+    6666 bp), r one on its only pair (cc = 10000), s one of its three
+    pairs (3333); the pendant's degree-1 0/0 is guarded to 0. Duplicate
+    directions and self-loops in the input are canonicalized away."""
+    from graphical_context_extraction_pipeline_spark.operators import linkgraph as LG
+
+    E = "src_domain string, dst_domain string"
+    edges = spark.createDataFrame(
+        [("p", "q"), ("q", "r"), ("r", "p"), ("p", "s"), ("q", "s"),
+         ("s", "t"), ("t", "s"), ("p", "p")],  # dup direction + self-loop
+        E,
+    )
+    got = {
+        r.domain: (r.degree, r.n_triangles, r.clustering_bp)
+        for r in LG.triangle_stats(edges).collect()
+    }
+    assert got["p"] == (3, 2, 6666)  # p-q-r, p-q-s; 2*2*10000/(3*2)
+    assert got["q"] == (3, 2, 6666)
+    assert got["r"] == (2, 1, 10000)
+    assert got["s"] == (3, 1, 3333)
+    assert got["t"] == (1, 0, 0)
