@@ -641,6 +641,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_topk": lambda s, d: TA.vocab_topk(_flat_docs(s, d), k=100),
         "corpus_stats": lambda s, d: TA.corpus_stats(_flat_docs(s, d)),
         "unigram_surprisal": lambda s, d: TA.unigram_surprisal(_flat_docs(s, d)),
+        # conditional (2-gram) surprisal — the word-salad signal the
+        # unigram model is blind to (order-sensitive)
+        "bigram_surprisal": lambda s, d: TA.bigram_surprisal(_flat_docs(s, d)),
         # ---- training-data ops: deterministic sampling & batch prep ---------
         "hash_split": lambda s, d: SA.hash_split(_flat_docs(s, d)),
         "stratified_sample": lambda s, d: SA.stratified_sample(
@@ -2781,6 +2784,29 @@ SELECT d.doc_id,
        cast(coalesce(a.n_tokens, 0) AS bigint) AS n_tokens,
        cast(coalesce(a.surprisal_e2, -1) AS bigint) AS surprisal_e2
 FROM documents d LEFT JOIN agg a USING (doc_id)
+"""
+
+    # bigram surprisal: pairs via a 1-based list comprehension over the
+    # token list (i in range(1, len) → (toks[i], toks[i+1])), prefix
+    # counts as the sum of bigram counts, same bit-length log2
+    q["bigram_surprisal"] = f"""
+WITH d AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+bg AS (SELECT doc_id, p.w1 AS w1, p.w2 AS w2 FROM (
+         SELECT doc_id,
+                unnest([struct_pack(w1 := toks[i], w2 := toks[i + 1])
+                        FOR i IN range(1, len(toks))]) AS p
+         FROM d WHERE len(toks) >= 2)),
+m2 AS (SELECT w1, w2, cast(count(*) AS bigint) AS c2 FROM bg GROUP BY 1, 2),
+m1 AS (SELECT w1, cast(sum(c2) AS bigint) AS c1 FROM m2 GROUP BY 1),
+sc AS (SELECT b.doc_id, length(bin(m1.c1)) - length(bin(m2.c2)) AS s
+       FROM bg b JOIN m2 USING (w1, w2) JOIN m1 USING (w1)),
+agg AS (SELECT doc_id, cast(count(*) AS bigint) AS n_bigrams,
+               cast((100 * sum(s)) // count(*) AS bigint) AS surprisal_e2
+        FROM sc GROUP BY doc_id)
+SELECT doc.doc_id,
+       cast(coalesce(a.n_bigrams, 0) AS bigint) AS n_bigrams,
+       cast(coalesce(a.surprisal_e2, -1) AS bigint) AS surprisal_e2
+FROM documents doc LEFT JOIN agg a USING (doc_id)
 """
 
     q["vocab_topk"] = f"""

@@ -567,3 +567,61 @@ def collocation_lift(
         .cast("long")
         .alias("lift_e4"),
     )
+
+
+def bigram_surprisal(docs: DataFrame) -> DataFrame:
+    """Conditional (bigram) LM quality signal — the 2-gram step of the
+    CCNet perplexity-bucket ladder, one order above
+    :func:`unigram_surprisal`, still integer-only: per doc the mean of
+    surprisal(w1→w2) = bit_length(C1(w1)) − bit_length(C2(w1, w2)),
+    where C2 counts the corpus bigram and C1 counts w1 as a bigram
+    PREFIX (Σ_w C2(w1, w)), i.e. an integer log2 of 1/p(w2|w1).
+    (doc_id, n_bigrams, surprisal_e2) with surprisal_e2 =
+    (100·Σs) DIV n_bigrams; docs with < 2 tokens emit −1 (never NULL —
+    the pandas NaN-hash trap). Shuffled text at the same vocabulary
+    scores HIGHER than natural order — exactly the word-salad signal a
+    unigram model can't see (pinned by test).
+
+    Scale: bigrams form intra-row (one bound tokenize, two slices, one
+    zip_with — no positional self-join); the model is one partial-agg
+    (w1, w2) groupBy; scoring joins are key-hashed; text never shuffles.
+    """
+    from ..functions.exprs import bind
+
+    def pairs(t):
+        return F.when(
+            F.size(t) >= 2,
+            F.zip_with(
+                F.slice(t, F.lit(1), F.size(t) - 1),
+                F.slice(t, F.lit(2), F.size(t) - 1),
+                lambda x, y: F.struct(x.alias("w1"), y.alias("w2")),
+            ),
+        ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+
+    bg = docs.select(
+        "doc_id", F.explode(bind(_tokens(F.col("text")), pairs)).alias("p")
+    ).select("doc_id", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+    m2 = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).cast("long").alias("c2"))
+    m1 = m2.groupBy("w1").agg(F.sum("c2").cast("long").alias("c1"))
+    scored = (
+        bg.join(m2, ["w1", "w2"]).join(m1, "w1")
+        .select(
+            "doc_id",
+            (F.length(F.bin(F.col("c1"))) - F.length(F.bin(F.col("c2"))))
+            .cast("long")
+            .alias("s"),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+            F.expr("(100 * sum(s)) DIV count(1)").cast("long").alias("surprisal_e2"),
+        )
+    )
+    return (
+        docs.select("doc_id").join(scored, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_bigrams", F.lit(0)).cast("long").alias("n_bigrams"),
+            F.coalesce("surprisal_e2", F.lit(-1)).cast("long").alias("surprisal_e2"),
+        )
+    )

@@ -406,3 +406,44 @@ def test_collocation_lift_hand_values(spark):
     }
     empty = spark.createDataFrame([], "doc_id long, text string")
     assert TA.collocation_lift(empty).count() == 0
+
+
+def test_bigram_surprisal_hand_values(spark):
+    """Corpus bigrams: (a,b)x2 from docs 1,2; (a,c)x1; (b,a)x1.
+    C1(a)=3, C1(b)=1. s(a->b)=bitlen(3)-bitlen(2)=0, s(a->c)=2-1=1,
+    s(b->a)=1-1=0. doc1 'a b' -> mean 0; doc3 'b a c' -> (0+1)/2 ->
+    e2 50; short/empty docs -> -1 sentinel with 0 bigrams."""
+    from graphical_context_extraction_pipeline_spark.operators.text_analysis import (
+        bigram_surprisal,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "a b"), (2, "a b"), (3, "b a c"), (4, "solo"), (5, "")],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: (r.n_bigrams, r.surprisal_e2)
+        for r in bigram_surprisal(docs).collect()
+    }
+    assert got[1] == (1, 0) and got[2] == (1, 0)
+    assert got[3] == (2, 50)
+    assert got[4] == (0, -1) and got[5] == (0, -1)
+
+
+def test_bigram_surprisal_detects_word_salad(spark):
+    """Same vocabulary, shuffled order: the shuffled doc's bigrams are
+    rarer under the corpus model, so its conditional surprisal exceeds
+    the natural docs' — the signal unigram_surprisal cannot see (both
+    docs have identical unigram profiles)."""
+    from graphical_context_extraction_pipeline_spark.operators.text_analysis import (
+        bigram_surprisal,
+        unigram_surprisal,
+    )
+
+    natural = "the cat sat on the mat"
+    rows = [(i, natural) for i in range(8)] + [(99, "mat the on sat cat the")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    bg = {r.doc_id: r.surprisal_e2 for r in bigram_surprisal(docs).collect()}
+    ug = {r.doc_id: r.surprisal_e2 for r in unigram_surprisal(docs).collect()}
+    assert bg[99] > bg[0]
+    assert ug[99] == ug[0]  # unigram is blind to order
