@@ -644,6 +644,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # conditional (2-gram) surprisal — the word-salad signal the
         # unigram model is blind to (order-sensitive)
         "bigram_surprisal": lambda s, d: TA.bigram_surprisal(_flat_docs(s, d)),
+        # CCNet head/middle/tail perplexity buckets per source (exact
+        # histogram cuts, value-threshold semantics)
+        "ccnet_buckets": lambda s, d: TA.ccnet_buckets(_flat_docs(s, d)),
         # ---- training-data ops: deterministic sampling & batch prep ---------
         "hash_split": lambda s, d: SA.hash_split(_flat_docs(s, d)),
         "stratified_sample": lambda s, d: SA.stratified_sample(
@@ -2788,9 +2791,9 @@ FROM documents d LEFT JOIN agg a USING (doc_id)
 
     # bigram surprisal: pairs via a 1-based list comprehension over the
     # token list (i in range(1, len) → (toks[i], toks[i+1])), prefix
-    # counts as the sum of bigram counts, same bit-length log2
-    q["bigram_surprisal"] = f"""
-WITH d AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    # counts as the sum of bigram counts, same bit-length log2; the
+    # chain is shared with the ccnet_buckets oracle
+    _BIGRAM_CTES = f"""d AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
 bg AS (SELECT doc_id, p.w1 AS w1, p.w2 AS w2 FROM (
          SELECT doc_id,
                 unnest([struct_pack(w1 := toks[i], w2 := toks[i + 1])
@@ -2802,11 +2805,41 @@ sc AS (SELECT b.doc_id, length(bin(m1.c1)) - length(bin(m2.c2)) AS s
        FROM bg b JOIN m2 USING (w1, w2) JOIN m1 USING (w1)),
 agg AS (SELECT doc_id, cast(count(*) AS bigint) AS n_bigrams,
                cast((100 * sum(s)) // count(*) AS bigint) AS surprisal_e2
-        FROM sc GROUP BY doc_id)
+        FROM sc GROUP BY doc_id)"""
+    q["bigram_surprisal"] = f"""
+WITH {_BIGRAM_CTES}
 SELECT doc.doc_id,
        cast(coalesce(a.n_bigrams, 0) AS bigint) AS n_bigrams,
        cast(coalesce(a.surprisal_e2, -1) AS bigint) AS surprisal_e2
 FROM documents doc LEFT JOIN agg a USING (doc_id)
+"""
+
+    # CCNet head/middle/tail: exact per-source value-threshold cuts over
+    # the (source, score) histogram — Q(p) = smallest v with
+    # 100·cum ≥ p·n at p ∈ (33, 66), 'short' for unscoreable docs
+    q["ccnet_buckets"] = f"""
+WITH {_BIGRAM_CTES},
+scored AS (SELECT doc.doc_id, doc.source,
+                  cast(coalesce(a.n_bigrams, 0) AS bigint) AS n_bigrams,
+                  cast(coalesce(a.surprisal_e2, -1) AS bigint) AS surprisal_e2
+           FROM documents doc LEFT JOIN agg a USING (doc_id)),
+hist AS (SELECT source, surprisal_e2, cast(count(*) AS bigint) AS cnt
+         FROM scored WHERE n_bigrams > 0 GROUP BY 1, 2),
+cum AS (SELECT source, surprisal_e2,
+               sum(cnt) OVER (PARTITION BY source ORDER BY surprisal_e2
+                              ROWS UNBOUNDED PRECEDING) AS cum,
+               sum(cnt) OVER (PARTITION BY source) AS n
+        FROM hist),
+cuts AS (SELECT source,
+                min(CASE WHEN cum * 100 >= 33 * n THEN surprisal_e2 END) AS c1,
+                min(CASE WHEN cum * 100 >= 66 * n THEN surprisal_e2 END) AS c2
+         FROM cum GROUP BY 1)
+SELECT s.doc_id, s.source, s.surprisal_e2,
+       CASE WHEN s.n_bigrams = 0 THEN 'short'
+            WHEN s.surprisal_e2 <= c.c1 THEN 'head'
+            WHEN s.surprisal_e2 <= c.c2 THEN 'middle'
+            ELSE 'tail' END AS bucket
+FROM scored s LEFT JOIN cuts c USING (source)
 """
 
     q["vocab_topk"] = f"""

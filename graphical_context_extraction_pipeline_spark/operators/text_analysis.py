@@ -625,3 +625,68 @@ def bigram_surprisal(docs: DataFrame) -> DataFrame:
             F.coalesce("surprisal_e2", F.lit(-1)).cast("long").alias("surprisal_e2"),
         )
     )
+
+
+def ccnet_buckets(docs: DataFrame, pcts: tuple[int, int] = (33, 66)) -> DataFrame:
+    """CCNet's head/middle/tail quality bucketing, per source: score
+    every document with :func:`bigram_surprisal`, cut each source's
+    score distribution at the exact ``pcts`` order statistics (Q(p) =
+    smallest v with 100·cum ≥ p·n — corpus.length_quantiles' integer
+    rule over a (source, value) HISTOGRAM, never an all-values buffer),
+    and label v ≤ Q(p1) → 'head' (most fluent third), v ≤ Q(p2) →
+    'middle', else 'tail'. Documents too short to score (< 2 tokens) get
+    'short'. Output (doc_id, source, surprisal_e2, bucket).
+
+    This is the standard pretraining-mixture move (CCNet, Wenzek et al.
+    2020): train/keep 'head' wholesale, sample 'middle', drop or
+    down-weight 'tail' — value-threshold bucketing, so ties land in the
+    better bucket together and no per-doc rank window ever runs (the
+    only windows are over the tiny distinct-score relation per source).
+    """
+    from pyspark.sql import Window
+
+    s = bigram_surprisal(docs)
+    base = docs.select("doc_id", "source").join(s, "doc_id")
+    scored = base.where(F.col("n_bigrams") > 0)
+    hist = scored.groupBy("source", "surprisal_e2").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    w_cum = (
+        Window.partitionBy("source")
+        .orderBy("surprisal_e2")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy("source")
+    cum = hist.select(
+        "source",
+        "surprisal_e2",
+        F.sum("cnt").over(w_cum).alias("cum"),
+        F.sum("cnt").over(w_all).alias("n"),
+    )
+    p1, p2 = int(pcts[0]), int(pcts[1])
+    cuts = (
+        cum.groupBy("source")
+        .agg(
+            F.min(
+                F.when(
+                    F.col("cum") * 100 >= F.lit(p1) * F.col("n"),
+                    F.col("surprisal_e2"),
+                )
+            ).alias("c1"),
+            F.min(
+                F.when(
+                    F.col("cum") * 100 >= F.lit(p2) * F.col("n"),
+                    F.col("surprisal_e2"),
+                )
+            ).alias("c2"),
+        )
+    )
+    bucket = (
+        F.when(F.col("n_bigrams") == 0, F.lit("short"))
+        .when(F.col("surprisal_e2") <= F.col("c1"), F.lit("head"))
+        .when(F.col("surprisal_e2") <= F.col("c2"), F.lit("middle"))
+        .otherwise(F.lit("tail"))
+    )
+    return base.join(F.broadcast(cuts), "source", "left").select(
+        "doc_id", "source", "surprisal_e2", bucket.alias("bucket")
+    )

@@ -447,3 +447,36 @@ def test_bigram_surprisal_detects_word_salad(spark):
     ug = {r.doc_id: r.surprisal_e2 for r in unigram_surprisal(docs).collect()}
     assert bg[99] > bg[0]
     assert ug[99] == ug[0]  # unigram is blind to order
+
+
+def test_ccnet_buckets_hand_values(spark):
+    """Nine scoreable docs in one source with three distinct score
+    levels (3/3/3 by construction) split exactly head/middle/tail at
+    the 33/67 cuts; a too-short doc lands in 'short'; ties share a
+    bucket (value-threshold semantics)."""
+    from graphical_context_extraction_pipeline_spark.operators.text_analysis import (
+        bigram_surprisal,
+        ccnet_buckets,
+    )
+
+    # three fluency tiers against the corpus's own model: docs made of
+    # the dominant bigram score lowest; a half-dominant mix scores
+    # between; docs pairing the COMMON prefix x with rare continuations
+    # score highest (note: a fully unique bigram scores 0 — its prefix
+    # has only one continuation — so salad must reuse common prefixes)
+    common = [(i, "x y x y x y x y", "s") for i in range(3)]
+    mixed = [(10 + i, "x y x y x m", "s") for i in range(3)]
+    rare = [(20 + i, f"x a{i} x b{i} x c{i}", "s") for i in range(3)]
+    short = [(30, "solo", "s")]
+    docs = spark.createDataFrame(
+        common + mixed + rare + short, "doc_id long, text string, source string"
+    )
+    sc = {r.doc_id: r.surprisal_e2 for r in bigram_surprisal(docs).collect()}
+    tiers = sorted({sc[i] for i in [0, 10, 20]})
+    assert sc[0] == tiers[0] and sc[20] == tiers[2] and len(tiers) == 3
+    got = {r.doc_id: r.bucket for r in ccnet_buckets(docs).collect()}
+    for i in range(3):
+        assert got[i] == "head", (i, sc)
+        assert got[10 + i] == "middle", (10 + i, sc)
+        assert got[20 + i] == "tail", (20 + i, sc)
+    assert got[30] == "short"
