@@ -647,6 +647,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # CCNet head/middle/tail perplexity buckets per source (exact
         # histogram cuts, value-threshold semantics)
         "ccnet_buckets": lambda s, d: TA.ccnet_buckets(_flat_docs(s, d)),
+        # the full CCNet mixture: buckets composed with the md5 keep
+        # gate (head wholesale, half of middle, 10% of tail)
+        "ccnet_mixture": lambda s, d: TA.ccnet_mixture(_flat_docs(s, d)),
         # ---- training-data ops: deterministic sampling & batch prep ---------
         "hash_split": lambda s, d: SA.hash_split(_flat_docs(s, d)),
         "stratified_sample": lambda s, d: SA.stratified_sample(
@@ -2817,9 +2820,7 @@ FROM documents doc LEFT JOIN agg a USING (doc_id)
     # CCNet head/middle/tail: exact per-source value-threshold cuts over
     # the (source, score) histogram — Q(p) = smallest v with
     # 100·cum ≥ p·n at p ∈ (33, 66), 'short' for unscoreable docs
-    q["ccnet_buckets"] = f"""
-WITH {_BIGRAM_CTES},
-scored AS (SELECT doc.doc_id, doc.source,
+    _CCNET_CTES = """scored AS (SELECT doc.doc_id, doc.source,
                   cast(coalesce(a.n_bigrams, 0) AS bigint) AS n_bigrams,
                   cast(coalesce(a.surprisal_e2, -1) AS bigint) AS surprisal_e2
            FROM documents doc LEFT JOIN agg a USING (doc_id)),
@@ -2833,13 +2834,17 @@ cum AS (SELECT source, surprisal_e2,
 cuts AS (SELECT source,
                 min(CASE WHEN cum * 100 >= 33 * n THEN surprisal_e2 END) AS c1,
                 min(CASE WHEN cum * 100 >= 66 * n THEN surprisal_e2 END) AS c2
-         FROM cum GROUP BY 1)
-SELECT s.doc_id, s.source, s.surprisal_e2,
-       CASE WHEN s.n_bigrams = 0 THEN 'short'
-            WHEN s.surprisal_e2 <= c.c1 THEN 'head'
-            WHEN s.surprisal_e2 <= c.c2 THEN 'middle'
-            ELSE 'tail' END AS bucket
-FROM scored s LEFT JOIN cuts c USING (source)
+         FROM cum GROUP BY 1),
+lab AS (SELECT s.doc_id, s.source, s.surprisal_e2,
+               CASE WHEN s.n_bigrams = 0 THEN 'short'
+                    WHEN s.surprisal_e2 <= c.c1 THEN 'head'
+                    WHEN s.surprisal_e2 <= c.c2 THEN 'middle'
+                    ELSE 'tail' END AS bucket
+        FROM scored s LEFT JOIN cuts c USING (source))"""
+    q["ccnet_buckets"] = f"""
+WITH {_BIGRAM_CTES},
+{_CCNET_CTES}
+SELECT doc_id, source, surprisal_e2, bucket FROM lab
 """
 
     q["vocab_topk"] = f"""
@@ -2855,6 +2860,20 @@ FROM c ORDER BY cnt DESC, token ASC LIMIT 100
             f"cast(('0x' || substr(md5('{salt}' || cast(doc_id AS varchar)), 1, 15))"
             f" AS bigint) % {mod}"
         )
+
+    # ccnet mixture: the bucket chain composed with the portable md5
+    # gate (salt 'ccnet:') at head/middle/tail/short rates
+    q["ccnet_mixture"] = f"""
+WITH {_BIGRAM_CTES},
+{_CCNET_CTES},
+g AS (SELECT doc_id, source, bucket,
+             cast({_bucket_sql('ccnet:', 10000)} AS bigint) AS hash_bp
+      FROM lab)
+SELECT doc_id, source, bucket, hash_bp FROM g
+WHERE hash_bp < CASE bucket WHEN 'head' THEN 10000
+                            WHEN 'middle' THEN 5000
+                            WHEN 'tail' THEN 1000 ELSE 0 END
+"""
 
     q["hash_split"] = f"""
 WITH b AS (SELECT doc_id, {_bucket_sql('split:', 10000)} AS bucket FROM documents)

@@ -690,3 +690,35 @@ def ccnet_buckets(docs: DataFrame, pcts: tuple[int, int] = (33, 66)) -> DataFram
     return base.join(F.broadcast(cuts), "source", "left").select(
         "doc_id", "source", "surprisal_e2", bucket.alias("bucket")
     )
+
+
+CCNET_RATES_BP = {"head": 10000, "middle": 5000, "tail": 1000, "short": 0}
+
+
+def ccnet_mixture(
+    docs: DataFrame, rates_bp: dict[str, int] | None = None
+) -> DataFrame:
+    """The CCNet mixture composed end-to-end: bucket every document with
+    :func:`ccnet_buckets`, then keep it iff its deterministic md5 bucket
+    (sampling.hash_bucket, salt 'ccnet:') falls below the bucket's rate
+    in basis points — default keep head wholesale, half of middle, 10%
+    of tail, drop unscoreable docs. Output the kept (doc_id, source,
+    bucket, hash_bp). Membership is reproducible, content-independent,
+    and stable under corpus growth — re-running tomorrow's ingest keeps
+    yesterday's decisions (the property random sampling can't give a
+    resumable pipeline). Zero extra shuffles beyond the bucketing: the
+    rate lookup is a literal CASE, the gate a filter.
+    """
+    from .sampling import hash_bucket
+
+    rates = dict(CCNET_RATES_BP if rates_bp is None else rates_bp)
+    b = ccnet_buckets(docs)
+    h = hash_bucket(F.col("doc_id"), "ccnet:", 10000)
+    rate = F.lit(0)
+    for name, bp in sorted(rates.items()):
+        rate = F.when(F.col("bucket") == name, F.lit(int(bp))).otherwise(rate)
+    return (
+        b.select("doc_id", "source", "bucket", h.alias("hash_bp"), rate.alias("r"))
+        .where(F.col("hash_bp") < F.col("r"))
+        .select("doc_id", "source", "bucket", "hash_bp")
+    )

@@ -480,3 +480,38 @@ def test_ccnet_buckets_hand_values(spark):
         assert got[10 + i] == "middle", (10 + i, sc)
         assert got[20 + i] == "tail", (20 + i, sc)
     assert got[30] == "short"
+
+
+def test_ccnet_mixture_rates_and_determinism(spark):
+    """head kept wholesale, short dropped, middle/tail gated by the
+    md5 bucket — membership reproducible across invocations and exactly
+    the ccnet_buckets ∘ hash rule."""
+    from graphical_context_extraction_pipeline_spark.operators.sampling import (
+        hash_bucket,
+    )
+    from graphical_context_extraction_pipeline_spark.operators.text_analysis import (
+        ccnet_buckets,
+        ccnet_mixture,
+    )
+    from pyspark.sql import functions as F
+
+    common = [(i, "x y x y x y x y", "s") for i in range(6)]
+    mixed = [(10 + i, "x y x y x m", "s") for i in range(6)]
+    rare = [(20 + i, f"x a{i} x b{i} x c{i}", "s") for i in range(6)]
+    short = [(30, "solo", "s")]
+    docs = spark.createDataFrame(
+        common + mixed + rare + short, "doc_id long, text string, source string"
+    )
+    kept = {r.doc_id for r in ccnet_mixture(docs).collect()}
+    assert {i for i in range(6)} <= kept and 30 not in kept
+    buckets = {r.doc_id: r.bucket for r in ccnet_buckets(docs).collect()}
+    hashes = {
+        r.doc_id: r.h
+        for r in docs.select(
+            "doc_id", hash_bucket(F.col("doc_id"), "ccnet:", 10000).alias("h")
+        ).collect()
+    }
+    rates = {"head": 10000, "middle": 5000, "tail": 1000, "short": 0}
+    want = {d for d in buckets if hashes[d] < rates[buckets[d]]}
+    assert kept == want
+    assert kept == {r.doc_id for r in ccnet_mixture(docs).collect()}  # stable
