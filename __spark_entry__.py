@@ -692,6 +692,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             SE.inverted_index(_tailed_docs(_flat_docs(s, d))),
             _planted_batch(_flat_docs(s, d)),
         ),
+        # post-merge health summary of the standing tailed index
+        "index_stats": lambda s, d: SE.index_stats(
+            SE.inverted_index(_tailed_docs(_flat_docs(s, d)))
+        ),
         # version audit: what did the delta merge change? (added fresh
         # tokens, changed touched tokens; unchanged rows not emitted)
         "index_diff": lambda s, d: SE.index_diff(
@@ -3184,6 +3188,28 @@ p AS (SELECT token,
 SELECT d.token, d.df, d.total_tf, coalesce(p.postings, '') AS postings,
        coalesce(p.tfs, '') AS tfs
 FROM dfc d LEFT JOIN p ON p.token = d.token
+"""
+
+    # index health rollup over the independently rebuilt tailed index
+    q["index_stats"] = f"""
+WITH docs AS (SELECT doc_id,
+                     text || ' tail' || cast(doc_id % 311 AS varchar) AS text
+              FROM documents),
+t AS (SELECT doc_id, unnest({_TOKS}) AS token FROM docs),
+td AS (SELECT token, doc_id, cast(count(*) AS bigint) AS tf
+       FROM t GROUP BY 1, 2),
+dfc AS (SELECT token, cast(count(*) AS bigint) AS df,
+               cast(sum(tf) AS bigint) AS total_tf
+        FROM td GROUP BY 1)
+SELECT cast(count(*) AS bigint) AS n_tokens,
+       cast(sum(CASE WHEN df > {POSTINGS_CAP} THEN 1 ELSE 0 END) AS bigint)
+            AS n_hot,
+       cast(sum(CASE WHEN df <= {POSTINGS_CAP} THEN df ELSE 0 END) AS bigint)
+            AS posting_mass,
+       cast(sum(total_tf) AS bigint) AS total_occurrences,
+       cast(max(df) AS bigint) AS max_df,
+       cast(length(bin(max(df))) AS bigint) AS max_df_bits
+FROM dfc
 """
 
     # version audit: both index versions rebuilt independently (old =

@@ -863,3 +863,25 @@ def index_diff(old: DataFrame, new: DataFrame) -> DataFrame:
         )
         .where(F.col("status") != "unchanged")
     )
+
+
+def index_stats(index: DataFrame) -> DataFrame:
+    """One-row health summary of an :func:`inverted_index` relation —
+    what an operator checks after every merge/forget/rebuild: vocabulary
+    size, hot-token count (stats-only rows), traversable posting mass
+    (Σ df over non-hot tokens — the index's true serving surface),
+    total term occurrences, and the df distribution's integer log2
+    histogram upper bound (bit_length of the max df). Pure partial
+    aggregation: one scan, no windows, no collects.
+    """
+    hot = F.col("postings") == ""
+    return index.agg(
+        F.count(F.lit(1)).cast("long").alias("n_tokens"),
+        F.sum(hot.cast("long")).cast("long").alias("n_hot"),
+        F.sum(F.when(~hot, F.col("df")).otherwise(F.lit(0)))
+        .cast("long")
+        .alias("posting_mass"),
+        F.sum("total_tf").cast("long").alias("total_occurrences"),
+        F.max("df").cast("long").alias("max_df"),
+        F.length(F.bin(F.max("df"))).cast("long").alias("max_df_bits"),
+    )

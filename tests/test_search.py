@@ -470,3 +470,13 @@ def test_index_diff_statuses(spark):
     assert SE.index_diff(
         SE.inverted_index(old_docs), SE.inverted_index(old_docs)
     ).count() == 0
+
+
+def test_index_stats_hand_values(spark):
+    docs = spark.createDataFrame(
+        [(i, "common rare" if i == 0 else "common") for i in range(5)], DDL
+    )
+    r = SE.index_stats(SE.inverted_index(docs, cap=3)).collect()[0]
+    # vocab: common (hot, df 5), rare (df 1)
+    assert (r.n_tokens, r.n_hot, r.posting_mass) == (2, 1, 1)
+    assert (r.total_occurrences, r.max_df, r.max_df_bits) == (6, 5, 3)
