@@ -241,6 +241,9 @@ def run_suite(cpus: int, sf_dir: str) -> dict:
             ),
             stats=norms_stats,
         ).count(),
+        # round 4: the CCNet quality pipeline end-to-end (bigram model →
+        # per-source histogram cuts → md5-gated mixture)
+        "ccnet_mixture": lambda: TA.ccnet_mixture(flat).count(),
         # round 4: vector serving from the standing banded index — 10
         # pushed (table, bucket) probes, exact-cosine re-rank, no corpus
         # scan and no banding job at query time

@@ -828,3 +828,36 @@ def test_ann_serve_batch_broadcasts_queries_index_never_shuffles(spark, tmp_path
     assert plan.count("ArrowEvalPython") == 1, plan
     assert has_broadcast_join(out), plan
     assert "SinglePartition" not in plan, plan
+
+
+def test_bigram_surprisal_text_never_shuffles(spark):
+    """The bigram model path: text reduces to (doc_id, w1, w2) pairs
+    intra-row before any Exchange, and no window or collect appears
+    anywhere (the pair relation is referenced by the model and the
+    scoring join — AQE reuses the aggregation exchange across them)."""
+    from graphical_context_extraction_pipeline_spark.operators.text_analysis import (
+        bigram_surprisal,
+    )
+    flat = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    out = bigram_surprisal(flat)
+    plan = physical_plan(out)
+    assert "collect_list" not in plan, plan
+    for line in plan.splitlines():
+        if "Exchange hashpartitioning" in line:
+            assert "text" not in line, plan
+    assert "Window" not in plan, plan
+
+
+def test_triangle_stats_no_windows_no_collect(spark):
+    """Triangle counting is joins + partial aggs only — no windows, no
+    SinglePartition, domain-granular keys throughout."""
+    from graphical_context_extraction_pipeline_spark.datagen import ensure_html
+    from graphical_context_extraction_pipeline_spark.operators import linkgraph as LG
+    from graphical_context_extraction_pipeline_spark.plans.explain import (
+        physical_plan,
+    )
+
+    pages = spark.read.parquet(ensure_html("/root/testdata/sf0.001"))
+    plan = physical_plan(LG.triangle_stats(LG.extract_links(pages)))
+    assert "Window" not in plan, plan
+    assert "SinglePartition" not in plan, plan
