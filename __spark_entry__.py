@@ -799,6 +799,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "retention_cohorts": lambda s, d: EV.retention_cohorts(_events(s, d)),
         "rate_spikes": lambda s, d: EV.rate_spikes(_events(s, d)),
         "conversion_lag": lambda s, d: EV.conversion_lag(_events(s, d)),
+        # exact per-kind inter-arrival latency quantiles (histogram order
+        # statistics — no percentile value buffer)
+        "gap_quantiles": lambda s, d: EV.gap_quantiles(_events(s, d)),
         "cocitation": lambda s, d: LG.cocitation(LG.extract_links(_html_pages(s, d))),
         # as-of join (union–window formulation; DuckDB's native ASOF JOIN
         # is the independent oracle) + bucket-blocked interval overlap
@@ -3714,6 +3717,29 @@ FROM req r LEFT JOIN k USING (doc_id)
 
     # gap-based sessionization: same (ts_ms, event_id) total order, same
     # 30-min cutoff; epoch_ms(ts) ≡ Spark unix_millis on post-epoch instants
+    # per-kind inter-arrival quantiles: same lag + histogram + >=-rule
+    q["gap_quantiles"] = """
+WITH e AS (SELECT event_id, user_id, event_type, epoch_ms(ts) AS ts_ms
+           FROM events),
+g AS (SELECT event_type,
+             ts_ms - lag(ts_ms) OVER (PARTITION BY user_id, event_type
+                                      ORDER BY ts_ms, event_id) AS gap_ms
+      FROM e),
+h AS (SELECT event_type, gap_ms, cast(count(*) AS bigint) AS cnt
+      FROM g WHERE gap_ms IS NOT NULL GROUP BY 1, 2),
+c AS (SELECT event_type, gap_ms,
+             sum(cnt) OVER (PARTITION BY event_type ORDER BY gap_ms
+                            ROWS UNBOUNDED PRECEDING) AS cum,
+             sum(cnt) OVER (PARTITION BY event_type) AS n
+      FROM h),
+x AS (SELECT event_type, gap_ms, cum, n, unnest([50, 95, 99]) AS p FROM c)
+SELECT event_type, cast(p AS bigint) AS p,
+       cast(min(gap_ms) AS bigint) AS gap_ms,
+       cast(max(n) AS bigint) AS n_gaps
+FROM x WHERE cum * 100 >= p * n
+GROUP BY 1, 2
+"""
+
     q["sessionize"] = """
 WITH e AS (SELECT user_id, event_id, epoch_ms(ts) AS ts_ms FROM events),
 f AS (SELECT user_id, event_id, ts_ms,

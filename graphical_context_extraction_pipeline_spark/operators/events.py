@@ -227,3 +227,69 @@ def conversion_lag(
             F.max("lag_ms").cast("long").alias("max_lag_ms"),
         )
     )
+
+
+GAP_QUANTILE_PCTS = (50, 95, 99)
+
+
+def gap_quantiles(
+    events: DataFrame, pcts: tuple[int, ...] = GAP_QUANTILE_PCTS
+) -> DataFrame:
+    """Exact inter-arrival-time order statistics per event kind —
+    (event_type, p, gap_ms, n_gaps): for each event type, the p-th
+    percentile of the within-user gaps between consecutive events of
+    that type (the latency profile an on-call dashboard plots; a p99
+    blowout on one kind is a producer stall). Q(p) = smallest gap with
+    100·cum_count ≥ p·n — corpus.length_quantiles' integer ≥-rule, over
+    a (kind, gap) HISTOGRAM, never an all-values percentile buffer.
+
+    Scale: one (user, kind)-partitioned window computes the lag deltas
+    (per-user-per-kind streams — high-cardinality keys, external-sort
+    spill for bot users), then the histogram partial-agg reduces state
+    to |distinct gap values| per kind and the quantile windows run over
+    that tiny relation. First events (no predecessor) contribute no gap.
+    """
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts_ms", "event_id")
+    base = events.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.expr(_TS_MS).cast("long").alias("ts_ms"),
+    )
+    gaps = (
+        base.select(
+            "event_type",
+            (F.col("ts_ms") - F.lag("ts_ms").over(w)).alias("gap_ms"),
+        )
+        .where(F.col("gap_ms").isNotNull())
+    )
+    hist = gaps.groupBy("event_type", "gap_ms").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    w_cum = (
+        Window.partitionBy("event_type")
+        .orderBy("gap_ms")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy("event_type")
+    cum = hist.select(
+        "event_type",
+        "gap_ms",
+        F.sum("cnt").over(w_cum).alias("cum"),
+        F.sum("cnt").over(w_all).alias("n"),
+    )
+    exploded = cum.select(
+        "event_type",
+        "gap_ms",
+        "cum",
+        "n",
+        F.explode(F.array(*[F.lit(int(p)).cast("long") for p in pcts])).alias("p"),
+    )
+    return (
+        exploded.where(F.col("cum") * 100 >= F.col("p") * F.col("n"))
+        .groupBy("event_type", "p")
+        .agg(
+            F.min("gap_ms").cast("long").alias("gap_ms"),
+            F.max("n").cast("long").alias("n_gaps"),
+        )
+    )

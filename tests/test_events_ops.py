@@ -164,3 +164,38 @@ def test_conversion_lag_buckets(spark):
     got = {r.bucket: (r.n_users, r.min_lag_ms, r.max_lag_ms)
            for r in EV.conversion_lag(events).collect()}
     assert got == {4: (1, 7, 7), 2: (1, 1, 1)}
+
+
+def test_gap_quantiles_hand_values(spark):
+    """One user, one kind, gaps 10/20/30/40/50 ms (from 6 events):
+    Q(50)=30 (cum 3 >= 2.5), Q(95)=50, Q(99)=50; a kind with a single
+    event yields no gap row; ties and same-ms events break on event_id."""
+    import datetime as dt
+
+    from graphical_context_extraction_pipeline_spark.operators.events import (
+        gap_quantiles,
+    )
+
+    def ts(ms):
+        return dt.datetime(1970, 1, 1) + dt.timedelta(milliseconds=ms)
+
+    rows = []
+    t, acc = 0, [0]
+    for g in (10, 20, 30, 40, 50):
+        t += g
+        acc.append(t)
+    rows += [(i, ts(ms), "u1", "view", 0.0, None) for i, ms in enumerate(acc)]
+    rows.append((100, ts(7), "u1", "solo", 0.0, None))
+    events = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp_ntz, user_id string, event_type string,"
+        " value double, props map<string,string>",
+    )
+    got = {
+        (r.event_type, r.p): (r.gap_ms, r.n_gaps)
+        for r in gap_quantiles(events).collect()
+    }
+    assert got[("view", 50)] == (30, 5)
+    assert got[("view", 95)] == (50, 5)
+    assert got[("view", 99)] == (50, 5)
+    assert not any(k == "solo" for k, _ in got)
