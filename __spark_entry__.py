@@ -115,6 +115,30 @@ def _planted_near(docs: DataFrame) -> DataFrame:
     return base.unionAll(near)
 
 
+# long enough that the host document's Jaccard vs its embedded source dips
+# well under the near-dup threshold while containment stays at 10000 — the
+# subset-duplicate regime containment_pairs exists for
+_CONTAIN_FILLER = (
+    " appended host page boilerplate segment with navigation archive listing"
+    " category index widget sidebar promotion newsletter signup related"
+    " articles footer contact about terms privacy editors picks trending"
+    " topics subscribe banner cookie notice"
+)
+
+
+def _planted_contained(docs: DataFrame) -> DataFrame:
+    """Corpus with planted SUBSET duplicates: every %40==1 document is
+    re-emitted (id+500000) with a long fixed host-page filler appended, so
+    the original's shingle set is contained in the host's while their
+    symmetric Jaccard is diluted."""
+    base = docs.select("doc_id", "text")
+    host = docs.where(F.col("doc_id") % 40 == 1).select(
+        (F.col("doc_id") + 500000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(_CONTAIN_FILLER)).alias("text"),
+    )
+    return base.unionAll(host)
+
+
 _FRESH_TAIL = " fresh batch suffix"
 
 
@@ -584,6 +608,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _planted_batch(_flat_docs(s, d)), _flat_docs(s, d), m_bits=4096
         ),
         "ngram_jaccard_pairs": lambda s, d: dedup.ngram_jaccard_pairs(_planted_near(_flat_docs(s, d))),
+        # asymmetric containment (|A∩B|/|A|) over planted subset-dups — the
+        # embedded-document regime Jaccard's union denominator dilutes away
+        "containment_pairs": lambda s, d: dedup.containment_pairs(
+            _planted_contained(_flat_docs(s, d))
+        ),
         "minhash_lsh_pairs": lambda s, d: dedup.minhash_lsh_pairs(_planted_near(_flat_docs(s, d))),
         # incremental near-dup: the same synthetic ingest batch as
         # dedup_incremental, against the seen corpus's banded LSH index
@@ -2534,6 +2563,47 @@ WHERE s.n_members > 1 AND a.doc_id <> s.hub)
     ngram_cte = f"{_CORPUS_NEAR},\n{ngram_chain}"
 
     q["ngram_jaccard_pairs"] = f"WITH {ngram_cte}\nSELECT * FROM np"
+
+    # asymmetric containment over the planted subset-dup corpus: identical
+    # blocking / hot-shingle cap / all-hot hub-star fallback as the ngram
+    # chain, but both directed containments instead of symmetric Jaccard
+    _CORPUS_CONTAIN = (
+        "corpus AS (SELECT doc_id, text FROM documents UNION ALL "
+        f"SELECT doc_id + 500000 AS doc_id, text || '{_CONTAIN_FILLER}' AS text "
+        "FROM documents WHERE doc_id % 40 = 1)"
+    )
+    q["containment_pairs"] = f"""
+WITH {_CORPUS_CONTAIN},
+{_SHINGLES_CTE},
+sizes AS MATERIALIZED (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+ok AS (SELECT shingle FROM sh GROUP BY shingle
+       HAVING count(*) <= {MAX_DOCS_PER_SHINGLE}),
+shc AS MATERIALIZED (SELECT sh.doc_id, sh.shingle FROM sh JOIN ok USING (shingle)),
+pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared
+          FROM shc a JOIN shc b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+          GROUP BY 1, 2),
+allhot AS (SELECT doc_id,
+                  md5(array_to_string(list_sort(list(shingle)), ',')) AS sig,
+                  count(*) AS n_sh
+           FROM sh WHERE doc_id NOT IN (SELECT DISTINCT doc_id FROM shc)
+           GROUP BY doc_id),
+sigstats AS (SELECT sig, count(*) AS n_members, min(doc_id) AS hub
+             FROM allhot GROUP BY sig)
+SELECT doc_a, doc_b, cast(n_shared AS bigint) AS n_shared,
+       cast(sa.n_sh AS bigint) AS na, cast(sb.n_sh AS bigint) AS nb,
+       cast(floor(n_shared * 10000.0 / sa.n_sh) AS bigint) AS contain_a_bp,
+       cast(floor(n_shared * 10000.0 / sb.n_sh) AS bigint) AS contain_b_bp
+FROM pairs JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b
+WHERE greatest(cast(floor(n_shared * 10000.0 / sa.n_sh) AS bigint),
+               cast(floor(n_shared * 10000.0 / sb.n_sh) AS bigint)) >= 8000
+UNION ALL
+SELECT s.hub AS doc_a, a.doc_id AS doc_b,
+       cast(a.n_sh AS bigint) AS n_shared,
+       cast(a.n_sh AS bigint) AS na, cast(a.n_sh AS bigint) AS nb,
+       cast(10000 AS bigint) AS contain_a_bp, cast(10000 AS bigint) AS contain_b_bp
+FROM allhot a JOIN sigstats s USING (sig)
+WHERE s.n_members > 1 AND a.doc_id <> s.hub
+"""
 
     # eval-set decontamination: string 3-gram shingles recomputed from
     # scratch (the engine joins on 64-bit shingle hashes — distinct-count

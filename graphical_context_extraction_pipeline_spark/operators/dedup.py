@@ -1017,3 +1017,110 @@ def simhash_incremental_pairs(
     return cand.select("doc_new", "doc_seen", hamming.alias("hamming")).where(
         hamming <= max_hamming
     )
+
+
+def containment_pairs(
+    docs: DataFrame,
+    n: int = 3,
+    min_containment_bp: int = 8000,
+    max_docs_per_shingle: int = MAX_DOCS_PER_SHINGLE,
+) -> DataFrame:
+    """Subset-duplicate pairs by ASYMMETRIC shingle containment.
+
+    Jaccard misses the classic crawl pathology where a short document is
+    embedded verbatim inside a longer one (syndicated article + site chrome,
+    a quoted post inside a thread page, a README pasted into a bundle):
+    |A∩B| / |A∪B| is diluted by the host document's extra content, while
+    Broder's *containment* |A∩B| / |A| stays at 1.0. This operator reports
+    both directions per candidate pair:
+
+      ``contain_a_bp`` = ⌊10000·n_shared/na⌋  (how much of A is inside B)
+      ``contain_b_bp`` = ⌊10000·n_shared/nb⌋
+
+    and keeps pairs where EITHER direction clears ``min_containment_bp``.
+
+    Blocking, hot-shingle cap, and the all-hot identical-set fallback are
+    shared verbatim with :func:`ngram_jaccard_pairs` (same scale analysis:
+    two shuffles of 8-byte shingle hashes, every aggregation buffer bounded
+    by the cap; sizes ride the exploded rows so no post-hoc sizes join).
+    As there, n_shared excludes hot shingles while na/nb are full set
+    sizes, so reported containment is a conservative under-estimate for
+    pairs that additionally share stop-phrases; identical-set all-hot docs
+    pair as hub stars at exactly 10000/10000.
+    """
+    base = docs.select(
+        "doc_id", F.explode(_with_sizes(_hashed_shingles(F.col("text"), n))).alias("z")
+    ).select("doc_id", F.col("z.shingle").alias("shingle"), F.col("z.n_sh").alias("n_sh"))
+    hot = (
+        base.groupBy("shingle")
+        .agg(F.count("*").alias("n_docs"))
+        .where(F.col("n_docs") > max_docs_per_shingle)
+        .select("shingle")
+    )
+    surviving = base.join(hot, "shingle", "left_anti")
+    grouped = (
+        surviving.groupBy("shingle")
+        .agg(F.collect_list(F.struct("doc_id", "n_sh")).alias("ds"))
+        .where(F.size("ds") > 1)
+    )
+    pairs = (
+        grouped.select(F.explode("ds").alias("a"), F.col("ds"))
+        .select("a", F.explode("ds").alias("b"))
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.n_sh").alias("na"),
+            F.col("b.n_sh").alias("nb"),
+        )
+        .agg(F.count("*").alias("n_shared"))
+    )
+    ca = F.floor(F.col("n_shared") * 10000.0 / F.col("na")).cast("long")
+    cb = F.floor(F.col("n_shared") * 10000.0 / F.col("nb")).cast("long")
+    main = pairs.select(
+        "doc_a",
+        "doc_b",
+        F.col("n_shared").cast("long").alias("n_shared"),
+        F.col("na").cast("long").alias("na"),
+        F.col("nb").cast("long").alias("nb"),
+        ca.alias("contain_a_bp"),
+        cb.alias("contain_b_bp"),
+    ).where(F.greatest("contain_a_bp", "contain_b_bp") >= min_containment_bp)
+
+    # all-hot fallback: identical shingle sets pair at 10000/10000 (see
+    # ngram_jaccard_pairs — same residual: an all-hot doc whose set merely
+    # overlaps another's emits nothing; minhash_lsh_pairs covers that).
+    all_hot = (
+        base.join(surviving.select("doc_id").distinct(), "doc_id", "left_anti")
+        .groupBy("doc_id")
+        .agg(
+            F.md5(
+                F.concat_ws(
+                    ",",
+                    F.transform(
+                        F.array_sort(F.collect_set("shingle")), lambda x: x.cast("string")
+                    ),
+                )
+            ).alias("sig"),
+            F.first("n_sh").alias("n_sh"),
+        )
+    )
+    sig_stats = all_hot.groupBy("sig").agg(
+        F.count("*").alias("n_members"), F.min("doc_id").alias("hub")
+    )
+    star = (
+        all_hot.join(sig_stats.where(F.col("n_members") > 1), "sig")
+        .where(F.col("doc_id") != F.col("hub"))
+        .select(
+            F.col("hub").alias("doc_a"),
+            F.col("doc_id").alias("doc_b"),
+            F.col("n_sh").cast("long").alias("n_shared"),
+            F.col("n_sh").cast("long").alias("na"),
+            F.col("n_sh").cast("long").alias("nb"),
+            F.lit(10000).cast("long").alias("contain_a_bp"),
+            F.lit(10000).cast("long").alias("contain_b_bp"),
+        )
+    )
+    if min_containment_bp > 10000:
+        return main
+    return main.unionByName(star)
