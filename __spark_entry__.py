@@ -704,6 +704,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _flat_docs(s, d), _mutated_corpus(_flat_docs(s, d))
         ),
         "length_histogram": lambda s, d: CO.length_histogram(_flat_docs(s, d)),
+        # cross-source shingle overlap matrix (the dump-overlap diagnostic)
+        "source_overlap": lambda s, d: CO.source_overlap(_flat_docs(s, d)),
         "length_quantiles": lambda s, d: CO.length_quantiles(_flat_docs(s, d)),
         "corpus_health": lambda s, d: CO.corpus_health(_planted_exact_src(_flat_docs(s, d))),
         "hll_distinct": lambda s, d: CO.hll_distinct(_flat_docs(s, d)),
@@ -3209,6 +3211,29 @@ SELECT source, cast(length(bin(n_tokens + 1)) AS bigint) AS bucket,
        cast(count(*) AS bigint) AS n_docs,
        cast(sum(n_tokens) AS bigint) AS total_tokens
 FROM t GROUP BY source, length(bin(n_tokens + 1))
+"""
+
+    # cross-source shingle overlap: string shingles stand in for the
+    # engine's 64-bit hashes (distinct-count equality up to negligible
+    # collisions — the ngram-pairs oracle protocol)
+    q["source_overlap"] = f"""
+WITH tk AS (SELECT source, {_TOKS} AS toks FROM documents),
+sh AS MATERIALIZED (SELECT DISTINCT source, unnest(
+         CASE WHEN len(toks) >= 3
+              THEN list_transform(generate_series(1, len(toks) - 2),
+                                  i -> array_to_string(list_slice(toks, i, i + 2), ' '))
+              ELSE []::VARCHAR[] END) AS shingle FROM tk),
+sizes AS (SELECT source, count(*) AS n_sh FROM sh GROUP BY source),
+pairs AS (SELECT a.source AS source_a, b.source AS source_b, count(*) AS n_shared
+          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.source < b.source
+          GROUP BY 1, 2)
+SELECT source_a, source_b, cast(n_shared AS bigint) AS n_shared,
+       cast(sa.n_sh AS bigint) AS na, cast(sb.n_sh AS bigint) AS nb,
+       cast(floor(n_shared * 10000.0 / (sa.n_sh + sb.n_sh - n_shared)) AS bigint)
+           AS jaccard_bp,
+       cast(floor(n_shared * 10000.0 / sa.n_sh) AS bigint) AS contain_a_bp,
+       cast(floor(n_shared * 10000.0 / sb.n_sh) AS bigint) AS contain_b_bp
+FROM pairs JOIN sizes sa ON sa.source = source_a JOIN sizes sb ON sb.source = source_b
 """
 
     # inverted index over the tailed corpus: hot tokens (df > 64) keep

@@ -367,3 +367,62 @@ def corpus_health(docs: DataFrame) -> DataFrame:
             "total_tokens",
         )
     )
+
+
+def source_overlap(docs: DataFrame, n: int = 3, source_col: str = "source") -> DataFrame:
+    """Cross-source n-gram overlap matrix: for every pair of sources, the
+    count of shared distinct word-n-gram shingles plus Jaccard and both
+    directed containments (bp). This is the mixture-construction
+    diagnostic — "how much of source A is already inside source B" decides
+    whether a new dump adds signal or re-weights duplicates (the CCNet /
+    RedPajama dump-overlap question, lifted from doc granularity to source
+    granularity).
+
+    Only pairs sharing ≥1 shingle appear (the pair relation is join-born;
+    disjoint sources emit nothing — consumers needing the zero rows outer-
+    join against the source list).
+
+    Scale: the corpus reduces to distinct (source, 64-bit shingle hash)
+    rows — one shuffle with map-side distinct partials; per-source set
+    sizes are a tiny rollup of that relation. The self-join on shingle
+    expands each shingle bucket to at most S(S−1)/2 rows for S sources —
+    bounded by the SOURCE count (dozens–hundreds), not the corpus, so no
+    hot-shingle cap is needed; the pair rollup is map-side-combinable and
+    the sizes join broadcasts (S rows)."""
+    from .dedup import _hashed_shingles
+
+    base = (
+        docs.select(
+            F.col(source_col).alias("source"),
+            F.explode(_hashed_shingles(F.col("text"), n)).alias("shingle"),
+        )
+        .distinct()
+    )
+    sizes = base.groupBy("source").agg(F.count("*").alias("n_sh"))
+    a, b = base.alias("a"), base.alias("b")
+    pairs = (
+        a.join(b, "shingle")
+        .where(F.col("a.source") < F.col("b.source"))
+        .groupBy(
+            F.col("a.source").alias("source_a"),
+            F.col("b.source").alias("source_b"),
+        )
+        .agg(F.count("*").alias("n_shared"))
+    )
+    sa = F.broadcast(sizes.select(F.col("source").alias("source_a"), F.col("n_sh").alias("na")))
+    sb = F.broadcast(sizes.select(F.col("source").alias("source_b"), F.col("n_sh").alias("nb")))
+    union = F.col("na") + F.col("nb") - F.col("n_shared")
+    return (
+        pairs.join(sa, "source_a")
+        .join(sb, "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            F.col("n_shared").cast("long").alias("n_shared"),
+            F.col("na").cast("long").alias("na"),
+            F.col("nb").cast("long").alias("nb"),
+            F.floor(F.col("n_shared") * 10000.0 / union).cast("long").alias("jaccard_bp"),
+            F.floor(F.col("n_shared") * 10000.0 / F.col("na")).cast("long").alias("contain_a_bp"),
+            F.floor(F.col("n_shared") * 10000.0 / F.col("nb")).cast("long").alias("contain_b_bp"),
+        )
+    )

@@ -212,3 +212,33 @@ def test_corpus_health_rates(spark):
     assert a.dup_rate_bp == 3333 and a.quality_rate_bp == 6666
     b = got["b"]
     assert b.dup_rate_bp == 0 and b.quality_rate_bp == 10000
+
+
+def test_source_overlap_matrix(spark):
+    from graphical_context_extraction_pipeline_spark.operators import corpus as CO
+
+    rows = [
+        (1, "alpha beta gamma delta epsilon", "s1"),
+        (2, "alpha beta gamma delta epsilon zeta eta theta iota kappa", "s2"),
+        (3, "totally disjoint third corpus body here", "s3"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string, source string")
+    got = {(r.source_a, r.source_b): r for r in CO.source_overlap(docs).collect()}
+    # s1 (3 shingles) fully contained in s2 (8 shingles); s3 disjoint → absent
+    assert set(got) == {("s1", "s2")}
+    r = got[("s1", "s2")]
+    assert (r.na, r.nb, r.n_shared) == (3, 8, 3)
+    assert r.contain_a_bp == 10000
+    assert r.contain_b_bp == 3750
+    assert r.jaccard_bp == 3750
+
+
+def test_source_overlap_plan_broadcasts_sizes(spark):
+    from graphical_context_extraction_pipeline_spark.operators import corpus as CO
+    from graphical_context_extraction_pipeline_spark.plans.explain import physical_plan
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = physical_plan(CO.source_overlap(docs))
+    assert "SinglePartition" not in plan, plan
+    # the two sizes joins ride broadcast exchanges, not shuffles
+    assert plan.count("BroadcastHashJoin") >= 2, plan
