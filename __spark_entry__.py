@@ -530,6 +530,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "triangle_stats": lambda s, d: LG.triangle_stats(
             LG.extract_links(_html_pages(s, d))
         ),
+        # 2-core of the domain graph (peel-to-fixpoint; unique fixpoint, so
+        # no round coupling with the oracle's recursive replay)
+        "kcore": lambda s, d: LG.kcore(LG.extract_links(_html_pages(s, d)), k=2),
         # ---- interleaved text+media training-data construction ----------------
         "caption_pairs": lambda s, d: MM.caption_pairs(_spans_docs(s, d)),
         "mm_sequence": lambda s, d: MM.mm_sequence(_spans_docs(s, d)),
@@ -2228,6 +2231,48 @@ SELECT d.domain, d.degree,
                       // (d.degree * (d.degree - 1)) END AS bigint)
             AS clustering_bp
 FROM deg d LEFT JOIN corners c USING (domain)
+"""
+
+    # 2-core via recursive peeling replay. The recursive term carries the
+    # full remaining symmetric edge set per iteration; per-node degrees are
+    # window counts over it, and the n_keep < n_prev guard stops the
+    # recursion at the first unchanged round. If a round would remove
+    # EVERYTHING the recursion emits nothing (max-iter rows are the
+    # pre-removal state), so `fin2` re-applies the degree filter once on
+    # the final set — identity at a true fixpoint, empty in that corner.
+    # The k-core fixpoint is unique (peeling-order independent), so this
+    # replay and Spark's per-round peel cannot disagree on round counts.
+    q["kcore"] = f"""
+WITH RECURSIVE {_EDGES},
+ed AS (SELECT DISTINCT src_domain AS a, dst_domain AS b FROM edges
+       WHERE src_domain <> dst_domain),
+-- TRAP: inside WITH RECURSIVE, DuckDB treats a bare `x AS (anchor UNION
+-- step)` CTE as recursive-shaped and the UNION does NOT dedup across the
+-- two arms (reciprocal edges double) — dedup must be an explicit DISTINCT
+-- over UNION ALL
+ue AS (SELECT DISTINCT a, b FROM
+         (SELECT a, b FROM ed UNION ALL SELECT b, a FROM ed)),
+peel(iter, a, b) AS (
+  SELECT 0, a, b FROM ue
+  UNION ALL
+  SELECT iter + 1, a, b FROM (
+    SELECT w.iter, w.a, w.b,
+           (w.cnt_a >= 2 AND w.cnt_b >= 2) AS ok,
+           count(*) OVER () AS n_prev,
+           sum(CASE WHEN w.cnt_a >= 2 AND w.cnt_b >= 2 THEN 1 ELSE 0 END)
+               OVER () AS n_keep
+    FROM (SELECT iter, a, b,
+                 count(*) OVER (PARTITION BY a) AS cnt_a,
+                 count(*) OVER (PARTITION BY b) AS cnt_b
+          FROM peel) w) s
+  WHERE s.ok AND s.n_keep < s.n_prev
+),
+fin AS (SELECT a, b FROM peel WHERE iter = (SELECT max(iter) FROM peel)),
+fin2 AS (SELECT a FROM (SELECT a,
+              count(*) OVER (PARTITION BY a) AS ca,
+              count(*) OVER (PARTITION BY b) AS cb FROM fin)
+         WHERE ca >= 2 AND cb >= 2)
+SELECT a AS domain, cast(count(*) AS bigint) AS core_degree FROM fin2 GROUP BY a
 """
 
     # composed per-domain verdict table: crawl mass + degrees + PageRank +

@@ -536,3 +536,60 @@ def triangle_stats(edges: DataFrame) -> DataFrame:
             .alias("clustering_bp"),
         )
     )
+
+
+def kcore(edges: DataFrame, k: int = 2, max_rounds: int = 200) -> DataFrame:
+    """k-core of the undirected domain graph: iteratively peel nodes of
+    degree < k until fixpoint; return (domain, core_degree) for the
+    surviving subgraph, core_degree the node's degree WITHIN the core.
+
+    The k-core is the classic link-spam / link-farm density signal
+    (Batagelj-Zaveršnik peeling): organic long-tail domains fall out at
+    small k, while reciprocal-link rings survive arbitrarily deep cores.
+    The fixpoint is unique and independent of peeling order, so the
+    synchronous per-round peel here and the DuckDB oracle's recursive
+    replay agree without any round-count coupling.
+
+    Shape per round: one degree rollup (map-side partial count) over the
+    symmetric edge list + two anti-joins against the under-degree node
+    set — all keyed on the DOMAIN graph, orders of magnitude below page
+    count; AQE broadcasts the (shrinking) removal set. localCheckpoint
+    truncates lineage each round, exactly like pagerank's iteration.
+    Rounds are data-bounded (a path graph peels O(diameter) times);
+    ``max_rounds`` is a guard against degenerate inputs, not a semantic
+    knob — hitting it raises rather than returning a non-fixpoint.
+    """
+    e = (
+        edges.select("src_domain", "dst_domain")
+        .where(F.col("src_domain") != F.col("dst_domain"))
+        .distinct()
+    )
+    ue = (
+        e.unionByName(
+            e.select(
+                F.col("dst_domain").alias("src_domain"),
+                F.col("src_domain").alias("dst_domain"),
+            )
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+    for _ in range(max_rounds):
+        bad = (
+            ue.groupBy("src_domain")
+            .agg(F.count(F.lit(1)).alias("d"))
+            .where(F.col("d") < k)
+            .select(F.col("src_domain").alias("node"))
+            .localCheckpoint()
+        )
+        if bad.count() == 0:
+            return ue.groupBy(F.col("src_domain").alias("domain")).agg(
+                F.count(F.lit(1)).cast("long").alias("core_degree")
+            )
+        ue = (
+            ue.join(bad.withColumnRenamed("node", "src_domain"), "src_domain", "left_anti")
+            .join(bad.withColumnRenamed("node", "dst_domain"), "dst_domain", "left_anti")
+            .select("src_domain", "dst_domain")
+            .localCheckpoint()
+        )
+    raise RuntimeError(f"kcore did not converge within {max_rounds} rounds")

@@ -290,3 +290,70 @@ def test_triangle_stats_hand_graph(spark):
     assert got["r"] == (2, 1, 10000)
     assert got["s"] == (3, 1, 3333)
     assert got["t"] == (1, 0, 0)
+
+
+# ---------------------------------------------------------------------------
+# kcore: the gate corpus' domain graph happens to be min-degree ≥ 2 (no
+# peeling), so the peel path is pinned here on constructed graphs.
+# ---------------------------------------------------------------------------
+
+def _edges_df(spark, pairs):
+    return spark.createDataFrame(
+        [(a, b, 1) for a, b in pairs], "src_domain string, dst_domain string, n_links bigint"
+    )
+
+
+def test_kcore_peels_tail_keeps_triangle(spark):
+    from graphical_context_extraction_pipeline_spark.operators import linkgraph as LG
+
+    # triangle A-B-C plus a 2-hop tail C-D-E: the tail peels over TWO
+    # rounds (E first, then D), the triangle survives at degree 2
+    e = _edges_df(spark, [("A", "B"), ("B", "C"), ("A", "C"), ("C", "D"), ("D", "E")])
+    got = {r.domain: r.core_degree for r in LG.kcore(e, k=2).collect()}
+    assert got == {"A": 2, "B": 2, "C": 2}
+
+
+def test_kcore_full_annihilation_is_empty(spark):
+    from graphical_context_extraction_pipeline_spark.operators import linkgraph as LG
+
+    # a path graph has no 2-core at all — and the last peel round removes
+    # every remaining edge at once (the oracle's empty-fixpoint corner)
+    e = _edges_df(spark, [("A", "B"), ("B", "C"), ("C", "D")])
+    assert LG.kcore(e, k=2).count() == 0
+    # k=3 on a 4-clique minus one edge also fully annihilates
+    e2 = _edges_df(spark, [("A", "B"), ("A", "C"), ("A", "D"), ("B", "C"), ("B", "D")])
+    assert LG.kcore(e2, k=3).count() == 0
+
+
+def test_kcore_bridge_dies_cliques_survive(spark):
+    from graphical_context_extraction_pipeline_spark.operators import linkgraph as LG
+
+    k4a = [("a1", "a2"), ("a1", "a3"), ("a1", "a4"), ("a2", "a3"), ("a2", "a4"), ("a3", "a4")]
+    k4b = [("b1", "b2"), ("b1", "b3"), ("b1", "b4"), ("b2", "b3"), ("b2", "b4"), ("b3", "b4")]
+    # a PENDANT path off a1 peels away; the two cliques (and the a1-b1
+    # bridge, whose endpoints keep degree ≥ 3 without it) survive
+    extra = [("a1", "b1"), ("a1", "p1"), ("p1", "p2")]
+    got = {r.domain: r.core_degree for r in
+           LG.kcore(_edges_df(spark, k4a + k4b + extra), k=3).collect()}
+    assert got == {"a1": 4, "b1": 4, "a2": 3, "a3": 3, "a4": 3,
+                   "b2": 3, "b3": 3, "b4": 3}
+
+
+def test_kcore_oracle_template_peels_identically(spark):
+    """Cross-engine pin of the ORACLE's recursive peel on a graph that
+    actually peels (the gate corpus doesn't): swap the oracle template's
+    edge source for a VALUES relation and compare with Spark."""
+    import duckdb
+    import __spark_entry__ as entrymod
+    from graphical_context_extraction_pipeline_spark.operators import linkgraph as LG
+
+    pairs = [("A", "B"), ("B", "C"), ("A", "C"), ("C", "D"), ("D", "E"),
+             ("E", "F"), ("B", "A")]  # includes a reciprocal edge (the
+    # WITH RECURSIVE union-dedup trap this oracle had to sidestep)
+    sql = entrymod.oracle_sql()["kcore"]
+    tail = sql[sql.index("ed AS (SELECT DISTINCT"):]
+    vals = ", ".join(f"('{a}', '{b}')" for a, b in pairs)
+    duck_sql = f"WITH RECURSIVE edges(src_domain, dst_domain) AS (VALUES {vals}),\n{tail}"
+    d_rows = {tuple(r) for r in duckdb.sql(duck_sql).fetchall()}
+    s_rows = {(r.domain, r.core_degree) for r in LG.kcore(_edges_df(spark, pairs), k=2).collect()}
+    assert s_rows == d_rows == {("A", 2), ("B", 2), ("C", 2)}
