@@ -698,6 +698,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         "pii_scrub": lambda s, d: TA.pii_scrub(_planted_pii(_flat_docs(s, d))),
         "sample_k": lambda s, d: SA.sample_k(_flat_docs(s, d), k=5),
+        # exactly-k systematic PPS draw on the n_chars weight axis
+        "weighted_sample": lambda s, d: SA.weighted_sample(
+            _flat_docs(s, d), k=100, weight_col="n_chars"
+        ),
         "epoch_shuffle": lambda s, d: SA.epoch_shuffle(_flat_docs(s, d), epoch=1, n_shards=8),
         # ---- corpus management: passage dup scan, snapshot diff, profile ----
         "duplicate_passages": lambda s, d: dedup.duplicate_passages(_flat_docs(s, d)),
@@ -3030,6 +3034,23 @@ r AS (SELECT source, doc_id,
                                      ORDER BY priority, doc_id) AS bigint) AS rk
       FROM pr)
 SELECT source, doc_id, rk FROM r WHERE rk <= 5
+"""
+
+    # exactly-k systematic PPS draw: window cumsum replays the engine's
+    # distributed prefix sum; all division numerators non-negative so
+    # DuckDB // and Spark DIV agree (pinned cross-engine rule)
+    q["weighted_sample"] = """
+WITH base AS (SELECT doc_id, cast(n_chars AS bigint) AS weight
+              FROM documents WHERE n_chars > 0),
+c AS (SELECT doc_id, weight,
+             sum(weight) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum
+      FROM base),
+t AS (SELECT sum(weight) AS W FROM base),
+m AS (SELECT doc_id, weight,
+             cast((200 * cum + W - 1) // (2 * W)
+                  - (200 * (cum - weight) + W - 1) // (2 * W) AS bigint) AS n_picks
+      FROM c, t)
+SELECT doc_id, weight, n_picks FROM m WHERE n_picks >= 1
 """
 
     # reproducible epoch shuffle: shard + position from (epoch, doc_id)

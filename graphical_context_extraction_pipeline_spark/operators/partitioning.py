@@ -184,3 +184,65 @@ def global_rank(df: DataFrame, order_cols: list, rank_col: str = "rank") -> Data
         )
         .drop("_pid", "_off")
     )
+
+
+def global_cumsum(
+    df: DataFrame,
+    order_cols: list,
+    value_col: str,
+    out_col: str = "cum",
+    total_col: str | None = None,
+) -> DataFrame:
+    """Exact global running sum of ``value_col`` under a total order,
+    without the single-partition funnel — :func:`global_rank`'s pattern
+    with per-partition SUMS instead of counts: range-partitioned orderBy,
+    eager localCheckpoint to pin placement, the tiny (pid, prefix-sum)
+    offset relation collected once and broadcast back, then a per-
+    partition running-sum window. This is the distributed CDF/ogive
+    primitive — weighted sampling, quota cuts, and token-budget prefixes
+    all reduce to it.
+
+    ``order_cols`` must be a deterministic total order (unique tiebreak),
+    same contract as global_rank. Values are cast to long; the running
+    sum must stay within int64 — at 10^12 docs that bounds per-doc
+    weights to ~10^6, pre-scale coarser weights before calling.
+
+    ``total_col``: the driver already holds the grand total after folding
+    the per-partition sums — when set, it is attached as a LITERAL column
+    of that name, sparing consumers a scalar re-aggregation (and its
+    SinglePartition exchange) over the checkpointed relation.
+    """
+    from pyspark.sql import Window
+
+    s = df.orderBy(*order_cols).withColumn("_pid", F.spark_partition_id())
+    s = s.localCheckpoint(eager=True)  # pin the sort's partition placement
+    sums = {
+        r["_pid"]: r["s"]
+        for r in s.groupBy("_pid")
+        .agg(F.sum(F.col(value_col).cast("long")).alias("s"))
+        .collect()
+    }
+    offsets, acc = [], 0
+    for pid in sorted(sums):
+        offsets.append((pid, acc))
+        acc += int(sums[pid] or 0)
+    off_df = df.sparkSession.createDataFrame(offsets or [(0, 0)], "_pid int, _off long")
+    w = (
+        Window.partitionBy("_pid")
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    out = (
+        s.join(F.broadcast(off_df), "_pid", "left")
+        .withColumn(
+            out_col,
+            (
+                F.sum(F.col(value_col).cast("long")).over(w)
+                + F.coalesce(F.col("_off"), F.lit(0))
+            ).cast("long"),
+        )
+        .drop("_pid", "_off")
+    )
+    if total_col is not None:
+        out = out.withColumn(total_col, F.lit(acc).cast("long"))
+    return out

@@ -308,3 +308,50 @@ def epoch_shuffle(docs: DataFrame, epoch: int, n_shards: int = 16) -> DataFrame:
         .withColumn("pos", (F.row_number().over(w) - 1).cast("long"))
         .select("doc_id", "shard", "pos")
     )
+
+
+def weighted_sample(
+    docs: DataFrame, k: int = 100, weight_col: str = "n_chars", id_col: str = "doc_id"
+) -> DataFrame:
+    """Exactly-k systematic probability-proportional-to-size draw:
+    (doc_id, weight, n_picks) for every document selected at least once,
+    with Σ n_picks = k exactly. This is the mixture-construction sampler —
+    "give me k documents proportional to quality/length/domain weight" —
+    as a deterministic order statistic rather than an RNG draw, so the
+    result is identical across runs, engines, and partitionings.
+
+    Construction (all integer): lay the documents end to end on the
+    weight axis in doc_id order (exact global cumulative weights via
+    partitioning.global_cumsum — no single-partition window); drop the k
+    midpoint grid points p_j = ⌊(2j+1)·W / 2k⌋ onto the axis; a document
+    is picked once per grid point strictly inside its (cum−w, cum]
+    interval. The count needs no per-point join: #{j : p_j < x} collapses
+    to f(x) = (2kx + W − 1) DIV (2W) — numerator non-negative for every
+    x ≥ 0, so Spark's truncating DIV and DuckDB's flooring // agree (the
+    pinned cross-engine division rule) — and n_picks = f(cum) − f(cum−w).
+    Σ n_picks telescopes to f(W) − f(0) = k, exactly.
+
+    Heavy documents (w > W/k) legitimately receive multiple picks —
+    that's PPS-with-replacement semantics on a systematic grid; consumers
+    wanting at-most-once should cap weights at W/k upstream.
+
+    Rows with weight ≤ 0 are unsampleable and dropped before the cumsum.
+    int64 budget: 2k·W must stay under 2^63 — at k=10^6 that bounds total
+    corpus weight to ~4.6·10^12; pre-scale weights (w DIV 2^s) when the
+    corpus mass is larger, exactly like the fixed-point estimators.
+    """
+    from .partitioning import global_cumsum
+
+    base = docs.select(
+        F.col(id_col).alias("doc_id"), F.col(weight_col).cast("long").alias("weight")
+    ).where(F.col(weight_col) > 0)
+    withw = global_cumsum(base, ["doc_id"], "weight", "cum", total_col="W")
+
+    def f(x):
+        return F.expr(f"(2 * {k} * ({x}) + W - 1) DIV (2 * W)")
+
+    return (
+        withw.withColumn("n_picks", (f("cum") - f("cum - weight")).cast("long"))
+        .where(F.col("n_picks") >= 1)
+        .select("doc_id", "weight", "n_picks")
+    )

@@ -515,3 +515,53 @@ def test_ccnet_mixture_rates_and_determinism(spark):
     want = {d for d in buckets if hashes[d] < rates[buckets[d]]}
     assert kept == want
     assert kept == {r.doc_id for r in ccnet_mixture(docs).collect()}  # stable
+
+
+# ---------------------------------------------------------------------------
+# weighted_sample: exactly-k systematic PPS draw
+# ---------------------------------------------------------------------------
+
+def _wdocs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id bigint, n_chars bigint")
+
+
+def test_weighted_sample_hand_traced(spark):
+    from graphical_context_extraction_pipeline_spark.operators import sampling as SA
+
+    # W=4, k=2 → grid points {1, 3}; strict-lower-boundary semantics put
+    # point 1 in doc 2's (1,2] interval and point 3 in doc 4's (3,4]
+    docs = _wdocs(spark, [(1, 1), (2, 1), (3, 1), (4, 1)])
+    got = {(r.doc_id, r.n_picks) for r in SA.weighted_sample(docs, k=2).collect()}
+    assert got == {(2, 1), (4, 1)}
+
+
+def test_weighted_sample_heavy_doc_multiplicity(spark):
+    from graphical_context_extraction_pipeline_spark.operators import sampling as SA
+
+    # one doc holds ~98% of the mass → all 3 picks land on it
+    docs = _wdocs(spark, [(1, 100), (2, 1), (3, 1)])
+    got = {(r.doc_id, r.n_picks) for r in SA.weighted_sample(docs, k=3).collect()}
+    assert got == {(1, 3)}
+
+
+def test_weighted_sample_sums_to_k_and_partition_invariant(spark):
+    from pyspark.sql import functions as F
+
+    from graphical_context_extraction_pipeline_spark.operators import sampling as SA
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    a = SA.weighted_sample(docs, k=37)
+    assert a.agg(F.sum("n_picks")).first()[0] == 37
+    b = SA.weighted_sample(docs.repartition(7), k=37)
+    assert {tuple(r) for r in a.collect()} == {tuple(r) for r in b.collect()}
+
+
+def test_weighted_sample_drops_nonpositive_and_plan_shape(spark):
+    from graphical_context_extraction_pipeline_spark.operators import sampling as SA
+    from graphical_context_extraction_pipeline_spark.plans.explain import physical_plan
+
+    docs = _wdocs(spark, [(1, 0), (2, -5), (3, 10)])
+    got = {(r.doc_id, r.n_picks) for r in SA.weighted_sample(docs, k=2).collect()}
+    assert got == {(3, 2)}  # the only positive-weight doc takes all picks
+    plan = physical_plan(SA.weighted_sample(docs, k=2))
+    assert "SinglePartition" not in plan, plan
