@@ -250,6 +250,13 @@ def run_suite(cpus: int, sf_dir: str) -> dict:
         "ann_from_index": lambda: similarity.ann_from_index(
             embindex_df, bench_qv, exclude_ids=(3,)
         ).count(),
+        # round 4 session 3: subset-dup containment (ngram blocking reuse),
+        # cross-source overlap matrix, domain-graph 2-core peel, exact-k
+        # systematic PPS draw (distributed prefix sum, no global window)
+        "containment_pairs": lambda: dedup.containment_pairs(flat).count(),
+        "source_overlap": lambda: CO.source_overlap(flat).count(),
+        "kcore": lambda: LG.kcore(LG.extract_links(pages), k=2).count(),
+        "weighted_sample": lambda: SA.weighted_sample(flat, k=100).count(),
     }
     timings: dict[str, float] = {}
     extract_wall = None
