@@ -671,6 +671,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint": lambda s, d: TA.fingerprint(_flat_docs(s, d)),
         "repetition_stats": lambda s, d: TA.repetition_stats(_flat_docs(s, d)),
         "vocab_topk": lambda s, d: TA.vocab_topk(_flat_docs(s, d), k=100),
+        # per-source vocabulary shape: hapax/dis legomena, TTR (templated-
+        # source detector)
+        "vocab_growth": lambda s, d: TA.vocab_growth(_flat_docs(s, d)),
         "corpus_stats": lambda s, d: TA.corpus_stats(_flat_docs(s, d)),
         "unigram_surprisal": lambda s, d: TA.unigram_surprisal(_flat_docs(s, d)),
         # conditional (2-gram) surprisal — the word-salad signal the
@@ -2981,6 +2984,22 @@ c AS (SELECT token, count(*) AS cnt FROM tok GROUP BY token)
 SELECT token, cast(cnt AS bigint) AS cnt,
        cast(row_number() OVER (ORDER BY cnt DESC, token ASC) AS bigint) AS rank
 FROM c ORDER BY cnt DESC, token ASC LIMIT 100
+"""
+
+    # per-source vocabulary-shape rollup; all divisions non-negative DIV
+    q["vocab_growth"] = f"""
+WITH tok AS (SELECT source, unnest({_TOKS}) AS token FROM documents),
+c AS (SELECT source, token, count(*) AS cnt FROM tok GROUP BY source, token),
+a AS (SELECT source,
+             cast(sum(cnt) AS bigint) AS n_tokens,
+             cast(count(*) AS bigint) AS n_types,
+             cast(sum(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) AS bigint) AS n_hapax,
+             cast(sum(CASE WHEN cnt = 2 THEN 1 ELSE 0 END) AS bigint) AS n_dis
+      FROM c GROUP BY source)
+SELECT source, n_tokens, n_types, n_hapax, n_dis,
+       cast((10000 * n_types) // n_tokens AS bigint) AS ttr_bp,
+       cast((10000 * n_hapax) // n_types AS bigint) AS hapax_share_bp
+FROM a
 """
 
     def _bucket_sql(salt: str, mod: int) -> str:

@@ -722,3 +722,49 @@ def ccnet_mixture(
         .where(F.col("hash_bp") < F.col("r"))
         .select("doc_id", "source", "bucket", "hash_bp")
     )
+
+
+def vocab_growth(docs: DataFrame, source_col: str = "source") -> DataFrame:
+    """Per-source vocabulary-shape diagnostics: (source, n_tokens, n_types,
+    n_hapax, n_dis, ttr_bp, hapax_share_bp) — token count, distinct-type
+    count, hapax/dis legomena (frequency 1 and 2), type-token ratio and
+    hapax share in basis points.
+
+    Natural language keeps minting new words as a corpus grows (hapax
+    share ~40-60% under Zipf); templated or spun content saturates its
+    vocabulary almost immediately. A source whose TTR and hapax share sit
+    far below its siblings is boilerplate/spam mass; far above (at
+    comparable size) suggests encoding noise or language mixing. The
+    length-matched comparison matters — TTR falls with corpus size even
+    for clean text, so compare sources at similar n_tokens, or track one
+    source across snapshot deltas.
+
+    Scale: one (source, token) count shuffle with map-side partials —
+    the per-source frequency relation is vocabulary-bounded — then a tiny
+    per-source rollup. Divisions are non-negative DIV (cross-engine
+    safe); sources with zero tokens don't appear (explode drops them).
+    """
+    freq = (
+        docs.select(
+            F.col(source_col).alias("source"),
+            F.explode(_tokens(F.col("text"))).alias("token"),
+        )
+        .groupBy("source", "token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    one = F.lit(1).cast("long")
+    agg = freq.groupBy("source").agg(
+        F.sum("cnt").cast("long").alias("n_tokens"),
+        F.count(F.lit(1)).cast("long").alias("n_types"),
+        F.sum(F.when(F.col("cnt") == 1, one).otherwise(F.lit(0))).cast("long").alias("n_hapax"),
+        F.sum(F.when(F.col("cnt") == 2, one).otherwise(F.lit(0))).cast("long").alias("n_dis"),
+    )
+    return agg.select(
+        "source",
+        "n_tokens",
+        "n_types",
+        "n_hapax",
+        "n_dis",
+        F.expr("(10000 * n_types) DIV n_tokens").alias("ttr_bp"),
+        F.expr("(10000 * n_hapax) DIV n_types").alias("hapax_share_bp"),
+    )

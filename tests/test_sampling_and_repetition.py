@@ -565,3 +565,23 @@ def test_weighted_sample_drops_nonpositive_and_plan_shape(spark):
     assert got == {(3, 2)}  # the only positive-weight doc takes all picks
     plan = physical_plan(SA.weighted_sample(docs, k=2))
     assert "SinglePartition" not in plan, plan
+
+
+def test_vocab_growth_hand_counted(spark):
+    from graphical_context_extraction_pipeline_spark.operators import text_analysis as TA
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a a b c", "s1"),      # s1: tokens 7, types 4: a×3 b×2 c×1 d×1
+            (2, "a b d", "s1"),
+            (3, "x x x x", "s2"),      # s2: one type, zero hapax
+        ],
+        "doc_id bigint, text string, source string",
+    )
+    got = {r.source: r for r in TA.vocab_growth(docs).collect()}
+    s1 = got["s1"]
+    assert (s1.n_tokens, s1.n_types, s1.n_hapax, s1.n_dis) == (7, 4, 2, 1)
+    assert s1.ttr_bp == 40000 // 7 and s1.hapax_share_bp == 5000
+    s2 = got["s2"]
+    assert (s2.n_tokens, s2.n_types, s2.n_hapax, s2.n_dis) == (4, 1, 0, 0)
+    assert s2.ttr_bp == 2500 and s2.hapax_share_bp == 0
