@@ -203,6 +203,17 @@ def pack_sequences(docs: DataFrame, budget: int = 512, n_buckets: int = 8) -> Da
     )
 
 
+def topk_priority(doc_id_col):
+    """The md5 bottom-k priority (salt 'topk:') shared by :func:`sample_k`
+    and its streaming twin (streaming/sampling.py) — keeping the two on
+    one expression is what makes the batch ≡ stream law an identity."""
+    return F.conv(
+        F.substring(F.md5(F.concat(F.lit("topk:"), doc_id_col.cast("string"))), 1, 15),
+        16,
+        10,
+    ).cast("long")
+
+
 def sample_k(docs: DataFrame, k: int = 10) -> DataFrame:
     """Exact-k deterministic sample per source: the k docs with the
     smallest md5 priority (salt 'topk:') — a reproducible uniform draw
@@ -221,11 +232,7 @@ def sample_k(docs: DataFrame, k: int = 10) -> DataFrame:
     by test) while only priorities, never text, enter either exchange."""
     from pyspark.sql import Window
 
-    pri = F.conv(
-        F.substring(F.md5(F.concat(F.lit("topk:"), F.col("doc_id").cast("string"))), 1, 15),
-        16,
-        10,
-    ).cast("long")
+    pri = topk_priority(F.col("doc_id"))
     base = docs.select("source", "doc_id", pri.alias("priority")).withColumn(
         "pid", F.spark_partition_id()
     )
