@@ -139,6 +139,46 @@ def _planted_contained(docs: DataFrame) -> DataFrame:
     return base.unionAll(host)
 
 
+# three boilerplate sentences shared verbatim across every planted C4 host —
+# the cross-doc duplicated 3-sentence span c4_spans must surface
+_C4_BOILER = (
+    "subscribe to our newsletter today. follow us on all social media"
+    " channels. all rights reserved by the publisher."
+)
+
+
+def _c4ify(docs: DataFrame) -> DataFrame:
+    """The testdata text carries no sentence punctuation, so the C4-family
+    gate corpus rebuilds each document as up to five 8-token sentences
+    (deterministic slices of its own token stream, '.'-terminated) —
+    replayed verbatim by the oracle's list-comprehension twin."""
+    toks = F.filter(F.split(F.lower("text"), r"\s+"), lambda x: x != F.lit(""))
+    sents = F.filter(
+        F.transform(
+            F.array(*[F.lit(i) for i in range(5)]),
+            lambda i: F.concat_ws(" ", F.slice(toks, i * 8 + 1, 8)),
+        ),
+        lambda s: s != F.lit(""),
+    )
+    return docs.select(
+        "doc_id", F.concat(F.array_join(sents, ". "), F.lit(".")).alias("text")
+    )
+
+
+def _planted_c4(docs: DataFrame) -> DataFrame:
+    """Sentence-structured corpus with planted span duplication: every
+    %30==4 document is re-emitted (id+700000) with the fixed boilerplate
+    block prepended — so the boilerplate 3-sentence span duplicates ACROSS
+    planted hosts, and each host shares all its own spans with its source
+    doc (the original↔copy regime)."""
+    base = _c4ify(docs)
+    host = base.where(F.col("doc_id") % 30 == 4).select(
+        (F.col("doc_id") + 700000).alias("doc_id"),
+        F.concat(F.lit(_C4_BOILER + " "), F.col("text")).alias("text"),
+    )
+    return base.unionAll(host)
+
+
 _FRESH_TAIL = " fresh batch suffix"
 
 
@@ -710,6 +750,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "duplicate_passages": lambda s, d: dedup.duplicate_passages(_flat_docs(s, d)),
         # passage REMOVAL (the corpus-cleaning end product of the scan)
         "strip_passages": lambda s, d: dedup.strip_duplicate_passages(_flat_docs(s, d)),
+        # C4's original granularity: duplicated 3-SENTENCE spans and the
+        # span-removal end product, over the sentence-structured planted
+        # corpus (testdata text carries no punctuation)
+        "c4_spans": lambda s, d: dedup.c4_spans(_planted_c4(_flat_docs(s, d))),
+        "c4_span_dedup": lambda s, d: dedup.c4_span_dedup(_planted_c4(_flat_docs(s, d))),
         "corpus_diff": lambda s, d: CO.corpus_diff(
             _flat_docs(s, d), _mutated_corpus(_flat_docs(s, d))
         ),
@@ -3265,6 +3310,66 @@ SELECT cast(doc_id AS bigint) AS doc_id,
        coalesce(array_to_string(kept, ' '), '') AS clean_text,
        cast(len(toks) AS bigint) AS n_tokens,
        cast(len(toks) - len(kept) AS bigint) AS n_removed
+FROM k
+"""
+
+    # C4 sentence-span family: the sentence-structured planted corpus
+    # (five 8-token '.'-terminated sentences per doc; %30==4 docs re-hosted
+    # with the boilerplate block prepended), sentence split + 3-span keys
+    # (lowercased, chr(31)-joined) replayed as list comprehensions
+    _C4_CHAIN = f"""
+c4t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+c4base AS (SELECT doc_id,
+             array_to_string(list_filter(
+               [array_to_string(toks[8*i+1:8*i+8], ' ') FOR i IN [0,1,2,3,4]],
+               s -> s <> ''), '. ') || '.' AS text
+           FROM c4t),
+corpus AS (SELECT doc_id, text FROM c4base
+           UNION ALL
+           SELECT doc_id + 700000 AS doc_id, '{_C4_BOILER} ' || text AS text
+           FROM c4base WHERE doc_id % 30 = 4),
+sen AS MATERIALIZED (SELECT doc_id,
+         list_filter(list_transform(regexp_extract_all(text, '[^.!?]+[.!?]*'),
+                                    s -> trim(s)), s -> s <> '') AS sents
+       FROM corpus),
+sp AS MATERIALIZED (SELECT doc_id, sents,
+        CASE WHEN len(sents) >= 3
+             THEN [array_to_string(list_transform(sents[i:i+2], x -> lower(x)),
+                                   chr(31)) FOR i IN range(1, len(sents) - 1)]
+             ELSE []::varchar[] END AS spans
+      FROM sen)"""
+
+    q["c4_spans"] = f"""
+WITH {_C4_CHAIN},
+d AS (SELECT doc_id, unnest(list_distinct(spans)) AS span FROM sp)
+SELECT span, cast(count(*) AS bigint) AS n_docs,
+       cast(min(doc_id) AS bigint) AS example_doc_id
+FROM d GROUP BY span HAVING count(*) >= 2
+"""
+
+    q["c4_span_dedup"] = f"""
+WITH {_C4_CHAIN},
+p AS (SELECT doc_id,
+             unnest(spans) AS span,
+             unnest(CASE WHEN len(sents) >= 3 THEN range(1, len(sents) - 1)
+                    ELSE []::bigint[] END) AS i
+      FROM sp),
+hot AS (SELECT span FROM (SELECT DISTINCT doc_id, span FROM p)
+        GROUP BY span HAVING count(*) >= 2),
+cov AS (SELECT p.doc_id,
+               list_distinct(flatten(list_transform(list(p.i - 1),
+                                                    s -> range(s, s + 3)))) AS covered
+        FROM p JOIN hot USING (span) GROUP BY p.doc_id),
+f AS (SELECT sp.doc_id, sents, coalesce(cov.covered, []::bigint[]) AS covered
+      FROM sp LEFT JOIN cov USING (doc_id)),
+k AS (SELECT doc_id, sents,
+             [sents[i + 1] FOR i IN range(0, len(sents))
+              IF NOT list_contains(covered, i)] AS kept
+      FROM f)
+SELECT cast(doc_id AS bigint) AS doc_id,
+       coalesce(array_to_string(kept, ' '), '') AS clean_text,
+       cast(len(sents) AS bigint) AS n_sentences,
+       cast(len(sents) - len(kept) AS bigint) AS n_removed
 FROM k
 """
 

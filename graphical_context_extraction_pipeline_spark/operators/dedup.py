@@ -1124,3 +1124,132 @@ def containment_pairs(
     if min_containment_bp > 10000:
         return main
     return main.unionByName(star)
+
+
+_SENT_RE = r"[^.!?]+[.!?]*"
+_SPAN_SEP = "\x1f"
+
+
+def _sentences(col):
+    """Trimmed non-empty sentences in document order: maximal runs of
+    non-terminator characters plus their trailing ``[.!?]`` run. The
+    pattern is in the portable Java∩RE2 subset (no lookbehind), so the
+    DuckDB oracle splits identically."""
+    return F.filter(
+        F.transform(
+            F.regexp_extract_all(col, F.lit(_SENT_RE), F.lit(0)), lambda s: F.trim(s)
+        ),
+        lambda s: s != F.lit(""),
+    )
+
+
+def _sentence_spans(sents, n: int):
+    """All consecutive n-sentence span KEYS in position order (index i =
+    the span starting at sentence i): lowercased sentences joined on the
+    unit separator (unambiguous — a space join could collide when
+    sentence boundaries shift). Same shifted-slice zip_with fold as
+    ``_all_shingles``."""
+
+    def fold(ls):
+        m = F.size(ls) - (n - 1)
+        acc = F.zip_with(
+            F.slice(ls, 1, m),
+            F.slice(ls, 2, m),
+            lambda x, y: F.concat(x, F.lit(_SPAN_SEP), y),
+        )
+        for k in range(2, n):
+            acc = F.zip_with(
+                acc, F.slice(ls, k + 1, m), lambda x, y: F.concat(x, F.lit(_SPAN_SEP), y)
+            )
+        return acc
+
+    return _bind(
+        F.transform(sents, lambda s: F.lower(s)),
+        lambda ls: F.when(F.size(ls) >= n, fold(ls)).otherwise(
+            F.array().cast("array<string>")
+        ),
+    )
+
+
+def c4_spans(docs: DataFrame, n_sent: int = 3, min_docs: int = 2) -> DataFrame:
+    """C4's sub-document duplication signal at its ORIGINAL granularity:
+    every ``n_sent``-sentence span (lowercased) occurring in ≥ ``min_docs``
+    distinct documents — (span, n_docs, example_doc_id). The word-8-gram
+    twin is :func:`duplicate_passages`; sentence spans are what the C4
+    paper actually removed ("any three-sentence span occurring more than
+    once"), and they respect clause boundaries the fixed-width token
+    window cuts through.
+
+    Scale: identical to duplicate_passages — array_distinct before the
+    explode makes count(*) the document frequency (plain partial-agg
+    count, no collect buffers); one shuffle keyed by the span string (at
+    100 TB: hash the key, same note as there)."""
+    base = docs.select("doc_id", F.coalesce(F.col("text"), F.lit("")).alias("text"))
+    s = base.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(_sentence_spans(_sentences(F.col("text")), n_sent))
+        ).alias("span"),
+    )
+    return (
+        s.groupBy("span")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.min("doc_id").cast("long").alias("example_doc_id"),
+        )
+        .where(F.col("n_docs") >= min_docs)
+    )
+
+
+def c4_span_dedup(docs: DataFrame, n_sent: int = 3, min_docs: int = 2) -> DataFrame:
+    """C4's span-removal end product: every sentence covered by ANY
+    occurrence of a duplicated ``n_sent``-sentence span is dropped, the
+    survivors re-joined with single spaces (each keeps its own trailing
+    punctuation) — (doc_id, clean_text, n_sentences, n_removed).
+
+    Same three-stage shape as :func:`strip_duplicate_passages`, one level
+    up: positioned span explode → hot join → covered sentence-index sets
+    per doc (collect_set bounded by the doc's own sentence count) → one
+    corpus join + intra-row array_except rebuild. Documents with fewer
+    than ``n_sent`` sentences pass through untouched by construction."""
+    hot = c4_spans(docs, n_sent, min_docs).select("span")
+    base = docs.select("doc_id", F.coalesce(F.col("text"), F.lit("")).alias("text"))
+    occ = base.select(
+        "doc_id",
+        F.posexplode(_sentence_spans(_sentences(F.col("text")), n_sent)).alias(
+            "start", "span"
+        ),
+    )
+    cov = (
+        occ.join(hot, "span")
+        .select("doc_id", "start")
+        .groupBy("doc_id")
+        .agg(F.collect_set("start").alias("starts"))
+    )
+    joined = base.join(cov, "doc_id", "left")
+
+    empty_int = F.array().cast("array<integer>")
+    starts = F.coalesce(F.col("starts"), empty_int)
+    covered = F.array_distinct(
+        F.flatten(F.transform(starts, lambda s: F.sequence(s, s + F.lit(n_sent - 1))))
+    )
+
+    def rebuild(ss):
+        all_idx = F.when(
+            F.size(ss) >= 1, F.sequence(F.lit(0), F.size(ss) - 1)
+        ).otherwise(empty_int)  # sequence(0, -1) would DESCEND — guard it
+        kept_idx = F.array_except(all_idx, covered)
+        kept = F.transform(kept_idx, lambda i: F.get(ss, i))
+        return F.struct(
+            F.concat_ws(" ", kept).alias("clean_text"),
+            F.size(ss).cast("long").alias("n_sentences"),
+            (F.size(ss) - F.size(kept)).cast("long").alias("n_removed"),
+        )
+
+    out = joined.select("doc_id", _bind(_sentences(F.col("text")), rebuild).alias("r"))
+    return out.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("r.clean_text").alias("clean_text"),
+        F.col("r.n_sentences").alias("n_sentences"),
+        F.col("r.n_removed").alias("n_removed"),
+    )

@@ -89,3 +89,65 @@ def test_whitespace_normalization_contract(spark):
     rows = [(1, "  spaced\tout\ntext  here  "), (2, "x"), (3, "x")]
     got = _run(spark, rows)
     assert got[1] == ("spaced out text here", 4, 0)
+
+
+# ---------------------------------------------------------------------------
+# C4 sentence-span family (c4_spans / c4_span_dedup)
+# ---------------------------------------------------------------------------
+
+def test_c4_spans_hand_traced(spark):
+    from graphical_context_extraction_pipeline_spark.operators import dedup
+
+    shared = "One two. Three four. Five six."
+    docs = spark.createDataFrame(
+        [
+            (1, shared + " Unique tail here."),
+            (2, "Fresh head first! " + shared),
+            (3, "Nothing in common. At all. Truly."),
+        ],
+        "doc_id bigint, text string",
+    )
+    rows = dedup.c4_spans(docs).collect()
+    # exactly the shared 3-sentence block duplicates (lowercased key)
+    assert len(rows) == 1
+    r = rows[0]
+    assert r.span == "one two.\x1fthree four.\x1ffive six."
+    assert r.n_docs == 2 and r.example_doc_id == 1
+
+
+def test_c4_span_dedup_removes_covered_sentences(spark):
+    from graphical_context_extraction_pipeline_spark.operators import dedup
+
+    shared = "One two. Three four. Five six."
+    docs = spark.createDataFrame(
+        [
+            (1, shared + " Unique tail here."),
+            (2, "Fresh head first! " + shared),
+            (3, "Too short. Only two."),
+        ],
+        "doc_id bigint, text string",
+    )
+    got = {r.doc_id: r for r in dedup.c4_span_dedup(docs).collect()}
+    # doc 1: sentences 0-2 covered, the tail survives
+    assert got[1].clean_text == "Unique tail here."
+    assert (got[1].n_sentences, got[1].n_removed) == (4, 3)
+    # doc 2: the head survives, sentences 1-3 covered
+    assert got[2].clean_text == "Fresh head first!"
+    assert (got[2].n_sentences, got[2].n_removed) == (4, 3)
+    # <3 sentences: passthrough, zero removed
+    assert got[3].clean_text == "Too short. Only two."
+    assert got[3].n_removed == 0
+
+
+def test_c4_within_doc_repeat_counts_once(spark):
+    from graphical_context_extraction_pipeline_spark.operators import dedup
+
+    block = "Alpha one. Beta two. Gamma three."
+    docs = spark.createDataFrame(
+        [(1, block + " " + block), (2, "Unrelated body. More text. Third bit.")],
+        "doc_id bigint, text string",
+    )
+    # the span repeats WITHIN doc 1 only → document frequency 1 → not hot
+    assert dedup.c4_spans(docs).count() == 0
+    got = {r.doc_id: r for r in dedup.c4_span_dedup(docs).collect()}
+    assert got[1].n_removed == 0
