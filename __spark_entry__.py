@@ -745,6 +745,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weighted_sample": lambda s, d: SA.weighted_sample(
             _flat_docs(s, d), k=100, weight_col="n_chars"
         ),
+        # the full mixture constructor: Hamilton slots per source, PPS
+        # within each source, Σ picks = k exactly
+        "quota_mixture": lambda s, d: SA.quota_mixture(
+            _flat_docs(s, d), k=100, weight_col="n_chars"
+        ),
         "epoch_shuffle": lambda s, d: SA.epoch_shuffle(_flat_docs(s, d), epoch=1, n_shards=8),
         # ---- corpus management: passage dup scan, snapshot diff, profile ----
         "duplicate_passages": lambda s, d: dedup.duplicate_passages(_flat_docs(s, d)),
@@ -3115,6 +3120,36 @@ m AS (SELECT doc_id, weight,
                   - (200 * (cum - weight) + W - 1) // (2 * W) AS bigint) AS n_picks
       FROM c, t)
 SELECT doc_id, weight, n_picks FROM m WHERE n_picks >= 1
+"""
+
+    # mixture constructor: Hamilton largest-remainder slots per source
+    # (floors + ranked remainders), then the per-source PPS grid via a
+    # PARTITION BY window cumsum (≡ the engine's single global (source,
+    # doc_id) cumsum minus each source's base — sources are contiguous in
+    # that sort); every division numerator non-negative
+    q["quota_mixture"] = """
+WITH base AS (SELECT source, doc_id, cast(n_chars AS bigint) AS weight
+              FROM documents WHERE n_chars > 0),
+tot AS (SELECT source, sum(weight) AS w_src FROM base GROUP BY source),
+g AS (SELECT sum(w_src) AS W FROM tot),
+fl AS (SELECT source, w_src, (100 * w_src) // W AS fl, (100 * w_src) % W AS rem
+       FROM tot, g),
+d AS (SELECT 100 - sum(fl) AS deficit FROM fl),
+rk AS (SELECT source, w_src, fl, rem,
+              row_number() OVER (ORDER BY rem DESC, source ASC) AS rk FROM fl),
+sl AS (SELECT source, w_src,
+              fl + CASE WHEN rk <= (SELECT deficit FROM d) THEN 1 ELSE 0 END AS slots
+       FROM rk),
+c AS (SELECT source, doc_id, weight,
+             sum(weight) OVER (PARTITION BY source ORDER BY doc_id
+                               ROWS UNBOUNDED PRECEDING) AS cum_s
+      FROM base),
+m AS (SELECT c.source, doc_id, weight,
+             (2 * slots * cum_s + w_src - 1) // (2 * w_src)
+             - (2 * slots * (cum_s - weight) + w_src - 1) // (2 * w_src) AS n_picks
+      FROM c JOIN sl ON sl.source = c.source)
+SELECT source, doc_id, weight, cast(n_picks AS bigint) AS n_picks
+FROM m WHERE n_picks >= 1
 """
 
     # reproducible epoch shuffle: shard + position from (epoch, doc_id)

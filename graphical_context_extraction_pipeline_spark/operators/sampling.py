@@ -362,3 +362,59 @@ def weighted_sample(
         .where(F.col("n_picks") >= 1)
         .select("doc_id", "weight", "n_picks")
     )
+
+
+def quota_mixture(
+    docs: DataFrame,
+    k: int = 100,
+    weight_col: str = "n_chars",
+    source_col: str = "source",
+) -> DataFrame:
+    """The mixture constructor, end to end: apportion exactly ``k`` picks
+    across sources by Hamilton largest remainder over each source's total
+    weight (urls.crawl_budget — Σ slots = k exactly), then draw each
+    source's slots by the systematic PPS grid (:func:`weighted_sample`'s
+    arithmetic) over that source's own documents. Emits
+    (source, doc_id, weight, n_picks) with Σ n_picks = k — the "sample a
+    training mixture proportional to source mass, then proportional to
+    document quality within each source" recipe as one deterministic,
+    engine-replayable operator.
+
+    Scale: ONE range-partitioned sort by (source, doc_id) gives every
+    source a contiguous run, so a single :func:`global_cumsum` serves all
+    sources — no per-source window funnel even when one source dominates
+    the corpus. The per-source metadata (total, slots, cumulative base of
+    earlier sources) is a source-count-sized relation folded on the
+    driver and broadcast back, the same tiny-relation pattern as
+    global_rank's offset map. int64 budget: 2k·W per the weighted_sample
+    note.
+    """
+    from .partitioning import global_cumsum
+    from .urls import crawl_budget
+
+    base = docs.select(
+        F.col(source_col).alias("source"),
+        F.col("doc_id"),
+        F.col(weight_col).cast("long").alias("weight"),
+    ).where(F.col(weight_col) > 0)
+    c = global_cumsum(base, ["source", "doc_id"], "weight", "cum")
+    totals = base.groupBy("source").agg(F.sum("weight").alias("w_src"))
+    slots = crawl_budget(totals, k, weight_col="w_src", domain_col="source")
+    meta_rows, acc = [], 0
+    for r in sorted(slots.collect(), key=lambda r: r["domain"]):
+        meta_rows.append((r["domain"], int(r["weight"]), int(r["slots"]), acc))
+        acc += int(r["weight"])
+    meta = docs.sparkSession.createDataFrame(
+        meta_rows or [("", 0, 0, 0)], "source string, w_src long, slots long, base long"
+    )
+    j = c.join(F.broadcast(meta), "source")
+
+    def f(x):
+        return F.expr(f"(2 * slots * ({x}) + w_src - 1) DIV (2 * w_src)")
+
+    return (
+        j.withColumn("cum_s", F.col("cum") - F.col("base"))
+        .withColumn("n_picks", (f("cum_s") - f("cum_s - weight")).cast("long"))
+        .where(F.col("n_picks") >= 1)
+        .select("source", "doc_id", "weight", "n_picks")
+    )

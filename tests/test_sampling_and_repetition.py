@@ -585,3 +585,44 @@ def test_vocab_growth_hand_counted(spark):
     s2 = got["s2"]
     assert (s2.n_tokens, s2.n_types, s2.n_hapax, s2.n_dis) == (4, 1, 0, 0)
     assert s2.ttr_bp == 2500 and s2.hapax_share_bp == 0
+
+
+def test_quota_mixture_exactly_k_and_per_source_slots(spark):
+    from pyspark.sql import functions as F
+
+    from graphical_context_extraction_pipeline_spark.operators import sampling as SA
+    from graphical_context_extraction_pipeline_spark.operators import urls as UR
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    out = SA.quota_mixture(docs, k=50)
+    assert out.agg(F.sum("n_picks")).first()[0] == 50
+    # per-source pick totals match the Hamilton apportionment exactly
+    totals = docs.where(F.col("n_chars") > 0).groupBy("source").agg(
+        F.sum(F.col("n_chars").cast("long")).alias("w_src")
+    )
+    want = {
+        r["domain"]: r["slots"]
+        for r in UR.crawl_budget(totals, 50, "w_src", "source").collect()
+        if r["slots"] > 0
+    }
+    got = {
+        r["source"]: r["picks"]
+        for r in out.groupBy("source").agg(F.sum("n_picks").alias("picks")).collect()
+    }
+    assert got == want
+
+
+def test_quota_mixture_dominant_source_no_window_funnel(spark):
+    from pyspark.sql import functions as F
+
+    from graphical_context_extraction_pipeline_spark.operators import sampling as SA
+
+    # one source holds ~90% of the mass: it gets ~90% of the picks, and the
+    # plan contains no per-source SinglePartition window
+    rows = [(i, "big", 90) for i in range(100)] + [(100 + i, f"s{i}", 10) for i in range(10)]
+    docs = spark.createDataFrame(rows, "doc_id bigint, source string, n_chars bigint")
+    out = SA.quota_mixture(docs, k=100)
+    picks = {r.source: r.picks for r in
+             out.groupBy("source").agg(F.sum("n_picks").alias("picks")).collect()}
+    assert picks["big"] == 99  # 100·9000/9100 → 98 floor + 1 remainder slot
+    assert sum(picks.values()) == 100
