@@ -257,6 +257,11 @@ def run_suite(cpus: int, sf_dir: str) -> dict:
         "source_overlap": lambda: CO.source_overlap(flat).count(),
         "kcore": lambda: LG.kcore(LG.extract_links(pages), k=2).count(),
         "weighted_sample": lambda: SA.weighted_sample(flat, k=100).count(),
+        # round 4 session 3 (continued): C4 sentence-span removal end
+        # product, the composed mixture constructor, vocabulary shape
+        "c4_span_dedup": lambda: dedup.c4_span_dedup(flat).count(),
+        "quota_mixture": lambda: SA.quota_mixture(flat, k=100).count(),
+        "vocab_growth": lambda: TA.vocab_growth(flat).count(),
     }
     timings: dict[str, float] = {}
     extract_wall = None
