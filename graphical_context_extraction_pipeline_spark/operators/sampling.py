@@ -390,7 +390,6 @@ def quota_mixture(
     note.
     """
     from .partitioning import global_cumsum
-    from .urls import crawl_budget
 
     base = docs.select(
         F.col(source_col).alias("source"),
@@ -399,11 +398,29 @@ def quota_mixture(
     ).where(F.col(weight_col) > 0)
     c = global_cumsum(base, ["source", "doc_id"], "weight", "cum")
     totals = base.groupBy("source").agg(F.sum("weight").alias("w_src"))
-    slots = crawl_budget(totals, k, weight_col="w_src", domain_col="source")
+    # Hamilton on the driver: the source relation is mixture-scale
+    # (dozens–thousands) and already has to come back for the broadcast
+    # meta anyway — urls.crawl_budget is the distributed twin of this
+    # exact arithmetic (floors + largest remainders, ties source asc) for
+    # domain-scale relations; equality is pinned by test
+    trows = sorted(
+        ((r["source"], int(r["w_src"])) for r in totals.collect()), key=lambda t: t[0]
+    )
+    total_w = sum(w for _, w in trows)
+    if total_w <= 0 or k <= 0:
+        return c.select("source", "doc_id", "weight").limit(0).withColumn(
+            "n_picks", F.lit(0).cast("long")
+        )
+    floors = [(src, w, (k * w) // total_w, (k * w) % total_w) for src, w in trows]
+    deficit = k - sum(fl for _, _, fl, _ in floors)
+    extra = {
+        src
+        for src, _, _, _ in sorted(floors, key=lambda t: (-t[3], t[0]))[:deficit]
+    }
     meta_rows, acc = [], 0
-    for r in sorted(slots.collect(), key=lambda r: r["domain"]):
-        meta_rows.append((r["domain"], int(r["weight"]), int(r["slots"]), acc))
-        acc += int(r["weight"])
+    for src, w, fl, _ in floors:
+        meta_rows.append((src, w, fl + (1 if src in extra else 0), acc))
+        acc += w
     meta = docs.sparkSession.createDataFrame(
         meta_rows or [("", 0, 0, 0)], "source string, w_src long, slots long, base long"
     )
