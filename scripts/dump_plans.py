@@ -143,6 +143,54 @@ def main() -> None:
             "PushedFilters shows the lang predicate reaching the parquet scan; "
             "ReadSchema shows doc_id-only projection.",
         ),
+        (
+            "containment_pairs (subset-dup blocking)",
+            dedup.containment_pairs(flat),
+            "identical blocking skeleton to ngram_jaccard_pairs — 64-bit "
+            "shingle-hash shuffles, full set sizes riding the exploded rows "
+            "(no post-hoc sizes join), hot-shingle anti-join ahead of any "
+            "bucket materialization.",
+        ),
+        (
+            "source_overlap (cross-source matrix)",
+            __import__(
+                "graphical_context_extraction_pipeline_spark.operators.corpus",
+                fromlist=["corpus"],
+            ).source_overlap(flat),
+            "one distinct (source, shingle-hash) shuffle; the self-join's "
+            "bucket expansion is bounded by the SOURCE count per shingle; "
+            "both sizes joins are BroadcastHashJoins.",
+        ),
+        (
+            "weighted_sample (systematic PPS)",
+            __import__(
+                "graphical_context_extraction_pipeline_spark.operators.sampling",
+                fromlist=["sampling"],
+            ).weighted_sample(flat, k=100),
+            "the cumulative axis comes from the range-partitioned sort + "
+            "broadcast per-partition offsets (global_cumsum) — NO "
+            "SinglePartition window anywhere; the grid-point count is one "
+            "integer expression per row.",
+        ),
+        (
+            "quota_mixture (Hamilton + per-source PPS)",
+            __import__(
+                "graphical_context_extraction_pipeline_spark.operators.sampling",
+                fromlist=["sampling"],
+            ).quota_mixture(flat, k=100),
+            "one global (source, doc_id) cumsum serves every source "
+            "(contiguous runs); the per-source meta (total/slots/base) is a "
+            "broadcast relation folded on the driver — no per-source window "
+            "funnel under a dominant source.",
+        ),
+        (
+            "c4_span_dedup (sentence-span removal)",
+            dedup.c4_span_dedup(flat),
+            "positioned span explode shuffles span keys once; covered "
+            "sentence-index sets aggregate per doc (bounded by the doc's own "
+            "sentence count); the corpus payload joins back exactly once and "
+            "the rebuild is one intra-row array_except.",
+        ),
     ]
 
     # index-backed BM25 serving: materialize the index + norms to parquet
