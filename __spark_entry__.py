@@ -139,6 +139,50 @@ def _planted_contained(docs: DataFrame) -> DataFrame:
     return base.unionAll(host)
 
 
+def _sitemap_corpus(pages: DataFrame) -> DataFrame:
+    """One synthesized sitemap XML per domain: the canonical urls of
+    even-doc_id pages (lastmod derived from the smallest covering doc_id)
+    plus one never-crawled url per domain WITHOUT a lastmod (exercises the
+    optional arm). The oracle rebuilds the same XML, so the parse is
+    checked end to end."""
+    from graphical_context_extraction_pipeline_spark.operators.urls import (
+        _canonical,
+        _domain,
+    )
+
+    u = F.col("url")
+    ud = (
+        pages.where(F.col("doc_id") % 2 == 0)
+        .select(_domain(u).alias("domain"), _canonical(u).alias("loc"), "doc_id")
+        .groupBy("domain", "loc")
+        .agg(F.min("doc_id").alias("d0"))
+    )
+    entries = ud.select(
+        "domain",
+        F.concat(
+            F.lit("<url><loc>"),
+            F.col("loc"),
+            F.lit("</loc><lastmod>2024-01-0"),
+            (F.col("d0") % 9 + 1).cast("string"),
+            F.lit("</lastmod></url>"),
+        ).alias("e"),
+    ).unionByName(
+        pages.select(_domain(u).alias("domain"))
+        .distinct()
+        .select(
+            "domain",
+            F.concat(
+                F.lit("<url><loc>https://"),
+                F.col("domain"),
+                F.lit("/only-in-sitemap</loc></url>"),
+            ).alias("e"),
+        )
+    )
+    return entries.groupBy("domain").agg(
+        F.concat(F.lit("<urlset>"), F.concat_ws("", F.collect_list("e")), F.lit("</urlset>")).alias("xml")
+    )
+
+
 # three boilerplate sentences shared verbatim across every planted C4 host —
 # the cross-doc duplicated 3-sentence span c4_spans must surface
 _C4_BOILER = (
@@ -541,6 +585,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             s.createDataFrame(_robots_bodies(), "domain string, body string")
         ),
         "path_templates": lambda s, d: UR.path_templates(_html_pages(s, d)),
+        # sitemap ↔ crawl reconciliation over the synthesized per-domain
+        # sitemap XML (even-doc_id canonicals + one never-crawled url)
+        "sitemap_gaps": lambda s, d: UR.sitemap_staleness(
+            _sitemap_corpus(_html_pages(s, d)), _html_pages(s, d)
+        ),
         # change profile between this crawl and a deterministic next crawl
         "recrawl_priority": lambda s, d: UR.recrawl_priority(
             _html_pages(s, d), _mutated_pages(_html_pages(s, d))
@@ -1927,6 +1976,39 @@ FROM parsed p LEFT JOIN (SELECT doc_id, prefix, is_allow FROM m WHERE rn = 1) m
     q["robots_filter"] = f"WITH {_HPAGES}, {_ROBOTS_CHAIN} SELECT * FROM verdict"
 
     # robots.txt body parsing replayed with window-based group tracking:
+    # sitemap ↔ crawl reconciliation: the synthesized XML rebuilt from the
+    # same even-doc_id canonical groups, parsed back with the identical
+    # non-greedy element regex, full-outer joined against the crawl
+    q["sitemap_gaps"] = f"""
+WITH {_HPAGES},
+ud AS (SELECT {_DDOMAIN} AS domain, {_DCANON} AS loc, min(doc_id) AS d0
+       FROM hp WHERE doc_id % 2 = 0 GROUP BY 1, 2),
+entries AS (
+  SELECT domain, '<url><loc>' || loc || '</loc><lastmod>2024-01-0'
+         || cast(d0 % 9 + 1 AS varchar) || '</lastmod></url>' AS e
+  FROM ud
+  UNION ALL
+  SELECT DISTINCT {_DDOMAIN} AS domain,
+         '<url><loc>https://' || {_DDOMAIN} || '/only-in-sitemap</loc></url>' AS e
+  FROM hp),
+sm AS (SELECT domain, '<urlset>' || string_agg(e, '') || '</urlset>' AS xml
+       FROM entries GROUP BY domain),
+elems AS (SELECT domain, unnest(regexp_extract_all(xml, '<url>.*?</url>')) AS el
+          FROM sm),
+pl AS (SELECT domain,
+              regexp_extract(el, '<loc>([^<]*)</loc>', 1) AS url,
+              regexp_extract(el, '<lastmod>([^<]*)</lastmod>', 1) AS lastmod
+       FROM elems WHERE regexp_extract(el, '<loc>([^<]*)</loc>', 1) <> ''),
+crawled AS (SELECT DISTINCT {_DDOMAIN} AS domain, {_DCANON} AS url FROM hp)
+SELECT coalesce(p.domain, c.domain) AS domain,
+       coalesce(p.url, c.url) AS url,
+       CASE WHEN p.url IS NULL THEN 'unlisted'
+            WHEN c.url IS NULL THEN 'uncrawled'
+            ELSE 'listed' END AS status,
+       coalesce(p.lastmod, '') AS lastmod
+FROM pl p FULL OUTER JOIN crawled c ON p.domain = c.domain AND p.url = c.url
+"""
+
     # opens = ua line not preceded by a ua line, gid = running opens count
     _bodies_vals = ", ".join(
         "('{}', '{}')".format(d, b.replace("'", "''")) for d, b in _robots_bodies()

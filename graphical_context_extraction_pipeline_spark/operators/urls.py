@@ -477,3 +477,70 @@ def parse_robots(robots: DataFrame, agent: str = "*") -> DataFrame:
         ).alias("r"),
     )
     return out.select("domain", F.col("r.is_allow").alias("is_allow"), F.col("r.prefix").alias("prefix"))
+
+
+_SM_ELEM_RE = r"<url>.*?</url>"
+_SM_LOC_RE = r"<loc>([^<]*)</loc>"
+_SM_LASTMOD_RE = r"<lastmod>([^<]*)</lastmod>"
+
+
+def parse_sitemaps(
+    sitemaps: DataFrame, xml_col: str = "xml", domain_col: str = "domain"
+) -> DataFrame:
+    """Sitemap XML → (domain, url, lastmod) rows: each ``<url>`` element's
+    ``<loc>`` plus its optional ``<lastmod>`` ('' when absent — a string
+    sentinel, never NULL, per the repo's hash-compare discipline; kept as
+    the raw string because cross-engine date parsing is a trap). Patterns
+    are the portable Java∩RE2 subset (non-greedy ``.*?``, char classes —
+    no lookarounds), so the DuckDB oracle parses identically.
+
+    Scale: scan → regexp_extract_all → explode — zero exchange; one
+    sitemap document never leaves its row until it is already (url,
+    lastmod) pairs."""
+    el = F.explode(
+        F.regexp_extract_all(F.col(xml_col), F.lit(_SM_ELEM_RE), F.lit(0))
+    ).alias("el")
+    base = sitemaps.select(F.col(domain_col).alias("domain"), el)
+    return base.select(
+        "domain",
+        F.regexp_extract(F.col("el"), _SM_LOC_RE, 1).alias("url"),
+        F.regexp_extract(F.col("el"), _SM_LASTMOD_RE, 1).alias("lastmod"),
+    ).where(F.col("url") != "")
+
+
+def sitemap_staleness(
+    sitemaps: DataFrame, pages: DataFrame, url_col: str = "url"
+) -> DataFrame:
+    """Sitemap ↔ crawl reconciliation, the recrawl scheduler's other input
+    (alongside content change rates): full-outer join of the parsed
+    sitemap urls against the crawl's canonical urls per domain —
+    (domain, url, status, lastmod) with status
+
+      'uncrawled' — listed in the sitemap, absent from the crawl (fetch
+                    frontier candidates, the sitemap's whole point);
+      'unlisted'  — crawled but not listed (orphan pages / stale sitemap);
+      'listed'    — present in both.
+
+    Scale: the sitemap side reduces to (domain, url, lastmod) triples and
+    the crawl side to DISTINCT canonical urls before the single sort-merge
+    join; html never enters the shuffle. AQE broadcasts the sitemap side
+    when it is batch-sized."""
+    parsed = parse_sitemaps(sitemaps)
+    u = F.col(url_col)
+    crawled = (
+        pages.select(_domain(u).alias("domain"), _canonical(u).alias("url"))
+        .distinct()
+        .withColumn("in_crawl", F.lit(True))
+    )
+    j = parsed.withColumn("in_map", F.lit(True)).join(
+        crawled, ["domain", "url"], "full_outer"
+    )
+    return j.select(
+        "domain",
+        "url",
+        F.when(F.col("in_map").isNull(), F.lit("unlisted"))
+        .when(F.col("in_crawl").isNull(), F.lit("uncrawled"))
+        .otherwise(F.lit("listed"))
+        .alias("status"),
+        F.coalesce("lastmod", F.lit("")).alias("lastmod"),
+    )

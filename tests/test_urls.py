@@ -351,3 +351,39 @@ def test_parse_robots_feeds_robots_filter(spark):
     assert via_parsed == via_literal
     assert via_parsed["https://a.example/private/x"] == 0
     assert via_parsed["https://a.example/private/ok/y"] == 1
+
+
+# ---------------------------------------------------------------------------
+# sitemap parse + staleness
+# ---------------------------------------------------------------------------
+
+def test_parse_sitemaps_optional_lastmod(spark):
+    from graphical_context_extraction_pipeline_spark.operators import urls as UR
+
+    xml = ("<urlset><url><loc>https://a.example/x</loc>"
+           "<lastmod>2024-01-05</lastmod></url>"
+           "<url><loc>https://a.example/y</loc></url>"
+           "<url><lastmod>2024-01-01</lastmod></url></urlset>")  # no loc → dropped
+    sm = spark.createDataFrame([("a.example", xml)], "domain string, xml string")
+    got = {(r.url, r.lastmod) for r in UR.parse_sitemaps(sm).collect()}
+    assert got == {("https://a.example/x", "2024-01-05"), ("https://a.example/y", "")}
+
+
+def test_sitemap_staleness_statuses(spark):
+    from graphical_context_extraction_pipeline_spark.operators import urls as UR
+
+    xml = ("<urlset><url><loc>https://a.example/crawled</loc>"
+           "<lastmod>2024-01-02</lastmod></url>"
+           "<url><loc>https://a.example/new-page</loc></url></urlset>")
+    sm = spark.createDataFrame([("a.example", xml)], "domain string, xml string")
+    pages = spark.createDataFrame(
+        [(1, "https://www.a.example/crawled", "<html></html>"),
+         (2, "https://a.example/orphan/", "<html></html>")],
+        "doc_id bigint, url string, html string",
+    )
+    got = {(r.url, r.status, r.lastmod) for r in UR.sitemap_staleness(sm, pages).collect()}
+    assert got == {
+        ("https://a.example/crawled", "listed", "2024-01-02"),   # www + canonical match
+        ("https://a.example/new-page", "uncrawled", ""),
+        ("https://a.example/orphan", "unlisted", ""),            # trailing / canonicalized
+    }
