@@ -101,3 +101,46 @@ SELECT doc_id, weight, n_picks FROM m WHERE n_picks >= 1
 """).fetchall()
     assert got == sorted(tuple(map(int, r)) for r in ref), (ws, k, got)
     assert sum(r[2] for r in got) == k  # exactly-k invariant
+
+
+_texts = st.lists(
+    st.lists(st.sampled_from([f"w{i}" for i in range(10)]), min_size=0, max_size=12).map(" ".join),
+    min_size=1,
+    max_size=6,
+)
+
+
+def _brute_containment(texts, min_bp=8000):
+    """Reference: exact per-pair shingle containment with NO blocking (the
+    cap never binds at ≤6 docs) — what containment_pairs must equal when
+    every shingle is cold."""
+    def sh(t):
+        toks = [x for x in t.lower().split() if x]
+        return {" ".join(toks[i:i + 3]) for i in range(len(toks) - 2)}
+
+    sets = {i: sh(t) for i, t in enumerate(texts)}
+    out = set()
+    for a in sets:
+        for b in sets:
+            if a < b and sets[a] and sets[b]:
+                n = len(sets[a] & sets[b])
+                ca = n * 10000 // len(sets[a])
+                cb = n * 10000 // len(sets[b])
+                if n and max(ca, cb) >= min_bp:
+                    out.add((a, b, n, len(sets[a]), len(sets[b]), ca, cb))
+    return out
+
+
+@settings(max_examples=10, deadline=None, derandomize=True)
+@given(_texts)
+def test_containment_matches_bruteforce_fuzz(spark, texts):
+    from graphical_context_extraction_pipeline_spark.operators import dedup
+
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = {
+        (r.doc_a, r.doc_b, r.n_shared, r.na, r.nb, r.contain_a_bp, r.contain_b_bp)
+        for r in dedup.containment_pairs(docs).collect()
+    }
+    assert got == _brute_containment(texts), texts
