@@ -1995,10 +1995,11 @@ sm AS (SELECT domain, '<urlset>' || string_agg(e, '') || '</urlset>' AS xml
        FROM entries GROUP BY domain),
 elems AS (SELECT domain, unnest(regexp_extract_all(xml, '<url>.*?</url>')) AS el
           FROM sm),
-pl AS (SELECT domain,
+pl0 AS (SELECT domain,
               regexp_extract(el, '<loc>([^<]*)</loc>', 1) AS url,
               regexp_extract(el, '<lastmod>([^<]*)</lastmod>', 1) AS lastmod
        FROM elems WHERE regexp_extract(el, '<loc>([^<]*)</loc>', 1) <> ''),
+pl AS (SELECT domain, url, max(lastmod) AS lastmod FROM pl0 GROUP BY 1, 2),
 crawled AS (SELECT DISTINCT {_DDOMAIN} AS domain, {_DCANON} AS url FROM hp)
 SELECT coalesce(p.domain, c.domain) AS domain,
        coalesce(p.url, c.url) AS url,

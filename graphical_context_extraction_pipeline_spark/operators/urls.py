@@ -525,7 +525,14 @@ def sitemap_staleness(
     the crawl side to DISTINCT canonical urls before the single sort-merge
     join; html never enters the shuffle. AQE broadcasts the sitemap side
     when it is batch-sized."""
-    parsed = parse_sitemaps(sitemaps)
+    # real sitemaps repeat locs (shards, hand-edited files): collapse to
+    # one row per (domain, url), keeping the max lastmod (deterministic;
+    # ISO dates compare correctly as strings, and '' loses to any date)
+    parsed = (
+        parse_sitemaps(sitemaps)
+        .groupBy("domain", "url")
+        .agg(F.max("lastmod").alias("lastmod"))
+    )
     u = F.col(url_col)
     crawled = (
         pages.select(_domain(u).alias("domain"), _canonical(u).alias("url"))

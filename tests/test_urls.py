@@ -387,3 +387,20 @@ def test_sitemap_staleness_statuses(spark):
         ("https://a.example/new-page", "uncrawled", ""),
         ("https://a.example/orphan", "unlisted", ""),            # trailing / canonicalized
     }
+
+
+def test_sitemap_staleness_duplicate_locs_collapse(spark):
+    from graphical_context_extraction_pipeline_spark.operators import urls as UR
+
+    xml = ("<urlset><url><loc>https://a.example/p</loc></url>"
+           "<url><loc>https://a.example/p</loc><lastmod>2024-02-01</lastmod></url>"
+           "<url><loc>https://a.example/p</loc><lastmod>2024-01-01</lastmod></url>"
+           "</urlset>")
+    sm = spark.createDataFrame([("a.example", xml)], "domain string, xml string")
+    pages = spark.createDataFrame(
+        [(1, "https://a.example/p", "<html></html>")],
+        "doc_id bigint, url string, html string",
+    )
+    rows = UR.sitemap_staleness(sm, pages).collect()
+    assert len(rows) == 1
+    assert (rows[0].status, rows[0].lastmod) == ("listed", "2024-02-01")
