@@ -139,6 +139,9 @@ def _planted_contained(docs: DataFrame) -> DataFrame:
     return base.unionAll(host)
 
 
+_TRUST_SEEDS = ("example.com", "wiki.example.net")
+
+
 def _sitemap_corpus(pages: DataFrame) -> DataFrame:
     """One synthesized sitemap XML per domain: the canonical urls of
     even-doc_id pages (lastmod derived from the smallest covering doc_id)
@@ -622,6 +625,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # 2-core of the domain graph (peel-to-fixpoint; unique fixpoint, so
         # no round coupling with the oracle's recursive replay)
         "kcore": lambda s, d: LG.kcore(LG.extract_links(_html_pages(s, d)), k=2),
+        # TrustRank spam mass: PageRank share not endorsed by the trusted
+        # seeds (integer e9 fixed point, same recurrence discipline)
+        "spam_mass": lambda s, d: LG.spam_mass(
+            LG.extract_links(_html_pages(s, d)), _TRUST_SEEDS
+        ),
         # ---- interleaved text+media training-data construction ----------------
         "caption_pairs": lambda s, d: MM.caption_pairs(_spans_docs(s, d)),
         "mm_sequence": lambda s, d: MM.mm_sequence(_spans_docs(s, d)),
@@ -2242,6 +2250,44 @@ r{_i + 1} AS (SELECT n.domain,
          FROM we JOIN r{_i} r ON r.domain = we.src_domain GROUP BY 1) m
        ON m.domain = n.domain)"""
     q["pagerank"] = f"WITH {_EDGES}, {_pr} SELECT domain, rank_e9 FROM r3"
+
+    # TrustRank: the same chained recurrence with the teleport restricted
+    # to the two seed domains (S=2); spam mass clamps BEFORE the division
+    # (negative numerator = the pinned truncate-vs-floor trap)
+    q["spam_mass"] = f"""WITH {_EDGES}, {_pr},
+t0 AS (SELECT domain, cast(CASE WHEN domain IN ('example.com', 'wiki.example.net') THEN 1000000000 // 2
+                           ELSE 0 END AS bigint) AS trust_e9 FROM nodes),
+t1 AS (SELECT n.domain,
+       cast(CASE WHEN n.domain IN ('example.com', 'wiki.example.net') THEN 150000000 // 2 ELSE 0 END
+            + coalesce(m.in_mass, 0) AS bigint) AS trust_e9
+       FROM nodes n LEFT JOIN (
+         SELECT we.dst_domain AS domain,
+                sum((r.trust_e9 * 85 * we.n_links) // (100 * we.out_links)) AS in_mass
+         FROM we JOIN t0 r ON r.domain = we.src_domain GROUP BY 1) m
+       ON m.domain = n.domain),
+t2 AS (SELECT n.domain,
+       cast(CASE WHEN n.domain IN ('example.com', 'wiki.example.net') THEN 150000000 // 2 ELSE 0 END
+            + coalesce(m.in_mass, 0) AS bigint) AS trust_e9
+       FROM nodes n LEFT JOIN (
+         SELECT we.dst_domain AS domain,
+                sum((r.trust_e9 * 85 * we.n_links) // (100 * we.out_links)) AS in_mass
+         FROM we JOIN t1 r ON r.domain = we.src_domain GROUP BY 1) m
+       ON m.domain = n.domain),
+t3 AS (SELECT n.domain,
+       cast(CASE WHEN n.domain IN ('example.com', 'wiki.example.net') THEN 150000000 // 2 ELSE 0 END
+            + coalesce(m.in_mass, 0) AS bigint) AS trust_e9
+       FROM nodes n LEFT JOIN (
+         SELECT we.dst_domain AS domain,
+                sum((r.trust_e9 * 85 * we.n_links) // (100 * we.out_links)) AS in_mass
+         FROM we JOIN t2 r ON r.domain = we.src_domain GROUP BY 1) m
+       ON m.domain = n.domain)
+SELECT r.domain, r.rank_e9,
+       cast(coalesce(t.trust_e9, 0) AS bigint) AS trust_e9,
+       cast(CASE WHEN r.rank_e9 <= 0 THEN 0
+                 ELSE (10000 * greatest(r.rank_e9 - coalesce(t.trust_e9, 0), 0))
+                      // r.rank_e9 END AS bigint) AS spam_mass_bp
+FROM r3 r LEFT JOIN t3 t USING (domain)
+"""
 
     # HITS: the same mutual recursion as linkgraph.hits, e6 max-normalized
     # integer fixed point, 2 iterations unrolled as CTE pairs

@@ -593,3 +593,94 @@ def kcore(edges: DataFrame, k: int = 2, max_rounds: int = 200) -> DataFrame:
             .localCheckpoint()
         )
     raise RuntimeError(f"kcore did not converge within {max_rounds} rounds")
+
+
+def trustrank(edges: DataFrame, seeds: tuple[str, ...], n_iters: int = 3) -> DataFrame:
+    """TrustRank (Gyöngyi et al.): PageRank with the teleport vector
+    restricted to a trusted seed set — trust flows OUT of the seeds along
+    links, so domains unreachable from any seed end at zero.
+
+        t_0(v)     = ⌊1e9/S⌋·[v ∈ seeds]
+        t_{k+1}(v) = ⌊0.15e9/S⌋·[v ∈ seeds]
+                   + Σ_{u→v} ⌊t_k(u)·85·w(u,v) / (100·out(u))⌋
+
+    with S = len(seeds) — a seed absent from the graph simply wastes its
+    teleport share (caller contract: seed the graph's own domains). Same
+    e9 integer fixed point, per-term floors, dangling-drop and
+    localCheckpoint round structure as :func:`pagerank`, so the DuckDB
+    oracle replays the recurrence bit-for-bit. (domain, trust_e9).
+    """
+    if not seeds:
+        raise ValueError("trustrank needs a non-empty seed set")
+    nodes = (
+        edges.select(F.col("src_domain").alias("domain"))
+        .unionAll(edges.select(F.col("dst_domain").alias("domain")))
+        .distinct()
+    )
+    s = len(seeds)
+    base = int(0.15 * E9) // s
+    is_seed = F.col("domain").isin(*seeds)
+    out_tot = edges.groupBy("src_domain").agg(F.sum("n_links").alias("out_links"))
+    w_edges = edges.join(out_tot, "src_domain").localCheckpoint(eager=True)
+
+    ranks = nodes.select(
+        "domain",
+        F.when(is_seed, F.lit(E9 // s)).otherwise(F.lit(0)).cast("long").alias("trust_e9"),
+    )
+    for _ in range(n_iters):
+        contrib = (
+            w_edges.join(ranks, w_edges["src_domain"] == ranks["domain"])
+            .select(
+                F.col("dst_domain").alias("domain"),
+                F.expr(
+                    f"(trust_e9 * {DAMPING_NUM} * n_links) DIV ({DAMPING_DEN} * out_links)"
+                ).alias("c"),
+            )
+            .groupBy("domain")
+            .agg(F.sum("c").alias("in_mass"))
+        )
+        ranks = (
+            nodes.join(contrib, "domain", "left")
+            .select(
+                "domain",
+                (
+                    F.when(is_seed, F.lit(base)).otherwise(F.lit(0))
+                    + F.coalesce(F.col("in_mass"), F.lit(0))
+                )
+                .cast("long")
+                .alias("trust_e9"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return ranks
+
+
+def spam_mass(edges: DataFrame, seeds: tuple[str, ...], n_iters: int = 3) -> DataFrame:
+    """Spam-mass estimate per domain: the share of a domain's PageRank
+    NOT accounted for by trust flowing from the seed set —
+    (domain, rank_e9, trust_e9, spam_mass_bp) with
+
+        spam_mass_bp = (10000 · max(rank − trust, 0)) DIV rank
+
+    High spam mass = authority earned from link structure the trusted
+    core never endorses (the TrustRank paper's spam-demotion signal).
+    The max(…, 0) clamps BEFORE the division — trust can locally exceed
+    rank near seeds, and a negative numerator is exactly the truncate-vs-
+    floor cross-engine trap this repo pins. rank_e9 ≥ the teleport base ≥
+    1 at any realistic node count; the 0-guard covers degenerate corpora.
+
+    One rank join; both iterations share the node set by construction.
+    """
+    pr = pagerank(edges, n_iters)
+    tr = trustrank(edges, seeds, n_iters)
+    j = pr.join(tr, "domain", "left").select(
+        "domain",
+        "rank_e9",
+        F.coalesce("trust_e9", F.lit(0)).cast("long").alias("trust_e9"),
+    )
+    return j.withColumn(
+        "spam_mass_bp",
+        F.when(F.col("rank_e9") <= 0, F.lit(0))
+        .otherwise(F.expr("(10000 * greatest(rank_e9 - trust_e9, 0)) DIV rank_e9"))
+        .cast("long"),
+    )

@@ -357,3 +357,54 @@ def test_kcore_oracle_template_peels_identically(spark):
     d_rows = {tuple(r) for r in duckdb.sql(duck_sql).fetchall()}
     s_rows = {(r.domain, r.core_degree) for r in LG.kcore(_edges_df(spark, pairs), k=2).collect()}
     assert s_rows == d_rows == {("A", 2), ("B", 2), ("C", 2)}
+
+
+# ---------------------------------------------------------------------------
+# trustrank / spam_mass
+# ---------------------------------------------------------------------------
+
+def _py_rank(pairs, n_iters, seeds=None):
+    """Reference replica of the integer e9 recurrence (pagerank when
+    seeds is None, trustrank otherwise)."""
+    from collections import defaultdict
+
+    out = defaultdict(int)
+    for a, b, w in pairs:
+        out[a] += w
+    nodes = sorted({a for a, _, _ in pairs} | {b for _, b, _ in pairs})
+    E9 = 1_000_000_000
+    if seeds is None:
+        r = {v: E9 // len(nodes) for v in nodes}
+        base = {v: 150_000_000 // len(nodes) for v in nodes}
+    else:
+        r = {v: (E9 // len(seeds) if v in seeds else 0) for v in nodes}
+        base = {v: (150_000_000 // len(seeds) if v in seeds else 0) for v in nodes}
+    for _ in range(n_iters):
+        nxt = dict(base)
+        for a, b, w in pairs:
+            nxt[b] += (r[a] * 85 * w) // (100 * out[a])
+        r = nxt
+    return r
+
+
+def test_trustrank_and_spam_mass_match_python_replica(spark):
+    from graphical_context_extraction_pipeline_spark.operators import linkgraph as LG
+
+    # seed s endorses a chain s→a→b; a spam ring x↔y links to itself and
+    # into b but receives no trust
+    pairs = [("s", "a", 2), ("a", "b", 1), ("x", "y", 3), ("y", "x", 3),
+             ("x", "b", 1), ("b", "s", 1)]
+    e = spark.createDataFrame(pairs, "src_domain string, dst_domain string, n_links bigint")
+    seeds = ("s",)
+    want_tr = _py_rank(pairs, 3, set(seeds))
+    got_tr = {r.domain: r.trust_e9 for r in LG.trustrank(e, seeds).collect()}
+    assert got_tr == want_tr
+    want_pr = _py_rank(pairs, 3)
+    got = {r.domain: r for r in LG.spam_mass(e, seeds).collect()}
+    assert {d: r.rank_e9 for d, r in got.items()} == want_pr
+    for d, r in got.items():
+        want_bp = (10000 * max(want_pr[d] - want_tr[d], 0)) // want_pr[d]
+        assert r.spam_mass_bp == want_bp, d
+    # the untrusted ring carries (near-)total spam mass; the seed itself none
+    assert got["x"].spam_mass_bp == 10000
+    assert got["s"].spam_mass_bp < 5000
