@@ -961,6 +961,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             media.extract_media_features(media.synthesize_media(_spans_docs(s, d)))
         ),
         "cosine_topk": lambda s, d: similarity.cosine_topk(_emb(s, d), QUERY_IDS),
+        # int8 scalar-quantized ANN (pure-integer dot ranking after the
+        # IEEE-exact normalize+quantize projection)
+        "ann_topk_quantized": lambda s, d: similarity.ann_topk_quantized(
+            _emb(s, d), QUERY_IDS
+        ),
         "ann_topk_lsh": lambda s, d: similarity.ann_topk_lsh(_emb(s, d), QUERY_IDS),
         # index-backed ANN serving: probe the standing banded index with
         # a literal query vector (vec 3's embedding, self excluded) — the
@@ -4638,6 +4643,29 @@ SELECT component, dim,
        cast((s // n) - {CENT_OFFSET} AS bigint) AS centroid_e6,
        cast(n_members AS bigint) AS n_members
 FROM g
+"""
+
+    # int8 quantized ANN: the identical normalize+quantize expression
+    # (floor(x/nrm*127.0+0.5); /,*,sqrt all IEEE-correctly-rounded so the
+    # doubles match bit-for-bit) then a pure-int64 dot ranking
+    q["ann_topk_quantized"] = f"""
+WITH base AS (SELECT vec_id, cast(embedding AS DOUBLE[]) AS v FROM embeddings),
+n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM base),
+qz AS (SELECT vec_id,
+              CASE WHEN nrm = 0 THEN list_transform(v, x -> cast(0 AS bigint))
+                   ELSE list_transform(v, x -> cast(floor(x / nrm * 127.0 + 0.5)
+                                                    AS bigint)) END AS qv
+       FROM n),
+qq AS (SELECT vec_id AS query_id, qv AS quv FROM qz WHERE vec_id IN ({ids})),
+pairs AS (SELECT q.query_id, e.vec_id,
+                 list_sum(list_transform(generate_series(1, len(e.qv)),
+                                         i -> e.qv[i] * q.quv[i])) AS dot_q
+          FROM qz e, qq q WHERE e.vec_id <> q.query_id),
+ranked AS (SELECT query_id, vec_id, cast(dot_q AS bigint) AS dot_q,
+                  cast(row_number() OVER (PARTITION BY query_id
+                       ORDER BY dot_q DESC, vec_id) AS bigint) AS rank
+           FROM pairs)
+SELECT query_id, vec_id, dot_q, rank FROM ranked WHERE rank <= 10
 """
 
     q["cosine_topk"] = f"""

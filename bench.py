@@ -262,6 +262,9 @@ def run_suite(cpus: int, sf_dir: str) -> dict:
         "c4_span_dedup": lambda: dedup.c4_span_dedup(flat).count(),
         "quota_mixture": lambda: SA.quota_mixture(flat, k=100).count(),
         "vocab_growth": lambda: TA.vocab_growth(flat).count(),
+        "ann_topk_quantized": lambda: similarity.ann_topk_quantized(
+            emb, list(range(10))
+        ).count(),
         "spam_mass": lambda: LG.spam_mass(
             LG.extract_links(pages), ("example.com", "wiki.example.net")
         ).count(),

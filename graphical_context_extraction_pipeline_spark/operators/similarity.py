@@ -692,3 +692,56 @@ def ivf_from_index(
     )
     w = Window.orderBy(F.desc("cos_e4"), F.asc("vec_id"))  # ≤k rows
     return topk.withColumn("rank", F.row_number().over(w).cast("long"))
+
+
+def quantize_embeddings(emb: DataFrame) -> DataFrame:
+    """Int8 scalar quantization of L2-NORMALIZED embeddings — the standard
+    4× memory cut for billion-vector ANN fleets: (vec_id, qvec) with
+    qvec_i = ⌊v_i/‖v‖ · 127 + 0.5⌋ ∈ [−127, 127] (round-half-up spelled as
+    floor(+0.5) — F.round's half-even would be a cross-engine coin flip).
+
+    Cross-engine exactness: /, ·, sqrt are all IEEE-754 correctly-rounded,
+    so Spark and DuckDB produce bit-identical doubles from the same
+    float32 parquet values — unlike ln/exp (the intmath lesson), sqrt is
+    oracle-safe. Normalizing BEFORE quantizing makes the integer dot
+    product a cosine estimate with no per-pair scale bookkeeping.
+
+    Zero vectors quantize to all-zero (a 0/0 NaN would poison every dot
+    it touches). One projection, zero shuffle."""
+    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    nrm = _norm(F.col("embedding"))
+    qv = F.when(nrm == 0.0, F.transform(v, lambda x: F.lit(0).cast("long"))).otherwise(
+        F.transform(v, lambda x: F.floor(x / nrm * 127.0 + 0.5).cast("long"))
+    )
+    return emb.select("vec_id", qv.alias("qvec"))
+
+
+def ann_topk_quantized(emb: DataFrame, query_ids: list[int], k: int = 10) -> DataFrame:
+    """Top-k neighbours under the int8 quantized dot product (self
+    excluded): (query_id, vec_id, dot_q, rank), rank by (dot_q desc,
+    vec_id asc). dot_q/127² approximates cosine; the arithmetic after
+    quantization is PURE int64 (≤127²·dim per pair — 4 orders inside the
+    budget at dim 4096), so the oracle replays it exactly and the ranking
+    has no float tie ambiguity at all.
+
+    Same plan shape as cosine_topk (queries broadcast against one corpus
+    scan, per-query top-k window over scored rows); at fleet scale the
+    quantized table is the thing you'd ALSO bucket with lsh_bucket_multi —
+    quantization and banding compose, they don't compete."""
+    qz = quantize_embeddings(emb)
+    queries = qz.where(F.col("vec_id").isin(query_ids)).select(
+        F.col("vec_id").alias("query_id"), F.col("qvec").alias("quv")
+    )
+    joined = qz.join(F.broadcast(queries), F.col("vec_id") != F.col("query_id"))
+    dot_q = F.aggregate(
+        F.zip_with(F.col("qvec"), F.col("quv"), lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    scored = joined.select("query_id", "vec_id", dot_q.alias("dot_q"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("dot_q"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k)
+        .select("query_id", "vec_id", "dot_q", "rank")
+    )

@@ -193,3 +193,39 @@ def test_ivf_from_index_merge_law(spark):
     # empty probe result keeps the schema
     out = similarity.ivf_from_index(assigned.limit(0), cents, qvs[QUERY_IDS[0]])
     assert out.count() == 0 and out.columns == ["vec_id", "cos_e4", "rank"]
+
+
+# ---------------------------------------------------------------------------
+# int8 scalar quantization
+# ---------------------------------------------------------------------------
+
+def test_quantize_range_and_zero_vector(spark):
+    from graphical_context_extraction_pipeline_spark.operators import similarity as SIM
+
+    emb = spark.createDataFrame(
+        [(1, [3.0, 4.0]), (2, [0.0, 0.0]), (3, [-1.0, 0.0])],
+        "vec_id long, embedding array<float>",
+    )
+    got = {r.vec_id: list(r.qvec) for r in SIM.quantize_embeddings(emb).collect()}
+    # (3,4)/5 = (0.6, 0.8) → floor(76.2+0.5)=76, floor(101.6+0.5)=102
+    assert got[1] == [76, 102]
+    assert got[2] == [0, 0]          # zero vector: no NaN poisoning
+    assert got[3] == [-127, 0]
+    assert all(all(-127 <= v <= 127 for v in q) for q in got.values())
+
+
+def test_quantized_topk_recall_vs_exact(spark):
+    """Int8 SQ keeps ≥0.85 mean recall@10 against exact cosine (measured
+    0.98 mean / 0.90 min at both sf0.001 and sf0.01 — the bound leaves
+    noise room, a collapse to LSH-level ~0.65 fails loudly)."""
+    from graphical_context_extraction_pipeline_spark.operators import similarity as SIM
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    ids = list(range(10))
+    exact, quant = {}, {}
+    for r in SIM.cosine_topk(emb, ids).collect():
+        exact.setdefault(r.query_id, set()).add(r.vec_id)
+    for r in SIM.ann_topk_quantized(emb, ids).collect():
+        quant.setdefault(r.query_id, set()).add(r.vec_id)
+    recs = [len(exact[q] & quant.get(q, set())) / len(exact[q]) for q in exact]
+    assert sum(recs) / len(recs) >= 0.85, recs
