@@ -669,16 +669,68 @@ def spam_mass(edges: DataFrame, seeds: tuple[str, ...], n_iters: int = 3) -> Dat
     floor cross-engine trap this repo pins. rank_e9 ≥ the teleport base ≥
     1 at any realistic node count; the 0-guard covers degenerate corpora.
 
-    One rank join; both iterations share the node set by construction.
+    The two recurrences are FUSED into one iteration loop — each round is
+    a single edge join computing both contribution columns (running
+    pagerank() and trustrank() separately would walk the edges twice per
+    round and double the checkpoint count for identical numbers; the
+    python-replica test pins that the fused loop equals the standalone
+    operators term for term).
     """
-    pr = pagerank(edges, n_iters)
-    tr = trustrank(edges, seeds, n_iters)
-    j = pr.join(tr, "domain", "left").select(
-        "domain",
-        "rank_e9",
-        F.coalesce("trust_e9", F.lit(0)).cast("long").alias("trust_e9"),
+    if not seeds:
+        raise ValueError("spam_mass needs a non-empty seed set")
+    nodes = (
+        edges.select(F.col("src_domain").alias("domain"))
+        .unionAll(edges.select(F.col("dst_domain").alias("domain")))
+        .distinct()
     )
-    return j.withColumn(
+    n = nodes.count()
+    if n == 0:
+        return nodes.select(
+            "domain",
+            F.lit(0).cast("long").alias("rank_e9"),
+            F.lit(0).cast("long").alias("trust_e9"),
+            F.lit(0).cast("long").alias("spam_mass_bp"),
+        ).limit(0)
+    s = len(seeds)
+    base_r, base_t = int(0.15 * E9) // n, int(0.15 * E9) // s
+    is_seed = F.col("domain").isin(*seeds)
+    out_tot = edges.groupBy("src_domain").agg(F.sum("n_links").alias("out_links"))
+    w_edges = edges.join(out_tot, "src_domain").localCheckpoint(eager=True)
+
+    ranks = nodes.select(
+        "domain",
+        F.lit(E9 // n).cast("long").alias("rank_e9"),
+        F.when(is_seed, F.lit(E9 // s)).otherwise(F.lit(0)).cast("long").alias("trust_e9"),
+    )
+    flow = f"* {DAMPING_NUM} * n_links) DIV ({DAMPING_DEN} * out_links)"
+    for _ in range(n_iters):
+        contrib = (
+            w_edges.join(ranks, w_edges["src_domain"] == ranks["domain"])
+            .select(
+                F.col("dst_domain").alias("domain"),
+                F.expr(f"(rank_e9 {flow}").alias("cr"),
+                F.expr(f"(trust_e9 {flow}").alias("ct"),
+            )
+            .groupBy("domain")
+            .agg(F.sum("cr").alias("in_r"), F.sum("ct").alias("in_t"))
+        )
+        ranks = (
+            nodes.join(contrib, "domain", "left")
+            .select(
+                "domain",
+                (F.lit(base_r) + F.coalesce(F.col("in_r"), F.lit(0)))
+                .cast("long")
+                .alias("rank_e9"),
+                (
+                    F.when(is_seed, F.lit(base_t)).otherwise(F.lit(0))
+                    + F.coalesce(F.col("in_t"), F.lit(0))
+                )
+                .cast("long")
+                .alias("trust_e9"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return ranks.withColumn(
         "spam_mass_bp",
         F.when(F.col("rank_e9") <= 0, F.lit(0))
         .otherwise(F.expr("(10000 * greatest(rank_e9 - trust_e9, 0)) DIV rank_e9"))
