@@ -229,3 +229,16 @@ def test_quantized_topk_recall_vs_exact(spark):
         quant.setdefault(r.query_id, set()).add(r.vec_id)
     recs = [len(exact[q] & quant.get(q, set())) / len(exact[q]) for q in exact]
     assert sum(recs) / len(recs) >= 0.85, recs
+
+
+def test_quantized_topk_plan_is_jvm_only(spark):
+    """The whole quantize→dot→rank chain is built-in expressions: no
+    ArrowEvalPython / BatchEvalPython anywhere (contrast lsh_bucket_multi,
+    which deliberately pays ONE Arrow batch for the matmul)."""
+    from graphical_context_extraction_pipeline_spark.operators import similarity as SIM
+    from graphical_context_extraction_pipeline_spark.plans.explain import physical_plan
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    plan = physical_plan(SIM.ann_topk_quantized(emb, [1, 2]))
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan, plan
+    assert "BroadcastExchange" in plan, plan  # queries broadcast, corpus scanned once
