@@ -26,6 +26,9 @@ _CHAR_TABLE = {
 }
 _WS_RE = re.compile(r"\s+")
 _TFIDF_TOKEN_RE = re.compile(r"\b\w\w+\b")
+# the two-document corpus admits exactly two idf values: df=1 → ln(3/2)+1,
+# df=2 → ln(3/3)+1 = 1.0 (see tfidf_cosine docstring)
+_IDF_DF1 = math.log(3.0 / 2.0) + 1.0
 
 
 def normalize_text(s: str | None) -> str | None:
@@ -83,14 +86,27 @@ def tfidf_cosine(a: str | None, b: str | None) -> float:
     dot = 0.0
     na = 0.0
     nb = 0.0
+    # bit-identical restructure of the naive per-token loop (idf recomputed
+    # via math.log each time): shared tokens have idf exactly 1.0 so
+    # va = float(count); exclusive tokens contribute 0.0 to dot and to the
+    # other norm, and x += 0.0 is the identity on finite floats — the
+    # accumulation ORDER over the sorted vocab is unchanged, so the result
+    # is the same double, which the e6-floored oracle columns depend on.
     for t in vocab:
-        df = (t in ca) + (t in cb)
-        idf = math.log(3.0 / (1.0 + df)) + 1.0
-        va = ca.get(t, 0) * idf
-        vb = cb.get(t, 0) * idf
-        dot += va * vb
-        na += va * va
-        nb += vb * vb
+        a_c = ca.get(t, 0)
+        b_c = cb.get(t, 0)
+        if a_c and b_c:
+            va = float(a_c)
+            vb = float(b_c)
+            dot += va * vb
+            na += va * va
+            nb += vb * vb
+        elif a_c:
+            va = a_c * _IDF_DF1
+            na += va * va
+        else:
+            vb = b_c * _IDF_DF1
+            nb += vb * vb
     if na == 0.0 or nb == 0.0:
         return 0.0
     return dot / math.sqrt(na * nb)

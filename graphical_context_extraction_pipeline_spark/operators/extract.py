@@ -282,7 +282,12 @@ def _doc_chunks(doc_id: str, spans, attrs, meta) -> list[tuple]:
         for p, ts in zip(kf_paths, kf_ts):
             bj = blocks_by_path.get(p, [])
             bj = sorted(bj, key=lambda j: (ocr_y[j], ocr_x[j], ocr_txt[j], -ocr_c[j]))
-            kept = [j for j in bj if not (tok_lists[j] and all(t in chrome for t in tok_lists[j]))]
+            if chrome:
+                kept = [j for j in bj if not (tok_lists[j] and all(t in chrome for t in tok_lists[j]))]
+            else:
+                # no chrome tokens ⇒ the all() test is False for every
+                # non-empty token list and empty lists are kept too
+                kept = bj
             text = " ".join(ocr_txt[j] for j in kept if ocr_txt[j])
             # sum/len (not np.mean's pairwise sum) — bit-identical to the
             # oracle so near-dup confidence tiebreaks can't diverge
