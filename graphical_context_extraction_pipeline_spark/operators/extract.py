@@ -77,9 +77,16 @@ def _frame_number(path: str) -> int:
 
 
 def _doc_chunks(doc_id: str, spans, attrs, meta) -> list[tuple]:
-    """Vectorized single-document extraction (independent impl of the spec)."""
+    """Vectorized single-document extraction (independent impl of the spec).
+
+    Row-wise reference path: buckets the span dicts with a Python loop, then
+    delegates to :func:`_chunks_from_buckets` (shared with the Arrow-native
+    fast path in ``extract_arrow.py``, which produces the same buckets from
+    flat Arrow child arrays without materializing per-span dicts).
+    """
     if spans is None or len(spans) == 0:
         return []
+    meta_d = meta if isinstance(meta, dict) else {}
 
     # ---- single pass: bucket spans by kind -------------------------------
     chap_t, chap_s, chap_e = [], [], []
@@ -137,6 +144,32 @@ def _doc_chunks(doc_id: str, spans, attrs, meta) -> list[tuple]:
             chap_s.append(sp["offset"])
             chap_e.append(at["end_ms"])
 
+    return _chunks_from_buckets(
+        doc_id,
+        chap_t, chap_s, chap_e,
+        scn_id, scn_s, scn_e,
+        asr_t, asr_s, asr_e, asr_c, asr_w,
+        frm_p, frm_ts, frm_sid,
+        ocr_p, ocr_txt, ocr_c, ocr_y, ocr_x,
+        meta_d,
+    )
+
+
+def _chunks_from_buckets(
+    doc_id: str,
+    chap_t, chap_s, chap_e,
+    scn_id, scn_s, scn_e,
+    asr_t, asr_s, asr_e, asr_c, asr_w,
+    frm_p, frm_ts, frm_sid,
+    ocr_p, ocr_txt, ocr_c, ocr_y, ocr_x,
+    meta_d: dict,
+) -> list[tuple]:
+    """Per-document extraction over kind-bucketed plain-Python lists.
+
+    The bucket lists carry exactly what the row-wise loop in
+    :func:`_doc_chunks` appends (post P1 filter, post normalize_text) so the
+    two bucketing front-ends are interchangeable by construction.
+    """
     if not scn_s:
         return []
 
@@ -235,7 +268,6 @@ def _doc_chunks(doc_id: str, spans, attrs, meta) -> list[tuple]:
         if c >= 0:
             frames_by_chunk.setdefault(int(c), []).append(j)
 
-    meta_d = meta if isinstance(meta, dict) else {}
     tags = meta_d.get("tags")
     provenance = (
         meta_d.get("title"),
@@ -405,5 +437,18 @@ def _extract_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
 
 
 def extract_documents(docs_df):
-    """spans table → chunks table. Zero-shuffle Arrow-batched map."""
+    """spans table → chunks table. Zero-shuffle Arrow-batched map.
+
+    Dispatches to the Arrow-native fast path (extract_arrow.py): same rows
+    as the row-wise pandas path below (pinned by
+    tests/test_extract_arrow_parity.py), without materializing per-span
+    dicts on input or re-converting tuples element-wise on output.
+    """
+    from .extract_arrow import extract_documents_arrow
+
+    return extract_documents_arrow(docs_df)
+
+
+def extract_documents_pandas(docs_df):
+    """Row-wise reference implementation (kept as the parity pin)."""
     return docs_df.mapInPandas(_extract_batches, schema=CHUNKS_DDL)
