@@ -389,6 +389,11 @@ def _mutated_corpus(docs: DataFrame) -> DataFrame:
 # and every acceptance rate is a non-trivial integer below 10000
 _MIXTURE_WEIGHTS = {"src0": 4000, "src1": 2500, "src2": 2000, "src3": 1000, "src4": 500}
 
+# DSIR target domain: a fixed 3-source slice stands in for the in-domain
+# set (Wikipedia-like); everything else is the raw pool being rescored
+_DSIR_TARGETS = ["src0", "src7", "src13"]
+_DSIR_TARGETS_SQL = ", ".join(f"'{s}'" for s in _DSIR_TARGETS)
+
 
 def _planted_emb(emb: DataFrame) -> DataFrame:
     """Embedding near-dup plants: float32-perturbed copies of every 40th
@@ -514,6 +519,7 @@ def _gate_order(base: dict) -> dict:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from graphical_context_extraction_pipeline_spark.operators import (
         boilerplate as BP,
+        bpe as BE,
         cluster as CL,
         corpus as CO,
         curate as CU,
@@ -808,6 +814,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _flat_docs(s, d), k=100, weight_col="n_chars"
         ),
         "epoch_shuffle": lambda s, d: SA.epoch_shuffle(_flat_docs(s, d), epoch=1, n_shards=8),
+        # DSIR importance resampling: hashed-unigram target-vs-raw scores
+        # (integer-recurrence ln, zero-shuffle scoring pass) + the top-k
+        # selection the resampler draws from
+        "dsir_scores": lambda s, d: SA.dsir_scores(_flat_docs(s, d), _DSIR_TARGETS),
+        "dsir_select": lambda s, d: SA.dsir_select(_flat_docs(s, d), _DSIR_TARGETS, k=100),
+        # ---- tokenizer training: distributed word/pair stats + BPE ----------
+        # first-round pair histogram, pure DataFrame ops, fully SQL-oracled
+        "bpe_pair_counts": lambda s, d: BE.bpe_pair_counts(_flat_docs(s, d), k=100),
+        # merge table: distributed count + top-V truncation, bounded driver
+        # loop; oracle = independently written pure-Python replica artifact
+        "bpe_learn": lambda s, d: BE.bpe_learn(_flat_docs(s, d), n_merges=40),
+        # full-corpus tokenization with the learned merges (zero-shuffle
+        # Arrow map, per-batch word memo); md5 piece-stream witness
+        "bpe_encode": lambda s, d: BE.bpe_encode(
+            _flat_docs(s, d),
+            [
+                (r["left"], r["right"])
+                for r in BE.bpe_learn(_flat_docs(s, d), n_merges=40).collect()
+            ],
+        ),
         # ---- corpus management: passage dup scan, snapshot diff, profile ----
         "duplicate_passages": lambda s, d: dedup.duplicate_passages(_flat_docs(s, d)),
         # passage REMOVAL (the corpus-cleaning end product of the scan)
@@ -3300,6 +3326,79 @@ SELECT doc_id, shard,
             AS bigint) AS pos
 FROM pr
 """
+
+    # DSIR importance scores: hashed-unigram bucket histograms (target vs
+    # raw), per-bucket log-ratios via the SAME pure-integer ln recurrence
+    # the engine folds into its literal map — no float ln in either chain
+    from graphical_context_extraction_pipeline_spark.functions.intmath import (
+        ln_e6_sql as _lnsql,
+    )
+
+    _dsir_lt = _lnsql("tc + 1", "1", "dt")
+    _dsir_ls = _lnsql("sc + 1", "1", "ds")
+    _dsir_ct = _lnsql("tt + 256", "1", "ct")
+    _dsir_cs = _lnsql("st + 256", "1", "cs")
+    _DSIR_SCORES_CTES = f"""tok AS (SELECT doc_id, source, unnest({_TOKS}) AS token FROM documents),
+bk AS (SELECT doc_id, source,
+              cast(('0x' || substr(md5('dsir:' || token), 1, 15)) AS bigint) % 256 AS b
+       FROM tok),
+s_cnt AS (SELECT b, cast(count(*) AS bigint) AS sc FROM bk GROUP BY b),
+t_cnt AS (SELECT b, cast(count(*) AS bigint) AS tc FROM bk
+          WHERE source IN ({_DSIR_TARGETS_SQL}) GROUP BY b),
+bb AS (SELECT cast(range AS bigint) AS b FROM range(256)),
+cnts AS (SELECT bb.b, coalesce(tc, 0) AS tc, coalesce(sc, 0) AS sc
+         FROM bb LEFT JOIN t_cnt USING (b) LEFT JOIN s_cnt USING (b)),
+lr AS (SELECT b, {_dsir_lt[0]}, {_dsir_ls[0]},
+              {_dsir_lt[1]} - {_dsir_ls[1]} AS lr_e6
+       FROM cnts),
+tots AS (SELECT sum(tc) AS tt, sum(sc) AS st FROM cnts),
+cst AS (SELECT {_dsir_ct[0]}, {_dsir_cs[0]},
+               {_dsir_ct[1]} - {_dsir_cs[1]} AS c_e6
+        FROM tots),
+per AS (SELECT bk.doc_id, sum(lr.lr_e6) AS s_lr, cast(count(*) AS bigint) AS n_tok
+        FROM bk JOIN lr USING (b) GROUP BY bk.doc_id),
+scores AS (SELECT d.doc_id, d.source,
+                  cast(coalesce(p.n_tok, 0) AS bigint) AS n_tokens,
+                  cast(coalesce(p.s_lr, 0)
+                       - coalesce(p.n_tok, 0) * (SELECT c_e6 FROM cst)
+                       AS bigint) AS logw_e6
+           FROM documents d LEFT JOIN per p USING (doc_id))"""
+    q["dsir_scores"] = f"""
+WITH {_DSIR_SCORES_CTES}
+SELECT doc_id, source, n_tokens, logw_e6 FROM scores
+"""
+    q["dsir_select"] = f"""
+WITH {_DSIR_SCORES_CTES}
+SELECT doc_id, source, n_tokens, logw_e6 FROM scores
+ORDER BY logw_e6 DESC, doc_id ASC LIMIT 100
+"""
+
+    # BPE first-round pair histogram, recomputed from scratch: word freqs,
+    # lateral char-pair explode, (cnt desc, left, right) top-100
+    q["bpe_pair_counts"] = f"""
+WITH wf AS (SELECT word, cast(count(*) AS bigint) AS freq
+            FROM (SELECT unnest({_TOKS}) AS word FROM documents)
+            GROUP BY word),
+pr AS (SELECT substr(word, i, 1) AS "left", substr(word, i + 1, 1) AS "right", freq
+       FROM wf, unnest(generate_series(1, length(word) - 1)) AS g(i)
+       WHERE length(word) >= 2),
+c AS (SELECT "left", "right", cast(sum(freq) AS bigint) AS cnt
+      FROM pr GROUP BY 1, 2)
+SELECT "left", "right", cnt FROM c
+ORDER BY cnt DESC, "left" ASC, "right" ASC LIMIT 100
+"""
+
+    # BPE merge table + encode: independently written pure-Python replica
+    # (oracle_artifacts.py::_bpe_learn_replica/_bpe_encode_replica over the
+    # same flat corpus), DuckDB as transport
+    q["bpe_learn"] = (
+        f"SELECT step, \"left\", \"right\", pair_count "
+        f"FROM read_parquet('{art_dir}/oracle_bpe_merges.parquet')"
+    )
+    q["bpe_encode"] = (
+        f"SELECT doc_id, n_words, n_pieces, pieces_sig "
+        f"FROM read_parquet('{art_dir}/oracle_bpe_encode.parquet')"
+    )
 
     # first-fit-sequential packing fold replayed as a recursive CTE: each
     # bucket's rows advance rn -> rn+1 carrying (seq_idx, fill) — the exact

@@ -61,12 +61,30 @@ def _parts(cpus: int, n_docs: int) -> int:
     return min(cpus * 4, max(cpus, n_docs // 125))
 
 
-def run_extract(cpus: int, sf_dir: str, iters: int = 5) -> dict:
+def run_extract(cpus: int, sf_dir: str, iters: int = 5, replicate: int = 1) -> dict:
     """Extraction throughput at one parallelism level (docs/sec, best-of-N —
-    min wall filters external tenant noise, which only ever slows a run)."""
+    min wall filters external tenant noise, which only ever slows a run).
+
+    replicate > 1 unions R id-suffixed copies of the corpus so the measured
+    job is R× larger: per-job fixed costs (planning, scheduling rounds,
+    result collection) stop dominating the parallel levels, which is the
+    regime the north rule's cluster-size criterion describes — a 100 TB job
+    is all steady state, not job setup."""
+    from pyspark.sql import functions as F
+
     from graphical_context_extraction_pipeline_spark.operators.extract import extract_documents
 
     spark, docs, _tag = _setup(cpus, sf_dir)
+    if replicate > 1:
+        copies = [
+            docs.withColumn("doc_id", F.concat(F.col("doc_id"), F.lit(f"#r{i}")))
+            for i in range(replicate)
+        ]
+        base = copies[0]
+        for c in copies[1:]:
+            base = base.unionAll(c)
+        docs = base
+        iters = min(iters, 3)
     # cost-balanced partitioning (operators/partitioning.py): the local test
     # corpus is a couple dozen MB so file splits alone give too few
     # partitions, and 10x media-heavy skew docs would straggle a plain
@@ -307,8 +325,12 @@ def write_baseline_md(lo: dict, hi: dict, efficiency: float, extra: list[dict]) 
             "Levels are kept small because this box is shared: at local[16+]\n"
             "the measurement mixes in turbo-frequency asymmetry and external\n"
             "tenant load — supplementary points below show raw behaviour there.\n"
-            "The job is shuffle-free (one mapInPandas over doc rows), so adding\n"
-            "executors adds no coordination stage this emulation would miss.\n\n"
+            "The job is shuffle-free (one mapInArrow over doc rows), so adding\n"
+            "executors adds no coordination stage this emulation would miss.\n"
+            "The pinned levels run a 5x id-suffix-replicated corpus so per-job\n"
+            "fixed costs (planning, scheduling rounds) don't dominate the\n"
+            "parallel level — the 100 TB regime the criterion describes is all\n"
+            "steady state; supplementary points stay unreplicated.\n\n"
             "| level | cores | docs | chunks | best wall (s) | docs/sec |\n|---|---|---|---|---|---|\n"
             f"| N | {lo['cpus']} | {lo['n_docs']} | {lo['n_chunks']} | {lo['wall_s']} | {lo['docs_per_sec']} |\n"
             f"| 4N | {hi['cpus']} | {hi['n_docs']} | {hi['n_chunks']} | {hi['wall_s']} | {hi['docs_per_sec']} |\n\n"
@@ -339,10 +361,11 @@ def main() -> None:
     # measured 252 vs 920 docs/sec for the IDENTICAL 32-core subprocess in
     # suite-first vs fresh-box context
     ap.add_argument("--scaling-only", action="store_true")
+    ap.add_argument("--replicate", type=int, default=1)
     args = ap.parse_args()
 
     if args.extract_only:
-        print(json.dumps(run_extract(args.cpus, args.sf_dir)))
+        print(json.dumps(run_extract(args.cpus, args.sf_dir, replicate=args.replicate)))
         return
 
     if args.scaling_only:
@@ -360,9 +383,10 @@ def main() -> None:
         }
 
     if args.scaling or args.scaling_only:
-        def spawn(cpus: int, pin: str | None):
+        def spawn(cpus: int, pin: str | None, replicate: int = 1):
             cmd = [sys.executable, os.path.abspath(__file__), "--cpus", str(cpus),
-                   "--sf-dir", args.sf_dir, "--extract-only"]
+                   "--sf-dir", args.sf_dir, "--extract-only",
+                   "--replicate", str(replicate)]
             if pin:
                 cmd = ["taskset", "-c", pin, *cmd]
             p = subprocess.run(cmd, capture_output=True, text=True, check=True)
@@ -374,7 +398,7 @@ def main() -> None:
         best: dict[int, dict] = {}
         for _round in range(3):
             for cpus, pin in ((1, "0"), (4, "0-3")):
-                r = spawn(cpus, pin)
+                r = spawn(cpus, pin, replicate=5)
                 if cpus not in best or r["wall_s"] < best[cpus]["wall_s"]:
                     best[cpus] = r
                 time.sleep(10)

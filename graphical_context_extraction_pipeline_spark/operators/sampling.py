@@ -435,3 +435,99 @@ def quota_mixture(
         .where(F.col("n_picks") >= 1)
         .select("source", "doc_id", "weight", "n_picks")
     )
+
+
+def dsir_scores(
+    docs: DataFrame,
+    target_sources: list[str],
+    n_buckets: int = 256,
+    salt: str = "dsir:",
+) -> DataFrame:
+    """DSIR-style importance scores (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling"): score every document by
+    how much more likely its hashed-unigram features are under a small
+    in-domain TARGET distribution than under the raw corpus, so the
+    pipeline can resample raw web mass toward the target domain.
+
+    Feature space: tokens hashed into ``n_buckets`` md5 buckets (the
+    portable bucket construction above, salt ``dsir:``). Both unigram LMs
+    are Laplace-smoothed bucket histograms; the per-doc log importance
+    weight is, in e6 fixed point,
+
+        logw_e6 = sum_tokens [ln_e6(t_cnt[b]+1) - ln_e6(s_cnt[b]+1)]
+                  - n_tokens * (ln_e6(T + B) - ln_e6(S + B))
+
+    with t/s the target/raw bucket counts, T/S their totals, and ln_e6 the
+    pure-integer recurrence from functions/intmath.py — so the oracle
+    recomputes every score bit-for-bit (no float ln anywhere). True DSIR
+    then draws Gumbel-top-k on logw; the deterministic scored relation is
+    the contract here, and the draw composes with weighted_sample /
+    topk_priority downstream.
+
+    int64 budget: |ln_e6(x)| <= 4.4e7 for x < 2^63, so a doc needs ~2e11
+    tokens to overflow the signed-64 sum — five orders above any real doc.
+
+    Scale: the histogram pass is one bucket-bounded shuffle (<= n_buckets
+    rows out of the partial aggregation, map-side combined); scoring is a
+    ZERO-shuffle projection — the per-bucket log-ratios are driver-folded
+    into a literal map (bm25-idf precedent) and each doc reduces its own
+    token array intra-row. At 100 TB nothing but the B-row histogram ever
+    crosses the wire.
+    """
+    from ..functions.intmath import ln_e6
+
+    toks = _tokens(F.col("text"))
+    tok = docs.select(
+        "source", F.explode(toks).alias("token")
+    ).withColumn("b", hash_bucket(F.col("token"), salt, n_buckets))
+    s_rows = tok.groupBy("b").count().collect()
+    t_rows = (
+        tok.where(F.col("source").isin(list(target_sources)))
+        .groupBy("b")
+        .count()
+        .collect()
+    )
+    s_cnt = {r["b"]: r["count"] for r in s_rows}
+    t_cnt = {r["b"]: r["count"] for r in t_rows}
+    s_tot = sum(s_cnt.values())
+    t_tot = sum(t_cnt.values())
+    c_e6 = ln_e6(t_tot + n_buckets, 1) - ln_e6(s_tot + n_buckets, 1)
+
+    pairs: list = []
+    for b in range(n_buckets):
+        lr = ln_e6(t_cnt.get(b, 0) + 1, 1) - ln_e6(s_cnt.get(b, 0) + 1, 1)
+        pairs.extend([F.lit(b), F.lit(lr)])
+    lr_map = F.create_map(*pairs)
+
+    per_tok = F.transform(
+        toks, lambda t: F.element_at(lr_map, hash_bucket(t, salt, n_buckets).cast("int"))
+    )
+    n_tok = F.size(toks).cast("long")
+    return docs.select(
+        "doc_id",
+        "source",
+        n_tok.alias("n_tokens"),
+        (
+            F.aggregate(per_tok, F.lit(0).cast("long"), lambda acc, x: acc + x)
+            - n_tok * F.lit(c_e6)
+        ).alias("logw_e6"),
+    )
+
+
+def dsir_select(
+    docs: DataFrame,
+    target_sources: list[str],
+    k: int,
+    n_buckets: int = 256,
+    salt: str = "dsir:",
+) -> DataFrame:
+    """Top-k DSIR selection: the k docs whose hashed-unigram importance
+    weight vs the target domain is highest ((logw_e6, doc_id) ordered so
+    ties never flap). orderBy+limit compiles to TakeOrderedAndProject —
+    per-partition top-k then a k-row driver merge, no global sort, no
+    SinglePartition window."""
+    return (
+        dsir_scores(docs, target_sources, n_buckets=n_buckets, salt=salt)
+        .orderBy(F.col("logw_e6").desc(), F.col("doc_id").asc())
+        .limit(k)
+    )

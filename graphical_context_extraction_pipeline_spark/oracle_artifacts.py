@@ -27,7 +27,7 @@ import re
 
 # bump when any artifact's schema or semantics change — stale artifacts are
 # rebuilt automatically
-ARTIFACTS_VERSION = 4
+ARTIFACTS_VERSION = 5
 
 US = "\x1f"  # field separator inside a serialized span
 RS = "\x1e"  # separator between serialized spans / list elements
@@ -206,6 +206,96 @@ def _media_feature_rows(docs: list[dict]) -> list[dict]:
 
 
 # --------------------------------------------------------------------------
+# BPE replica (independent spec of operators/bpe.py — tokenizer-training
+# support): top-V truncated word table, greedy max-pair merges, sequential
+# encode. Written against the textual contract in bpe.py's docstring, not
+# its code.
+# --------------------------------------------------------------------------
+
+BPE_N_MERGES = 40
+BPE_MAX_VOCAB = 65536
+BPE_TARGET_N = None  # full corpus
+
+
+def _bpe_word_table(texts: list[str]) -> list[tuple[str, int]]:
+    from collections import Counter
+
+    wf: Counter = Counter()
+    for t in texts:
+        for w in _JAVA_WS.split((t or "").lower()):
+            if w:
+                wf[w] += 1
+    ranked = sorted(wf.items(), key=lambda kv: (-kv[1], kv[0]))
+    return ranked[:BPE_MAX_VOCAB]
+
+
+def _bpe_merge_word(syms: tuple, left: str, right: str) -> tuple:
+    out = []
+    i = 0
+    while i < len(syms):
+        if syms[i] == left and i + 1 < len(syms) and syms[i + 1] == right:
+            out.append(left + right)
+            i += 2
+        else:
+            out.append(syms[i])
+            i += 1
+    return tuple(out)
+
+
+def _bpe_learn_replica(word_table: list[tuple[str, int]]):
+    from collections import Counter
+
+    vocab = {i: (tuple(w), f) for i, (w, f) in enumerate(word_table) if w}
+    merges = []
+    for step in range(1, BPE_N_MERGES + 1):
+        stats: Counter = Counter()
+        for syms, f in vocab.values():
+            for a, b in zip(syms, syms[1:]):
+                stats[(a, b)] += f
+        if not stats:
+            break
+        best_cnt = max(stats.values())
+        left, right = min(p for p, c in stats.items() if c == best_cnt)
+        merges.append({"step": step, "left": left, "right": right, "pair_count": best_cnt})
+        vocab = {
+            i: (_bpe_merge_word(syms, left, right), f) for i, (syms, f) in vocab.items()
+        }
+    return merges
+
+
+def _bpe_encode_replica(doc_rows: list[tuple], merges: list[dict]) -> list[dict]:
+    seq = [(m["left"], m["right"]) for m in merges]
+    memo: dict[str, list[str]] = {}
+
+    def pieces_of(word: str) -> list[str]:
+        if word in memo:
+            return memo[word]
+        syms: tuple = tuple(word)
+        for l, r in seq:
+            if len(syms) < 2:
+                break
+            syms = _bpe_merge_word(syms, l, r)
+        memo[word] = list(syms)
+        return memo[word]
+
+    out = []
+    for doc_id, text in doc_rows:
+        words = [w for w in _JAVA_WS.split((text or "").lower()) if w]
+        pieces: list[str] = []
+        for w in words:
+            pieces.extend(pieces_of(w))
+        out.append(
+            {
+                "doc_id": int(doc_id),
+                "n_words": len(words),
+                "n_pieces": len(pieces),
+                "pieces_sig": hashlib.md5(US.join(pieces).encode("utf-8")).hexdigest(),
+            }
+        )
+    return out
+
+
+# --------------------------------------------------------------------------
 # artifact writer
 # --------------------------------------------------------------------------
 
@@ -287,6 +377,29 @@ def ensure_oracle_artifacts(sf_tag: str, base_dir: str = "/root/repo/data") -> s
             ]
         ),
     )
+    # BPE merge-table + encode replicas over the FLAT documents table (the
+    # testdata corpus the bpe_* queries read), pyarrow in, parquet out
+    flat_path = os.path.join("/root/testdata", sf_tag, "documents.parquet")
+    if os.path.exists(flat_path):
+        import pyarrow.parquet as pq
+
+        tbl = pq.read_table(flat_path, columns=["doc_id", "text"])
+        doc_ids = tbl.column("doc_id").to_pylist()
+        texts = tbl.column("text").to_pylist()
+        merges = _bpe_learn_replica(_bpe_word_table(texts))
+        _write_parquet(
+            os.path.join(out_dir, "oracle_bpe_merges.parquet"),
+            merges,
+            pa.schema([("step", i64), ("left", s), ("right", s), ("pair_count", i64)]),
+        )
+        _write_parquet(
+            os.path.join(out_dir, "oracle_bpe_encode.parquet"),
+            _bpe_encode_replica(list(zip(doc_ids, texts)), merges),
+            pa.schema(
+                [("doc_id", i64), ("n_words", i64), ("n_pieces", i64), ("pieces_sig", s)]
+            ),
+        )
+
     with open(marker, "w") as f:
         f.write(str(ARTIFACTS_VERSION))
     return out_dir
