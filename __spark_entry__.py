@@ -67,6 +67,12 @@ def _flat_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
 
 
+# gopher_rules gate stop list: localized to the synthetic corpus vocabulary
+# (Rae et al.'s rule is ">=2 distinct stop words"; the LIST is a language
+# parameter) — shared verbatim by the DuckDB oracle
+_GOPHER_GATE_STOPS = ["the", "be", "join", "hash", "scan", "batch", "filter", "row"]
+
+
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
 
@@ -773,6 +779,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_score": lambda s, d: TA.quality_score(_flat_docs(s, d)),
         "fingerprint": lambda s, d: TA.fingerprint(_flat_docs(s, d)),
         "repetition_stats": lambda s, d: TA.repetition_stats(_flat_docs(s, d)),
+        # the Gopher rule bundle (Rae et al. Table A1): per-rule booleans +
+        # composite keep, all ratios as integer cross-multiplications; the
+        # gate registers a corpus-localized stop list (2 English + 6 corpus
+        # terms) so r_stop/keep actually vary over the synthetic vocabulary
+        "gopher_rules": lambda s, d: TA.gopher_rules(
+            _flat_docs(s, d), stopwords=_GOPHER_GATE_STOPS
+        ),
         "vocab_topk": lambda s, d: TA.vocab_topk(_flat_docs(s, d), k=100),
         # per-source vocabulary shape: hapax/dis legomena, TTR (templated-
         # source detector)
@@ -3210,6 +3223,49 @@ SELECT source, n_tokens, n_types, n_hapax, n_dis,
        cast((10000 * n_types) // n_tokens AS bigint) AS ttr_bp,
        cast((10000 * n_hapax) // n_types AS bigint) AS hapax_share_bp
 FROM a
+"""
+
+    # Gopher rule bundle: every ratio threshold replayed as an integer
+    # cross-multiplication (no float in the contract); line convention
+    # shared with repetition_stats (split on \n, drop blank-after-trim)
+    _gopher_stop_hits = " + ".join(
+        f"CASE WHEN list_contains(toks, '{w}') THEN 1 ELSE 0 END"
+        for w in _GOPHER_GATE_STOPS
+    )
+    q["gopher_rules"] = f"""
+WITH base AS (
+  SELECT doc_id,
+         {_TOKS} AS toks,
+         list_filter(string_split(text, chr(10)), l -> trim(l) <> '') AS lines,
+         cast(length(text) - length(replace(text, '#', '')) AS bigint) AS n_hash,
+         cast((length(text) - length(replace(text, '...', ''))) // 3 AS bigint) AS n_ellipsis
+  FROM documents),
+sig AS (
+  SELECT doc_id,
+         cast(len(toks) AS bigint) AS n_words,
+         cast(coalesce(list_sum(list_transform(toks, t -> length(t))), 0) AS bigint) AS word_chars,
+         n_hash, n_ellipsis,
+         cast(len(lines) AS bigint) AS n_lines,
+         cast(len(list_filter(lines, l -> substring(trim(l), 1, 1) IN ('-', '*', '•'))) AS bigint) AS n_bullet_lines,
+         cast(len(list_filter(lines, l -> ends_with(trim(l), '...'))) AS bigint) AS n_ellipsis_lines,
+         cast(len(list_filter(toks, t -> regexp_matches(t, '[a-z]'))) AS bigint) AS n_alpha_words,
+         cast({_gopher_stop_hits} AS bigint) AS n_stop_distinct
+  FROM base),
+r AS (
+  SELECT *,
+         (n_words >= 50 AND n_words <= 100000) AS r_wordcount,
+         (word_chars >= 3 * n_words AND word_chars <= 10 * n_words) AS r_meanlen,
+         (10 * (n_hash + n_ellipsis) < n_words) AS r_symbol,
+         (n_lines = 0 OR 10 * n_bullet_lines < 9 * n_lines) AS r_bullet,
+         (n_lines = 0 OR 10 * n_ellipsis_lines < 3 * n_lines) AS r_ellipsis,
+         (5 * n_alpha_words >= 4 * n_words) AS r_alpha,
+         (n_stop_distinct >= 2) AS r_stop
+  FROM sig)
+SELECT doc_id, n_words, word_chars, n_lines, n_stop_distinct,
+       r_wordcount, r_meanlen, r_symbol, r_bullet, r_ellipsis, r_alpha, r_stop,
+       (r_wordcount AND r_meanlen AND r_symbol AND r_bullet AND r_ellipsis
+        AND r_alpha AND r_stop) AS keep
+FROM r
 """
 
     def _bucket_sql(salt: str, mod: int) -> str:

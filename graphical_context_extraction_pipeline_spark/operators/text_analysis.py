@@ -768,3 +768,116 @@ def vocab_growth(docs: DataFrame, source_col: str = "source") -> DataFrame:
         F.expr("(10000 * n_types) DIV n_tokens").alias("ttr_bp"),
         F.expr("(10000 * n_hapax) DIV n_types").alias("hapax_share_bp"),
     )
+
+
+# Gopher document-filter stop-word list (Rae et al. 2021, Table A1): a doc
+# must contain at least 2 of these to survive the rule bundle
+GOPHER_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
+
+
+def gopher_rules(
+    docs: DataFrame,
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_len: int = 3,
+    max_mean_len: int = 10,
+    stopwords: list[str] | None = None,
+) -> DataFrame:
+    """The Gopher quality-rule bundle (Rae et al. 2021, "Scaling Language
+    Models: Methods, Analysis & Insights from Training Gopher", Table A1) —
+    the standard pre-dedup document filter of web-scale training pipelines,
+    emitted as one per-rule boolean column each plus the composite keep
+    verdict:
+
+      - r_wordcount: min_words <= n_words <= max_words;
+      - r_meanlen:   mean word length in [min_mean_len, max_mean_len],
+        tested WITHOUT division (min*n <= chars <= max*n — integer exact);
+      - r_symbol:    (# chars + '...' occurrences) / words < 0.1, i.e.
+        10*(n_hash + n_ellipsis) < n_words (docs with 0 words fail
+        r_wordcount anyway, so the degenerate 0<0 here is moot);
+      - r_bullet:    < 90% of (non-blank) lines start with a bullet
+        ('-', '*', or U+2022); vacuously true with no lines;
+      - r_ellipsis:  < 30% of lines end with '...'; vacuously true with no
+        lines;
+      - r_alpha:     >= 80% of words contain an ASCII letter
+        (5*n_alpha >= 4*n_words);
+      - r_stop:      >= 2 DISTINCT Gopher stop words present.
+
+    Every ratio is compared by integer cross-multiplication, so the DuckDB
+    oracle hash-matches bit-for-bit — no float thresholds in the contract.
+    Line convention matches repetition_stats: split on '\\n', drop
+    blank-after-trim lines; bullet/ellipsis tests look at the trimmed line.
+
+    Scale: a ZERO-shuffle projection — every signal is an intra-row HOF or
+    string expression, whole-stage codegen end to end; one corpus scan.
+
+    ``stopwords`` overrides the Gopher list (the rule's SHAPE is the
+    contract; deployments routinely localize the list per language).
+    """
+    if stopwords is None:
+        stopwords = GOPHER_STOPWORDS
+    toks = _tokens(F.col("text"))
+    lines = F.filter(F.split(F.col("text"), "\n"), lambda l: F.trim(l) != "")
+    base = docs.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("n_words"),
+        F.expr(
+            "aggregate(filter(split(lower(text), '\\\\s+'), t -> t <> ''),"
+            " 0L, (acc, t) -> acc + length(t))"
+        ).alias("word_chars"),
+        (
+            F.length("text") - F.length(F.expr("replace(text, '#', '')"))
+        ).cast("long").alias("n_hash"),
+        (
+            (F.length("text") - F.length(F.expr("replace(text, '...', '')"))) / 3
+        ).cast("long").alias("n_ellipsis"),
+        F.size(lines).cast("long").alias("n_lines"),
+        F.size(
+            F.filter(
+                lines,
+                lambda l: F.substring(F.trim(l), 1, 1).isin("-", "*", "•"),
+            )
+        ).cast("long").alias("n_bullet_lines"),
+        F.size(
+            F.filter(lines, lambda l: F.trim(l).endswith("..."))
+        ).cast("long").alias("n_ellipsis_lines"),
+        F.expr("size(filter(filter(split(lower(text), '\\\\s+'), t -> t <> ''),"
+               " t -> t rlike '[a-z]'))").cast("long").alias("n_alpha_words"),
+        sum(
+            (
+                F.array_contains(toks, w).cast("long")
+                for w in stopwords
+            ),
+            F.lit(0).cast("long"),
+        ).alias("n_stop_distinct"),
+    )
+    r_wordcount = (F.col("n_words") >= min_words) & (F.col("n_words") <= max_words)
+    r_meanlen = (F.col("word_chars") >= min_mean_len * F.col("n_words")) & (
+        F.col("word_chars") <= max_mean_len * F.col("n_words")
+    )
+    r_symbol = 10 * (F.col("n_hash") + F.col("n_ellipsis")) < F.col("n_words")
+    r_bullet = (F.col("n_lines") == 0) | (
+        10 * F.col("n_bullet_lines") < 9 * F.col("n_lines")
+    )
+    r_ellipsis = (F.col("n_lines") == 0) | (
+        10 * F.col("n_ellipsis_lines") < 3 * F.col("n_lines")
+    )
+    r_alpha = 5 * F.col("n_alpha_words") >= 4 * F.col("n_words")
+    r_stop = F.col("n_stop_distinct") >= 2
+    return base.select(
+        "doc_id",
+        "n_words",
+        "word_chars",
+        "n_lines",
+        "n_stop_distinct",
+        r_wordcount.alias("r_wordcount"),
+        r_meanlen.alias("r_meanlen"),
+        r_symbol.alias("r_symbol"),
+        r_bullet.alias("r_bullet"),
+        r_ellipsis.alias("r_ellipsis"),
+        r_alpha.alias("r_alpha"),
+        r_stop.alias("r_stop"),
+        (
+            r_wordcount & r_meanlen & r_symbol & r_bullet & r_ellipsis & r_alpha & r_stop
+        ).alias("keep"),
+    )
