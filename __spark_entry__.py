@@ -768,6 +768,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _planted_near(_flat_docs(s, d)),
             dedup.ngram_jaccard_pairs(_planted_near(_flat_docs(s, d))),
         ),
+        # soft dedup: down-weight cluster members (1e6 DIV cluster size)
+        # instead of dropping them
+        "soft_dedup": lambda s, d: CL.soft_dedup(
+            _planted_near(_flat_docs(s, d)),
+            dedup.ngram_jaccard_pairs(_planted_near(_flat_docs(s, d))),
+        ),
         # cluster-keyed split: near-dups can never straddle train/val/test
         "leakage_safe_split": lambda s, d: SA.leakage_safe_split(
             _planted_near(_flat_docs(s, d)),
@@ -825,6 +831,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # within each source, Σ picks = k exactly
         "quota_mixture": lambda s, d: SA.quota_mixture(
             _flat_docs(s, d), k=100, weight_col="n_chars"
+        ),
+        # temperature-flattened mixture: Hamilton over size^(1/2) tempered
+        # source totals (floored IEEE-sqrt — the pinned cross-engine
+        # primitive), raw-weight PPS within each source
+        "temperature_mixture": lambda s, d: SA.temperature_mixture(
+            _flat_docs(s, d), k=100, alpha_q=2, weight_col="n_chars"
         ),
         "epoch_shuffle": lambda s, d: SA.epoch_shuffle(_flat_docs(s, d), epoch=1, n_shards=8),
         # DSIR importance resampling: hashed-unigram target-vs-raw scores
@@ -2933,6 +2945,18 @@ LEFT JOIN szs ON szs.component = cc.component
 WHERE cc.component IS NULL OR cc.component = c.doc_id
 """
 
+    # soft dedup: every doc kept, weight_e6 = 1e6 // cluster size (both
+    # operands non-negative so // ≡ Spark DIV)
+    q["soft_dedup"] = f"""
+WITH RECURSIVE {cc_cte}
+SELECT c.doc_id,
+       cast(coalesce(szs.n_members, 1) AS bigint) AS n_members,
+       cast(1000000 // coalesce(szs.n_members, 1) AS bigint) AS weight_e6
+FROM corpus c
+LEFT JOIN cc ON cc.doc_id = c.doc_id
+LEFT JOIN szs ON szs.component = cc.component
+"""
+
     # split unit = near-dup component; singletons reduce to hash_split's
     # own bucket (same salt) so only dup structure changes assignments
     q["leakage_safe_split"] = f"""
@@ -3350,6 +3374,38 @@ tot AS (SELECT source, sum(weight) AS w_src FROM base GROUP BY source),
 g AS (SELECT sum(w_src) AS W FROM tot),
 fl AS (SELECT source, w_src, (100 * w_src) // W AS fl, (100 * w_src) % W AS rem
        FROM tot, g),
+d AS (SELECT 100 - sum(fl) AS deficit FROM fl),
+rk AS (SELECT source, w_src, fl, rem,
+              row_number() OVER (ORDER BY rem DESC, source ASC) AS rk FROM fl),
+sl AS (SELECT source, w_src,
+              fl + CASE WHEN rk <= (SELECT deficit FROM d) THEN 1 ELSE 0 END AS slots
+       FROM rk),
+c AS (SELECT source, doc_id, weight,
+             sum(weight) OVER (PARTITION BY source ORDER BY doc_id
+                               ROWS UNBOUNDED PRECEDING) AS cum_s
+      FROM base),
+m AS (SELECT c.source, doc_id, weight,
+             (2 * slots * cum_s + w_src - 1) // (2 * w_src)
+             - (2 * slots * (cum_s - weight) + w_src - 1) // (2 * w_src) AS n_picks
+      FROM c JOIN sl ON sl.source = c.source)
+SELECT source, doc_id, weight, cast(n_picks AS bigint) AS n_picks
+FROM m WHERE n_picks >= 1
+"""
+
+    # temperature-flattened mixture: identical chain, but Hamilton slots
+    # apportioned over TEMPERED source totals floor(sqrt(w_src)) — the
+    # floored-IEEE-sqrt composition from sampling.temper_sql (sqrt is
+    # correctly rounded in both engines; the PPS grid stays on raw weights)
+    from graphical_context_extraction_pipeline_spark.operators.sampling import temper_sql as _tsql
+
+    q["temperature_mixture"] = f"""
+WITH base AS (SELECT source, doc_id, cast(n_chars AS bigint) AS weight
+              FROM documents WHERE n_chars > 0),
+tot AS (SELECT source, sum(weight) AS w_src FROM base GROUP BY source),
+tmp AS (SELECT source, w_src, {_tsql('w_src', 2)} AS tw FROM tot),
+g AS (SELECT sum(tw) AS W FROM tmp),
+fl AS (SELECT source, w_src, (100 * tw) // W AS fl, (100 * tw) % W AS rem
+       FROM tmp, g),
 d AS (SELECT 100 - sum(fl) AS deficit FROM fl),
 rk AS (SELECT source, w_src, fl, rem,
               row_number() OVER (ORDER BY rem DESC, source ASC) AS rk FROM fl),

@@ -221,3 +221,40 @@ def connected_components_star(
             F.least("s", "mn").alias("component"),
         )
     )
+
+
+def soft_dedup(
+    docs: DataFrame, pairs: DataFrame, src: str = "doc_a", dst: str = "doc_b"
+) -> DataFrame:
+    """Soft deduplication: instead of DROPPING near-duplicates (the
+    neardup_survivors contract), DOWN-WEIGHT every member of a near-dup
+    cluster so the cluster's total training mass equals one document —
+    the "count each distinct piece of content once, however many copies
+    exist" policy from data-constrained LM scaling work (repeating
+    content is worth less than fresh content, but not worth zero).
+
+    Output (doc_id, n_members, weight_e6) for EVERY corpus doc:
+    n_members = transitive near-dup cluster size (1 for unclustered),
+    weight_e6 = 1000000 DIV n_members. Integer e6 fixed point; both
+    operands non-negative so Spark DIV ≡ DuckDB // (the pinned
+    cross-engine division contract). Σ weight_e6 over a cluster is
+    ≤ 1e6 (floor per member), never more — the conservative side.
+
+    Plan shape is neardup_survivors': components over the pairs
+    (iterative min-label propagation, cluster-sized relation), then ONE
+    left join of the corpus against the membership table — the corpus
+    shuffles once; the weight is an intra-row expression after that.
+    Composes with sampling.weighted_sample / quota_mixture downstream
+    (weight_col="weight_e6")."""
+    members = neardup_clusters(pairs, src, dst)
+    return (
+        docs.select("doc_id")
+        .join(members.select("doc_id", "n_members"), "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_members"), F.lit(1)).cast("long").alias("n_members"),
+        )
+        .withColumn(
+            "weight_e6", F.expr("1000000 DIV n_members").cast("long")
+        )
+    )

@@ -531,3 +531,121 @@ def dsir_select(
         .orderBy(F.col("logw_e6").desc(), F.col("doc_id").asc())
         .limit(k)
     )
+
+
+def _temper(w: int, alpha_q: int) -> int:
+    """size^(alpha_q/4) in floored-integer form, built ONLY from IEEE
+    double sqrt + floor so the oracle replays it bit-for-bit (sqrt is
+    correctly rounded in Python, the JVM, and DuckDB — the pinned
+    cross-engine contract from the int8 quantizer; ln/exp/pow are NOT):
+
+        alpha_q=4: w
+        alpha_q=2: floor(sqrt(w))
+        alpha_q=3: floor(sqrt(w * floor(sqrt(w))))
+        alpha_q=1: floor(sqrt(floor(sqrt(w))))
+
+    q ∈ {1,2,4} track floor(w^(q/4)) within 1; q=3 is its own monotone
+    tempering curve bounded by w^(3/4) − w^(1/4) − 1 ≤ v ≤ w^(3/4) (the
+    inner floor's lost fraction is amplified by the outer sqrt — fine
+    for mixture weights, do not use it as an exact quantile).
+
+    int64→double budget: every sqrt operand must stay under 2^53 for the
+    int→double conversion to be exact — w < 2^53 covers alpha_q ∈ {1,2},
+    and alpha_q=3 needs w^1.5 < 2^53 i.e. w < ~2^35 (3.4e10). Per-SOURCE
+    character totals at 100 TB can exceed that: pre-scale (w DIV 2^s)
+    upstream exactly like the fixed-point estimators."""
+    import math
+
+    if alpha_q == 4:
+        return w
+    if alpha_q == 2:
+        return math.floor(math.sqrt(w))
+    if alpha_q == 3:
+        return math.floor(math.sqrt(w * math.floor(math.sqrt(w))))
+    if alpha_q == 1:
+        return math.floor(math.sqrt(math.floor(math.sqrt(w))))
+    raise ValueError(f"alpha_q must be in {{1,2,3,4}}, got {alpha_q}")
+
+
+def temper_sql(expr: str, alpha_q: int) -> str:
+    """The DuckDB twin of :func:`_temper` over a SQL expression."""
+    if alpha_q == 4:
+        return expr
+    if alpha_q == 2:
+        return f"cast(floor(sqrt(cast(({expr}) AS double))) AS bigint)"
+    if alpha_q == 3:
+        inner = f"cast(floor(sqrt(cast(({expr}) AS double))) AS bigint)"
+        return f"cast(floor(sqrt(cast(({expr}) * {inner} AS double))) AS bigint)"
+    if alpha_q == 1:
+        inner = f"cast(floor(sqrt(cast(({expr}) AS double))) AS bigint)"
+        return f"cast(floor(sqrt(cast({inner} AS double))) AS bigint)"
+    raise ValueError(f"alpha_q must be in {{1,2,3,4}}, got {alpha_q}")
+
+
+def temperature_mixture(
+    docs: DataFrame,
+    k: int = 100,
+    alpha_q: int = 2,
+    weight_col: str = "n_chars",
+    source_col: str = "source",
+) -> DataFrame:
+    """Temperature-flattened source mixture (the XLM-R / mT5 recipe:
+    sample sources with p ∝ size^α, α < 1, so head sources stop drowning
+    the tail): Hamilton largest-remainder apportionment of exactly ``k``
+    picks across sources over the TEMPERED totals size^(alpha_q/4)
+    (:func:`_temper` — floored IEEE-sqrt composition, engine-replayable),
+    then each source's slots drawn by the systematic PPS grid over that
+    source's RAW document weights — tempering reshapes the across-source
+    mixture, not the within-source quality signal.
+
+    alpha_q=4 degrades to quota_mixture exactly (pinned by test);
+    alpha_q=2 is α=0.5, the common flattening.
+
+    Scale shape is quota_mixture's verbatim: ONE range-partitioned
+    (source, doc_id) cumsum serves every source; the per-source meta
+    (raw total, tempered total, slots, base) is a source-count-sized
+    relation folded on the driver and broadcast back. Σ n_picks = k
+    exactly (Hamilton exactness + the telescoping grid)."""
+    from .partitioning import global_cumsum
+
+    base = docs.select(
+        F.col(source_col).alias("source"),
+        F.col("doc_id"),
+        F.col(weight_col).cast("long").alias("weight"),
+    ).where(F.col(weight_col) > 0)
+    c = global_cumsum(base, ["source", "doc_id"], "weight", "cum")
+    totals = base.groupBy("source").agg(F.sum("weight").alias("w_src"))
+    trows = sorted(
+        ((r["source"], int(r["w_src"])) for r in totals.collect()), key=lambda t: t[0]
+    )
+    tempered = [(src, w, _temper(w, alpha_q)) for src, w in trows]
+    total_t = sum(t for _, _, t in tempered)
+    if total_t <= 0 or k <= 0:
+        return c.select("source", "doc_id", "weight").limit(0).withColumn(
+            "n_picks", F.lit(0).cast("long")
+        )
+    floors = [
+        (src, w, (k * t) // total_t, (k * t) % total_t) for src, w, t in tempered
+    ]
+    deficit = k - sum(fl for _, _, fl, _ in floors)
+    extra = {
+        src for src, _, _, _ in sorted(floors, key=lambda t: (-t[3], t[0]))[:deficit]
+    }
+    meta_rows, acc = [], 0
+    for src, w, fl, _ in floors:
+        meta_rows.append((src, w, fl + (1 if src in extra else 0), acc))
+        acc += w
+    meta = docs.sparkSession.createDataFrame(
+        meta_rows or [("", 0, 0, 0)], "source string, w_src long, slots long, base long"
+    )
+    j = c.join(F.broadcast(meta), "source")
+
+    def f(x):
+        return F.expr(f"(2 * slots * ({x}) + w_src - 1) DIV (2 * w_src)")
+
+    return (
+        j.withColumn("cum_s", F.col("cum") - F.col("base"))
+        .withColumn("n_picks", (f("cum_s") - f("cum_s - weight")).cast("long"))
+        .where(F.col("n_picks") >= 1)
+        .select("source", "doc_id", "weight", "n_picks")
+    )
