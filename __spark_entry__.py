@@ -793,6 +793,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _flat_docs(s, d), stopwords=_GOPHER_GATE_STOPS
         ),
         "vocab_topk": lambda s, d: TA.vocab_topk(_flat_docs(s, d), k=100),
+        # fastText-style hashed linear classifier inference (zero-shuffle
+        # scan; weights live in the md5 feature hash) + the cross-multiplied
+        # keep threshold (FineWeb-Edu-style curation gate)
+        "classifier_score": lambda s, d: TA.classifier_score(_flat_docs(s, d)),
+        "classifier_select": lambda s, d: TA.classifier_select(
+            _flat_docs(s, d), min_mean_w_e3=0
+        ),
         # per-source vocabulary shape: hapax/dis legomena, TTR (templated-
         # source detector)
         "vocab_growth": lambda s, d: TA.vocab_growth(_flat_docs(s, d)),
@@ -1050,6 +1057,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # n_iters=0: seeded-reservoir centroids, exactly DuckDB-oracled;
         # Lloyd-refined quality is pinned by tests/test_ann_recall.py
         "ivf_topk": lambda s, d: similarity.ivf_topk(_emb(s, d), QUERY_IDS, n_iters=0),
+        # SemDeDup over the planted near-dup corpus (keep-first inside
+        # seeded-reservoir clusters; the plants are the expected drops)
+        "semdedup": lambda s, d: similarity.semdedup(
+            _planted_emb(_emb(s, d)), n_centroids=16, tau_e4=9000
+        ),
+        # D4 prototypicality pruning: drop the per-cluster most-centroid-
+        # similar quartile (seeds at cos 1.0 go first)
+        "d4_prune": lambda s, d: similarity.prototypicality_prune(
+            _emb(s, d), n_centroids=16, drop_bp=2500
+        ),
         # IVF serving from the materialized assignment table (probe cids
         # pushed; in production the assignment is partitioned by cid)
         "ivf_from_index": _ivf_serving,
@@ -1499,6 +1516,86 @@ FROM ranked WHERE rank <= {k}
 """
 
 
+def _cent_asg_sql(n_centroids: int, salt: str = "ivf") -> str:
+    """cent/asg CTE pair replaying ivf_centroids(n_iters=0) + ivf_assign
+    over an existing CTE ``e(vec_id, v)``: md5-priority seeded-reservoir
+    centroid choice, dot-argmax assignment with the (dot DESC, cid DESC)
+    tiebreak of Spark's array_max on struct(dot, cid). ``asg`` keeps the
+    winning raw dot so centroid-cosine consumers (d4) need no recompute."""
+    return f"""pri AS (SELECT vec_id,
+               cast(('0x' || substr(md5('{salt}:' || cast(vec_id AS varchar)), 1, 15)) AS bigint) AS pri
+        FROM e),
+cent AS (SELECT vec_id, cv, cid FROM (
+           SELECT e.vec_id, e.v AS cv,
+                  row_number() OVER (ORDER BY p.pri, p.vec_id) - 1 AS cid
+           FROM pri p JOIN e ON e.vec_id = p.vec_id)
+         WHERE cid < {n_centroids}),
+asg AS (SELECT vec_id, cid, dot FROM (
+          SELECT e.vec_id, c.cid, list_dot_product(e.v, c.cv) AS dot,
+                 row_number() OVER (PARTITION BY e.vec_id
+                     ORDER BY list_dot_product(e.v, c.cv) DESC, c.cid DESC) AS rn
+          FROM e CROSS JOIN cent c)
+        WHERE rn = 1)"""
+
+
+def _semdedup_oracle(n_centroids: int = 16, tau_e4: int = 9000) -> str:
+    """Replays similarity.semdedup over the planted corpus: seeded-reservoir
+    clusters, within-cluster pairwise cosine, keep-first drop verdicts."""
+    return f"""
+WITH {_PLANTED_CORPUS_SQL},
+e AS (SELECT vec_id, cast(embedding AS DOUBLE[]) AS v FROM corpus),
+{_cent_asg_sql(n_centroids)},
+pairs AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+          FROM asg a JOIN asg b ON a.cid = b.cid AND a.vec_id < b.vec_id),
+scored AS (SELECT p.vec_a, p.vec_b,
+                  cast(floor(({_COS_SQL}) * 10000) AS bigint) AS cos_e4
+           FROM pairs p
+           JOIN e ea ON ea.vec_id = p.vec_a
+           JOIN e eb ON eb.vec_id = p.vec_b),
+dropped AS (SELECT DISTINCT vec_b FROM scored WHERE cos_e4 >= {tau_e4})
+SELECT a.vec_id, a.cid, (d.vec_b IS NULL) AS kept
+FROM asg a LEFT JOIN dropped d ON a.vec_id = d.vec_b
+"""
+
+
+def _d4_oracle(n_centroids: int = 16, drop_bp: int = 2500) -> str:
+    """Replays similarity.prototypicality_prune over the plain embeddings
+    table: the winning raw dot from asg normalized by both norms, per-
+    cluster (cos_c_e4 DESC, vec_id) ranking, (n·drop_bp)//10000 dropped
+    (non-negative numerator: // ≡ Spark DIV)."""
+    return f"""
+WITH e AS (SELECT vec_id, cast(embedding AS DOUBLE[]) AS v FROM embeddings),
+{_cent_asg_sql(n_centroids)},
+scored AS (SELECT a.vec_id, a.cid,
+                  cast(floor(a.dot / (sqrt(list_dot_product(e.v, e.v))
+                       * sqrt(list_dot_product(c.cv, c.cv))) * 10000) AS bigint) AS cos_c_e4
+           FROM asg a
+           JOIN e ON e.vec_id = a.vec_id
+           JOIN cent c ON c.cid = a.cid),
+ranked AS (SELECT vec_id, cid, cos_c_e4,
+                  row_number() OVER (PARTITION BY cid
+                      ORDER BY cos_c_e4 DESC, vec_id) AS rk,
+                  count(*) OVER (PARTITION BY cid) AS n
+           FROM scored)
+SELECT vec_id, cid, cos_c_e4, (rk > (n * {drop_bp}) // 10000) AS kept
+FROM ranked
+"""
+
+
+# _planted_emb replayed in SQL (float32 perturbation arithmetic exact)
+_PLANTED_CORPUS_SQL = """corpus AS (
+  SELECT vec_id, embedding FROM embeddings
+  UNION ALL
+  SELECT vec_id + 600000 AS vec_id,
+         list_transform(embedding, x -> cast(x + cast(0.02 AS REAL) AS REAL)) AS embedding
+  FROM embeddings WHERE vec_id % 40 = 1
+  UNION ALL
+  SELECT vec_id + 700000 AS vec_id,
+         list_transform(embedding, x -> cast(x + cast(0.05 AS REAL) AS REAL)) AS embedding
+  FROM embeddings WHERE vec_id % 40 = 21
+)"""
+
+
 def _emb_dups_chain() -> str:
     """CTE chain replaying similarity.embedding_cosine_dups over the
     _planted_emb corpus (ends at ``scored``): same float32 perturbation
@@ -1512,17 +1609,7 @@ def _emb_dups_chain() -> str:
     )
 
     banded = _banded_sql(EMB_DUP_PLANES, EMB_DUP_TABLES, EMB_DUP_SEED, _emb_dim())
-    return f"""corpus AS (
-  SELECT vec_id, embedding FROM embeddings
-  UNION ALL
-  SELECT vec_id + 600000 AS vec_id,
-         list_transform(embedding, x -> cast(x + cast(0.02 AS REAL) AS REAL)) AS embedding
-  FROM embeddings WHERE vec_id % 40 = 1
-  UNION ALL
-  SELECT vec_id + 700000 AS vec_id,
-         list_transform(embedding, x -> cast(x + cast(0.05 AS REAL) AS REAL)) AS embedding
-  FROM embeddings WHERE vec_id % 40 = 21
-),
+    return f"""{_PLANTED_CORPUS_SQL},
 e AS (SELECT vec_id, cast(embedding AS DOUBLE[]) AS v FROM corpus),
 b AS (
 {banded}
@@ -3225,6 +3312,33 @@ WITH {_BIGRAM_CTES},
 SELECT doc_id, source, surprisal_e2, bucket FROM lab
 """
 
+    # hashed linear classifier: weight = md5-bucket(feature) - 1000, features
+    # are tokens + adjacent bigrams; margin is the integer weight sum (the
+    # CASE guards the bigram range for 0/1-token docs; list_sum of an empty
+    # list is NULL in DuckDB, hence the coalesces)
+    _cls_w = (
+        "cast(('0x' || substr(md5('clsw:' || {f}), 1, 15)) AS bigint) % 2001 - 1000"
+    )
+    _cls_base = f"""
+WITH base AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+f AS (SELECT doc_id,
+             cast(len(toks) + greatest(len(toks) - 1, 0) AS bigint) AS n_feats,
+             cast(coalesce(list_sum(list_transform(toks, t -> {_cls_w.format(f='t')})), 0)
+                  + coalesce(list_sum(CASE WHEN len(toks) >= 2
+                        THEN list_transform(range(1, len(toks)),
+                             i -> {_cls_w.format(f="(toks[i] || ' ' || toks[i+1])")})
+                        ELSE cast([] AS bigint[]) END), 0) AS bigint) AS margin
+      FROM base)"""
+    q["classifier_score"] = f"""
+{_cls_base}
+SELECT doc_id, n_feats, margin FROM f
+"""
+    q["classifier_select"] = f"""
+{_cls_base}
+SELECT doc_id, n_feats, margin FROM f
+WHERE n_feats > 0 AND margin * 1000 >= 0 * n_feats
+"""
+
     q["vocab_topk"] = f"""
 WITH tok AS (SELECT unnest({_TOKS}) AS token FROM documents),
 c AS (SELECT token, count(*) AS cnt FROM tok GROUP BY token)
@@ -4825,6 +4939,8 @@ FROM pt LEFT JOIN ph ON ph.query_id = pt.query_id
     )
     q["ivf_topk"] = _ivf_oracle(ids)
     q["ivf_from_index"] = _ivf_oracle("3", drop_query_col=True)
+    q["semdedup"] = _semdedup_oracle()
+    q["d4_prune"] = _d4_oracle()
     q["embedding_cosine_dups"] = _emb_dups_oracle()
     q["embedding_incremental"] = _emb_incremental_oracle()
     q["embedding_neardup_survivors"] = _emb_neardup_survivors_oracle()

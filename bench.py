@@ -286,6 +286,12 @@ def run_suite(cpus: int, sf_dir: str) -> dict:
         "spam_mass": lambda: LG.spam_mass(
             LG.extract_links(pages), ("example.com", "wiki.example.net")
         ).count(),
+        # round 4 session 5: SemDeDup cluster-scoped keep-first (cid-keyed
+        # self-join), D4 prototypicality prune (one window over cid), and
+        # zero-shuffle hashed-classifier selection
+        "semdedup": lambda: similarity.semdedup(emb, n_centroids=16).count(),
+        "d4_prune": lambda: similarity.prototypicality_prune(emb, n_centroids=16).count(),
+        "classifier_select": lambda: TA.classifier_select(flat, 0).count(),
     }
     timings: dict[str, float] = {}
     extract_wall = None

@@ -745,3 +745,116 @@ def ann_topk_quantized(emb: DataFrame, query_ids: list[int], k: int = 10) -> Dat
         .where(F.col("rank") <= k)
         .select("query_id", "vec_id", "dot_q", "rank")
     )
+
+
+def semdedup(
+    emb: DataFrame,
+    n_centroids: int = 16,
+    tau_e4: int = 9000,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning at
+    web-scale through semantic deduplication"): cluster the embedding space,
+    then inside each cluster drop every vector whose cosine to a LOWER-id
+    cluster-mate reaches ``tau_e4`` (keep-first, the same deterministic
+    survivor rule as dedup_keep_first — no transitive closure, so the kept
+    set is a pure per-pair predicate and the oracle needs no recursion).
+
+    Output: (vec_id, cid, kept) for EVERY corpus vector.
+
+    Centroids are the n_iters=0 seeded-reservoir choice (ivf_centroids),
+    making the whole decision an engine-independent function of the stored
+    table — same oracle-ability argument as ivf_topk(n_iters=0).
+
+    Scale shape: one centroid-assignment scan (codebook rides as literals),
+    then a self-join keyed on cid — the pairwise work is Σ|cluster|², which
+    is exactly the knob n_centroids controls (production sizing is
+    n_centroids ∝ √N so clusters stay √N; a skewed/hot cluster takes the
+    same count + hub-cap remedy as dedup.py's hot buckets). cid is the only
+    shuffle key; no corpus-sized driver traffic.
+    """
+    cents = ivf_centroids(emb, n_centroids, n_iters=0)
+    if not cents:
+        return emb.sparkSession.createDataFrame([], "vec_id long, cid int, kept boolean")
+    assigned = ivf_assign(emb, cents).select("vec_id", "embedding", "cid")
+    a = assigned.select(
+        F.col("cid"), F.col("vec_id").alias("vec_a"), F.col("embedding").alias("va")
+    )
+    b = assigned.select(
+        F.col("cid"), F.col("vec_id").alias("vec_b"), F.col("embedding").alias("vb")
+    )
+    cos = _dot(F.col("va"), F.col("vb")) / (_norm(F.col("va")) * _norm(F.col("vb")))
+    dropped = (
+        a.join(b, "cid")
+        .where(F.col("vec_a") < F.col("vec_b"))
+        .where(F.floor(cos * 10000).cast("long") >= tau_e4)
+        .select(F.col("vec_b").alias("vec_id"))
+        .distinct()
+    )
+    return (
+        assigned.join(dropped.withColumn("_drop", F.lit(True)), "vec_id", "left")
+        .select(
+            "vec_id",
+            "cid",
+            F.col("_drop").isNull().alias("kept"),
+        )
+    )
+
+
+def prototypicality_prune(
+    emb: DataFrame,
+    n_centroids: int = 16,
+    drop_bp: int = 2500,
+) -> DataFrame:
+    """D4-style prototypicality pruning (Tirumala et al. 2023, "D4:
+    Improving LLM Pretraining via Document De-Duplication and
+    Diversification"): after semantic dedup, the vectors CLOSEST to their
+    cluster centroid are the most redundant — drop the top ``drop_bp``
+    basis points of each cluster by centroid-cosine, keep the diverse tail.
+
+    Output: (vec_id, cid, cos_c_e4, kept); per cluster of size n exactly
+    (n·drop_bp) DIV 10000 rows are dropped (non-negative numerator, so
+    Spark DIV ≡ DuckDB // — the pinned cross-engine rule), ranked by
+    (cos_c_e4 DESC, vec_id ASC).
+
+    Centroids are again the n_iters=0 seeded-reservoir vectors; note the
+    seed vectors themselves sit at cosine 1.0 to their own centroid and are
+    pruned first — exactly D4's "prototypes are redundant" intent. The
+    argmax assignment compares raw dot products with the (dot, cid DESC)
+    tiebreak of ivf_assign; cos_c_e4 then normalizes the WINNING dot by
+    both norms (the centroid norm is a literal-array fold, bit-identical
+    to the oracle's sqrt(list_dot_product)).
+
+    Scale: one assignment scan + one window over cid — the window's
+    partition key is the cluster id, so state per task is one cluster.
+    """
+    cents = ivf_centroids(emb, n_centroids, n_iters=0)
+    if not cents:
+        return emb.sparkSession.createDataFrame(
+            [], "vec_id long, cid int, cos_c_e4 long, kept boolean"
+        )
+    scored = F.array(
+        *[
+            F.struct(
+                _dot(F.col("embedding"), F.array(*[F.lit(float(x)) for x in c])).alias("dot"),
+                F.lit(i).alias("cid"),
+                _norm(F.array(*[F.lit(float(x)) for x in c])).alias("cnorm"),
+            )
+            for i, c in enumerate(cents)
+        ]
+    )
+    best = F.array_max(scored)
+    base = emb.select(
+        "vec_id",
+        best["cid"].alias("cid"),
+        F.floor(best["dot"] / (_norm(F.col("embedding")) * best["cnorm"]) * 10000)
+        .cast("long")
+        .alias("cos_c_e4"),
+    )
+    w = Window.partitionBy("cid").orderBy(F.desc("cos_c_e4"), F.asc("vec_id"))
+    wc = Window.partitionBy("cid")
+    return (
+        base.withColumn("_rk", F.row_number().over(w))
+        .withColumn("_n", F.count(F.lit(1)).over(wc))
+        .withColumn("kept", F.expr(f"_rk > (_n * {int(drop_bp)}) DIV 10000"))
+        .select("vec_id", "cid", "cos_c_e4", "kept")
+    )

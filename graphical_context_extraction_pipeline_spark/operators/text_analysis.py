@@ -881,3 +881,80 @@ def gopher_rules(
             r_wordcount & r_meanlen & r_symbol & r_bullet & r_ellipsis & r_alpha & r_stop
         ).alias("keep"),
     )
+
+
+# hashed-linear classifier: weight-table size (weights live IN the hash —
+# w(feature) = md5-bucket(feature) - (mod-1)/2, uniform over ±(mod-1)/2)
+CLS_WEIGHT_MOD = 2001
+CLS_SALT = "clsw:"
+
+
+def _cls_weight(feat_col):
+    """Deterministic integer weight in [-1000, 1000] for one feature string:
+    the portable md5 bucket hash (same construction as sampling.hash_bucket)
+    shifted to be zero-mean. Stands in for a trained fastText/FineWeb-Edu
+    weight table: inference-side the lookup is exactly this shape — a pure
+    per-feature expression (a real deployment swaps the hash for a broadcast
+    map over the same feature ids)."""
+    return (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit(CLS_SALT), feat_col)), 1, 15), 16, 10
+        ).cast("long")
+        % CLS_WEIGHT_MOD
+        - (CLS_WEIGHT_MOD - 1) // 2
+    )
+
+
+def classifier_score(docs: DataFrame) -> DataFrame:
+    """FastText-style hashed linear classifier INFERENCE (Joulin et al.
+    2016; the quality-classifier stage of FineWeb-Edu / LLaMA-style
+    curation): features are the lowercased whitespace tokens plus their
+    adjacent bigrams, each hashed straight to an integer weight
+    (_cls_weight); the document score is the feature-weight sum.
+
+    Output: (doc_id, n_feats, margin) — margin is the UN-normalized sum;
+    consumers threshold by integer cross-multiplication (classifier_select)
+    so no division ever enters the contract. |w| ≤ 1000 and n_feats ≤ 2·words
+    keep margin ≤ 2000·words — int64-safe at any realistic document.
+
+    Scale: ZERO shuffle — tokenize, hash, and fold are intra-row HOFs
+    (whole-stage codegen, one corpus scan). Classifier inference at 100 TB
+    is embarrassingly parallel and this plan keeps it that way.
+
+    Bigram construction guards Spark's DESCENDING sequence(1, 0) trap
+    (the same one bpe.py pins): a 0/1-token document must produce an empty
+    bigram array, not a reversed-range fabrication.
+    """
+    toks = _tokens(F.col("text"))
+    base = docs.select("doc_id", toks.alias("toks"))
+    uni_w = F.transform(F.col("toks"), lambda t: _cls_weight(t))
+    big_w = F.when(
+        F.size("toks") >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size("toks") - 1),
+            lambda i: _cls_weight(
+                F.concat(F.element_at(F.col("toks"), i), F.lit(" "), F.element_at(F.col("toks"), i + 1))
+            ),
+        ),
+    ).otherwise(F.array().cast("array<long>"))
+    return base.select(
+        "doc_id",
+        (F.size("toks") + F.greatest(F.size("toks") - 1, F.lit(0))).cast("long").alias("n_feats"),
+        F.aggregate(
+            F.concat(uni_w, big_w), F.lit(0).cast("long"), lambda acc, w: acc + w
+        ).alias("margin"),
+    )
+
+
+def classifier_select(docs: DataFrame, min_mean_w_e3: int = 25_000) -> DataFrame:
+    """Documents the hashed classifier keeps: mean feature weight ≥
+    min_mean_w_e3/1000, tested WITHOUT division as
+    margin·1000 ≥ min_mean_w_e3·n_feats (both sides int64; margin ≤
+    2000·words so the ×1000 stays 4 orders under the budget). Featureless
+    (empty-text) documents are dropped — an empty doc has no evidence of
+    quality. Same zero-shuffle scan as classifier_score plus one filter."""
+    scored = classifier_score(docs)
+    return scored.where(
+        (F.col("n_feats") > 0)
+        & (F.col("margin") * 1000 >= F.lit(int(min_mean_w_e3)) * F.col("n_feats"))
+    )

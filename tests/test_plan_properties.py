@@ -861,3 +861,32 @@ def test_triangle_stats_no_windows_no_collect(spark):
     plan = physical_plan(LG.triangle_stats(LG.extract_links(pages)))
     assert "Window" not in plan, plan
     assert "SinglePartition" not in plan, plan
+
+
+def test_classifier_inference_is_shuffle_free(spark):
+    """Classifier inference at 100 TB must stay embarrassingly parallel:
+    tokenize → hash → fold are intra-row HOFs — one scan, zero Exchange,
+    zero Python (no ArrowEvalPython/BatchEvalPython nodes)."""
+    from graphical_context_extraction_pipeline_spark.operators import text_analysis as TA
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    for df in (TA.classifier_score(docs), TA.classifier_select(docs, 0)):
+        plan = physical_plan(df)
+        assert count_exchanges(df) == 0, plan
+        assert "EvalPython" not in plan, plan
+
+
+def test_semdedup_shuffles_only_on_cid(spark):
+    """SemDeDup's pairwise stage must key on the cluster id alone: the
+    codebook rides as literals (no centroid-side Exchange), so every
+    Exchange in the plan hashes on cid / the final drop-id semi-join —
+    never a corpus-wide all-pairs shape."""
+    from graphical_context_extraction_pipeline_spark.operators import similarity as SIM
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    out = SIM.semdedup(emb, n_centroids=4, tau_e4=9000)
+    plan = physical_plan(out)
+    # assignment itself adds no Exchange: scan → project(argmax literals)
+    assigned = SIM.ivf_assign(emb, SIM.ivf_centroids(emb, 4, 0))
+    assert count_exchanges(assigned) == 0, physical_plan(assigned)
+    assert "EvalPython" not in plan, plan
