@@ -797,8 +797,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # scan; weights live in the md5 feature hash) + the cross-multiplied
         # keep threshold (FineWeb-Edu-style curation gate)
         "classifier_score": lambda s, d: TA.classifier_score(_flat_docs(s, d)),
+        # threshold 110000 sits at the sf0.01 corpus' median mean-weight
+        # (the templated vocabulary skews margins positive), so the gate
+        # actually discriminates (~half kept)
         "classifier_select": lambda s, d: TA.classifier_select(
-            _flat_docs(s, d), min_mean_w_e3=0
+            _flat_docs(s, d), min_mean_w_e3=110_000
         ),
         # per-source vocabulary shape: hapax/dis legomena, TTR (templated-
         # source detector)
@@ -3336,7 +3339,7 @@ SELECT doc_id, n_feats, margin FROM f
     q["classifier_select"] = f"""
 {_cls_base}
 SELECT doc_id, n_feats, margin FROM f
-WHERE n_feats > 0 AND margin * 1000 >= 0 * n_feats
+WHERE n_feats > 0 AND margin * 1000 >= 110000 * n_feats
 """
 
     q["vocab_topk"] = f"""

@@ -291,7 +291,7 @@ def run_suite(cpus: int, sf_dir: str) -> dict:
         # zero-shuffle hashed-classifier selection
         "semdedup": lambda: similarity.semdedup(emb, n_centroids=16).count(),
         "d4_prune": lambda: similarity.prototypicality_prune(emb, n_centroids=16).count(),
-        "classifier_select": lambda: TA.classifier_select(flat, 0).count(),
+        "classifier_select": lambda: TA.classifier_select(flat, 110_000).count(),
     }
     timings: dict[str, float] = {}
     extract_wall = None
