@@ -957,6 +957,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             s.createDataFrame(list(BM25_BATCH), "query_id long, query string"),
             k=10,
         ),
+        # hard-negative mining: depth-20 BM25 candidates minus the
+        # conjunctive (all-tokens) labeled positives, top-5 survivors
+        "hard_negatives": lambda s, d: SE.hard_negatives(
+            SE.inverted_index(_tailed_docs(_flat_docs(s, d))),
+            SE.doc_norms(_tailed_docs(_flat_docs(s, d))),
+            s.createDataFrame(list(BM25_BATCH), "query_id long, query string"),
+            SE.and_matches(
+                _tailed_docs(_flat_docs(s, d)),
+                s.createDataFrame(list(BM25_BATCH), "query_id long, query string"),
+            ),
+            k=5,
+            depth=20,
+        ),
         # hybrid retrieval: reciprocal-rank fusion of the lexical and
         # vector serving paths (doc embeddings share the document id
         # space), integer e6 contributions — the standard BM25+ANN mixer
@@ -4218,7 +4231,7 @@ ORDER BY dist ASC, df DESC, token ASC LIMIT 10
         for tok in sorted(set(qtext.lower().split()))
     )
     _idf_items, _idf_col = ln_e6_sql("2 * nd + 2", "2 * df + 1", "b")
-    q["bm25_serve_batch"] = f"""
+    _serve_ctes = f"""
 WITH docs AS (SELECT doc_id,
                      text || ' tail' || cast(doc_id % 311 AS varchar) AS text
               FROM documents),
@@ -4248,9 +4261,28 @@ scored AS (SELECT c.query_id, c.doc_id,
 ranked AS (SELECT query_id, doc_id, score_e6,
                   cast(row_number() OVER (PARTITION BY query_id
                        ORDER BY score_e6 DESC, doc_id ASC) AS bigint) AS rank
-           FROM scored)
+           FROM scored)"""
+    q["bm25_serve_batch"] = f"""{_serve_ctes}
 SELECT query_id, doc_id, score_e6, rank FROM ranked
 WHERE rank <= 10 AND score_e6 > 0
+"""
+
+    # hard-negative mining: the serve chain at depth 20, conjunctive
+    # (all-query-tokens) matches as labeled positives, anti-join, re-rank
+    q["hard_negatives"] = f"""{_serve_ctes},
+qarr AS (SELECT query_id, list(DISTINCT token) AS qtoks FROM qt GROUP BY 1),
+pos AS (SELECT q.query_id, d2.doc_id
+        FROM d d2 CROSS JOIN qarr q
+        WHERE len(list_filter(q.qtoks, x -> NOT list_contains(d2.toks, x))) = 0),
+neg AS (SELECT r.query_id, r.doc_id, r.score_e6
+        FROM ranked r
+        LEFT JOIN pos p ON p.query_id = r.query_id AND p.doc_id = r.doc_id
+        WHERE p.doc_id IS NULL AND r.rank <= 20 AND r.score_e6 > 0),
+nr AS (SELECT query_id, doc_id, score_e6,
+              cast(row_number() OVER (PARTITION BY query_id
+                   ORDER BY score_e6 DESC, doc_id ASC) AS bigint) AS neg_rank
+       FROM neg)
+SELECT query_id, doc_id, score_e6, neg_rank FROM nr WHERE neg_rank <= 5
 """
 
     # hybrid retrieval: both serving chains composed in one WITH (CTE

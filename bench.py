@@ -181,6 +181,10 @@ def run_suite(cpus: int, sf_dir: str) -> dict:
         ),
         "label",
     )
+    hn_queries = spark.createDataFrame(
+        [(1, "dup vector spark"), (2, "dup graft"), (3, "vector pipeline")],
+        "query_id long, query string",
+    )
 
     suite = {
         "extract": lambda: extract_documents(docs).count(),
@@ -285,6 +289,17 @@ def run_suite(cpus: int, sf_dir: str) -> dict:
         ).count(),
         "spam_mass": lambda: LG.spam_mass(
             LG.extract_links(pages), ("example.com", "wiki.example.net")
+        ).count(),
+        # round 4 session 5: hard-negative mining (serve-batch chain at
+        # depth 20 + conjunctive-positive anti-join)
+        "hard_negatives": lambda: SE.hard_negatives(
+            idx_df,
+            norms_df,
+            hn_queries,
+            SE.and_matches(flat, hn_queries),
+            k=5,
+            depth=20,
+            stats=norms_stats,
         ).count(),
         # round 4 session 5: SemDeDup cluster-scoped keep-first (cid-keyed
         # self-join), D4 prototypicality prune (one window over cid), and

@@ -885,3 +885,69 @@ def index_stats(index: DataFrame) -> DataFrame:
         F.max("df").cast("long").alias("max_df"),
         F.length(F.bin(F.max("df"))).cast("long").alias("max_df_bits"),
     )
+
+
+def and_matches(docs: DataFrame, queries: DataFrame) -> DataFrame:
+    """Conjunctive (AND) lexical matches: (query_id, doc_id) pairs where
+    the document contains EVERY query token — the deterministic "labeled
+    positive" rule for hard-negative mining (a doc matching all terms is
+    relevant by construction; a high-BM25 doc missing one is the classic
+    hard negative).
+
+    Tokenization matches the index side (_tokens: lowercase, ``\\s+``,
+    drop empties) for documents and the serving side (single-space split)
+    for queries. Scale: the query relation is broadcast and the
+    containment test is one intra-row array_except per (doc, query) — a
+    zero-shuffle corpus scan, the same shape classifier inference uses.
+    """
+    qarr = queries.select(
+        "query_id",
+        F.array_distinct(
+            F.filter(F.split(F.lower("query"), " "), lambda t: t != "")
+        ).alias("qtoks"),
+    )
+    d = docs.select("doc_id", _tokens(F.col("text")).alias("toks"))
+    return (
+        d.join(F.broadcast(qarr), F.size(F.array_except("qtoks", "toks")) == 0)
+        .select("query_id", "doc_id")
+    )
+
+
+def hard_negatives(
+    index: DataFrame,
+    norms: DataFrame,
+    queries: DataFrame,
+    positives: DataFrame,
+    k: int = 5,
+    depth: int = 20,
+    stats: tuple[int, int] | None = None,
+) -> DataFrame:
+    """Hard-negative mining for retrieval training (the DPR / Contriever
+    recipe): for each query, take the ``depth`` highest-BM25 candidates
+    from the standing index, remove the labeled ``positives``
+    (query_id, doc_id), and keep the top ``k`` survivors as negatives —
+    documents the lexical ranker loves but the labels reject, exactly the
+    pairs a dual encoder learns most from.
+
+    Output: (query_id, doc_id, score_e6, neg_rank), neg_rank by
+    (score_e6 DESC, doc_id ASC) after the anti-join — deterministic and
+    oracle-exact since the scores are bm25_serve_batch's fixed-point
+    integers.
+
+    Scale: everything rides bm25_serve_batch's plan (postings explode on
+    executors, per-query windows); the positives anti-join keys on
+    (query_id, doc_id) over a depth-bounded relation — KB-scale per
+    query batch.
+    """
+    from pyspark.sql import Window
+
+    ranked = bm25_serve_batch(index, norms, queries, k=depth, stats=stats)
+    neg = ranked.join(positives, ["query_id", "doc_id"], "left_anti")
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score_e6").desc(), F.col("doc_id").asc()
+    )
+    return (
+        neg.withColumn("neg_rank", F.row_number().over(w).cast("long"))
+        .where(F.col("neg_rank") <= k)
+        .select("query_id", "doc_id", "score_e6", "neg_rank")
+    )
