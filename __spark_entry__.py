@@ -1083,6 +1083,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d4_prune": lambda s, d: similarity.prototypicality_prune(
             _emb(s, d), n_centroids=16, drop_bp=2500
         ),
+        # margin-based bitext mining (even ids = source space, odd =
+        # target): banded candidates, integer ratio-margin vs each side's
+        # top-4 neighborhood, best target per source above the ~median
+        # 1.30 margin (literature default 1.06 keeps nearly everything
+        # on this corpus)
+        "bitext_mine": lambda s, d: similarity.bitext_mine(
+            _emb(s, d).where(F.col("vec_id") % 2 == 0),
+            _emb(s, d).where(F.col("vec_id") % 2 == 1),
+            k=4,
+            min_margin_e6=1_300_000,
+        ),
         # IVF serving from the materialized assignment table (probe cids
         # pushed; in production the assignment is partitioned by cid)
         "ivf_from_index": _ivf_serving,
@@ -1595,6 +1606,50 @@ ranked AS (SELECT vec_id, cid, cos_c_e4,
            FROM scored)
 SELECT vec_id, cid, cos_c_e4, (rk > (n * {drop_bp}) // 10000) AS kept
 FROM ranked
+"""
+
+
+def _bitext_oracle(k: int = 4, min_margin_e6: int = 1_300_000) -> str:
+    """Replays similarity.bitext_mine over the vec_id-parity split:
+    banded candidates, per-pair e6 floor, then PURE-int64 ratio margins
+    (integer neighborhood sums are summation-order-free — a float mean
+    would not replay; the pinned Lloyd-step lesson)."""
+    from graphical_context_extraction_pipeline_spark.operators.similarity import (
+        EMB_DUP_PLANES,
+        EMB_DUP_SEED,
+        EMB_DUP_TABLES,
+    )
+
+    banded = _banded_sql(EMB_DUP_PLANES, EMB_DUP_TABLES, EMB_DUP_SEED, _emb_dim())
+    return f"""
+WITH e AS (SELECT vec_id, cast(embedding AS DOUBLE[]) AS v FROM embeddings),
+b AS (
+{banded}
+),
+cand AS (SELECT DISTINCT a.vec_id AS src_id, b2.vec_id AS tgt_id
+         FROM b a JOIN b b2 ON a.tbl = b2.tbl AND a.bucket = b2.bucket
+         WHERE a.vec_id % 2 = 0 AND b2.vec_id % 2 = 1),
+p AS (SELECT c.src_id, c.tgt_id,
+             cast(floor(({_COS_SQL}) * 1000000) AS bigint) AS cos_e6
+      FROM cand c JOIN e ea ON ea.vec_id = c.src_id
+                  JOIN e eb ON eb.vec_id = c.tgt_id
+      WHERE cast(floor(({_COS_SQL}) * 1000000) AS bigint) > 0),
+r AS (SELECT *,
+             row_number() OVER (PARTITION BY src_id ORDER BY cos_e6 DESC, tgt_id) AS rx,
+             row_number() OVER (PARTITION BY tgt_id ORDER BY cos_e6 DESC, src_id) AS ry
+      FROM p),
+sx AS (SELECT src_id, cast(sum(cos_e6) AS bigint) AS sx, count(*) AS kx
+       FROM r WHERE rx <= 4 GROUP BY 1),
+sy AS (SELECT tgt_id, cast(sum(cos_e6) AS bigint) AS sy, count(*) AS ky
+       FROM r WHERE ry <= 4 GROUP BY 1),
+sc AS (SELECT p.src_id, p.tgt_id, p.cos_e6,
+              cast((2000000 * p.cos_e6 * sx.kx * sy.ky)
+                   // (sx.sx * sy.ky + sy.sy * sx.kx) AS bigint) AS margin_e6
+       FROM p JOIN sx USING (src_id) JOIN sy USING (tgt_id)),
+best AS (SELECT *, row_number() OVER (PARTITION BY src_id
+              ORDER BY margin_e6 DESC, tgt_id) AS rk FROM sc)
+SELECT src_id, tgt_id, cos_e6, margin_e6 FROM best
+WHERE rk = 1 AND margin_e6 >= 1300000
 """
 
 
@@ -4976,6 +5031,8 @@ FROM pt LEFT JOIN ph ON ph.query_id = pt.query_id
     q["ivf_from_index"] = _ivf_oracle("3", drop_query_col=True)
     q["semdedup"] = _semdedup_oracle()
     q["d4_prune"] = _d4_oracle()
+
+    q["bitext_mine"] = _bitext_oracle()
     q["embedding_cosine_dups"] = _emb_dups_oracle()
     q["embedding_incremental"] = _emb_incremental_oracle()
     q["embedding_neardup_survivors"] = _emb_neardup_survivors_oracle()

@@ -307,6 +307,14 @@ def run_suite(cpus: int, sf_dir: str) -> dict:
         "semdedup": lambda: similarity.semdedup(emb, n_centroids=16).count(),
         "d4_prune": lambda: similarity.prototypicality_prune(emb, n_centroids=16).count(),
         "classifier_select": lambda: TA.classifier_select(flat, 110_000).count(),
+        # round 4 session 5: margin-based bitext mining across the vec_id
+        # parity split (banded candidates, integer ratio margins)
+        "bitext_mine": lambda: similarity.bitext_mine(
+            emb.where(_F.col("vec_id") % 2 == 0),
+            emb.where(_F.col("vec_id") % 2 == 1),
+            k=4,
+            min_margin_e6=1_300_000,
+        ).count(),
     }
     timings: dict[str, float] = {}
     extract_wall = None

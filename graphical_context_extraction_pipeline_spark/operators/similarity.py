@@ -858,3 +858,91 @@ def prototypicality_prune(
         .withColumn("kept", F.expr(f"_rk > (_n * {int(drop_bp)}) DIV 10000"))
         .select("vec_id", "cid", "cos_c_e4", "kept")
     )
+
+
+def bitext_mine(
+    src: DataFrame,
+    tgt: DataFrame,
+    k: int = 4,
+    min_margin_e6: int = 1_060_000,
+    n_planes: int = EMB_DUP_PLANES,
+    n_tables: int = EMB_DUP_TABLES,
+    seed: int = EMB_DUP_SEED,
+) -> DataFrame:
+    """Margin-based bitext mining (Artetxe & Schwenk 2019; the
+    CCMatrix/LASER recipe for mining parallel training pairs from two
+    monolingual embedding spaces): candidates from the multi-table
+    sign-bucket banding, ratio-margin scoring against each side's
+    top-``k`` candidate neighborhood, best target per source kept when
+    the margin clears ``min_margin_e6``.
+
+    margin(x,y) = cos(x,y) / ((mean_k cos(x,·) + mean_k cos(y,·)) / 2),
+    computed ENTIRELY in int64 after the per-pair e6 floor:
+    margin_e6 = (2e6·cos_e6·kx·ky) DIV (sx·ky + sy·kx) with sx/kx the
+    sum/count of x's top-k candidate cosines — integer sums are
+    summation-order-free, so the oracle replays the margin bit-for-bit
+    (a float neighborhood MEAN would not be; that's the pinned Lloyd-
+    step lesson). Negative-cos candidates are dropped before the
+    neighborhood stats, keeping every numerator/denominator
+    non-negative (DIV ≡ floor, the pinned cross-engine rule).
+
+    Output: (src_id, tgt_id, cos_e6, margin_e6) — at most one row per
+    src_id (best margin, tgt_id tiebreak).
+
+    Scale: banding is the same one-scan vectorized kernel as
+    embedding_cosine_dups; the candidate join keys on (table, bucket)
+    — never all-pairs — and every window partitions by a vector id.
+    Production adds the hot-bucket hub cap before the join, exactly as
+    dedup.py's machinery; mining quality then degrades gracefully to
+    the banding recall curve documented on ann_topk_lsh.
+    """
+    dim = _embedding_dim(src)
+    bs = lsh_bucket_multi(src, n_planes, n_tables, seed, dim).select(
+        F.col("vec_id").alias("src_id"), "table", "bucket"
+    )
+    bt = lsh_bucket_multi(tgt, n_planes, n_tables, seed, dim).select(
+        F.col("vec_id").alias("tgt_id"), "table", "bucket"
+    )
+    cand = bs.join(bt, ["table", "bucket"]).select("src_id", "tgt_id").distinct()
+    sv = src.select(F.col("vec_id").alias("src_id"), F.col("embedding").alias("sv"))
+    tv = tgt.select(F.col("vec_id").alias("tgt_id"), F.col("embedding").alias("tv"))
+    cos = _dot(F.col("sv"), F.col("tv")) / (_norm(F.col("sv")) * _norm(F.col("tv")))
+    pairs = (
+        cand.join(sv, "src_id")
+        .join(tv, "tgt_id")
+        .select(
+            "src_id",
+            "tgt_id",
+            F.floor(cos * 1_000_000).cast("long").alias("cos_e6"),
+        )
+        .where(F.col("cos_e6") > 0)
+    )
+    wx = Window.partitionBy("src_id").orderBy(F.desc("cos_e6"), F.asc("tgt_id"))
+    wy = Window.partitionBy("tgt_id").orderBy(F.desc("cos_e6"), F.asc("src_id"))
+    ranked = pairs.withColumn("rx", F.row_number().over(wx)).withColumn(
+        "ry", F.row_number().over(wy)
+    )
+    sx = (
+        ranked.where(F.col("rx") <= k)
+        .groupBy("src_id")
+        .agg(F.sum("cos_e6").alias("sx"), F.count(F.lit(1)).alias("kx"))
+    )
+    sy = (
+        ranked.where(F.col("ry") <= k)
+        .groupBy("tgt_id")
+        .agg(F.sum("cos_e6").alias("sy"), F.count(F.lit(1)).alias("ky"))
+    )
+    scored = (
+        pairs.join(sx, "src_id")
+        .join(sy, "tgt_id")
+        .withColumn(
+            "margin_e6",
+            F.expr("(2000000 * cos_e6 * kx * ky) DIV (sx * ky + sy * kx)"),
+        )
+    )
+    wbest = Window.partitionBy("src_id").orderBy(F.desc("margin_e6"), F.asc("tgt_id"))
+    return (
+        scored.withColumn("_rk", F.row_number().over(wbest))
+        .where((F.col("_rk") == 1) & (F.col("margin_e6") >= min_margin_e6))
+        .select("src_id", "tgt_id", "cos_e6", "margin_e6")
+    )
