@@ -869,6 +869,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 for r in BE.bpe_learn(_flat_docs(s, d), n_merges=40).collect()
             ],
         ),
+        # per-source pieces-per-word (the doc-mixture → token-budget
+        # conversion factor); rides the same learned merge table
+        "tokenizer_fertility": lambda s, d: BE.tokenizer_fertility(
+            _flat_docs(s, d),
+            [
+                (r["left"], r["right"])
+                for r in BE.bpe_learn(_flat_docs(s, d), n_merges=40).collect()
+            ],
+        ),
         # ---- corpus management: passage dup scan, snapshot diff, profile ----
         "duplicate_passages": lambda s, d: dedup.duplicate_passages(_flat_docs(s, d)),
         # passage REMOVAL (the corpus-cleaning end product of the scan)
@@ -3696,6 +3705,23 @@ ORDER BY cnt DESC, "left" ASC, "right" ASC LIMIT 100
         f"SELECT doc_id, n_words, n_pieces, pieces_sig "
         f"FROM read_parquet('{art_dir}/oracle_bpe_encode.parquet')"
     )
+
+    # fertility: the replica's per-doc piece counts (transport, as above)
+    # re-joined and rolled up per source INSIDE DuckDB — the rollup and
+    # the DIV fixed point are genuinely recomputed
+    q["tokenizer_fertility"] = f"""
+WITH enc AS (SELECT doc_id, n_words, n_pieces
+             FROM read_parquet('{art_dir}/oracle_bpe_encode.parquet')),
+j AS (SELECT d.source, e.n_words, e.n_pieces
+      FROM enc e JOIN documents d USING (doc_id))
+SELECT source,
+       cast(sum(n_words) AS bigint) AS n_words,
+       cast(sum(n_pieces) AS bigint) AS n_pieces,
+       cast(CASE WHEN sum(n_words) > 0
+            THEN (10000 * sum(n_pieces)) // sum(n_words) ELSE 0 END AS bigint)
+         AS fertility_bp
+FROM j GROUP BY source
+"""
 
     # first-fit-sequential packing fold replayed as a recursive CTE: each
     # bucket's rows advance rn -> rn+1 carrying (seq_idx, fill) — the exact

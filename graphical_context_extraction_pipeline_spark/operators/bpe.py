@@ -230,3 +230,42 @@ def bpe_encode(
     return docs.select("doc_id", text_col).mapInPandas(
         _batches, schema="doc_id long, n_words long, n_pieces long, pieces_sig string"
     )
+
+
+def tokenizer_fertility(
+    docs: DataFrame,
+    merges: list[tuple[str, str]],
+    source_col: str = "source",
+) -> DataFrame:
+    """Per-source tokenizer fertility: BPE pieces per whitespace word,
+    in basis points — the metric that converts a document-count mixture
+    into a TOKEN budget (verbose-tokenizing sources eat more of a fixed
+    token budget than their doc share suggests; fertility is also the
+    standard tokenizer-quality probe per domain/language).
+
+    Output: (source, n_words, n_pieces, fertility_bp) with
+    fertility_bp = (10000·Σpieces) DIV Σwords (non-negative integers, so
+    DIV ≡ floor cross-engine); an all-empty source reports 0.
+
+    Scale: rides bpe_encode's zero-shuffle Arrow map; the rollup is one
+    partial-agg groupBy on the source key (sources are few), plus the
+    doc_id join to fetch the source column — co-located when both sides
+    are bucketed by doc_id."""
+    enc = bpe_encode(docs, merges)
+    j = enc.join(docs.select("doc_id", source_col), "doc_id")
+    agg = j.groupBy(source_col).agg(
+        F.sum("n_words").cast("long").alias("n_words"),
+        F.sum("n_pieces").cast("long").alias("n_pieces"),
+    )
+    return agg.select(
+        source_col,
+        "n_words",
+        "n_pieces",
+        F.when(
+            F.col("n_words") > 0,
+            F.expr("(10000 * n_pieces) DIV n_words"),
+        )
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("fertility_bp"),
+    )

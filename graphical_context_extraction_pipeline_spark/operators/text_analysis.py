@@ -917,32 +917,64 @@ def classifier_score(docs: DataFrame) -> DataFrame:
     so no division ever enters the contract. |w| ≤ 1000 and n_feats ≤ 2·words
     keep margin ≤ 2000·words — int64-safe at any realistic document.
 
-    Scale: ZERO shuffle — tokenize, hash, and fold are intra-row HOFs
-    (whole-stage codegen, one corpus scan). Classifier inference at 100 TB
-    is embarrassingly parallel and this plan keeps it that way.
+    Scale: ZERO shuffle — one Arrow-batched kernel over (doc_id, text)
+    with a per-batch FEATURE-WEIGHT MEMO (Zipf: distinct features ≪
+    occurrences, so the md5 runs ~once per distinct feature per batch —
+    the bpe_encode pattern). Classifier inference at 100 TB is
+    embarrassingly parallel and this plan keeps it that way. A pure
+    Catalyst-expression twin (transform + aggregate HOFs over the
+    _cls_weight chain) produced identical rows but ran the md5/conv
+    chain through the INTERPRETED per-element HOF evaluator — 9.6 s vs
+    0.4 s at sf0.1 for the same output; the lsh_bucket_multi lesson
+    repeats.
 
-    Bigram construction guards Spark's DESCENDING sequence(1, 0) trap
-    (the same one bpe.py pins): a 0/1-token document must produce an empty
-    bigram array, not a reversed-range fabrication.
+    Tokenization matches _tokens' Java-regex semantics exactly
+    (ASCII-\\s split, drop empties, ASCII lower — same pin as
+    bpe_encode); the memoized weight is bit-identical to _cls_weight.
     """
-    toks = _tokens(F.col("text"))
-    base = docs.select("doc_id", toks.alias("toks"))
-    uni_w = F.transform(F.col("toks"), lambda t: _cls_weight(t))
-    big_w = F.when(
-        F.size("toks") >= 2,
-        F.transform(
-            F.sequence(F.lit(1), F.size("toks") - 1),
-            lambda i: _cls_weight(
-                F.concat(F.element_at(F.col("toks"), i), F.lit(" "), F.element_at(F.col("toks"), i + 1))
-            ),
-        ),
-    ).otherwise(F.array().cast("array<long>"))
-    return base.select(
-        "doc_id",
-        (F.size("toks") + F.greatest(F.size("toks") - 1, F.lit(0))).cast("long").alias("n_feats"),
-        F.aggregate(
-            F.concat(uni_w, big_w), F.lit(0).cast("long"), lambda acc, w: acc + w
-        ).alias("margin"),
+    import hashlib
+    import re
+    from typing import Iterator
+
+    import pandas as pd
+
+    java_ws = re.compile(r"[ \t\n\x0b\f\r]+")
+    half = (CLS_WEIGHT_MOD - 1) // 2
+    salt = CLS_SALT
+
+    def _w(feat: str, memo: dict) -> int:
+        got = memo.get(feat)
+        if got is None:
+            got = (
+                int(hashlib.md5((salt + feat).encode()).hexdigest()[:15], 16)
+                % CLS_WEIGHT_MOD
+                - half
+            )
+            memo[feat] = got
+        return got
+
+    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        memo: dict = {}
+        for pdf in it:
+            n_out, m_out = [], []
+            for text in pdf["text"]:
+                toks = [t for t in java_ws.split((text or "").lower()) if t]
+                m = 0
+                for t in toks:
+                    m += _w(t, memo)
+                prev = None
+                for t in toks:
+                    if prev is not None:
+                        m += _w(prev + " " + t, memo)
+                    prev = t
+                n_out.append(len(toks) + max(len(toks) - 1, 0))
+                m_out.append(m)
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "n_feats": n_out, "margin": m_out}
+            )
+
+    return docs.select("doc_id", "text").mapInPandas(
+        _batches, "doc_id long, n_feats long, margin long"
     )
 
 

@@ -137,3 +137,27 @@ def test_encode_spark_matches_replica(spark, flat_docs):
         for r in OA._bpe_encode_replica(rows, seq_rows)
     }
     assert got == ref
+
+
+def test_tokenizer_fertility_rollup(spark):
+    from graphical_context_extraction_pipeline_spark.operators import bpe as BE
+
+    docs = spark.createDataFrame(
+        [
+            (1, "aa bb aa", "s1"),
+            (2, "aa", "s1"),
+            (3, "", "s2"),
+            (4, "cc dd", "s3"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    merges = [(r["left"], r["right"]) for r in BE.bpe_learn(docs, n_merges=3).collect()]
+    enc = {r["doc_id"]: (r["n_words"], r["n_pieces"]) for r in BE.bpe_encode(docs, merges).collect()}
+    got = {r["source"]: (r["n_words"], r["n_pieces"], r["fertility_bp"])
+           for r in BE.tokenizer_fertility(docs, merges).collect()}
+    for src, ids in (("s1", [1, 2]), ("s2", [3]), ("s3", [4])):
+        w = sum(enc[i][0] for i in ids)
+        p = sum(enc[i][1] for i in ids)
+        assert got[src] == (w, p, (10000 * p) // w if w else 0)
+    # the empty-text source reports zero, not a division error
+    assert got["s2"] == (0, 0, 0)

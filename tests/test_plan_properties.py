@@ -865,15 +865,18 @@ def test_triangle_stats_no_windows_no_collect(spark):
 
 def test_classifier_inference_is_shuffle_free(spark):
     """Classifier inference at 100 TB must stay embarrassingly parallel:
-    tokenize → hash → fold are intra-row HOFs — one scan, zero Exchange,
-    zero Python (no ArrowEvalPython/BatchEvalPython nodes)."""
+    one Arrow-batched kernel over a pruned (doc_id, text) scan — zero
+    Exchange, no row-at-a-time Python (BatchEvalPython), and the scan
+    must not drag other columns through the kernel."""
     from graphical_context_extraction_pipeline_spark.operators import text_analysis as TA
 
     docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     for df in (TA.classifier_score(docs), TA.classifier_select(docs, 0)):
         plan = physical_plan(df)
         assert count_exchanges(df) == 0, plan
-        assert "EvalPython" not in plan, plan
+        assert "BatchEvalPython" not in plan, plan
+        cols = read_schema_columns(df)
+        assert set(cols) <= {"doc_id", "text"}, cols
 
 
 def test_semdedup_shuffles_only_on_cid(spark):
