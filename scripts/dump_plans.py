@@ -191,6 +191,59 @@ def main() -> None:
             "sentence count); the corpus payload joins back exactly once and "
             "the rebuild is one intra-row array_except.",
         ),
+        (
+            "classifier_score (hashed linear inference)",
+            __import__(
+                "graphical_context_extraction_pipeline_spark.operators.text_analysis",
+                fromlist=["text_analysis"],
+            ).classifier_score(flat),
+            "one Arrow-batched kernel over a (doc_id, text)-pruned scan — "
+            "zero Exchange; the feature-weight memo keeps the md5 at "
+            "once-per-distinct-feature (the expression-HOF twin was 15× "
+            "slower for identical rows).",
+        ),
+        (
+            "semdedup (cluster-scoped keep-first)",
+            __import__(
+                "graphical_context_extraction_pipeline_spark.operators.similarity",
+                fromlist=["similarity"],
+            ).semdedup(
+                spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet"),
+                n_centroids=16,
+            ),
+            "centroid assignment is a pure projection (codebook literals — "
+            "no centroid-side Exchange); the pairwise stage keys on cid "
+            "alone, so Σ|cluster|² is the explicit n_centroids knob.",
+        ),
+        (
+            "d4_prune (prototypicality)",
+            __import__(
+                "graphical_context_extraction_pipeline_spark.operators.similarity",
+                fromlist=["similarity"],
+            ).prototypicality_prune(
+                spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet"),
+                n_centroids=16,
+            ),
+            "one assignment scan + one window partitioned by cid — per-task "
+            "state is a single cluster; no corpus-wide window.",
+        ),
+        (
+            "bitext_mine (margin-based mining)",
+            __import__(
+                "graphical_context_extraction_pipeline_spark.operators.similarity",
+                fromlist=["similarity"],
+            ).bitext_mine(
+                spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet").where(
+                    F.col("vec_id") % 2 == 0
+                ),
+                spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet").where(
+                    F.col("vec_id") % 2 == 1
+                ),
+            ),
+            "candidates only from (table, bucket) equi-joins across the two "
+            "banded sides; every window partitions by a vector id; margins "
+            "are int64 expressions over broadcast-joined neighborhood sums.",
+        ),
     ]
 
     # index-backed BM25 serving: materialize the index + norms to parquet
@@ -273,6 +326,28 @@ def main() -> None:
             "executor-side (Generate over the index scan — never a driver "
             "collect); the top-k window partitions by query_id, never "
             "SinglePartition; document text appears nowhere.",
+        ),
+        (
+            "hard_negatives (mining from the serving index)",
+            SE.hard_negatives(
+                spark.read.parquet(f"{idx_dir}/postings"),
+                spark.read.parquet(f"{idx_dir}/norms"),
+                spark.createDataFrame(
+                    [(1, "dup graft"), (2, "vector spark")],
+                    "query_id long, query string",
+                ),
+                SE.and_matches(
+                    flat,
+                    spark.createDataFrame(
+                        [(1, "dup graft"), (2, "vector spark")],
+                        "query_id long, query string",
+                    ),
+                ),
+            ),
+            "rides the bm25_serve_batch plan; the positives side is a "
+            "zero-shuffle corpus scan with the query batch broadcast "
+            "(intra-row containment), anti-joined against the depth-"
+            "bounded candidate relation.",
         ),
         (
             "ann_from_index (vector point serving)",
