@@ -869,6 +869,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 for r in BE.bpe_learn(_flat_docs(s, d), n_merges=40).collect()
             ],
         ),
+        # word2vec negative-sampling table: count^(3/4)-proportional
+        # exactly-k draw over the vocabulary (tempered PPS, k=500)
+        "negative_sampling": lambda s, d: SA.negative_sampling(
+            _flat_docs(s, d), k=500, alpha_q=3
+        ),
         # per-source pieces-per-word (the doc-mixture → token-budget
         # conversion factor); rides the same learned merge table
         "tokenizer_fertility": lambda s, d: BE.tokenizer_fertility(
@@ -3542,6 +3547,30 @@ SELECT source, doc_id, rk FROM r WHERE rk <= 5
     # exactly-k systematic PPS draw: window cumsum replays the engine's
     # distributed prefix sum; all division numerators non-negative so
     # DuckDB // and Spark DIV agree (pinned cross-engine rule)
+    # word2vec negative-sampling table: tempered (q=3 ⇒ ^0.75) unigram
+    # counts through the SAME systematic PPS grid; token strings order
+    # binary/lexicographically identically in both engines (ASCII corpus)
+    from graphical_context_extraction_pipeline_spark.operators.sampling import (
+        temper_sql as _temper_sql,
+    )
+
+    _t34 = _temper_sql("cnt", 3)
+    q["negative_sampling"] = f"""
+WITH vocab AS (SELECT token, cast(count(*) AS bigint) AS cnt
+               FROM (SELECT unnest({_TOKS}) AS token FROM documents)
+               GROUP BY token),
+t AS (SELECT token, cnt, {_t34} AS weight FROM vocab WHERE {_t34} > 0),
+c AS (SELECT token, cnt, weight,
+             sum(weight) OVER (ORDER BY token ROWS UNBOUNDED PRECEDING) AS cum
+      FROM t),
+w AS (SELECT sum(weight) AS W FROM t),
+m AS (SELECT token, cnt, weight,
+             cast((1000 * cum + W - 1) // (2 * W)
+                  - (1000 * (cum - weight) + W - 1) // (2 * W) AS bigint) AS n_picks
+      FROM c, w)
+SELECT token, cnt, weight, n_picks FROM m WHERE n_picks >= 1
+"""
+
     q["weighted_sample"] = """
 WITH base AS (SELECT doc_id, cast(n_chars AS bigint) AS weight
               FROM documents WHERE n_chars > 0),

@@ -649,3 +649,59 @@ def temperature_mixture(
         .where(F.col("n_picks") >= 1)
         .select("source", "doc_id", "weight", "n_picks")
     )
+
+
+def temper_expr(col, alpha_q: int):
+    """Spark-expression twin of :func:`_temper` (floored IEEE-sqrt
+    composition; java.lang.Math.sqrt is correctly rounded, same contract
+    as the python/DuckDB twins). Needed where the tempered relation is
+    corpus-scale (e.g. a vocabulary) and driver-side tempering can't
+    apply; same int64→double budget notes as _temper."""
+    c = col.cast("double")
+    if alpha_q == 4:
+        return col.cast("long")
+    if alpha_q == 2:
+        return F.floor(F.sqrt(c)).cast("long")
+    if alpha_q == 3:
+        inner = F.floor(F.sqrt(c)).cast("long")
+        return F.floor(F.sqrt((col.cast("long") * inner).cast("double"))).cast("long")
+    if alpha_q == 1:
+        inner = F.floor(F.sqrt(c)).cast("long")
+        return F.floor(F.sqrt(inner.cast("double"))).cast("long")
+    raise ValueError(f"alpha_q must be in {{1,2,3,4}}, got {alpha_q}")
+
+
+def negative_sampling(docs: DataFrame, k: int = 1000, alpha_q: int = 3) -> DataFrame:
+    """word2vec negative-sampling table (Mikolov et al. 2013): draw ``k``
+    negatives from the vocabulary with p ∝ count^(3/4) (``alpha_q``/4 —
+    3 is the paper's exponent), as the exactly-k systematic PPS draw
+    over the TEMPERED unigram counts.
+
+    Output: (token, cnt, weight, n_picks) for every token drawn at least
+    once, Σ n_picks = k exactly — the materialized alias table a trainer
+    samples from (frequent tokens receive multiple slots, exactly the
+    unigram-table construction, but deterministic and partition-invariant
+    instead of an RNG draw).
+
+    Scale: one (token) count shuffle bounded by vocabulary size; the
+    tempering is a per-row expression (:func:`temper_expr`) and the draw
+    is :func:`weighted_sample`'s distributed prefix sum — no
+    SinglePartition stage anywhere. int64 budget: 2k·Σcnt^(3/4) under
+    2^63, looser than the raw-count budget by the tempering itself.
+    """
+    from .text_analysis import _tokens
+
+    vocab = (
+        docs.select(F.explode(_tokens(F.col("text"))).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    tempered = vocab.select(
+        "token", "cnt", temper_expr(F.col("cnt"), alpha_q).alias("w")
+    )
+    picked = weighted_sample(tempered, k=k, weight_col="w", id_col="token")
+    return (
+        picked.withColumnRenamed("doc_id", "token")
+        .join(vocab, "token")
+        .select("token", "cnt", "weight", "n_picks")
+    )

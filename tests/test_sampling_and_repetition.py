@@ -626,3 +626,43 @@ def test_quota_mixture_dominant_source_no_window_funnel(spark):
              out.groupBy("source").agg(F.sum("n_picks").alias("picks")).collect()}
     assert picks["big"] == 99  # 100·9000/9100 → 98 floor + 1 remainder slot
     assert sum(picks.values()) == 100
+
+
+def test_negative_sampling_exact_k_and_replica(spark):
+    import math
+
+    from graphical_context_extraction_pipeline_spark.operators import sampling as SA
+
+    docs = spark.createDataFrame(
+        [
+            (1, "aa aa aa aa bb bb cc", "en", "s", 10),
+            (2, "aa bb dd dd dd", "en", "s", 10),
+            (3, "ee", "en", "s", 2),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    k = 7
+    got = {r["token"]: (r["cnt"], r["weight"], r["n_picks"])
+           for r in SA.negative_sampling(docs, k=k, alpha_q=3).collect()}
+    assert sum(v[2] for v in got.values()) == k
+    # python replica: counts -> floor(w^(3/4)) via the floored-sqrt chain
+    # -> systematic grid on the token-ordered cumulative axis
+    texts = ["aa aa aa aa bb bb cc", "aa bb dd dd dd", "ee"]
+    counts = {}
+    for t in texts:
+        for w in t.lower().split():
+            counts[w] = counts.get(w, 0) + 1
+    temper = {t: math.floor(math.sqrt(c * math.floor(math.sqrt(c)))) for t, c in counts.items()}
+    total = sum(temper.values())
+    cum, expect = 0, {}
+    f = lambda x: (2 * k * x + total - 1) // (2 * total)
+    for t in sorted(temper):
+        w = temper[t]
+        cum += w
+        n = f(cum) - f(cum - w)
+        if n >= 1:
+            expect[t] = (counts[t], w, n)
+    assert got == expect
+    # the most frequent token gets the most slots
+    top = max(got, key=lambda t: got[t][2])
+    assert counts[top] == max(counts.values())
