@@ -618,6 +618,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         # ---- link-graph analytics (domain edges, degrees, integer PageRank) --
         "link_edges": lambda s, d: LG.extract_links(_html_pages(s, d)),
+        # DeepWalk corpus: one deterministic 4-step walk per out-degree
+        # node (md5-bucket next-hop over the sorted neighbor array)
+        "random_walks": lambda s, d: LG.random_walks(
+            LG.extract_links(_html_pages(s, d)), length=4
+        ),
         "anchor_texts": lambda s, d: LG.anchor_texts(_html_pages(s, d)),
         "domain_quality": lambda s, d: LG.domain_quality(_html_pages(s, d)),
         "link_degrees": lambda s, d: LG.degree_stats(LG.extract_links(_html_pages(s, d))),
@@ -2412,6 +2417,27 @@ edges AS (SELECT src_domain, dst_domain, cast(count(*) AS bigint) AS n_links
 """
 
     q["link_edges"] = f"WITH {_EDGES} SELECT * FROM edges"
+
+    # DeepWalk corpus: recursive CTE replaying the md5-bucket next-hop
+    # over the same sorted neighbor arrays (UNION ALL — rows are unique
+    # by (start, step) construction, no cross-arm dedup needed)
+    q["random_walks"] = f"""
+WITH RECURSIVE {_EDGES},
+adj AS (SELECT src, list(dst ORDER BY dst) AS nbrs
+        FROM (SELECT DISTINCT src_domain AS src, dst_domain AS dst FROM edges)
+        GROUP BY src),
+walk AS (
+  SELECT src AS start, cast(0 AS bigint) AS step, src AS node FROM adj
+  UNION ALL
+  SELECT w.start, cast(w.step + 1 AS bigint),
+         a.nbrs[1 + cast(cast(('0x' || substr(md5('walk:' || w.start || ':'
+               || cast(w.step AS varchar)), 1, 15)) AS bigint)
+               % len(a.nbrs) AS int)]
+  FROM walk w JOIN adj a ON a.src = w.node
+  WHERE w.step < 4
+)
+SELECT start, step, node FROM walk
+"""
 
     # incoming anchor-text top-k per destination domain: same href contract
     # as edges, inner text through the _dnorm entity/tag twin, deterministic

@@ -736,3 +736,62 @@ def spam_mass(edges: DataFrame, seeds: tuple[str, ...], n_iters: int = 3) -> Dat
         .otherwise(F.expr("(10000 * greatest(rank_e9 - trust_e9, 0)) DIV rank_e9"))
         .cast("long"),
     )
+
+
+def random_walks(edges: DataFrame, length: int = 4) -> DataFrame:
+    """DeepWalk-style random-walk corpus over the domain graph (Perozzi et
+    al. 2014; node2vec's p=q=1 case): one walk of ``length`` steps from
+    every node with out-edges, the graph-embedding training corpus
+    (walks are the 'sentences' a skip-gram model trains on, composing
+    with sampling.negative_sampling for the negative table).
+
+    DETERMINISTIC next-hop choice instead of an RNG: step i from a walk
+    started at ``start`` picks sorted-neighbor index
+    md5-bucket('walk:' start ':' i) % degree — reproducible across runs,
+    engines, partitionings, speculative re-execution (the salted_join
+    rule: retries must agree), and exactly replayable by the oracle's
+    recursive CTE. Walks stop early at dangling nodes (inner join).
+
+    Output: (start, step, node) rows, step 0 = the start node itself.
+
+    Scale: adjacency is one (src, sorted-neighbor-array) rollup;
+    each step is one equi-join of the frontier against it keyed on the
+    current node — ``length`` bounded shuffles total, the standard
+    distributed-walk shape. Hub rows carry their neighbor array once
+    (array size = out-degree; cap upstream for pathological hubs, as
+    the dedup hot-bucket machinery does)."""
+    src, dst = "src_domain", "dst_domain"
+    adj = (
+        edges.select(src, dst)
+        .distinct()
+        .groupBy(src)
+        .agg(F.sort_array(F.collect_list(dst)).alias("nbrs"))
+        .withColumnRenamed(src, "node")
+    )
+    frontier = adj.select(
+        F.col("node").alias("start"), F.lit(0).cast("long").alias("step"), "node"
+    )
+    out = frontier
+    for i in range(length):
+        pri = F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("walk:"), F.col("start"), F.lit(f":{i}"))),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("long")
+        stepped = (
+            frontier.join(adj, "node")
+            .select(
+                "start",
+                F.lit(i + 1).cast("long").alias("step"),
+                F.element_at("nbrs", (pri % F.size("nbrs") + 1).cast("int")).alias(
+                    "node"
+                ),
+            )
+        )
+        frontier = stepped
+        out = out.unionByName(stepped)
+    return out

@@ -408,3 +408,39 @@ def test_trustrank_and_spam_mass_match_python_replica(spark):
     # the untrusted ring carries (near-)total spam mass; the seed itself none
     assert got["x"].spam_mass_bp == 10000
     assert got["s"].spam_mass_bp < 5000
+
+
+def test_random_walks_replica_and_dangling(spark):
+    import hashlib
+
+    from graphical_context_extraction_pipeline_spark.operators import linkgraph as LG
+
+    edges = spark.createDataFrame(
+        [
+            ("a", "b", 1), ("a", "c", 2), ("b", "c", 1),
+            ("c", "a", 1), ("c", "d", 1),  # d is dangling (no out-edges)
+        ],
+        "src_domain string, dst_domain string, n_links long",
+    )
+    got = {(r["start"], r["step"], r["node"])
+           for r in LG.random_walks(edges, length=3).collect()}
+
+    adj = {"a": ["b", "c"], "b": ["c"], "c": ["a", "d"]}
+
+    def bucket(start, step, deg):
+        h = int(hashlib.md5(f"walk:{start}:{step}".encode()).hexdigest()[:15], 16)
+        return h % deg
+
+    expect = set()
+    for start in adj:
+        node = start
+        expect.add((start, 0, node))
+        for i in range(3):
+            nbrs = adj.get(node)
+            if nbrs is None:
+                break  # dangling: walk stops early
+            node = nbrs[bucket(start, i, len(nbrs))]
+            expect.add((start, i + 1, node))
+    assert got == expect
+    # at least one walk reaches the dangling node and stops there
+    assert not any(s == "d" for (s, _, _) in got)  # d never starts a walk
