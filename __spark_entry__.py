@@ -874,6 +874,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 for r in BE.bpe_learn(_flat_docs(s, d), n_merges=40).collect()
             ],
         ),
+        # GloVe co-occurrence matrix: forward-window pairs, integer 1/dist
+        # weights (12ths), vocabulary²-bounded rollup
+        "cooccurrence_counts": lambda s, d: TA.cooccurrence_counts(
+            _flat_docs(s, d), window=3
+        ),
         # word2vec negative-sampling table: count^(3/4)-proportional
         # exactly-k draw over the vocabulary (tempered PPS, k=500)
         "negative_sampling": lambda s, d: SA.negative_sampling(
@@ -3573,6 +3578,24 @@ SELECT source, doc_id, rk FROM r WHERE rk <= 5
     # exactly-k systematic PPS draw: window cumsum replays the engine's
     # distributed prefix sum; all division numerators non-negative so
     # DuckDB // and Spark DIV agree (pinned cross-engine rule)
+    # GloVe co-occurrence: the same nested-range pair construction (DuckDB
+    # range() is stop-exclusive where Spark sequence() is inclusive — the
+    # bounds below account for it), 12 // dist exact for window ≤ 4
+    q["cooccurrence_counts"] = f"""
+WITH base AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+p AS (SELECT unnest(
+        CASE WHEN len(toks) >= 2 THEN
+          flatten(list_transform(range(1, len(toks)), i ->
+            list_transform(range(1, least(3, len(toks) - i) + 1), d ->
+              {{'w_a': toks[i], 'w_b': toks[i + d], 'dist': d}})))
+        ELSE CAST([] AS STRUCT(w_a VARCHAR, w_b VARCHAR, dist BIGINT)[]) END) AS pr
+      FROM base)
+SELECT pr.w_a AS w_a, pr.w_b AS w_b,
+       cast(count(*) AS bigint) AS n_pairs,
+       cast(sum(12 // pr.dist) AS bigint) AS weight_12
+FROM p GROUP BY 1, 2
+"""
+
     # word2vec negative-sampling table: tempered (q=3 ⇒ ^0.75) unigram
     # counts through the SAME systematic PPS grid; token strings order
     # binary/lexicographically identically in both engines (ASCII corpus)

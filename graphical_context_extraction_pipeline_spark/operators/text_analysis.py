@@ -990,3 +990,52 @@ def classifier_select(docs: DataFrame, min_mean_w_e3: int = 25_000) -> DataFrame
         (F.col("n_feats") > 0)
         & (F.col("margin") * 1000 >= F.lit(int(min_mean_w_e3)) * F.col("n_feats"))
     )
+
+
+def cooccurrence_counts(docs: DataFrame, window: int = 3) -> DataFrame:
+    """GloVe-style co-occurrence matrix construction (Pennington et al.
+    2014): forward-window token pairs with the paper's 1/dist distance
+    weighting, rolled up per (w_a, w_b) — the X_ij statistic a GloVe /
+    SGNS-with-counts trainer consumes (symmetrize downstream if needed;
+    the forward-window convention keeps each pair counted once).
+
+    Output: (w_a, w_b, n_pairs, weight_12) where weight_12 accumulates
+    12 DIV dist per pair — exact integers for window ≤ 4 (12 = lcm(1..4):
+    dist 1→12, 2→6, 3→4, 4→3), so no float harmonic weights enter the
+    contract.
+
+    Scale: pair construction is intra-row (nested sequence HOFs guarded
+    against Spark's DESCENDING sequence(1,0) trap for <2-token docs), one
+    explode, then ONE groupBy bounded by the realized vocabulary² — the
+    standard co-occurrence shuffle. No corpus self-join on doc_id ever
+    appears."""
+    if not 1 <= window <= 4:
+        raise ValueError("window must be in [1, 4] (weight_12 exactness)")
+    toks = _tokens(F.col("text"))
+    pairs = F.when(
+        F.size("toks") >= 2,
+        F.flatten(
+            F.transform(
+                F.sequence(F.lit(1), F.size("toks") - 1),
+                lambda i: F.transform(
+                    F.sequence(
+                        F.lit(1), F.least(F.lit(window), F.size("toks") - i)
+                    ),
+                    lambda d: F.struct(
+                        F.element_at(F.col("toks"), i).alias("w_a"),
+                        F.element_at(F.col("toks"), (i + d).cast("int")).alias("w_b"),
+                        d.cast("long").alias("dist"),
+                    ),
+                ),
+            )
+        ),
+    ).otherwise(F.array().cast("array<struct<w_a:string,w_b:string,dist:long>>"))
+    exploded = (
+        docs.select("doc_id", toks.alias("toks"))
+        .select(F.explode(pairs).alias("p"))
+        .select("p.w_a", "p.w_b", "p.dist")
+    )
+    return exploded.groupBy("w_a", "w_b").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.sum(F.expr("12 DIV dist")).cast("long").alias("weight_12"),
+    )

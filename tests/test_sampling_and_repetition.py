@@ -666,3 +666,44 @@ def test_negative_sampling_exact_k_and_replica(spark):
     # the most frequent token gets the most slots
     top = max(got, key=lambda t: got[t][2])
     assert counts[top] == max(counts.values())
+
+
+def test_cooccurrence_counts_replica(spark):
+    from graphical_context_extraction_pipeline_spark.operators import text_analysis as TA
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c a b", "en", "s", 9),
+            (2, "x", "en", "s", 1),      # <2 tokens: no pairs
+            (3, "", "en", "s", 0),
+            (4, "p q", "en", "s", 3),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    w = 3
+    got = {(r["w_a"], r["w_b"]): (r["n_pairs"], r["weight_12"])
+           for r in TA.cooccurrence_counts(docs, window=w).collect()}
+    expect = {}
+    for t in ("a b c a b", "p q"):
+        toks = t.split()
+        for i in range(len(toks)):
+            for d in range(1, min(w, len(toks) - 1 - i) + 1):
+                key = (toks[i], toks[i + d])
+                n, s = expect.get(key, (0, 0))
+                expect[key] = (n + 1, s + 12 // d)
+    assert got == expect
+    # adjacent 'a b' occurs twice at dist 1
+    assert got[("a", "b")] == (2, 24)
+
+
+def test_cooccurrence_window_bounds(spark):
+    import pytest as _pytest
+
+    from graphical_context_extraction_pipeline_spark.operators import text_analysis as TA
+
+    docs = spark.createDataFrame(
+        [(1, "a b", "en", "s", 3)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    with _pytest.raises(ValueError):
+        TA.cooccurrence_counts(docs, window=5)
