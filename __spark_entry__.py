@@ -542,6 +542,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         search as SE,
         similarity,
         temporal as TP,
+        partitioning as PT,
         text_analysis as TA,
         urls as UR,
         validate as V,
@@ -873,6 +874,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 (r["left"], r["right"])
                 for r in BE.bpe_learn(_flat_docs(s, d), n_merges=40).collect()
             ],
+        ),
+        # Z-order (Morton) clustering key over (n_chars, doc_id) — the
+        # Iceberg/Delta OPTIMIZE Z-ORDER layout key as a pure bit expression
+        "zorder_key": lambda s, d: _flat_docs(s, d).select(
+            "doc_id",
+            PT.zorder_key(F.col("n_chars"), F.col("doc_id")).alias("zkey"),
         ),
         # GloVe co-occurrence matrix: forward-window pairs, integer 1/dist
         # weights (12ths), vocabulary²-bounded rollup
@@ -3578,6 +3585,20 @@ SELECT source, doc_id, rk FROM r WHERE rk <= 5
     # exactly-k systematic PPS draw: window cumsum replays the engine's
     # distributed prefix sum; all division numerators non-negative so
     # DuckDB // and Spark DIV agree (pinned cross-engine rule)
+    # Z-order key: disjoint-bit contributions, so SUM of shifted masked
+    # bits ≡ the engine's OR accumulation
+    _z_terms = " + ".join(
+        f"((a & {1 << i}) * {1 << i}) + ((b & {1 << i}) * {1 << (i + 1)})"
+        for i in range(16)
+    )
+    q["zorder_key"] = f"""
+WITH base AS (SELECT doc_id,
+                     cast(n_chars AS bigint) & 65535 AS a,
+                     cast(doc_id AS bigint) & 65535 AS b
+              FROM documents)
+SELECT doc_id, cast({_z_terms} AS bigint) AS zkey FROM base
+"""
+
     # GloVe co-occurrence: the same nested-range pair construction (DuckDB
     # range() is stop-exclusive where Spark sequence() is inclusive — the
     # bounds below account for it), 12 // dist exact for window ≤ 4

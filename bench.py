@@ -307,6 +307,12 @@ def run_suite(cpus: int, sf_dir: str) -> dict:
         "semdedup": lambda: similarity.semdedup(emb, n_centroids=16).count(),
         "d4_prune": lambda: similarity.prototypicality_prune(emb, n_centroids=16).count(),
         "classifier_select": lambda: TA.classifier_select(flat, 110_000).count(),
+        # round 4 session 5: embedding-training prep trio — GloVe
+        # co-occurrence rollup (pair explode + vocab² groupBy), tempered
+        # negative-sampling PPS, deterministic DeepWalk corpus
+        "cooccurrence_counts": lambda: TA.cooccurrence_counts(flat, window=3).count(),
+        "negative_sampling": lambda: SA.negative_sampling(flat, k=500).count(),
+        "random_walks": lambda: LG.random_walks(LG.extract_links(pages), length=4).count(),
         # round 4 session 5: margin-based bitext mining across the vec_id
         # parity split (banded candidates, integer ratio margins)
         "bitext_mine": lambda: similarity.bitext_mine(

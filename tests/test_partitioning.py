@@ -180,3 +180,58 @@ def test_salted_join_deterministic_salts(spark):
     a = salted_join(fact, dim, "k", "event_id").orderBy("event_id").collect()
     b = salted_join(fact, dim, "k", "event_id").orderBy("event_id").collect()
     assert a == b  # crc32 salt, not rand(): retries agree
+
+
+def test_zorder_key_replica(spark):
+    from pyspark.sql import functions as F
+
+    from graphical_context_extraction_pipeline_spark.operators import partitioning as PT
+
+    rows = [(a, b) for a in (0, 1, 2, 3, 100, 65535, 70000) for b in (0, 1, 5, 65535)]
+    df = spark.createDataFrame(rows, "a long, b long")
+    got = {(r["a"], r["b"]): r["z"] for r in df.select(
+        "a", "b", PT.zorder_key(F.col("a"), F.col("b")).alias("z")).collect()}
+
+    def interleave(a, b):
+        a &= 0xFFFF
+        b &= 0xFFFF
+        z = 0
+        for i in range(16):
+            z |= ((a >> i) & 1) << (2 * i)
+            z |= ((b >> i) & 1) << (2 * i + 1)
+        return z
+
+    assert got == {(a, b): interleave(a, b) for a, b in rows}
+
+
+def test_zorder_clustering_tightens_file_bboxes(spark):
+    """The point of Z-ORDER: after clustering, each partition's (a, b)
+    bounding box is tight in BOTH dimensions — total bbox area must
+    shrink by a large factor vs the id-ordered layout."""
+    from pyspark.sql import functions as F
+
+    from graphical_context_extraction_pipeline_spark.operators import partitioning as PT
+
+    n = 4096
+    df = spark.range(n).select(
+        (F.col("id") % 64).alias("a"),          # dim 1
+        (F.col("id") / 64).cast("long").alias("b"),  # dim 2
+    )
+
+    def files_touched_by_a_filter(d, lo, hi):
+        """How many partitions' [min_a, max_a] stats intersect the filter
+        — exactly the row groups a stats-pruning reader must scan."""
+        stats = (
+            d.withColumn("pid", F.spark_partition_id())
+            .groupBy("pid")
+            .agg(F.min("a").alias("mn"), F.max("a").alias("mx"))
+            .collect()
+        )
+        return sum(1 for r in stats if r["mx"] >= lo and r["mn"] <= hi)
+
+    clustered = PT.cluster_by_zorder(df, "a", "b", n_files=16)
+    naive = df.repartitionByRange(16, F.col("b") * 64 + F.col("a"))  # row-major
+    # a b-major layout is blind to filters on a (every file spans all of a);
+    # Z-order quadrants keep the a-side tight too
+    assert files_touched_by_a_filter(naive, 0, 15) == 16
+    assert files_touched_by_a_filter(clustered, 0, 15) <= 8
