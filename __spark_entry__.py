@@ -875,6 +875,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 for r in BE.bpe_learn(_flat_docs(s, d), n_merges=40).collect()
             ],
         ),
+        # in-context semantic packing: pack related docs (seeded-reservoir
+        # embedding clusters) into the same token-budget sequences
+        "semantic_packing": lambda s, d: SA.semantic_packing(
+            _flat_docs(s, d), _emb(s, d), budget=512, n_centroids=16
+        ),
         # Z-order (Morton) clustering key over (n_chars, doc_id) — the
         # Iceberg/Delta OPTIMIZE Z-ORDER layout key as a pure bit expression
         "zorder_key": lambda s, d: _flat_docs(s, d).select(
@@ -3585,6 +3590,29 @@ SELECT source, doc_id, rk FROM r WHERE rk <= 5
     # exactly-k systematic PPS draw: window cumsum replays the engine's
     # distributed prefix sum; all division numerators non-negative so
     # DuckDB // and Spark DIV agree (pinned cross-engine rule)
+    # semantic packing: cid from the cent/asg replay, then the SAME
+    # first-fit recursive walk as pack_sequences with the hash bucket
+    # replaced by the semantic one
+    q["semantic_packing"] = f"""
+WITH RECURSIVE e AS (SELECT vec_id, cast(embedding AS DOUBLE[]) AS v FROM embeddings),
+{_cent_asg_sql(16)},
+base AS (SELECT d.doc_id, cast(a.cid AS bigint) AS cid,
+                cast(len({_TOKS}) AS bigint) AS n_tokens
+         FROM documents d JOIN asg a ON a.vec_id = d.doc_id),
+t AS (SELECT doc_id, cid, n_tokens,
+             row_number() OVER (PARTITION BY cid ORDER BY doc_id) AS rn
+      FROM base),
+walk AS (
+  SELECT cid, rn, doc_id, n_tokens, cast(0 AS bigint) AS seq_idx, n_tokens AS fill
+  FROM t WHERE rn = 1
+  UNION ALL
+  SELECT t.cid, t.rn, t.doc_id, t.n_tokens,
+         CASE WHEN w.fill + t.n_tokens > 512 THEN w.seq_idx + 1 ELSE w.seq_idx END,
+         CASE WHEN w.fill + t.n_tokens > 512 THEN t.n_tokens ELSE w.fill + t.n_tokens END
+  FROM walk w JOIN t ON t.cid = w.cid AND t.rn = w.rn + 1)
+SELECT doc_id, cid, n_tokens, seq_idx, fill FROM walk
+"""
+
     # Z-order key: disjoint-bit contributions, so SUM of shifted masked
     # bits ≡ the engine's OR accumulation
     _z_terms = " + ".join(

@@ -158,6 +158,33 @@ def select_token_budget(docs: DataFrame, budget: int) -> DataFrame:
     )
 
 
+def _firstfit_fold(budget: int):
+    """The first-fit-sequential grouped-map kernel shared by
+    pack_sequences and semantic_packing: visit the group's docs in
+    doc_id order, open a new bin exactly when fill + n would exceed
+    ``budget`` (oversize docs get singleton bins)."""
+
+    def _pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("doc_id").reset_index(drop=True)
+        seqs, fills = [], []
+        seq, fill = 0, None
+        for n in pdf["n_tokens"]:
+            n = int(n)
+            if fill is None:
+                fill = n
+            elif fill + n > budget:
+                seq, fill = seq + 1, n
+            else:
+                fill += n
+            seqs.append(seq)
+            fills.append(fill)
+        pdf["seq_idx"] = pd.Series(seqs, dtype="int64")
+        pdf["fill"] = pd.Series(fills, dtype="int64")
+        return pdf
+
+    return _pack
+
+
 def pack_sequences(docs: DataFrame, budget: int = 512, n_buckets: int = 8) -> DataFrame:
     """Greedy first-fit-sequential sequence packing: assign docs to fixed
     token-budget training sequences (bins). Docs are dealt to `n_buckets`
@@ -180,26 +207,9 @@ def pack_sequences(docs: DataFrame, budget: int = 512, n_buckets: int = 8) -> Da
         F.size(_tokens(F.col("text"))).cast("long").alias("n_tokens"),
     )
 
-    def _pack(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values("doc_id").reset_index(drop=True)
-        seqs, fills = [], []
-        seq, fill = 0, None
-        for n in pdf["n_tokens"]:
-            n = int(n)
-            if fill is None:
-                fill = n
-            elif fill + n > budget:
-                seq, fill = seq + 1, n
-            else:
-                fill += n
-            seqs.append(seq)
-            fills.append(fill)
-        pdf["seq_idx"] = pd.Series(seqs, dtype="int64")
-        pdf["fill"] = pd.Series(fills, dtype="int64")
-        return pdf
-
     return base.groupBy("bucket").applyInPandas(
-        _pack, "doc_id long, bucket long, n_tokens long, seq_idx long, fill long"
+        _firstfit_fold(budget),
+        "doc_id long, bucket long, n_tokens long, seq_idx long, fill long",
     )
 
 
@@ -704,4 +714,48 @@ def negative_sampling(docs: DataFrame, k: int = 1000, alpha_q: int = 3) -> DataF
         picked.withColumnRenamed("doc_id", "token")
         .join(vocab, "token")
         .select("token", "cnt", "weight", "n_picks")
+    )
+
+
+def semantic_packing(
+    docs: DataFrame,
+    emb: DataFrame,
+    budget: int = 512,
+    n_centroids: int = 16,
+) -> DataFrame:
+    """In-context semantic packing (Shi et al. 2023, "In-Context
+    Pretraining: Language Modeling Beyond Document Boundaries"): pack
+    RELATED documents into the same fixed-budget training sequences, so
+    each packed sequence reads as topically-coherent long context instead
+    of random concatenation. Cluster ids come from the n_iters=0
+    seeded-reservoir codebook (engine-independent, the semdedup/ivf
+    argument); within a cluster the first-fit fold is IDENTICAL to
+    pack_sequences (shared kernel), visiting docs in doc_id order.
+
+    Output: (doc_id, cid, n_tokens, seq_idx, fill) — one row per packed
+    doc; docs without an embedding row are not packable and drop out at
+    the join (document the id space: doc_id ≡ vec_id).
+
+    Scale: one assignment scan (codebook literals), one doc_id equi-join,
+    one grouped-map fold keyed on cid — the same bounded-group shape as
+    pack_sequences with the hash bucket replaced by the semantic one.
+    At 10^12 docs, n_centroids scales with the corpus exactly as
+    semdedup's does (clusters ≈ group state per task)."""
+    from .similarity import ivf_assign, ivf_centroids
+    from .text_analysis import _tokens
+
+    cents = ivf_centroids(emb, n_centroids, n_iters=0)
+    if not cents:
+        return docs.sparkSession.createDataFrame(
+            [], "doc_id long, cid long, n_tokens long, seq_idx long, fill long"
+        )
+    cid = ivf_assign(emb, cents).select(
+        F.col("vec_id").alias("doc_id"), F.col("cid").cast("long").alias("cid")
+    )
+    base = docs.select(
+        "doc_id", F.size(_tokens(F.col("text"))).cast("long").alias("n_tokens")
+    ).join(cid, "doc_id")
+    return base.groupBy("cid").applyInPandas(
+        _firstfit_fold(budget),
+        "doc_id long, cid long, n_tokens long, seq_idx long, fill long",
     )

@@ -707,3 +707,31 @@ def test_cooccurrence_window_bounds(spark):
     )
     with _pytest.raises(ValueError):
         TA.cooccurrence_counts(docs, window=5)
+
+
+def test_semantic_packing_groups_and_fold(spark):
+    from graphical_context_extraction_pipeline_spark.operators import sampling as SA
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    out = SA.semantic_packing(docs, emb, budget=256, n_centroids=4).collect()
+    assert out, "nothing packed"
+    by_cid = {}
+    for r in out:
+        by_cid.setdefault(r["cid"], []).append(r)
+    for cid, rows in by_cid.items():
+        rows.sort(key=lambda r: r["doc_id"])
+        # replay the first-fit fold per cluster
+        seq, fill = 0, None
+        for r in rows:
+            n = r["n_tokens"]
+            if fill is None:
+                fill = n
+            elif fill + n > 256:
+                seq, fill = seq + 1, n
+            else:
+                fill += n
+            assert (r["seq_idx"], r["fill"]) == (seq, fill)
+    # only docs with an embedding row are packable
+    emb_ids = {r["vec_id"] for r in emb.select("vec_id").collect()}
+    assert {r["doc_id"] for r in out} <= emb_ids
