@@ -770,6 +770,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curate_corpus": lambda s, d: CU.curate_corpus(
             _planted_exact(_planted_near(_flat_docs(s, d)))
         ),
+        # the modern selection ladder (gopher ∧ classifier ∧ exact-unique)
+        # as one verdict table over the exact-dup planted corpus
+        "training_verdicts": lambda s, d: CU.training_verdicts(
+            _planted_exact(_flat_docs(s, d)), stopwords=_GOPHER_GATE_STOPS
+        ),
         "neardup_survivors": lambda s, d: CL.neardup_survivors(
             _planted_near(_flat_docs(s, d)),
             dedup.ngram_jaccard_pairs(_planted_near(_flat_docs(s, d))),
@@ -3467,6 +3472,7 @@ SELECT doc_id, n_feats, margin FROM f
 WHERE n_feats > 0 AND margin * 1000 >= 110000 * n_feats
 """
 
+
     q["vocab_topk"] = f"""
 WITH tok AS (SELECT unnest({_TOKS}) AS token FROM documents),
 c AS (SELECT token, count(*) AS cnt FROM tok GROUP BY token)
@@ -3532,6 +3538,34 @@ SELECT doc_id, n_words, word_chars, n_lines, n_stop_distinct,
        (r_wordcount AND r_meanlen AND r_symbol AND r_bullet AND r_ellipsis
         AND r_alpha AND r_stop) AS keep
 FROM r
+"""
+
+    # the selection-ladder verdict table: the gopher and classifier chains
+    # re-rooted onto the exact-dup planted corpus (each references the
+    # corpus exactly once — asserted at composition time), plus keep-first
+    # uniqueness; nested WITHs are legal inside CTE bodies and inherit the
+    # outer corpusx scope
+    _g_sub = q["gopher_rules"]
+    _c_sub = q["classifier_score"]
+    assert _g_sub.count("FROM documents") == 1 and _c_sub.count("FROM documents") == 1
+    _g_sub = _g_sub.replace("FROM documents", "FROM corpusx")
+    _c_sub = _c_sub.replace("FROM documents", "FROM corpusx")
+    q["training_verdicts"] = f"""
+WITH corpusx AS (SELECT doc_id, text FROM documents UNION ALL
+                 SELECT doc_id + 100000 AS doc_id, text
+                 FROM documents WHERE doc_id % 50 = 0),
+g AS ({_g_sub}),
+c AS ({_c_sub}),
+d AS (SELECT doc_id, md5(lower(text)) AS dup_key FROM corpusx),
+canon AS (SELECT dup_key, min(doc_id) AS canon FROM d GROUP BY 1),
+u AS (SELECT d.doc_id, (d.doc_id = canon.canon) AS r_unique
+      FROM d JOIN canon USING (dup_key))
+SELECT g.doc_id, g.keep AS r_gopher,
+       (c.n_feats > 0 AND c.margin * 1000 >= 110000 * c.n_feats) AS r_classifier,
+       u.r_unique,
+       (g.keep AND (c.n_feats > 0 AND c.margin * 1000 >= 110000 * c.n_feats)
+              AND u.r_unique) AS keep
+FROM g JOIN c ON c.doc_id = g.doc_id JOIN u ON u.doc_id = g.doc_id
 """
 
     def _bucket_sql(salt: str, mod: int) -> str:

@@ -92,3 +92,56 @@ def curation_metrics(verdicts: DataFrame) -> DataFrame:
     """Per-stage counts from the verdict table — the run-report rollup
     (one tiny groupBy on the 4-value status column)."""
     return verdicts.groupBy("status").agg(F.count("*").cast("long").alias("n_docs"))
+
+
+def training_verdicts(
+    docs: DataFrame,
+    min_mean_w_e3: int = 110_000,
+    stopwords: list[str] | None = None,
+) -> DataFrame:
+    """The modern data-selection ladder as ONE verdict table (the
+    FineWeb-style composition: heuristic rules → learned classifier →
+    dedup): per document, r_gopher (the Gopher rule bundle's composite
+    keep), r_classifier (hashed-classifier margin gate, integer
+    cross-multiplied), r_unique (exact keep-first on md5(lower(text)) —
+    curate_corpus's dup key), and keep = all three.
+
+    Complements curate_corpus (the heuristic-gate + near-dup-closure
+    pipeline): this is the selection LADDER's verdict surface, each rung
+    independently inspectable for funnel analysis (how many docs each
+    stage removes — corpus_health's natural companion).
+
+    Scale: the two rule rungs are zero-shuffle scans (gopher is pure
+    expressions, the classifier is the memoized Arrow kernel); uniqueness
+    is one dup-key groupBy; the rungs join on doc_id (co-located when the
+    table is bucketed by doc_id)."""
+    from .text_analysis import classifier_score, gopher_rules
+
+    g = gopher_rules(docs, stopwords=stopwords).select(
+        "doc_id", F.col("keep").alias("r_gopher")
+    )
+    c = classifier_score(docs).select(
+        "doc_id",
+        (
+            (F.col("n_feats") > 0)
+            & (F.col("margin") * 1000 >= F.lit(int(min_mean_w_e3)) * F.col("n_feats"))
+        ).alias("r_classifier"),
+    )
+    d = docs.select("doc_id", F.md5(F.lower("text")).alias("dup_key"))
+    canon = d.groupBy("dup_key").agg(F.min("doc_id").alias("canon"))
+    u = d.join(canon, "dup_key").select(
+        "doc_id", (F.col("doc_id") == F.col("canon")).alias("r_unique")
+    )
+    return (
+        g.join(c, "doc_id")
+        .join(u, "doc_id")
+        .select(
+            "doc_id",
+            "r_gopher",
+            "r_classifier",
+            "r_unique",
+            (F.col("r_gopher") & F.col("r_classifier") & F.col("r_unique")).alias(
+                "keep"
+            ),
+        )
+    )

@@ -64,3 +64,33 @@ def test_metrics_rollup(spark, verdicts):
         "near_duplicate": 1,
         "kept": 2,
     }
+
+
+def test_training_verdicts_rungs(spark):
+    from pyspark.sql import functions as F
+
+    from graphical_context_extraction_pipeline_spark.operators import curate as CU
+    from graphical_context_extraction_pipeline_spark.operators import text_analysis as TA
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        "doc_id", "text"
+    )
+    # plant one exact copy
+    planted = docs.unionAll(
+        docs.where(F.col("doc_id") == 3).select(
+            (F.col("doc_id") + 900000).alias("doc_id"), "text"
+        )
+    )
+    out = {r["doc_id"]: r for r in CU.training_verdicts(planted, min_mean_w_e3=0).collect()}
+    assert len(out) == planted.count()
+    # the copy fails uniqueness, the original keeps it
+    assert out[3]["r_unique"] and not out[900003]["r_unique"]
+    # copy and original agree on the content rungs
+    for rung in ("r_gopher", "r_classifier"):
+        assert out[3][rung] == out[900003][rung]
+    # keep is the conjunction
+    for r in out.values():
+        assert r["keep"] == (r["r_gopher"] and r["r_classifier"] and r["r_unique"])
+    # rungs match their standalone operators
+    gop = {r["doc_id"]: r["keep"] for r in TA.gopher_rules(planted).collect()}
+    assert all(out[i]["r_gopher"] == gop[i] for i in out)
