@@ -767,6 +767,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cc_star": lambda s, d: CL.connected_components_star(
             dedup.ngram_jaccard_pairs(_planted_near(_flat_docs(s, d)))
         ),
+        # winnowing (MOSS) guaranteed-detection candidate pairs over the
+        # near-dup planted corpus
+        "winnow_pairs": lambda s, d: dedup.winnow_pairs(
+            _planted_near(_flat_docs(s, d))
+        ),
         "curate_corpus": lambda s, d: CU.curate_corpus(
             _planted_exact(_planted_near(_flat_docs(s, d)))
         ),
@@ -3072,6 +3077,42 @@ WHERE s.n_members > 1 AND a.doc_id <> s.hub)
     ngram_cte = f"{_CORPUS_NEAR},\n{ngram_chain}"
 
     q["ngram_jaccard_pairs"] = f"WITH {ngram_cte}\nSELECT * FROM np"
+
+    # winnowing (MOSS): positional 3-gram poly hashes, w=4 window minima,
+    # distinct fps, hot-fp cap, shared-count pairs — over the near-dup
+    # planted corpus (the appended-tail plant shares the whole prefix, so
+    # the guarantee fires)
+    q["winnow_pairs"] = f"""
+WITH corpus AS (SELECT doc_id, text FROM documents UNION ALL
+                SELECT doc_id + 200000 AS doc_id, text || '{_NEAR_TAIL}' AS text
+                FROM documents WHERE doc_id % 70 = 3),
+base AS (SELECT doc_id,
+                list_transform({_TOKS},
+                  t -> cast(('0x' || substr(md5(t), 1, 8)) AS bigint)) AS th
+         FROM corpus),
+kg AS (SELECT doc_id,
+              CASE WHEN len(th) >= 3 THEN
+                list_transform(range(1, len(th) - 1), i ->
+                  (((th[i] * 1000003 + th[i+1]) % 2147483647) * 1000003
+                    + th[i+2]) % 2147483647)
+              ELSE CAST([] AS BIGINT[]) END AS kh
+       FROM base),
+wins AS (SELECT doc_id,
+                CASE WHEN len(kh) >= 4 THEN
+                  list_transform(range(1, len(kh) - 2), i ->
+                    least(kh[i], kh[i+1], kh[i+2], kh[i+3]))
+                WHEN len(kh) >= 1 THEN [list_min(kh)]
+                ELSE CAST([] AS BIGINT[]) END AS wn
+         FROM kg),
+fps AS (SELECT DISTINCT doc_id, unnest(wn) AS fp FROM wins),
+dfc AS (SELECT fp, count(*) AS df FROM fps GROUP BY fp),
+cold AS (SELECT f.doc_id, f.fp FROM fps f JOIN dfc USING (fp) WHERE dfc.df <= 64),
+pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                 cast(count(*) AS bigint) AS n_shared
+          FROM cold a JOIN cold b ON a.fp = b.fp AND a.doc_id < b.doc_id
+          GROUP BY 1, 2)
+SELECT doc_a, doc_b, n_shared FROM pairs WHERE n_shared >= 2
+"""
 
     # asymmetric containment over the planted subset-dup corpus: identical
     # blocking / hot-shingle cap / all-hot hub-star fallback as the ngram

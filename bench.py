@@ -119,6 +119,7 @@ def run_suite(cpus: int, sf_dir: str) -> dict:
         cluster as CL,
         corpus as CO,
         dedup,
+        curate as CU2,
         html_extract as HT,
         layout as LY,
         linkgraph as LG,
@@ -315,6 +316,10 @@ def run_suite(cpus: int, sf_dir: str) -> dict:
         "random_walks": lambda: LG.random_walks(LG.extract_links(pages), length=4).count(),
         # round 4 session 5: margin-based bitext mining across the vec_id
         # parity split (banded candidates, integer ratio margins)
+        # round 4 session 5: the selection-ladder verdict table and
+        # cluster-then-pack sequence construction
+        "training_verdicts": lambda: CU2.training_verdicts(flat).count(),
+        "semantic_packing": lambda: SA.semantic_packing(flat, emb, budget=512).count(),
         "bitext_mine": lambda: similarity.bitext_mine(
             emb.where(_F.col("vec_id") % 2 == 0),
             emb.where(_F.col("vec_id") % 2 == 1),

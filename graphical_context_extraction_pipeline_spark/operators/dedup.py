@@ -1253,3 +1253,94 @@ def c4_span_dedup(docs: DataFrame, n_sent: int = 3, min_docs: int = 2) -> DataFr
         F.col("r.n_sentences").alias("n_sentences"),
         F.col("r.n_removed").alias("n_removed"),
     )
+
+
+def _winnow_fps(col, k: int = 3, w: int = 4):
+    """Winnowing fingerprint array for one document (Schleimer et al.
+    2003, the MOSS local algorithm): POSITIONAL word-k-gram hashes (one
+    md5 per token, 32-bit slice, polynomial-combined — the portable
+    minhash construction, but kept in order), then the minimum of every
+    w-hash window, deduplicated. GUARANTEE: two documents sharing any
+    token run of length ≥ w + k − 1 share at least one fingerprint.
+    Documents with ≥1 but < w k-grams contribute the min of what they
+    have; < k tokens → no fingerprints."""
+    th = F.transform(
+        _tokens(col),
+        lambda t: F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("long"),
+    )
+
+    def kgrams(arr):
+        m = F.size(arr) - (k - 1)
+        acc = F.zip_with(
+            F.slice(arr, 1, m), F.slice(arr, 2, m),
+            lambda x, y: F.pmod(x * F.lit(MH_C) + y, F.lit(MH_P)),
+        )
+        for j in range(2, k):
+            acc = F.zip_with(
+                acc, F.slice(arr, j + 1, m),
+                lambda x, y: F.pmod(x * F.lit(MH_C) + y, F.lit(MH_P)),
+            )
+        return acc
+
+    kh = F.when(F.size(th) >= k, _bind(th, kgrams)).otherwise(
+        F.array().cast("array<long>")
+    )
+
+    def windows(karr):
+        return (
+            F.when(
+                F.size(karr) >= w,
+                F.transform(
+                    F.sequence(F.lit(1), F.size(karr) - (w - 1)),
+                    lambda i: F.array_min(F.slice(karr, i, w)),
+                ),
+            )
+            .when(F.size(karr) >= 1, F.array(F.array_min(karr)))
+            .otherwise(F.array().cast("array<long>"))
+        )
+
+    return F.array_distinct(_bind(kh, windows))
+
+
+def winnow_fingerprints(docs: DataFrame, k: int = 3, w: int = 4) -> DataFrame:
+    """(doc_id, fp) winnowing fingerprints — the substring-match index
+    rows. Zero shuffle before the explode; one md5 per token."""
+    return docs.select(
+        "doc_id", F.explode(_winnow_fps(F.col("text"), k, w)).alias("fp")
+    )
+
+
+def winnow_pairs(
+    docs: DataFrame,
+    k: int = 3,
+    w: int = 4,
+    min_shared: int = 2,
+    max_docs_per_fp: int = MAX_DOCS_PER_SHINGLE,
+) -> DataFrame:
+    """Near-dup / plagiarism candidate pairs by shared winnowing
+    fingerprints (≥ ``min_shared``): the guaranteed-detection variant of
+    the shingle blocking — any shared token run of length ≥ w + k − 1
+    forces a shared fingerprint, so long verbatim overlaps CANNOT slip
+    through the way a sampled minhash band can miss them.
+
+    Blocking mirrors ngram_jaccard_pairs: explode fingerprints, drop hot
+    ones (df > ``max_docs_per_fp``) via count + anti-join BEFORE any
+    pair expansion, self-join per fingerprint, count shared per pair.
+    Output: (doc_a, doc_b, n_shared), doc_a < doc_b."""
+    fps = winnow_fingerprints(docs, k, w)
+    hot = (
+        fps.groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .where(F.col("df") > max_docs_per_fp)
+        .select("fp")
+    )
+    cold = fps.join(F.broadcast(hot), "fp", "left_anti")
+    a = cold.select("fp", F.col("doc_id").alias("doc_a"))
+    b = cold.select("fp", F.col("doc_id").alias("doc_b"))
+    return (
+        a.join(b, "fp")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
+        .where(F.col("n_shared") >= min_shared)
+    )

@@ -87,3 +87,52 @@ def test_all_hot_docs_pair_via_signature_star(all_hot_corpus):
     # star pairs carry n_shared == n_union == the doc's shingle-set size
     row = next(r for r in got if (r.doc_a, r.doc_b) == (0, 1))
     assert row.n_shared == row.n_union > 0
+
+
+def test_winnowing_guarantee_and_replica(spark):
+    """Any shared token run of length >= w + k - 1 = 6 forces a shared
+    fingerprint (the MOSS guarantee); full python replica."""
+    import hashlib
+
+    from graphical_context_extraction_pipeline_spark.operators import dedup
+
+    shared = "alpha beta gamma delta epsilon zeta"  # 6-token shared run
+    docs = spark.createDataFrame(
+        [
+            (1, f"one two {shared} three"),
+            (2, f"{shared} nine ten eleven"),
+            (3, "totally different words here entirely now"),
+        ],
+        "doc_id long, text string",
+    )
+    k, w = 3, 4
+    P, C = 2147483647, 1000003
+
+    def fps(text):
+        toks = text.lower().split()
+        th = [int(hashlib.md5(t.encode()).hexdigest()[:8], 16) for t in toks]
+        kh = []
+        for i in range(len(th) - k + 1):
+            acc = th[i]
+            for j in range(1, k):
+                acc = (acc * C + th[i + j]) % P
+            kh.append(acc)
+        if not kh:
+            return set()
+        if len(kh) < w:
+            return {min(kh)}
+        return {min(kh[i:i + w]) for i in range(len(kh) - w + 1)}
+
+    got = {}
+    for r in dedup.winnow_fingerprints(docs, k, w).collect():
+        got.setdefault(r["doc_id"], set()).add(r["fp"])
+    texts = {1: f"one two {shared} three", 2: f"{shared} nine ten eleven",
+             3: "totally different words here entirely now"}
+    assert got == {i: fps(t) for i, t in texts.items() if fps(t)}
+    # the guarantee: docs 1 and 2 share a fingerprint; doc 3 shares none
+    assert got[1] & got[2]
+    assert not (got[1] & got[3]) and not (got[2] & got[3])
+    pairs = {(r["doc_a"], r["doc_b"]): r["n_shared"]
+             for r in dedup.winnow_pairs(docs, k, w, min_shared=1).collect()}
+    assert set(pairs) == {(1, 2)}
+    assert pairs[(1, 2)] == len(got[1] & got[2])
