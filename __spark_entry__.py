@@ -772,6 +772,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnow_pairs": lambda s, d: dedup.winnow_pairs(
             _planted_near(_flat_docs(s, d))
         ),
+        # content-defined chunking dedup profile (shifted plants share
+        # every chunk outside the perturbed tail region)
+        "cdc_dedup_stats": lambda s, d: dedup.cdc_dedup_stats(
+            _planted_near(_flat_docs(s, d))
+        ),
         "curate_corpus": lambda s, d: CU.curate_corpus(
             _planted_exact(_planted_near(_flat_docs(s, d)))
         ),
@@ -3579,6 +3584,37 @@ SELECT doc_id, n_words, word_chars, n_lines, n_stop_distinct,
        (r_wordcount AND r_meanlen AND r_symbol AND r_bullet AND r_ellipsis
         AND r_alpha AND r_stop) AS keep
 FROM r
+"""
+
+    # content-defined chunking: boundary AFTER any token whose 32-bit md5
+    # slice % 32 == 0; starts = [1] ∪ {i ≥ 2 : th[i−1] triggers}; DuckDB
+    # list slices are 1-based stop-INCLUSIVE, hence toks[s : e−1]
+    q["cdc_dedup_stats"] = f"""
+WITH corpus AS (SELECT doc_id, text FROM documents UNION ALL
+                SELECT doc_id + 200000 AS doc_id, text || '{_NEAR_TAIL}' AS text
+                FROM documents WHERE doc_id % 70 = 3),
+base AS (SELECT doc_id, {_TOKS} AS toks FROM corpus),
+h AS (SELECT doc_id, toks,
+             list_transform(toks,
+               t -> cast(('0x' || substr(md5(t), 1, 8)) AS bigint)) AS th
+      FROM base WHERE len(toks) >= 1),
+st AS (SELECT doc_id, toks, len(toks) AS n,
+              list_concat([cast(1 AS bigint)],
+                list_filter(range(2, len(toks) + 1), i -> th[i - 1] % 32 = 0)) AS starts
+       FROM h),
+ch AS (SELECT doc_id,
+              unnest(list_transform(range(1, len(starts) + 1), j ->
+                {{'chunk_hash': md5(array_to_string(
+                     toks[starts[j] : (CASE WHEN j < len(starts)
+                                       THEN starts[j + 1] ELSE n + 1 END) - 1], ' ')),
+                  'n_tokens': (CASE WHEN j < len(starts)
+                               THEN starts[j + 1] ELSE n + 1 END) - starts[j]}})) AS c
+       FROM st)
+SELECT c.chunk_hash AS chunk_hash,
+       cast(count(*) AS bigint) AS n_occurrences,
+       cast(count(DISTINCT doc_id) AS bigint) AS n_docs,
+       cast(max(c.n_tokens) AS bigint) AS n_tokens
+FROM ch GROUP BY 1
 """
 
     # the selection-ladder verdict table: the gopher and classifier chains

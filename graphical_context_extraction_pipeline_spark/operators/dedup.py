@@ -1344,3 +1344,75 @@ def winnow_pairs(
         .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
         .where(F.col("n_shared") >= min_shared)
     )
+
+
+def cdc_chunks(docs: DataFrame, mask: int = 31) -> DataFrame:
+    """Content-defined chunking at token granularity (the LBFS/gear-hash
+    family, Muthitacharoen et al. 2001 — the storage-dedup splitter): a
+    token whose 32-bit md5 slice satisfies ``hash % (mask+1) == 0`` ends
+    its chunk, so boundaries depend only on LOCAL content. Insertions or
+    prefix shifts re-chunk only the neighborhood they touch — every chunk
+    outside it keeps its hash (pinned by test) — which is exactly why CDC
+    beats fixed-size blocks for dedup of shifted/edited documents.
+    Expected chunk length = mask+1 tokens.
+
+    Output: (doc_id, chunk_idx, chunk_hash, n_tokens) — chunk_hash the md5
+    of the space-joined chunk tokens.
+
+    Scale: zero shuffle — one md5-per-token transform, starter flags →
+    exprs.segments (the O(n) grouping primitive; an appending fold would
+    be O(n²)), one slice+md5 per chunk, one posexplode. The Arrow-kernel
+    rewrite (classifier_score's memo pattern) is the upgrade path if the
+    per-token interpreted HOF cost ever dominates a profile."""
+    from ..functions.exprs import segments
+
+    toks = _tokens(F.col("text"))
+
+    def chunked(tk):
+        th = F.transform(
+            tk, lambda t: F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("long")
+        )
+
+        def build(h):
+            segs = segments(
+                tk,
+                lambda _a, i: F.when(i == 1, F.lit(True)).otherwise(
+                    F.element_at(h, (i - 1).cast("int")) % (mask + 1) == 0
+                ),
+            )
+            return F.transform(
+                segs,
+                lambda s: F.struct(
+                    F.md5(
+                        F.array_join(
+                            F.slice(tk, s["a"], (s["b"] - s["a"]).cast("int")), " "
+                        )
+                    ).alias("chunk_hash"),
+                    (s["b"] - s["a"]).cast("long").alias("n_tokens"),
+                ),
+            )
+
+        return _bind(th, build)
+
+    base = docs.select("doc_id", toks.alias("tk")).where(F.size("tk") >= 1)
+    return base.select(
+        "doc_id", F.posexplode(chunked(F.col("tk"))).alias("chunk_idx", "c")
+    ).select(
+        "doc_id",
+        F.col("chunk_idx").cast("long").alias("chunk_idx"),
+        F.col("c.chunk_hash").alias("chunk_hash"),
+        F.col("c.n_tokens").alias("n_tokens"),
+    )
+
+
+def cdc_dedup_stats(docs: DataFrame, mask: int = 31) -> DataFrame:
+    """Cross-corpus CDC chunk dedup profile: per chunk_hash, how many
+    (doc, position) occurrences and how many distinct docs carry it —
+    the storage-dedup ratio input (Σ(df−1)·n_tokens is the dedupable
+    mass). One chunk-hash shuffle, partial-agg combined."""
+    ch = cdc_chunks(docs, mask)
+    return ch.groupBy("chunk_hash").agg(
+        F.count(F.lit(1)).cast("long").alias("n_occurrences"),
+        F.countDistinct("doc_id").cast("long").alias("n_docs"),
+        F.max("n_tokens").cast("long").alias("n_tokens"),
+    )

@@ -136,3 +136,56 @@ def test_winnowing_guarantee_and_replica(spark):
              for r in dedup.winnow_pairs(docs, k, w, min_shared=1).collect()}
     assert set(pairs) == {(1, 2)}
     assert pairs[(1, 2)] == len(got[1] & got[2])
+
+
+def test_cdc_chunks_replica_and_shift_resistance(spark):
+    import hashlib
+
+    from graphical_context_extraction_pipeline_spark.operators import dedup
+
+    def py_chunks(text, mask=31):
+        toks = text.lower().split()
+        if not toks:
+            return []
+        th = [int(hashlib.md5(t.encode()).hexdigest()[:8], 16) for t in toks]
+        chunks, cur = [], []
+        for t, h in zip(toks, th):
+            cur.append(t)
+            if h % (mask + 1) == 0:
+                chunks.append(cur)
+                cur = []
+        if cur:
+            chunks.append(cur)
+        return [
+            (i, hashlib.md5(" ".join(c).encode()).hexdigest(), len(c))
+            for i, c in enumerate(chunks)
+        ]
+
+    import random
+    rng = random.Random(7)
+    vocab = [f"tok{j}" for j in range(50)]
+    body = " ".join(rng.choice(vocab) for _ in range(400))
+    shifted = "prefix inserted tokens " + body
+    docs = spark.createDataFrame(
+        [(1, body), (2, shifted), (3, ""), (4, "single")],
+        "doc_id long, text string",
+    )
+    got = {}
+    for r in dedup.cdc_chunks(docs).collect():
+        got.setdefault(r["doc_id"], []).append(
+            (r["chunk_idx"], r["chunk_hash"], r["n_tokens"])
+        )
+    for d in got:
+        got[d].sort()
+    assert got.get(3) is None  # empty doc yields no chunks
+    assert got[4] == py_chunks("single")
+    assert got[1] == py_chunks(body)
+    assert got[2] == py_chunks(shifted)
+    # shift resistance: the prefix perturbs only the first chunk region —
+    # the vast majority of chunk hashes survive verbatim
+    h1 = {h for _, h, _ in got[1]}
+    h2 = {h for _, h, _ in got[2]}
+    assert len(h1 & h2) >= len(h1) - 1
+    # boundary split only where md5_32(token) % 32 == 0 (replica already
+    # asserts exact equality; this pins the expected chunk-size regime)
+    assert 4 <= len(got[1]) <= 40
