@@ -890,6 +890,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 for r in BE.bpe_learn(_flat_docs(s, d), n_merges=40).collect()
             ],
         ),
+        # T5 span corruption: deterministic md5-bucket block masking →
+        # (input, target) pretraining pairs
+        "span_corruption": lambda s, d: SA.span_corruption(_flat_docs(s, d)),
         # in-context semantic packing: pack related docs (seeded-reservoir
         # embedding clusters) into the same token-budget sequences
         "semantic_packing": lambda s, d: SA.semantic_packing(
@@ -3701,6 +3704,46 @@ SELECT source, doc_id, rk FROM r WHERE rk <= 5
     # exactly-k systematic PPS draw: window cumsum replays the engine's
     # distributed prefix sum; all division numerators non-negative so
     # DuckDB // and Spark DIV agree (pinned cross-engine rule)
+    # T5 span corruption: per-block md5 mask replay; sentinel rank via a
+    # list_filter count (O(B²) is fine at oracle scale; the engine side
+    # is a linear Arrow kernel)
+    q["span_corruption"] = f"""
+WITH base AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+b AS (SELECT doc_id, toks, len(toks) AS n,
+             CASE WHEN len(toks) >= 1 THEN
+               list_transform(range(0, (len(toks) + 2) // 3), j -> {{
+                 'j': j,
+                 'm': (cast(('0x' || substr(md5('mask:' || cast(doc_id AS varchar)
+                        || ':' || cast(j AS varchar)), 1, 15)) AS bigint) % 7 = 0)}})
+             ELSE CAST([] AS STRUCT(j BIGINT, m BOOLEAN)[]) END AS blocks
+      FROM base),
+r AS (SELECT doc_id, n,
+             array_to_string(flatten(list_transform(blocks, bb ->
+               CASE WHEN bb.m THEN ['<extra_id_' ||
+                      cast(len(list_filter(blocks, x -> x.m AND x.j < bb.j)) AS varchar)
+                      || '>']
+               ELSE toks[bb.j * 3 + 1 : least((bb.j + 1) * 3, n)] END)), ' ') AS input_text,
+             flatten(list_transform(blocks, bb ->
+               CASE WHEN bb.m THEN list_concat(
+                      ['<extra_id_' ||
+                       cast(len(list_filter(blocks, x -> x.m AND x.j < bb.j)) AS varchar)
+                       || '>'],
+                      toks[bb.j * 3 + 1 : least((bb.j + 1) * 3, n)])
+               ELSE CAST([] AS VARCHAR[]) END)) AS tgt_list,
+             len(flatten(list_transform(blocks, bb ->
+               CASE WHEN bb.m THEN toks[bb.j * 3 + 1 : least((bb.j + 1) * 3, n)]
+               ELSE CAST([] AS VARCHAR[]) END))) AS n_masked,
+             len(list_filter(blocks, x -> x.m)) AS k_total
+      FROM b)
+SELECT doc_id, cast(n AS bigint) AS n_tokens, cast(n_masked AS bigint) AS n_masked,
+       input_text,
+       CASE WHEN k_total > 0
+            THEN array_to_string(list_append(tgt_list,
+                 '<extra_id_' || cast(k_total AS varchar) || '>'), ' ')
+            ELSE '' END AS target_text
+FROM r
+"""
+
     # semantic packing: cid from the cent/asg replay, then the SAME
     # first-fit recursive walk as pack_sequences with the hash bucket
     # replaced by the semantic one

@@ -316,6 +316,10 @@ def run_suite(cpus: int, sf_dir: str) -> dict:
         "random_walks": lambda: LG.random_walks(LG.extract_links(pages), length=4).count(),
         # round 4 session 5: margin-based bitext mining across the vec_id
         # parity split (banded candidates, integer ratio margins)
+        # round 4 session 5: guaranteed-detection winnowing pairs and
+        # content-defined chunk dedup profile
+        "winnow_pairs": lambda: dedup.winnow_pairs(flat).count(),
+        "cdc_dedup_stats": lambda: dedup.cdc_dedup_stats(flat).count(),
         # round 4 session 5: the selection-ladder verdict table and
         # cluster-then-pack sequence construction
         "training_verdicts": lambda: CU2.training_verdicts(flat).count(),

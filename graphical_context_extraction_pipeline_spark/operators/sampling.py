@@ -759,3 +759,79 @@ def semantic_packing(
         _firstfit_fold(budget),
         "doc_id long, cid long, n_tokens long, seq_idx long, fill long",
     )
+
+
+def span_corruption(
+    docs: DataFrame,
+    block: int = 3,
+    mask_mod: int = 7,
+) -> DataFrame:
+    """T5-style span-corruption pretraining pairs (Raffel et al. 2020):
+    mask aligned ``block``-token spans and emit (input_text, target_text)
+    — the input has each masked span replaced by its ``<extra_id_k>``
+    sentinel, the target lists sentinel + removed tokens per span and
+    ends with the final sentinel (the T5 convention).
+
+    DETERMINISTIC mask choice instead of an RNG: block j of document d
+    is masked iff md5-bucket('mask:' d ':' j) % mask_mod == 0 — the
+    portable hash_bucket construction, so masking is reproducible across
+    runs/retries/engines and the DuckDB oracle replays it. Aligned
+    blocks make selection stateless (no overlap bookkeeping); each
+    masked block is its own span, sentinel k = its rank among the doc's
+    masked blocks (adjacent masked blocks keep distinct sentinels —
+    documented divergence from T5's span merging, chosen so the
+    construction stays one local decision per block). block=3,
+    mask_mod=7 ≈ the paper's ~15% at mean span 3.
+
+    Output: (doc_id, n_tokens, n_masked, input_text, target_text);
+    empty docs pass through with empty strings.
+
+    Scale: ZERO shuffle — one Arrow-batched kernel over (doc_id, text)
+    (the classifier_score pattern; a pure-expression build needs a
+    per-position prefix rank, O(n²) interpreted per row — the pinned
+    fold trap)."""
+    import hashlib
+    import re
+    from typing import Iterator
+
+    java_ws = re.compile(r"[ \t\n\x0b\f\r]+")
+
+    def _masked(doc_id, j: int) -> bool:
+        h = int(
+            hashlib.md5(f"mask:{doc_id}:{j}".encode()).hexdigest()[:15], 16
+        )
+        return h % mask_mod == 0
+
+    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = {"doc_id": [], "n_tokens": [], "n_masked": [],
+                   "input_text": [], "target_text": []}
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                toks = [t for t in java_ws.split((text or "").lower()) if t]
+                n = len(toks)
+                inp, tgt = [], []
+                n_masked = 0
+                k = 0
+                for j in range(0, (n + block - 1) // block):
+                    seg = toks[j * block : (j + 1) * block]
+                    if _masked(doc_id, j):
+                        inp.append(f"<extra_id_{k}>")
+                        tgt.append(f"<extra_id_{k}>")
+                        tgt.extend(seg)
+                        n_masked += len(seg)
+                        k += 1
+                    else:
+                        inp.extend(seg)
+                if k > 0:
+                    tgt.append(f"<extra_id_{k}>")
+                out["doc_id"].append(doc_id)
+                out["n_tokens"].append(n)
+                out["n_masked"].append(n_masked)
+                out["input_text"].append(" ".join(inp))
+                out["target_text"].append(" ".join(tgt))
+            yield pd.DataFrame(out)
+
+    return docs.select("doc_id", "text").mapInPandas(
+        _batches,
+        "doc_id long, n_tokens long, n_masked long, input_text string, target_text string",
+    )

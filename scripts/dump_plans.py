@@ -228,6 +228,51 @@ def main() -> None:
             "state is a single cluster; no corpus-wide window.",
         ),
         (
+            "cooccurrence_counts (GloVe matrix)",
+            __import__(
+                "graphical_context_extraction_pipeline_spark.operators.text_analysis",
+                fromlist=["text_analysis"],
+            ).cooccurrence_counts(flat),
+            "pair construction is intra-row (nested sequence HOFs); ONE "
+            "explode feeds ONE vocabulary²-bounded partial-agg groupBy — "
+            "no corpus self-join on doc_id anywhere.",
+        ),
+        (
+            "winnow_pairs (MOSS fingerprints)",
+            dedup.winnow_pairs(flat),
+            "fingerprints are intra-row window minima (zero shuffle before "
+            "the explode); the hot-fingerprint count + anti-join runs "
+            "BEFORE any pair expansion, same discipline as the shingle "
+            "blocking.",
+        ),
+        (
+            "cdc_dedup_stats (content-defined chunks)",
+            dedup.cdc_dedup_stats(flat),
+            "chunking is one md5-per-token transform + the O(n) segments "
+            "primitive, all intra-row; the only shuffle is the chunk-hash "
+            "rollup (partial-agg combined).",
+        ),
+        (
+            "training_verdicts (selection ladder)",
+            __import__(
+                "graphical_context_extraction_pipeline_spark.operators.curate",
+                fromlist=["curate"],
+            ).training_verdicts(flat),
+            "the two rule rungs are zero-shuffle scans (gopher pure "
+            "expressions; classifier the memoized Arrow kernel); "
+            "uniqueness is one dup-key groupBy; rungs join on doc_id.",
+        ),
+        (
+            "negative_sampling (tempered PPS)",
+            __import__(
+                "graphical_context_extraction_pipeline_spark.operators.sampling",
+                fromlist=["sampling"],
+            ).negative_sampling(flat, k=100),
+            "one vocabulary-bounded count shuffle; tempering is a per-row "
+            "expression and the draw is the distributed prefix-sum grid — "
+            "no SinglePartition stage.",
+        ),
+        (
             "bitext_mine (margin-based mining)",
             __import__(
                 "graphical_context_extraction_pipeline_spark.operators.similarity",

@@ -25,7 +25,17 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-QUERIES = ["ngram_jaccard_pairs", "minhash_lsh_pairs", "neardup_survivors", "web_curate"]
+QUERIES = [
+    "ngram_jaccard_pairs",
+    "minhash_lsh_pairs",
+    "neardup_survivors",
+    "web_curate",
+    # round-4 session-5 shuffle-heavy additions: pair-stream explode +
+    # vocab² rollup, fingerprint blocking, chunk-hash rollup
+    "cooccurrence_counts",
+    "winnow_pairs",
+    "cdc_dedup_stats",
+]
 SCALE_DIR = "/root/repo/data/scale10x"
 
 

@@ -735,3 +735,49 @@ def test_semantic_packing_groups_and_fold(spark):
     # only docs with an embedding row are packable
     emb_ids = {r["vec_id"] for r in emb.select("vec_id").collect()}
     assert {r["doc_id"] for r in out} <= emb_ids
+
+
+def test_span_corruption_replica(spark):
+    import hashlib
+
+    from graphical_context_extraction_pipeline_spark.operators import sampling as SA
+
+    def py_corrupt(doc_id, text, block=3, mod=7):
+        toks = text.lower().split()
+        inp, tgt, n_masked, k = [], [], 0, 0
+        for j in range(0, (len(toks) + block - 1) // block):
+            seg = toks[j * block:(j + 1) * block]
+            h = int(hashlib.md5(f"mask:{doc_id}:{j}".encode()).hexdigest()[:15], 16)
+            if h % mod == 0:
+                inp.append(f"<extra_id_{k}>")
+                tgt.append(f"<extra_id_{k}>")
+                tgt.extend(seg)
+                n_masked += len(seg)
+                k += 1
+            else:
+                inp.extend(seg)
+        if k:
+            tgt.append(f"<extra_id_{k}>")
+        return (len(toks), n_masked, " ".join(inp), " ".join(tgt))
+
+    texts = {
+        1: " ".join(f"w{i}" for i in range(40)),
+        2: "short doc",
+        3: "",
+        4: " ".join(f"x{i}" for i in range(100)),
+    }
+    docs = spark.createDataFrame(
+        [(i, t, "en", "s", len(t)) for i, t in texts.items()],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    got = {r["doc_id"]: (r["n_tokens"], r["n_masked"], r["input_text"], r["target_text"])
+           for r in SA.span_corruption(docs).collect()}
+    assert got == {i: py_corrupt(i, t) for i, t in texts.items()}
+    # round-trip: unmasked input tokens + target span tokens == original
+    for i, t in texts.items():
+        n_tok, n_masked, inp, tgt = got[i]
+        kept = [w for w in inp.split() if not w.startswith("<extra_id_")]
+        removed = [w for w in tgt.split() if not w.startswith("<extra_id_")]
+        assert len(kept) + len(removed) == n_tok
+        assert len(removed) == n_masked
+        assert sorted(kept + removed) == sorted(t.lower().split())
