@@ -904,6 +904,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "doc_id",
             PT.zorder_key(F.col("n_chars"), F.col("doc_id")).alias("zkey"),
         ),
+        # Kneser-Ney smoothed bigram LM (two-stage integer e9 fixed point)
+        "kneser_ney_bigrams": lambda s, d: TA.kneser_ney_bigrams(_flat_docs(s, d)),
         # GloVe co-occurrence matrix: forward-window pairs, integer 1/dist
         # weights (12ths), vocabulary²-bounded rollup
         "cooccurrence_counts": lambda s, d: TA.cooccurrence_counts(
@@ -3779,6 +3781,30 @@ WITH base AS (SELECT doc_id,
                      cast(doc_id AS bigint) & 65535 AS b
               FROM documents)
 SELECT doc_id, cast({_z_terms} AS bigint) AS zkey FROM base
+"""
+
+    # Kneser-Ney: the same two-stage integer chain (// ≡ DIV throughout —
+    # every numerator non-negative since c12 ≥ 1)
+    q["kneser_ney_bigrams"] = f"""
+WITH base AS (SELECT {_TOKS} AS toks FROM documents),
+bg AS (SELECT unnest(CASE WHEN len(toks) >= 2 THEN
+               list_transform(range(1, len(toks)), i ->
+                 {{'w1': toks[i], 'w2': toks[i + 1]}})
+             ELSE CAST([] AS STRUCT(w1 VARCHAR, w2 VARCHAR)[]) END) AS p
+       FROM base),
+m2 AS (SELECT p.w1 AS w1, p.w2 AS w2, cast(count(*) AS bigint) AS c12
+       FROM bg GROUP BY 1, 2),
+m1 AS (SELECT w1, cast(sum(c12) AS bigint) AS c1,
+              cast(count(*) AS bigint) AS n1p_fwd
+       FROM m2 GROUP BY 1),
+mc AS (SELECT w2, cast(count(*) AS bigint) AS n1p_rev FROM m2 GROUP BY 1),
+nt AS (SELECT cast(count(*) AS bigint) AS ntot FROM m2)
+SELECT m2.w1, m2.w2, m2.c12, m1.c1,
+       cast((1000000000 * (4 * m2.c12 - 3)) // (4 * m1.c1)
+            + ((750000000 * m1.n1p_fwd) // m1.c1)
+              * ((1000000000 * mc.n1p_rev) // nt.ntot) // 1000000000
+            AS bigint) AS p_kn_e9
+FROM m2 JOIN m1 USING (w1) JOIN mc USING (w2) CROSS JOIN nt
 """
 
     # GloVe co-occurrence: the same nested-range pair construction (DuckDB

@@ -1039,3 +1039,75 @@ def cooccurrence_counts(docs: DataFrame, window: int = 3) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_pairs"),
         F.sum(F.expr("12 DIV dist")).cast("long").alias("weight_12"),
     )
+
+
+def kneser_ney_bigrams(docs: DataFrame) -> DataFrame:
+    """Kneser-Ney smoothed bigram probabilities (Kneser & Ney 1995; the
+    classic n-gram LM smoothing — interpolated form, absolute discount
+    d = 0.75) for every OBSERVED corpus bigram, in an exact two-stage
+    integer e9 fixed point so the oracle replays it bit-for-bit:
+
+        pcont_e9 = (1e9 · N1+(·,w2))  DIV N1+(··)
+        lam_e9   = (75e7 · N1+(w1,·)) DIV c(w1)
+        p_kn_e9  = (1e9 · (4·c(w1,w2) − 3)) DIV (4·c(w1))
+                   + (lam_e9 · pcont_e9) DIV 1e9
+
+    (the two-stage form IS the contract — each DIV is floor-exact; the
+    single-expression rational would overflow int64 at corpus-scale
+    continuation counts). Every numerator is non-negative (c ≥ 1 ⇒
+    4c − 3 ≥ 1), so Spark DIV ≡ DuckDB //. The continuation
+    distribution N1+(·,w2)/N1+(··) is KN's signature: 'francisco'
+    is frequent but follows only 'san', so its unigram backoff weight
+    collapses — pinned by test.
+
+    Output: (w1, w2, c12, c1, p_kn_e9) for observed bigrams (unseen
+    pairs' mass is λ(w1)·pcont(w2), not enumerated).
+
+    int64 budget: 1e9·4·c12 needs c12 < 2.3e9 — pre-scale counts
+    (c DIV 2^s, all four statistics together) beyond that, the
+    fixed-point estimators' standard remedy.
+
+    Scale: one intra-row bigram explode (no positional self-join), then
+    three partial-agg groupBys (pair, prefix, suffix) and one scalar
+    distinct-type count; joins are key-hashed, text never shuffles.
+    """
+    from ..functions.exprs import bind
+
+    def pairs(t):
+        return F.when(
+            F.size(t) >= 2,
+            F.zip_with(
+                F.slice(t, F.lit(1), F.size(t) - 1),
+                F.slice(t, F.lit(2), F.size(t) - 1),
+                lambda x, y: F.struct(x.alias("w1"), y.alias("w2")),
+            ),
+        ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+
+    bg = docs.select(F.explode(bind(_tokens(F.col("text")), pairs)).alias("p")).select(
+        F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2")
+    )
+    m2 = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).cast("long").alias("c12"))
+    m1 = m2.groupBy("w1").agg(
+        F.sum("c12").cast("long").alias("c1"),
+        F.count(F.lit(1)).cast("long").alias("n1p_fwd"),
+    )
+    mc = m2.groupBy("w2").agg(F.count(F.lit(1)).cast("long").alias("n1p_rev"))
+    ntot = m2.agg(F.count(F.lit(1)).cast("long").alias("ntot"))
+    return (
+        m2.join(m1, "w1")
+        .join(mc, "w2")
+        .crossJoin(F.broadcast(ntot))
+        .select(
+            "w1",
+            "w2",
+            "c12",
+            "c1",
+            F.expr(
+                "(1000000000 * (4 * c12 - 3)) DIV (4 * c1)"
+                " + ((750000000 * n1p_fwd) DIV c1)"
+                "   * ((1000000000 * n1p_rev) DIV ntot) DIV 1000000000"
+            )
+            .cast("long")
+            .alias("p_kn_e9"),
+        )
+    )

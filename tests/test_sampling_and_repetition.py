@@ -781,3 +781,43 @@ def test_span_corruption_replica(spark):
         assert len(kept) + len(removed) == n_tok
         assert len(removed) == n_masked
         assert sorted(kept + removed) == sorted(t.lower().split())
+
+
+def test_kneser_ney_replica_and_continuation_signature(spark):
+    from graphical_context_extraction_pipeline_spark.operators import text_analysis as TA
+
+    # 'francisco' is frequent but ONLY follows 'san'; 'city' has the same
+    # total count but follows many distinct contexts
+    lines = ["san francisco"] * 8 + [f"ctx{i} city" for i in range(8)]
+    lines += ["probe francisco", "probe city", "filler words here"]
+    docs = spark.createDataFrame(
+        [(i, t, "en", "s", len(t)) for i, t in enumerate(lines)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    rows = {(r["w1"], r["w2"]): r for r in TA.kneser_ney_bigrams(docs).collect()}
+
+    # python replica
+    bigrams = {}
+    for t in lines:
+        toks = t.lower().split()
+        for a, b in zip(toks, toks[1:]):
+            bigrams[(a, b)] = bigrams.get((a, b), 0) + 1
+    c1, fwd, rev = {}, {}, {}
+    for (a, b), c in bigrams.items():
+        c1[a] = c1.get(a, 0) + c
+        fwd[a] = fwd.get(a, 0) + 1
+        rev[b] = rev.get(b, 0) + 1
+    ntot = len(bigrams)
+
+    def p_kn(a, b):
+        t1 = (10**9 * (4 * bigrams[(a, b)] - 3)) // (4 * c1[a])
+        lam = (75 * 10**7 * fwd[a]) // c1[a]
+        pc = (10**9 * rev[b]) // ntot
+        return t1 + lam * pc // 10**9
+
+    assert {(k, r["p_kn_e9"]) for k, r in rows.items()} == {
+        (k, p_kn(*k)) for k in bigrams
+    }
+    # the KN signature: same c12 and same context 'probe', but 'city'
+    # (many left-contexts) beats 'francisco' (one left-context)
+    assert rows[("probe", "city")]["p_kn_e9"] > rows[("probe", "francisco")]["p_kn_e9"]
