@@ -904,6 +904,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "doc_id",
             PT.zorder_key(F.col("n_chars"), F.col("doc_id")).alias("zkey"),
         ),
+        # PPMI weighting of the co-occurrence matrix (bit-length log2)
+        "ppmi_matrix": lambda s, d: TA.ppmi_matrix(_flat_docs(s, d), window=3),
+        # the selection ladder's funnel datasheet line
+        "verdict_funnel": lambda s, d: CU.verdict_funnel(
+            CU.training_verdicts(
+                _planted_exact(_flat_docs(s, d)), stopwords=_GOPHER_GATE_STOPS
+            )
+        ),
         # Kneser-Ney smoothed bigram LM (two-stage integer e9 fixed point)
         "kneser_ney_bigrams": lambda s, d: TA.kneser_ney_bigrams(_flat_docs(s, d)),
         # GloVe co-occurrence matrix: forward-window pairs, integer 1/dist
@@ -5433,6 +5441,29 @@ ranked AS (SELECT query_id, vec_id, cast(floor(cos * 10000) AS bigint) AS cos_e4
                        ORDER BY cast(floor(cos * 10000) AS bigint) DESC, vec_id) AS bigint) AS rank
            FROM pairs)
 SELECT query_id, vec_id, cos_e4, rank FROM ranked WHERE rank <= 10
+"""
+
+    # PPMI: the co-occurrence chain wrapped as a CTE (nested WITH), then
+    # marginals + the bit-length log2 in SQL
+    q["ppmi_matrix"] = f"""
+WITH co AS (SELECT w_a, w_b, n_pairs FROM ({q["cooccurrence_counts"]})),
+r AS (SELECT w_a, cast(sum(n_pairs) AS bigint) AS row_a FROM co GROUP BY 1),
+c AS (SELECT w_b, cast(sum(n_pairs) AS bigint) AS col_b FROM co GROUP BY 1),
+t AS (SELECT cast(sum(n_pairs) AS bigint) AS n_total FROM co)
+SELECT co.w_a, co.w_b, co.n_pairs,
+       cast(greatest(length(bin(co.n_pairs * t.n_total))
+                     - length(bin(r.row_a * c.col_b)), 0) AS bigint) AS ppmi_bits
+FROM co JOIN r USING (w_a) JOIN c USING (w_b) CROSS JOIN t
+"""
+
+    # funnel rollup over the verdict chain (one scalar aggregation)
+    q["verdict_funnel"] = f"""
+SELECT cast(count(*) AS bigint) AS n_docs,
+       cast(sum(CASE WHEN r_gopher THEN 1 ELSE 0 END) AS bigint) AS n_gopher,
+       cast(sum(CASE WHEN r_classifier THEN 1 ELSE 0 END) AS bigint) AS n_classifier,
+       cast(sum(CASE WHEN r_unique THEN 1 ELSE 0 END) AS bigint) AS n_unique,
+       cast(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS bigint) AS n_keep
+FROM ({q["training_verdicts"]})
 """
 
     return _gate_order(q)

@@ -145,3 +145,18 @@ def training_verdicts(
             ),
         )
     )
+
+
+def verdict_funnel(verdicts: DataFrame) -> DataFrame:
+    """Stage-by-stage funnel rollup of a training_verdicts relation: one
+    row with the corpus count and each rung's survivor count (rungs are
+    independent booleans, so the numbers read as per-stage losses under
+    any gating order) plus the final keep count. One partial-agg scalar
+    aggregation — the training-set datasheet line."""
+    return verdicts.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.col("r_gopher").cast("long")).cast("long").alias("n_gopher"),
+        F.sum(F.col("r_classifier").cast("long")).cast("long").alias("n_classifier"),
+        F.sum(F.col("r_unique").cast("long")).cast("long").alias("n_unique"),
+        F.sum(F.col("keep").cast("long")).cast("long").alias("n_keep"),
+    )

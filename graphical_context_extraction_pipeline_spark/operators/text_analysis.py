@@ -1111,3 +1111,42 @@ def kneser_ney_bigrams(docs: DataFrame) -> DataFrame:
             .alias("p_kn_e9"),
         )
     )
+
+
+def ppmi_matrix(docs: DataFrame, window: int = 3) -> DataFrame:
+    """Positive pointwise mutual information over the co-occurrence
+    matrix (Church & Hanks 1990; the classic count-based word-vector
+    weighting, Levy & Goldberg 2014's SGNS equivalence): per observed
+    pair, PMI ≈ log2(c_ab·N / (row_a·col_b)) in the repo's integer
+    bit-length form — bits = bitlen(c_ab·N) − bitlen(row_a·col_b),
+    ppmi_bits = max(bits, 0) — exact to within one bit, zero floats in
+    either engine (the unigram_surprisal idiom).
+
+    Output: (w_a, w_b, n_pairs, ppmi_bits). int64 budget: c_ab·N < 2^63
+    — pre-scale the counts (all four together) past ~3e9 total pairs,
+    the fixed-point estimators' standard remedy.
+
+    Scale: rides cooccurrence_counts (intra-row pair build, vocab²
+    rollup); marginals are two more partial-agg groupBys over the
+    already-aggregated matrix, joined back by key."""
+    co = cooccurrence_counts(docs, window=window).select("w_a", "w_b", "n_pairs")
+    row = co.groupBy("w_a").agg(F.sum("n_pairs").cast("long").alias("row_a"))
+    col = co.groupBy("w_b").agg(F.sum("n_pairs").cast("long").alias("col_b"))
+    tot = co.agg(F.sum("n_pairs").cast("long").alias("n_total"))
+    return (
+        co.join(row, "w_a")
+        .join(col, "w_b")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "w_a",
+            "w_b",
+            "n_pairs",
+            F.greatest(
+                F.length(F.bin(F.col("n_pairs") * F.col("n_total")))
+                - F.length(F.bin(F.col("row_a") * F.col("col_b"))),
+                F.lit(0),
+            )
+            .cast("long")
+            .alias("ppmi_bits"),
+        )
+    )

@@ -821,3 +821,46 @@ def test_kneser_ney_replica_and_continuation_signature(spark):
     # the KN signature: same c12 and same context 'probe', but 'city'
     # (many left-contexts) beats 'francisco' (one left-context)
     assert rows[("probe", "city")]["p_kn_e9"] > rows[("probe", "francisco")]["p_kn_e9"]
+
+
+def test_ppmi_matrix_replica(spark):
+    from graphical_context_extraction_pipeline_spark.operators import text_analysis as TA
+
+    docs = spark.createDataFrame(
+        [(1, "a b a b c d", "en", "s", 11), (2, "a b e f", "en", "s", 7)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    co = {(r["w_a"], r["w_b"]): r["n_pairs"]
+          for r in TA.cooccurrence_counts(docs, window=3).collect()}
+    row, col = {}, {}
+    for (a, b), n in co.items():
+        row[a] = row.get(a, 0) + n
+        col[b] = col.get(b, 0) + n
+    N = sum(co.values())
+    got = {(r["w_a"], r["w_b"]): (r["n_pairs"], r["ppmi_bits"])
+           for r in TA.ppmi_matrix(docs, window=3).collect()}
+    expect = {
+        k: (n, max((n * N).bit_length() - (row[k[0]] * col[k[1]]).bit_length(), 0))
+        for k, n in co.items()
+    }
+    assert got == expect
+    # the always-adjacent pair outranks a one-off long-range pair
+    assert got[("a", "b")][1] >= got[("b", "d")][1]
+
+
+def test_verdict_funnel_counts(spark):
+    from pyspark.sql import functions as F
+
+    from graphical_context_extraction_pipeline_spark.operators import curate as CU
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        "doc_id", "text"
+    )
+    v = CU.training_verdicts(docs, min_mean_w_e3=0)
+    f = CU.verdict_funnel(v).first()
+    rows = v.collect()
+    assert f["n_docs"] == len(rows)
+    assert f["n_gopher"] == sum(r["r_gopher"] for r in rows)
+    assert f["n_classifier"] == sum(r["r_classifier"] for r in rows)
+    assert f["n_unique"] == sum(r["r_unique"] for r in rows)
+    assert f["n_keep"] == sum(r["keep"] for r in rows)
