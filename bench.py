@@ -316,6 +316,11 @@ def run_suite(cpus: int, sf_dir: str) -> dict:
         "random_walks": lambda: LG.random_walks(LG.extract_links(pages), length=4).count(),
         # round 4 session 5: margin-based bitext mining across the vec_id
         # parity split (banded candidates, integer ratio margins)
+        # round 4 session 5: KN-smoothed bigram LM, T5 span corruption,
+        # PPMI weighting
+        "kneser_ney_bigrams": lambda: TA.kneser_ney_bigrams(flat).count(),
+        "span_corruption": lambda: SA.span_corruption(flat).count(),
+        "ppmi_matrix": lambda: TA.ppmi_matrix(flat).count(),
         # round 4 session 5: guaranteed-detection winnowing pairs and
         # content-defined chunk dedup profile
         "winnow_pairs": lambda: dedup.winnow_pairs(flat).count(),
