@@ -150,3 +150,31 @@ def stream_curation(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def prune_key_versions(store_dir: str, keep_last: int = 2) -> list[str]:
+    """Bound the seen-keys store's disk growth (each epoch writes a FULL
+    key snapshot): delete old ``keys/v*`` directories keeping the
+    pointer's current version, ``keep_last - 1`` before it, and anything
+    newer than the pointer (in-flight crash writes are never raced) —
+    the same contract as streaming/index.prune_versions. The
+    ``verdicts/v*`` log is NOT touched: unlike the key snapshots, each
+    verdict version holds different rows (it is the accumulated output,
+    not a rollback window). curate_epoch refuses replayed epochs before
+    reading any version, so no reader dereferences a pruned snapshot."""
+    import shutil
+
+    from .index import list_versions
+
+    meta = _read_pointer(store_dir)
+    if meta is None or keep_last < 1:
+        return []
+    keys_dir = os.path.join(store_dir, "keys")
+    versions = list_versions(keys_dir)
+    if meta["version"] not in versions:
+        return []
+    cur = versions.index(meta["version"])
+    doomed = versions[: max(0, cur - (keep_last - 1))]
+    for v in doomed:
+        shutil.rmtree(os.path.join(keys_dir, v))
+    return doomed

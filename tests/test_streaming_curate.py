@@ -77,3 +77,31 @@ def test_curate_epoch_replay_noop(spark, tmp_path):
     assert rows == _rows(training_verdicts(b, min_mean_w_e3=0))
     # single write, and the row is unique (the replay wrote nothing)
     assert len(rows) == 1 and next(iter(rows))[3] is True
+
+
+def test_prune_key_versions_keeps_current_and_log(spark, tmp_path):
+    import glob
+
+    from graphical_context_extraction_pipeline_spark.streaming.curate import (
+        prune_key_versions,
+    )
+
+    store = str(tmp_path / "store3")
+    os.makedirs(store)
+    b1 = spark.createDataFrame([(1, GOOD + "one")], "doc_id long, text string")
+    b2 = spark.createDataFrame([(2, GOOD + "two")], "doc_id long, text string")
+    b3 = spark.createDataFrame([(3, GOOD + "one")], "doc_id long, text string")
+    assert curate_epoch(spark, store, b1, 0, min_mean_w_e3=0)
+    assert curate_epoch(spark, store, b2, 1, min_mean_w_e3=0)
+    removed = prune_key_versions(store, keep_last=1)
+    assert removed == ["v0000000000"]
+    # current key snapshot and the FULL verdict log survive
+    assert glob.glob(os.path.join(store, "keys", "v*")) == [
+        os.path.join(store, "keys", "v0000000001")
+    ]
+    assert len(glob.glob(os.path.join(store, "verdicts", "v*"))) == 2
+    # the store keeps working: epoch 2 still sees doc 1's key via the
+    # surviving snapshot, so the cross-batch duplicate is caught
+    assert curate_epoch(spark, store, b3, 2, min_mean_w_e3=0)
+    rows = _rows(spark.read.parquet(os.path.join(store, "verdicts", "v0000000002")))
+    assert rows == {(3, True, next(iter(rows))[2], False, False)}
