@@ -189,3 +189,21 @@ def test_cdc_chunks_replica_and_shift_resistance(spark):
     # boundary split only where md5_32(token) % 32 == 0 (replica already
     # asserts exact equality; this pins the expected chunk-size regime)
     assert 4 <= len(got[1]) <= 40
+
+
+def test_winnow_kernel_equals_expression_twin(spark):
+    from pyspark.sql import functions as F
+
+    from graphical_context_extraction_pipeline_spark.operators import dedup
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        "doc_id", "text"
+    )
+    fast = {(r["doc_id"], r["fp"]) for r in dedup.winnow_fingerprints(docs).collect()}
+    slow = {
+        (r["doc_id"], r["fp"])
+        for r in dedup.winnow_fingerprints_expr(docs).collect()
+    }
+    assert fast == slow and fast
+    plan = dedup.winnow_fingerprints(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan
