@@ -624,6 +624,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "random_walks": lambda s, d: LG.random_walks(
             LG.extract_links(_html_pages(s, d)), length=4
         ),
+        # skip-gram (center, context) pairs within +/-2 steps over the
+        # same walk corpus
+        "walk_skipgrams": lambda s, d: LG.walk_skipgrams(
+            LG.extract_links(_html_pages(s, d)), length=4, window=2
+        ),
         "anchor_texts": lambda s, d: LG.anchor_texts(_html_pages(s, d)),
         "domain_quality": lambda s, d: LG.domain_quality(_html_pages(s, d)),
         "link_degrees": lambda s, d: LG.degree_stats(LG.extract_links(_html_pages(s, d))),
@@ -3813,6 +3818,17 @@ SELECT m2.w1, m2.w2, m2.c12, m1.c1,
               * ((1000000000 * mc.n1p_rev) // nt.ntot) // 1000000000
             AS bigint) AS p_kn_e9
 FROM m2 JOIN m1 USING (w1) JOIN mc USING (w2) CROSS JOIN nt
+"""
+
+    # walk skip-grams: the walk chain wrapped as a subquery + the
+    # window self-join keyed on the walk id
+    q["walk_skipgrams"] = f"""
+WITH w AS ({q["random_walks"]}),
+p AS (SELECT a.node AS center, b.node AS context
+      FROM w a JOIN w b ON a.start = b.start
+      WHERE a.step <> b.step AND abs(a.step - b.step) <= 2)
+SELECT center, context, cast(count(*) AS bigint) AS n_pairs
+FROM p GROUP BY 1, 2
 """
 
     # GloVe co-occurrence: the same nested-range pair construction (DuckDB

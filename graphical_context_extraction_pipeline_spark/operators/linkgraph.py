@@ -795,3 +795,39 @@ def random_walks(edges: DataFrame, length: int = 4) -> DataFrame:
         frontier = stepped
         out = out.unionByName(stepped)
     return out
+
+
+def walk_skipgrams(
+    edges: DataFrame, length: int = 4, window: int = 2
+) -> DataFrame:
+    """Skip-gram training pairs over the deterministic walk corpus
+    (DeepWalk's second half: walks are the 'sentences', this is the
+    (center, context) pair stream a skip-gram model consumes, with
+    sampling.negative_sampling supplying the negatives): for every walk,
+    all ordered node pairs within ``window`` steps, rolled up per
+    (center, context).
+
+    Output: (center, context, n_pairs).
+
+    Scale: the walk relation is |V|·(length+1) rows; the pair expansion
+    self-joins it keyed on the walk id (start), ≤ (length+1)·2·window
+    pairs per walk — a bounded blow-up, then one pair-keyed partial-agg
+    rollup."""
+    walks = random_walks(edges, length)
+    a = walks.select(
+        F.col("start"), F.col("step").alias("sa"), F.col("node").alias("center")
+    )
+    b = walks.select(
+        F.col("start"), F.col("step").alias("sb"), F.col("node").alias("context")
+    )
+    pairs = (
+        a.join(b, "start")
+        .where(
+            (F.col("sa") != F.col("sb"))
+            & (F.abs(F.col("sa") - F.col("sb")) <= window)
+        )
+        .select("center", "context")
+    )
+    return pairs.groupBy("center", "context").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs")
+    )

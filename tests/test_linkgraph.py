@@ -444,3 +444,25 @@ def test_random_walks_replica_and_dangling(spark):
     assert got == expect
     # at least one walk reaches the dangling node and stops there
     assert not any(s == "d" for (s, _, _) in got)  # d never starts a walk
+
+
+def test_walk_skipgrams_replica(spark):
+    from graphical_context_extraction_pipeline_spark.operators import linkgraph as LG
+
+    edges = spark.createDataFrame(
+        [("a", "b", 1), ("b", "c", 1), ("c", "a", 1), ("a", "c", 1)],
+        "src_domain string, dst_domain string, n_links long",
+    )
+    length, window = 3, 2
+    walks = {}
+    for r in LG.random_walks(edges, length).collect():
+        walks.setdefault(r["start"], {})[r["step"]] = r["node"]
+    expect = {}
+    for steps in walks.values():
+        for sa, ca in steps.items():
+            for sb, cb in steps.items():
+                if sa != sb and abs(sa - sb) <= window:
+                    expect[(ca, cb)] = expect.get((ca, cb), 0) + 1
+    got = {(r["center"], r["context"]): r["n_pairs"]
+           for r in LG.walk_skipgrams(edges, length, window).collect()}
+    assert got == expect and got
