@@ -629,6 +629,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "walk_skipgrams": lambda s, d: LG.walk_skipgrams(
             LG.extract_links(_html_pages(s, d)), length=4, window=2
         ),
+        # multi-source BFS trust distance from the spam_mass seed pair
+        "seed_distances": lambda s, d: LG.seed_distances(
+            LG.extract_links(_html_pages(s, d)),
+            ("example.com", "wiki.example.net"),
+            max_depth=3,
+        ),
         "anchor_texts": lambda s, d: LG.anchor_texts(_html_pages(s, d)),
         "domain_quality": lambda s, d: LG.domain_quality(_html_pages(s, d)),
         "link_degrees": lambda s, d: LG.degree_stats(LG.extract_links(_html_pages(s, d))),
@@ -3818,6 +3824,20 @@ SELECT m2.w1, m2.w2, m2.c12, m1.c1,
               * ((1000000000 * mc.n1p_rev) // nt.ntot) // 1000000000
             AS bigint) AS p_kn_e9
 FROM m2 JOIN m1 USING (w1) JOIN mc USING (w2) CROSS JOIN nt
+"""
+
+    # seed distances: recursive BFS with a depth guard; min() collapses
+    # the multiple walks the engine's anti-join never materializes
+    q["seed_distances"] = f"""
+WITH RECURSIVE {_EDGES},
+e2 AS (SELECT DISTINCT src_domain AS s, dst_domain AS d FROM edges),
+walk AS (
+  SELECT * FROM (VALUES ('example.com', 0), ('wiki.example.net', 0)) t(node, dist)
+  UNION ALL
+  SELECT e2.d AS node, w.dist + 1 FROM walk w JOIN e2 ON e2.s = w.node
+  WHERE w.dist < 3
+)
+SELECT node, cast(min(dist) AS bigint) AS dist FROM walk GROUP BY node
 """
 
     # walk skip-grams: the walk chain wrapped as a subquery + the

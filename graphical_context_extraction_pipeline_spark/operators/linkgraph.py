@@ -831,3 +831,42 @@ def walk_skipgrams(
     return pairs.groupBy("center", "context").agg(
         F.count(F.lit(1)).cast("long").alias("n_pairs")
     )
+
+
+def seed_distances(
+    edges: DataFrame, seeds: tuple[str, ...], max_depth: int = 3
+) -> DataFrame:
+    """Multi-source BFS over the directed domain graph: every domain's
+    link distance FROM the seed set (min over seeds), up to
+    ``max_depth`` hops — the classic trust-distance feature (TrustRank's
+    combinatorial cousin: spam rarely sits within a couple of clicks of
+    curated seeds) and the standard bounded-frontier BFS shape.
+
+    Output: (node, dist) for reachable domains, dist ∈ [0, max_depth];
+    seeds emit dist 0 whether or not they appear in the graph.
+
+    Scale: one frontier-vs-edges equi-join + one anti-join against the
+    visited set per level — ``max_depth`` bounded rounds, lineage
+    truncated per round (localCheckpoint, the iterative-op discipline of
+    pagerank/kcore); the visited relation only ever grows by the newly
+    reached frontier."""
+    spark = edges.sparkSession
+    e2 = edges.select(
+        F.col("src_domain").alias("s"), F.col("dst_domain").alias("d")
+    ).distinct()
+    visited = spark.createDataFrame(
+        [(s, 0) for s in seeds], "node string, dist long"
+    )
+    frontier = visited.select("node")
+    for depth in range(1, max_depth + 1):
+        nxt = (
+            frontier.join(e2, frontier["node"] == e2["s"])
+            .select(F.col("d").alias("node"))
+            .distinct()
+            .join(visited.select("node"), "node", "left_anti")
+            .withColumn("dist", F.lit(depth).cast("long"))
+            .localCheckpoint(eager=False)
+        )
+        visited = visited.unionByName(nxt)
+        frontier = nxt.select("node")
+    return visited

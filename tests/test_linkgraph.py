@@ -466,3 +466,23 @@ def test_walk_skipgrams_replica(spark):
     got = {(r["center"], r["context"]): r["n_pairs"]
            for r in LG.walk_skipgrams(edges, length, window).collect()}
     assert got == expect and got
+
+
+def test_seed_distances_bfs(spark):
+    from graphical_context_extraction_pipeline_spark.operators import linkgraph as LG
+
+    edges = spark.createDataFrame(
+        [
+            ("s", "a", 1), ("a", "b", 1), ("b", "c", 1), ("c", "far", 1),
+            ("iso", "island", 1),  # unreachable from the seeds
+            ("x", "s", 1),         # inbound edge: must NOT give x a distance
+        ],
+        "src_domain string, dst_domain string, n_links long",
+    )
+    got = {r["node"]: r["dist"]
+           for r in LG.seed_distances(edges, ("s", "ghost"), max_depth=3).collect()}
+    # ghost is a seed absent from the graph: dist 0, no expansion
+    assert got == {"s": 0, "ghost": 0, "a": 1, "b": 2, "c": 3}
+    # depth-bounded: 'far' (4 hops) and the island stay unreached; the
+    # inbound-only 'x' is never assigned a distance (directed BFS)
+    assert "far" not in got and "island" not in got and "x" not in got
