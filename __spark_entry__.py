@@ -101,6 +101,33 @@ def entry(spark: SparkSession) -> DataFrame:
 # corpus constructions shared between Spark queries and SQL oracles
 # --------------------------------------------------------------------------
 
+def _planted_urls(docs: DataFrame) -> DataFrame:
+    """Append one deterministic URL mention to every %9==2 doc (even ids
+    get a www. host + path, odd ids a bare host) — the text_urls gate
+    corpus; replayed verbatim in the oracle."""
+    url = F.when(
+        F.col("doc_id") % 2 == 0,
+        F.concat(
+            F.lit(" see https://www.ex"),
+            (F.col("doc_id") % 7).cast("string"),
+            F.lit(".example.org/p/"),
+            F.col("doc_id").cast("string"),
+        ),
+    ).otherwise(
+        F.concat(
+            F.lit(" see http://ex"),
+            (F.col("doc_id") % 7).cast("string"),
+            F.lit(".example.org"),
+        )
+    )
+    return docs.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 9 == 2, F.concat(F.col("text"), url))
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+
+
 def _planted_exact(docs: DataFrame) -> DataFrame:
     base = docs.select("doc_id", "text")
     dup = docs.where(F.col("doc_id") % 50 == 0).select(
@@ -579,6 +606,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "html_meta": lambda s, d: HT.html_meta(_html_pages(s, d)),
         "html_sections": lambda s, d: HT.sections(_html_pages(s, d)),
         # ---- URL/domain curation over the crawl (CCNet/C4-style) -------------
+        # plain-text URL mentions over a planted corpus (testdata text
+        # carries no URLs; plants exercise the www-strip and path cases)
+        "text_urls": lambda s, d: UR.text_urls(_planted_urls(_flat_docs(s, d))),
         "url_parse": lambda s, d: UR.url_parse(_html_pages(s, d)),
         "url_dedup": lambda s, d: UR.url_dedup(_html_pages(s, d)),
         "domain_stats": lambda s, d: UR.domain_stats(_html_pages(s, d)),
@@ -2208,6 +2238,26 @@ FROM hp LEFT JOIN agg USING (doc_id)
     _DPATH = "regexp_extract(url, '^[a-z][a-z0-9+.-]*://[^/?#]+([^?#]*)', 1)"
     _DCANON = f"'https://' || {_DDOMAIN} || regexp_replace({_DPATH}, '/+$', '')"
     _HPAGES = f"hp AS (SELECT doc_id, url, html FROM read_parquet('{html_path}/*.parquet'))"
+
+    # text_urls: plant replay + the same extraction regex; domain via the
+    # _DHOST/_DDOMAIN twins over the extracted mention
+    q["text_urls"] = f"""
+WITH corpus AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 9 = 2 THEN text ||
+           (CASE WHEN doc_id % 2 = 0
+                 THEN ' see https://www.ex' || cast(doc_id % 7 AS varchar)
+                      || '.example.org/p/' || cast(doc_id AS varchar)
+                 ELSE ' see http://ex' || cast(doc_id % 7 AS varchar)
+                      || '.example.org' END)
+         ELSE text END AS text
+  FROM documents),
+m AS (SELECT doc_id,
+             unnest(regexp_extract_all(text,
+               'https?://[A-Za-z0-9._\\-]+(?:/[A-Za-z0-9._/\\-]*)?')) AS url
+      FROM corpus)
+SELECT doc_id, url, {_DDOMAIN} AS domain FROM m
+"""
 
     q["url_parse"] = f"""
 WITH {_HPAGES}

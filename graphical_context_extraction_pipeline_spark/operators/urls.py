@@ -551,3 +551,25 @@ def sitemap_staleness(
         .alias("status"),
         F.coalesce("lastmod", F.lit("")).alias("lastmod"),
     )
+
+
+TEXT_URL_RE = r"https?://[A-Za-z0-9._\-]+(?:/[A-Za-z0-9._/\-]*)?"
+
+
+def text_urls(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """URL mentions in PLAIN text (no HTML markup — the citation/link
+    signal for corpora that arrive as extracted text): one portable
+    regex (Java ∩ RE2 subset: no lookaround, non-capturing group only)
+    over a zero-shuffle scan, one explode.
+
+    Output: (doc_id, url, domain) per mention (duplicates kept — mention
+    COUNT is the signal; distinct downstream if needed)."""
+    return (
+        docs.select(
+            "doc_id",
+            F.explode(
+                F.regexp_extract_all(F.col(text_col), F.lit(TEXT_URL_RE), F.lit(0))
+            ).alias("url"),
+        )
+        .select("doc_id", "url", _domain(F.col("url")).alias("domain"))
+    )

@@ -486,3 +486,22 @@ def test_seed_distances_bfs(spark):
     # depth-bounded: 'far' (4 hops) and the island stay unreached; the
     # inbound-only 'x' is never assigned a distance (directed BFS)
     assert "far" not in got and "island" not in got and "x" not in got
+
+
+def test_text_urls_extraction(spark):
+    from graphical_context_extraction_pipeline_spark.operators import urls as UR
+
+    docs = spark.createDataFrame(
+        [
+            (1, "read https://www.site-a.org/path/x and http://b.net too"),
+            (2, "no links here"),
+            (3, "bare https://c.io trailing words"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {(r["doc_id"], r["url"], r["domain"]) for r in UR.text_urls(docs).collect()}
+    assert got == {
+        (1, "https://www.site-a.org/path/x", "site-a.org"),
+        (1, "http://b.net", "b.net"),
+        (3, "https://c.io", "c.io"),
+    }
