@@ -947,6 +947,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         # PPMI weighting of the co-occurrence matrix (bit-length log2)
         "ppmi_matrix": lambda s, d: TA.ppmi_matrix(_flat_docs(s, d), window=3),
+        # curate-then-mix: the ladder's survivors through the exactly-k
+        # Hamilton + PPS mixture — the end-to-end training-set constructor
+        "curated_mixture": lambda s, d: CU.curated_mixture(
+            _flat_docs(s, d), k=100, stopwords=_GOPHER_GATE_STOPS
+        ),
         # the selection ladder's funnel datasheet line
         "verdict_funnel": lambda s, d: CU.verdict_funnel(
             CU.training_verdicts(
@@ -5550,6 +5555,27 @@ SELECT cast(count(*) AS bigint) AS n_docs,
        cast(sum(CASE WHEN r_unique THEN 1 ELSE 0 END) AS bigint) AS n_unique,
        cast(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS bigint) AS n_keep
 FROM ({q["training_verdicts"]})
+"""
+
+    # curate-then-mix: the verdict chain re-rooted onto the PLAIN corpus
+    # (no dup plants — uniqueness is vacuous there, gopher/classifier do
+    # the filtering), survivors semi-join the full table, then the quota
+    # chain re-rooted onto the survivors
+    _tv_plain = q["training_verdicts"]
+    _plant_block = """WITH corpusx AS (SELECT doc_id, text FROM documents UNION ALL
+                 SELECT doc_id + 100000 AS doc_id, text
+                 FROM documents WHERE doc_id % 50 = 0),"""
+    assert _plant_block in _tv_plain
+    _tv_plain = _tv_plain.replace(
+        _plant_block, "WITH corpusx AS (SELECT doc_id, text FROM documents),", 1
+    )
+    _quota_rest = q["quota_mixture"].strip()
+    assert _quota_rest.startswith("WITH ") and _quota_rest.count("FROM documents") == 1
+    _quota_rest = _quota_rest[len("WITH "):].replace("FROM documents", "FROM kept", 1)
+    q["curated_mixture"] = f"""
+WITH keepids AS (SELECT doc_id FROM ({_tv_plain}) WHERE keep),
+kept AS (SELECT d.* FROM documents d JOIN keepids USING (doc_id)),
+{_quota_rest}
 """
 
     return _gate_order(q)

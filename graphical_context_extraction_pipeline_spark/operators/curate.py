@@ -160,3 +160,28 @@ def verdict_funnel(verdicts: DataFrame) -> DataFrame:
         F.sum(F.col("r_unique").cast("long")).cast("long").alias("n_unique"),
         F.sum(F.col("keep").cast("long")).cast("long").alias("n_keep"),
     )
+
+
+def curated_mixture(
+    docs: DataFrame,
+    k: int = 100,
+    min_mean_w_e3: int = 110_000,
+    stopwords: list[str] | None = None,
+) -> DataFrame:
+    """The pipeline end-to-end: run the selection ladder
+    (:func:`training_verdicts`), keep the survivors, and draw the exactly-k
+    Hamilton + per-source PPS mixture over them
+    (:func:`sampling.quota_mixture`) — "curate, then mix" as one plan,
+    the final training-set constructor.
+
+    Scale: the ladder's rungs are zero-shuffle scans + one dup-key
+    groupBy; the keep set semi-joins the corpus once (doc_id key); the
+    mixture adds its one global cumsum. Nothing corpus-sized reaches the
+    driver."""
+    from .sampling import quota_mixture
+
+    v = training_verdicts(
+        docs, min_mean_w_e3=min_mean_w_e3, stopwords=stopwords
+    )
+    kept = docs.join(v.where(F.col("keep")).select("doc_id"), "doc_id")
+    return quota_mixture(kept, k=k)

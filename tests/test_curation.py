@@ -94,3 +94,32 @@ def test_training_verdicts_rungs(spark):
     # rungs match their standalone operators
     gop = {r["doc_id"]: r["keep"] for r in TA.gopher_rules(planted).collect()}
     assert all(out[i]["r_gopher"] == gop[i] for i in out)
+
+
+def test_curated_mixture_composition(spark):
+    from graphical_context_extraction_pipeline_spark.operators import curate as CU
+    from graphical_context_extraction_pipeline_spark.operators import sampling as SA
+
+    import __spark_entry__ as entry
+
+    stops = entry._GOPHER_GATE_STOPS  # corpus-localized list (default
+    # Gopher stop words never appear in the synthetic vocabulary)
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    k = 20
+    got = CU.curated_mixture(docs, k=k, min_mean_w_e3=0, stopwords=stops).collect()
+    # exactly-k total picks over the survivor set
+    assert sum(r["n_picks"] for r in got) == k
+    # equals quota_mixture over the independently computed keep set
+    keeps = {
+        r["doc_id"]
+        for r in CU.training_verdicts(docs, min_mean_w_e3=0, stopwords=stops).collect()
+        if r["keep"]
+    }
+    from pyspark.sql import functions as F
+
+    kept = docs.where(F.col("doc_id").isin(list(keeps)))
+    want = {(r["source"], r["doc_id"], r["weight"], r["n_picks"])
+            for r in SA.quota_mixture(kept, k=k).collect()}
+    assert {(r["source"], r["doc_id"], r["weight"], r["n_picks"]) for r in got} == want
+    # every drawn doc survived the ladder
+    assert {r["doc_id"] for r in got} <= keeps
