@@ -325,6 +325,11 @@ def run_suite(cpus: int, sf_dir: str) -> dict:
         # content-defined chunk dedup profile
         "winnow_pairs": lambda: dedup.winnow_pairs(flat).count(),
         "cdc_dedup_stats": lambda: dedup.cdc_dedup_stats(flat).count(),
+        # round 4 session 5: curate-then-mix end to end (the flagship
+        # training-set constructor)
+        "curated_mixture": lambda: CU2.curated_mixture(
+            flat, k=100, stopwords=__import__("__spark_entry__")._GOPHER_GATE_STOPS
+        ).count(),
         # round 4 session 5: the selection-ladder verdict table and
         # cluster-then-pack sequence construction
         "training_verdicts": lambda: CU2.training_verdicts(flat).count(),
