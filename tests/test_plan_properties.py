@@ -893,3 +893,51 @@ def test_semdedup_shuffles_only_on_cid(spark):
     assigned = SIM.ivf_assign(emb, SIM.ivf_centroids(emb, 4, 0))
     assert count_exchanges(assigned) == 0, physical_plan(assigned)
     assert "EvalPython" not in plan, plan
+
+
+def test_session5_ops_no_cartesian_no_row_python(spark):
+    """Sweep: none of the session-5 operators may degrade to a Cartesian
+    product or row-at-a-time Python (BatchEvalPython) — every join is
+    keyed (or an intentional tiny broadcast cross of a scalar relation),
+    every kernel Arrow-batched."""
+    from pyspark.sql import functions as F
+
+    from graphical_context_extraction_pipeline_spark.operators import (
+        curate as CU,
+        dedup,
+        linkgraph as LG,
+        sampling as SA,
+        similarity as SIM,
+        text_analysis as TA,
+        urls as UR,
+    )
+
+    flat = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    edges = LG.extract_links(
+        spark.createDataFrame(
+            [(1, "https://a.com/x", '<a href="https://b.com/y">l</a>')],
+            "doc_id long, url string, html string",
+        )
+    )
+    dfs = {
+        "semdedup": SIM.semdedup(emb, n_centroids=4),
+        "d4_prune": SIM.prototypicality_prune(emb, n_centroids=4),
+        "bitext": SIM.bitext_mine(
+            emb.where(F.col("vec_id") % 2 == 0), emb.where(F.col("vec_id") % 2 == 1)
+        ),
+        "winnow_pairs": dedup.winnow_pairs(flat),
+        "cdc_stats": dedup.cdc_dedup_stats(flat),
+        "kn": TA.kneser_ney_bigrams(flat),
+        "cooc": TA.cooccurrence_counts(flat),
+        "verdicts": CU.training_verdicts(flat.select("doc_id", "text")),
+        "span_corruption": SA.span_corruption(flat),
+        "neg_sampling": SA.negative_sampling(flat, k=50),
+        "walks": LG.random_walks(edges, length=2),
+        "seed_dist": LG.seed_distances(edges, ("a.com",), max_depth=2),
+        "text_urls": UR.text_urls(flat),
+    }
+    for name, df in dfs.items():
+        plan = physical_plan(df)
+        assert "CartesianProduct" not in plan, (name, plan)
+        assert "BatchEvalPython" not in plan, (name, plan)
