@@ -1115,6 +1115,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             ]
         ),
         "phrase_search": lambda s, d: SE.phrase_search(_flat_docs(s, d), PHRASE_QUERY, k=20),
+        # phrase serving from the positional index (merge law: from-index
+        # rows ≡ phrase_search's corpus scan; cap 1024 keeps the served
+        # phrase's tokens cold at gate scale)
+        "phrase_from_index": lambda s, d: SE.phrase_from_index(
+            SE.positional_index(_flat_docs(s, d), cap=1024), PHRASE_QUERY, k=20
+        ),
         "search_snippets": lambda s, d: SE.snippets(_flat_docs(s, d), BM25_QUERY, k=10),
         # extraction feeds retrieval: BM25 over the DOM-extracted bodies
         "search_extracted": lambda s, d: SE.bm25(
@@ -4866,6 +4872,10 @@ h AS (SELECT doc_id,
 r AS (SELECT doc_id, n_hits FROM h ORDER BY n_hits DESC, doc_id ASC LIMIT 20)
 SELECT doc_id, n_hits FROM r WHERE n_hits > 0
 """
+
+    # phrase-from-index: the MERGE LAW is the oracle — the index-served
+    # result must equal the corpus-scan phrase chain verbatim
+    q["phrase_from_index"] = q["phrase_search"]
 
     # PMI-style collocation lift: doc-capped distinct-token pairs, two-step
     # floored lift (the int64-budgeted spec replayed verbatim)

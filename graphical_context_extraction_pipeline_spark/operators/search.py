@@ -951,3 +951,124 @@ def hard_negatives(
         .where(F.col("neg_rank") <= k)
         .select("query_id", "doc_id", "score_e6", "neg_rank")
     )
+
+
+def positional_index(docs: DataFrame, cap: int = POSTINGS_CAP) -> DataFrame:
+    """Positional posting lists — the index that serves PHRASE queries
+    without touching document text: (token, df, postings, poslists) with
+    postings the ascending ``\\x1f``-joined doc ids and poslists the
+    doc-aligned ``\\x1f``-joined comma-lists of ascending 1-based token
+    positions. Hot tokens (df > cap) keep stats but carry no lists, the
+    inverted_index contract.
+
+    Same three bounded shuffles as inverted_index; the per-(token, doc)
+    position arrays are sorted intra-row before the aligned struct
+    collect, so both strings are deterministic."""
+    tp = docs.select(
+        "doc_id", F.posexplode(_tokens(F.col("text"))).alias("pos0", "token")
+    ).select("token", "doc_id", (F.col("pos0") + 1).cast("int").alias("pos"))
+    td = tp.groupBy("token", "doc_id").agg(
+        F.array_join(
+            F.transform(
+                F.sort_array(F.collect_list("pos")), lambda p: p.cast("string")
+            ),
+            ",",
+        ).alias("posstr")
+    )
+    dfc = td.groupBy("token").agg(F.count(F.lit(1)).cast("long").alias("df"))
+    hot = dfc.where(F.col("df") > cap).select("token")
+    plist = F.sort_array(F.collect_list(F.struct(F.col("doc_id"), F.col("posstr"))))
+    lists = (
+        td.join(F.broadcast(hot), "token", "left_anti")
+        .groupBy("token")
+        .agg(
+            F.array_join(
+                F.transform(plist, lambda s: s["doc_id"].cast("string")), SEP
+            ).alias("postings"),
+            F.array_join(F.transform(plist, lambda s: s["posstr"]), SEP).alias(
+                "poslists"
+            ),
+        )
+    )
+    return dfc.join(lists, "token", "left").select(
+        "token",
+        "df",
+        F.coalesce("postings", F.lit("")).alias("postings"),
+        F.coalesce("poslists", F.lit("")).alias("poslists"),
+    )
+
+
+def phrase_from_index(index: DataFrame, phrase: str, k: int = 20) -> DataFrame:
+    """Phrase retrieval FROM the positional index — zero corpus text
+    scanned: fetch the phrase tokens' rows (point lookups, pushed when
+    the index is parquet), explode the aligned posting/position lists
+    executor-side, assemble each candidate doc's token→positions map,
+    and count start positions where every phrase token sits at its
+    offset. Output/order identical to phrase_search (merge law pinned by
+    the oracle: from-index ≡ corpus scan at the same phrase).
+
+    Hot tokens carry no lists, so phrases containing one return empty —
+    the same serving degradation as bm25_from_index's hot exclusion;
+    size ``cap`` to the served vocabulary."""
+    spark = index.sparkSession
+    empty = spark.createDataFrame([], "doc_id long, n_hits long")
+    words = (phrase or "").lower().split()
+    if not words:
+        return empty
+    m = len(words)
+    uniq = sorted(set(words))
+    rows = index.where(
+        F.col("token").isin(uniq) & (F.col("postings") != "")
+    )
+    per_doc = (
+        rows.select(
+            "token",
+            F.explode(
+                F.arrays_zip(
+                    F.split("postings", SEP).alias("d"),
+                    F.split("poslists", SEP).alias("p"),
+                )
+            ).alias("e"),
+        )
+        .select(
+            "token",
+            F.col("e.d").cast("long").alias("doc_id"),
+            F.transform(F.split(F.col("e.p"), ","), lambda x: x.cast("int")).alias(
+                "positions"
+            ),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.map_from_entries(
+                F.collect_list(F.struct("token", "positions"))
+            ).alias("pm"),
+            F.count(F.lit(1)).alias("n_tok"),
+        )
+        .where(F.col("n_tok") == len(uniq))  # every phrase token present
+    )
+
+    def hit_count(pm):
+        first = F.element_at(pm, F.lit(words[0]))
+        cond = lambda p: F.lit(True)  # noqa: E731
+        conds = [
+            (lambda j, w: lambda p: F.array_contains(
+                F.element_at(pm, F.lit(w)), (p + j).cast("int")
+            ))(j, w)
+            for j, w in enumerate(words)
+            if j > 0
+        ]
+
+        def all_match(p):
+            out = F.lit(True)
+            for c in conds:
+                out = out & c(p)
+            return out
+
+        return F.size(F.filter(first, all_match)).cast("long")
+
+    return (
+        per_doc.select("doc_id", hit_count(F.col("pm")).alias("n_hits"))
+        .orderBy(F.col("n_hits").desc(), F.col("doc_id").asc())
+        .limit(k)
+        .where(F.col("n_hits") > 0)
+    )

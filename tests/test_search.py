@@ -480,3 +480,33 @@ def test_index_stats_hand_values(spark):
     # vocab: common (hot, df 5), rare (df 1)
     assert (r.n_tokens, r.n_hot, r.posting_mass) == (2, 1, 1)
     assert (r.total_occurrences, r.max_df, r.max_df_bits) == (6, 5, 3)
+
+
+def test_phrase_from_index_merge_law_and_edges(spark):
+    from graphical_context_extraction_pipeline_spark.operators import search as SE
+
+    docs = spark.createDataFrame(
+        [
+            (1, "x vector spark y vector spark"),
+            (2, "vector spark"),
+            (3, "spark vector"),          # reversed: no phrase hit
+            (4, "vector only here"),
+            (5, "a a a b"),
+        ],
+        "doc_id long, text string",
+    )
+    idx = SE.positional_index(docs, cap=64)
+    for phrase in ("vector spark", "a a", "missing phrase", "a"):
+        got = {(r["doc_id"], r["n_hits"])
+               for r in SE.phrase_from_index(idx, phrase, k=20).collect()}
+        want = {(r["doc_id"], r["n_hits"])
+                for r in SE.phrase_search(docs, phrase, k=20).collect()}
+        assert got == want, phrase
+    # repeated-token phrase counts overlapping occurrences like the scan
+    aa = {r["doc_id"]: r["n_hits"]
+          for r in SE.phrase_from_index(idx, "a a", k=20).collect()}
+    assert aa == {5: 2}
+    # hot-token degradation: with a tiny cap the phrase token goes hot and
+    # the from-index result is empty (documented serving behavior)
+    hot_idx = SE.positional_index(docs, cap=2)
+    assert SE.phrase_from_index(hot_idx, "vector spark", k=20).count() == 0
