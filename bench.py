@@ -316,6 +316,11 @@ def run_suite(cpus: int, sf_dir: str) -> dict:
         "random_walks": lambda: LG.random_walks(LG.extract_links(pages), length=4).count(),
         # round 4 session 5: margin-based bitext mining across the vec_id
         # parity split (banded candidates, integer ratio margins)
+        # round 4 session 5: phrase serving from the positional index
+        # (build + serve in one line)
+        "phrase_from_index": lambda: SE.phrase_from_index(
+            SE.positional_index(flat, cap=1024), "dup vector", k=20
+        ).count(),
         # round 4 session 5: KN-smoothed bigram LM, T5 span corruption,
         # PPMI weighting
         "kneser_ney_bigrams": lambda: TA.kneser_ney_bigrams(flat).count(),
