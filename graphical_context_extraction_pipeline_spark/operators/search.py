@@ -1072,3 +1072,48 @@ def phrase_from_index(index: DataFrame, phrase: str, k: int = 20) -> DataFrame:
         .limit(k)
         .where(F.col("n_hits") > 0)
     )
+
+
+def positional_index_delta(
+    index: DataFrame, new_docs: DataFrame, cap: int = POSTINGS_CAP
+) -> DataFrame:
+    """Incremental maintenance for the positional index — the
+    inverted_index_delta contract carried to position lists: df adds,
+    postings AND the doc-aligned poslists concatenate in ascending
+    doc_id order (append-only ids), and both drop to '' the moment the
+    merged df crosses ``cap``. Merge law (pinned): delta ≡
+    positional_index over the union corpus. Only batch-touched tokens
+    shuffle; with this, phrase serving gets the same ingest story as
+    BM25 serving."""
+    batch = positional_index(new_docs, cap=cap)
+    old = index.select(
+        "token",
+        F.col("df").alias("df_old"),
+        F.col("postings").alias("p_old"),
+        F.col("poslists").alias("l_old"),
+    )
+    new = batch.select(
+        "token",
+        F.col("df").alias("df_new"),
+        F.col("postings").alias("p_new"),
+        F.col("poslists").alias("l_new"),
+    )
+    z = F.lit(0).cast("long")
+    j = old.join(new, "token", "full_outer")
+    df_m = F.coalesce("df_old", z) + F.coalesce("df_new", z)
+
+    def _merged(a, b):
+        return F.concat_ws(
+            SEP,
+            *[
+                F.nullif(F.coalesce(c, F.lit("")), F.lit(""))
+                for c in (F.col(a), F.col(b))
+            ],
+        )
+
+    return j.select(
+        "token",
+        df_m.alias("df"),
+        F.when(df_m > cap, F.lit("")).otherwise(_merged("p_old", "p_new")).alias("postings"),
+        F.when(df_m > cap, F.lit("")).otherwise(_merged("l_old", "l_new")).alias("poslists"),
+    )

@@ -510,3 +510,29 @@ def test_phrase_from_index_merge_law_and_edges(spark):
     # the from-index result is empty (documented serving behavior)
     hot_idx = SE.positional_index(docs, cap=2)
     assert SE.phrase_from_index(hot_idx, "vector spark", k=20).count() == 0
+
+
+def test_positional_index_delta_merge_law(spark):
+    from graphical_context_extraction_pipeline_spark.operators import search as SE
+
+    b1 = spark.createDataFrame(
+        [(1, "grow a vector spark"), (2, "grow vector"), (3, "grow b")],
+        "doc_id long, text string",
+    )
+    b2 = spark.createDataFrame(
+        [(101, "grow fresh vector spark vector"), (102, "grow"), (103, "newtok")],
+        "doc_id long, text string",
+    )
+    cap = 4  # 'grow' crosses the cap only through the merge
+    merged = SE.positional_index_delta(SE.positional_index(b1, cap=cap), b2, cap=cap)
+    rebuilt = SE.positional_index(b1.unionAll(b2), cap=cap)
+    got = {r["token"]: (r["df"], r["postings"], r["poslists"]) for r in merged.collect()}
+    want = {r["token"]: (r["df"], r["postings"], r["poslists"]) for r in rebuilt.collect()}
+    assert got == want
+    assert got["grow"][1] == ""  # went hot via growth
+    # phrase serving works identically from the merged index
+    a = {(r["doc_id"], r["n_hits"])
+         for r in SE.phrase_from_index(merged, "vector spark", k=10).collect()}
+    b = {(r["doc_id"], r["n_hits"])
+         for r in SE.phrase_from_index(rebuilt, "vector spark", k=10).collect()}
+    assert a == b and a == {(1, 1), (101, 1)}
