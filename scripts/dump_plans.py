@@ -373,6 +373,16 @@ def main() -> None:
             "SinglePartition; document text appears nowhere.",
         ),
         (
+            "phrase_from_index (positional serving)",
+            SE.phrase_from_index(
+                SE.positional_index(flat, cap=1024), "dup vector", k=20
+            ),
+            "phrase hits counted from executor-side exploded "
+            "token-position maps — corpus text appears nowhere; the "
+            "token fetch is a point lookup (pushed when the index is "
+            "parquet, as the bm25 probe above shows).",
+        ),
+        (
             "hard_negatives (mining from the serving index)",
             SE.hard_negatives(
                 spark.read.parquet(f"{idx_dir}/postings"),
