@@ -70,6 +70,8 @@ def merge_epoch(
     batch_df,
     epoch_id: int,
     cap: int = POSTINGS_CAP,
+    build=None,
+    delta=None,
 ) -> bool:
     """One foreachBatch epoch, module-level so the replay contract is
     directly testable: returns True if the batch was merged, False when
@@ -77,15 +79,23 @@ def merge_epoch(
     a replay after a crash between ``os.replace`` and the checkpoint
     commit must be an idempotent no-op, because merging again would
     double df/total_tf AND overwrite the very version directory the
-    delta-merge lazily reads."""
+    delta-merge lazily reads.
+
+    ``build``/``delta`` default to the BM25 index pair; pass
+    (positional_index, positional_index_delta) to maintain the phrase-
+    serving index under the identical epoch/pointer contract."""
+    if build is None:
+        build = inverted_index
+    if delta is None:
+        delta = inverted_index_delta
     meta = _read_pointer(index_dir)
     if meta is not None and meta["epoch_id"] >= epoch_id:
         return False
     if meta is None:
-        merged = inverted_index(batch_df, cap=cap)
+        merged = build(batch_df, cap=cap)
     else:
         current = spark.read.parquet(os.path.join(index_dir, meta["version"]))
-        merged = inverted_index_delta(current, batch_df, cap=cap)
+        merged = delta(current, batch_df, cap=cap)
     version = f"v{epoch_id:010d}"
     merged.write.mode("overwrite").parquet(os.path.join(index_dir, version))
     tmp = os.path.join(index_dir, f".{_POINTER}.tmp")
@@ -102,8 +112,12 @@ def stream_index_maintenance(
     checkpoint_dir: str,
     cap: int = POSTINGS_CAP,
     max_files_per_trigger: int = 1,
+    build=None,
+    delta=None,
 ) -> StreamingQuery:
-    """Watch input_dir for new document files; maintain the index."""
+    """Watch input_dir for new document files; maintain the index
+    (BM25 pair by default; pass the positional pair for phrase
+    serving — same epoch/pointer/replay machinery)."""
     os.makedirs(index_dir, exist_ok=True)
     stream = (
         spark.readStream.schema(DOCS_STREAM_DDL)
@@ -112,7 +126,9 @@ def stream_index_maintenance(
     )
 
     def process_batch(batch_df, epoch_id: int) -> None:
-        merge_epoch(spark, index_dir, batch_df, epoch_id, cap=cap)
+        merge_epoch(
+            spark, index_dir, batch_df, epoch_id, cap=cap, build=build, delta=delta
+        )
 
     return (
         stream.writeStream.foreachBatch(process_batch)

@@ -208,3 +208,44 @@ def test_unified_log_stream_adds_and_forgets(spark, tmp_path):
     assert apply_epoch(spark, idx2, both, 0) is True
     assert apply_epoch(spark, idx2, both, 0) is False
     assert read_current_index(spark, idx2).count() == 0
+
+
+def test_streamed_positional_index_equals_rebuild(spark, tmp_path):
+    """The SAME epoch machinery maintains the phrase-serving index: after
+    two micro-batches the streamed positional index equals a batch
+    rebuild, and phrase_from_index serves identically from it."""
+    from graphical_context_extraction_pipeline_spark.operators.search import (
+        phrase_from_index,
+        positional_index,
+        positional_index_delta,
+    )
+
+    b1 = spark.createDataFrame(
+        [(1, "grow a vector spark"), (2, "grow vector")],
+        "doc_id long, text string",
+    )
+    b2 = spark.createDataFrame(
+        [(101, "grow fresh vector spark vector"), (102, "grow")],
+        "doc_id long, text string",
+    )
+    in_dir = str(tmp_path / "docs")
+    os.makedirs(in_dir)
+    _stage_file(b1, str(tmp_path / "s1"), os.path.join(in_dir, "f1.parquet"))
+    time.sleep(1.1)
+    _stage_file(b2, str(tmp_path / "s2"), os.path.join(in_dir, "f2.parquet"))
+
+    idx_dir = str(tmp_path / "pindex")
+    q = stream_index_maintenance(
+        spark, in_dir, idx_dir, str(tmp_path / "pckpt"), cap=3,
+        build=positional_index, delta=positional_index_delta,
+    )
+    q.awaitTermination(180)
+    streamed = read_current_index(spark, idx_dir)
+    rebuilt = positional_index(b1.unionAll(b2), cap=3)
+    got = {r["token"]: (r["df"], r["postings"], r["poslists"]) for r in streamed.collect()}
+    want = {r["token"]: (r["df"], r["postings"], r["poslists"]) for r in rebuilt.collect()}
+    assert got == want
+    assert got["grow"][1] == ""  # hot via streamed growth
+    served = {(r["doc_id"], r["n_hits"])
+              for r in phrase_from_index(streamed, "vector spark", k=10).collect()}
+    assert served == {(1, 1), (101, 1)}
