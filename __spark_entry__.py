@@ -1115,6 +1115,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             ]
         ),
         "phrase_search": lambda s, d: SE.phrase_search(_flat_docs(s, d), PHRASE_QUERY, k=20),
+        # batched phrase serving: three phrases in one data-driven job
+        "phrase_serve_batch": lambda s, d: SE.phrase_serve_batch(
+            SE.positional_index(_flat_docs(s, d), cap=1024),
+            s.createDataFrame(list(PHRASE_BATCH), "query_id long, phrase string"),
+            k=20,
+        ),
         # phrase serving from the positional index (merge law: from-index
         # rows ≡ phrase_search's corpus scan; cap 1024 keeps the served
         # phrase's tokens cold at gate scale)
@@ -1274,6 +1280,9 @@ BM25_BATCH = ((1, "tail42 dup vector"), (2, "dup spark"), (3, "tail7 vector graf
 # phrase_search registration: an adjacent pair that occurs multiple times
 # in some documents (multi-hit counting exercised) but not in most
 PHRASE_QUERY = "vector spark"
+# batched phrase serving: the registered pair + a second common bigram +
+# a never-matching phrase (exercises the empty arm)
+PHRASE_BATCH = ((1, "vector spark"), (2, "dup vector"), (3, "nosuch phrase"))
 
 _SEGMENTATION_CTE = f"""
 sc AS (SELECT doc_id, cast(split_part(s.text, ':', 1) AS bigint) AS sid,
@@ -4876,6 +4885,42 @@ SELECT doc_id, n_hits FROM r WHERE n_hits > 0
     # phrase-from-index: the MERGE LAW is the oracle — the index-served
     # result must equal the corpus-scan phrase chain verbatim
     q["phrase_from_index"] = q["phrase_search"]
+
+    # batched phrase serving: data-driven replay — VALUES (query, offset,
+    # token) against per-(token, doc) 1-based position lists; an offset
+    # whose token is absent/hot can never reach n_ok = m
+    _pb_vals = ",\n         ".join(
+        f"({qid}, {o}, '{tok}')"
+        for qid, phrase in PHRASE_BATCH
+        for o, tok in enumerate(phrase.lower().split())
+    )
+    q["phrase_serve_batch"] = f"""
+WITH d AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+tp AS (SELECT doc_id, unnest(toks) AS token, generate_subscripts(toks, 1) AS pos
+       FROM d),
+td AS (SELECT token, doc_id, list(pos ORDER BY pos) AS positions
+       FROM tp GROUP BY 1, 2),
+dfc AS (SELECT token, count(*) AS df FROM td GROUP BY 1),
+cold AS (SELECT td.token, td.doc_id, td.positions
+         FROM td JOIN dfc USING (token) WHERE dfc.df <= 1024),
+qt(query_id, o, token) AS (VALUES {_pb_vals}),
+qlen AS (SELECT query_id, count(*) AS m FROM qt GROUP BY 1),
+cand AS (SELECT qt.query_id, c.doc_id, qt.o, c.positions
+         FROM qt JOIN cold c USING (token)),
+h0 AS (SELECT query_id, doc_id, unnest(positions) AS p FROM cand WHERE o = 0),
+chk AS (SELECT h0.query_id, h0.doc_id, h0.p, count(*) AS n_ok
+        FROM h0 JOIN cand c ON c.query_id = h0.query_id AND c.doc_id = h0.doc_id
+        WHERE list_contains(c.positions, h0.p + c.o)
+        GROUP BY 1, 2, 3),
+hits AS (SELECT chk.query_id, chk.doc_id, cast(count(*) AS bigint) AS n_hits
+         FROM chk JOIN qlen USING (query_id) WHERE chk.n_ok = qlen.m
+         GROUP BY 1, 2),
+r AS (SELECT query_id, doc_id, n_hits,
+             row_number() OVER (PARTITION BY query_id
+                 ORDER BY n_hits DESC, doc_id ASC) AS rk
+      FROM hits)
+SELECT query_id, doc_id, n_hits FROM r WHERE rk <= 20 AND n_hits > 0
+"""
 
     # PMI-style collocation lift: doc-capped distinct-token pairs, two-step
     # floored lift (the int64-budgeted spec replayed verbatim)

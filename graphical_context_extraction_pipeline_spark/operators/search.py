@@ -1117,3 +1117,88 @@ def positional_index_delta(
         F.when(df_m > cap, F.lit("")).otherwise(_merged("p_old", "p_new")).alias("postings"),
         F.when(df_m > cap, F.lit("")).otherwise(_merged("l_old", "l_new")).alias("poslists"),
     )
+
+
+def phrase_serve_batch(
+    index: DataFrame, queries: DataFrame, k: int = 20
+) -> DataFrame:
+    """Batched phrase serving — MANY phrases in one job from the standing
+    positional index, fully DATA-DRIVEN (no per-phrase literal
+    expressions: the (query_id, offset, token) relation is broadcast into
+    the index join, the bm25_serve_batch discipline). Per query the hits
+    and the (n_hits desc, doc_id) top-k equal phrase_from_index — merge
+    law pinned by test.
+
+    ``queries`` is (query_id long, phrase string). A query whose tokens
+    include a hot (or absent) index term returns nothing, the serving
+    degradation shared by the whole from-index family.
+
+    Plan: index point lookups → executor-side aligned explode → one
+    (query, doc) grouped map of offset→positions (bounded by phrase
+    length) → intra-row aligned-position count → per-query top-k window.
+    """
+    from pyspark.sql import Window
+
+    spark = index.sparkSession
+    empty = spark.createDataFrame([], "query_id long, doc_id long, n_hits long")
+    qt = queries.select(
+        "query_id",
+        F.posexplode(
+            F.filter(F.split(F.lower("phrase"), " "), lambda t: t != "")
+        ).alias("offset", "token"),
+    )
+    qlen = qt.groupBy("query_id").agg(F.count(F.lit(1)).alias("m"))
+    rows = index.join(
+        F.broadcast(qt.select("token").distinct()), "token"
+    ).where(F.col("postings") != "")
+    per_tok_doc = rows.select(
+        "token",
+        F.explode(
+            F.arrays_zip(
+                F.split("postings", SEP).alias("d"),
+                F.split("poslists", SEP).alias("p"),
+            )
+        ).alias("e"),
+    ).select(
+        "token",
+        F.col("e.d").cast("long").alias("doc_id"),
+        F.transform(F.split(F.col("e.p"), ","), lambda x: x.cast("int")).alias(
+            "positions"
+        ),
+    )
+    cand = (
+        qt.join(per_tok_doc, "token")
+        .groupBy("query_id", "doc_id")
+        .agg(
+            F.map_from_entries(
+                F.collect_list(F.struct(F.col("offset"), F.col("positions")))
+            ).alias("om"),
+            F.count(F.lit(1)).alias("n_off"),
+        )
+        .join(qlen, "query_id")
+        .where(F.col("n_off") == F.col("m"))  # every phrase slot matched
+    )
+    # count start positions p in offset-0's list where every offset j has
+    # p + j in its list — pure intra-row over the bounded offset map
+    n_hits = F.size(
+        F.filter(
+            F.element_at(F.col("om"), F.lit(0)),
+            lambda p: F.forall(
+                F.map_keys(F.col("om")),
+                lambda j: F.array_contains(
+                    F.element_at(F.col("om"), j), (p + j).cast("int")
+                ),
+            ),
+        )
+    ).cast("long")
+    scored = cand.select("query_id", "doc_id", n_hits.alias("n_hits")).where(
+        F.col("n_hits") > 0
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("n_hits").desc(), F.col("doc_id").asc()
+    )
+    return (
+        scored.withColumn("_rk", F.row_number().over(w))
+        .where(F.col("_rk") <= k)
+        .select("query_id", "doc_id", "n_hits")
+    )

@@ -536,3 +536,30 @@ def test_positional_index_delta_merge_law(spark):
     b = {(r["doc_id"], r["n_hits"])
          for r in SE.phrase_from_index(rebuilt, "vector spark", k=10).collect()}
     assert a == b and a == {(1, 1), (101, 1)}
+
+
+def test_phrase_serve_batch_merge_law(spark):
+    from graphical_context_extraction_pipeline_spark.operators import search as SE
+
+    docs = spark.createDataFrame(
+        [
+            (1, "x vector spark y vector spark"),
+            (2, "vector spark"),
+            (3, "spark vector"),
+            (4, "a a a b"),
+            (5, "plain filler text"),
+        ],
+        "doc_id long, text string",
+    )
+    idx = SE.positional_index(docs, cap=64)
+    batch = spark.createDataFrame(
+        [(1, "vector spark"), (2, "a a"), (3, "missing phrase"), (4, "spark")],
+        "query_id long, phrase string",
+    )
+    got = {}
+    for r in SE.phrase_serve_batch(idx, batch, k=10).collect():
+        got.setdefault(r["query_id"], set()).add((r["doc_id"], r["n_hits"]))
+    for qid, phrase in [(1, "vector spark"), (2, "a a"), (3, "missing phrase"), (4, "spark")]:
+        want = {(r["doc_id"], r["n_hits"])
+                for r in SE.phrase_from_index(idx, phrase, k=10).collect()}
+        assert got.get(qid, set()) == want, phrase
