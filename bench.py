@@ -321,6 +321,14 @@ def run_suite(cpus: int, sf_dir: str) -> dict:
         "phrase_from_index": lambda: SE.phrase_from_index(
             SE.positional_index(flat, cap=1024), "dup vector", k=20
         ).count(),
+        "phrase_serve_batch": lambda: SE.phrase_serve_batch(
+            SE.positional_index(flat, cap=1024),
+            spark.createDataFrame(
+                [(1, "dup vector"), (2, "vector spark"), (3, "graft dup")],
+                "query_id long, phrase string",
+            ),
+            k=20,
+        ).count(),
         # round 4 session 5: KN-smoothed bigram LM, T5 span corruption,
         # PPMI weighting
         "kneser_ney_bigrams": lambda: TA.kneser_ney_bigrams(flat).count(),
