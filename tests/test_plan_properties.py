@@ -937,6 +937,14 @@ def test_session5_ops_no_cartesian_no_row_python(spark):
         "seed_dist": LG.seed_distances(edges, ("a.com",), max_depth=2),
         "text_urls": UR.text_urls(flat),
     }
+    from graphical_context_extraction_pipeline_spark.operators import search as SE
+
+    pidx = SE.positional_index(flat, cap=64)
+    dfs["phrase_from_index"] = SE.phrase_from_index(pidx, "vector spark")
+    dfs["phrase_serve_batch"] = SE.phrase_serve_batch(
+        pidx,
+        spark.createDataFrame([(1, "vector spark")], "query_id long, phrase string"),
+    )
     for name, df in dfs.items():
         plan = physical_plan(df)
         assert "CartesianProduct" not in plan, (name, plan)
