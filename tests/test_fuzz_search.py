@@ -155,3 +155,41 @@ def test_serve_batch_matches_per_query_serving(spark, texts, queries, cap):
             for r in SE.bm25_from_index(idx, norms, qtext, k=10).collect()
         }
         assert got.get(qid, {}) == want, (qid, qtext, cap)
+
+
+def test_fuzz_phrase_from_index_vs_replica(spark):
+    """Random corpora + random phrases: the index-served phrase counts
+    equal a naive python scan (overlapping occurrences included)."""
+    import random
+
+    from graphical_context_extraction_pipeline_spark.operators import search as SE
+
+    for seed in (3, 11):
+        rng = random.Random(seed)
+        vocab = [f"w{j}" for j in range(rng.randint(2, 8))]
+        rows = [
+            (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(0, 30))))
+            for i in range(25)
+        ]
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        idx = SE.positional_index(docs, cap=1024)
+        for _ in range(4):
+            m = rng.randint(1, 3)
+            phrase = " ".join(rng.choice(vocab) for _ in range(m))
+            words = phrase.split()
+
+            def hits(text):
+                toks = text.split()
+                return sum(
+                    1
+                    for i in range(len(toks) - m + 1)
+                    if toks[i : i + m] == words
+                )
+
+            want = sorted(
+                ((i, hits(t)) for i, t in rows if hits(t) > 0),
+                key=lambda x: (-x[1], x[0]),
+            )[:20]
+            got = {(r["doc_id"], r["n_hits"])
+                   for r in SE.phrase_from_index(idx, phrase, k=20).collect()}
+            assert got == set(want), (seed, phrase)
