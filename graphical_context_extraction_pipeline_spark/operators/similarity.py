@@ -771,6 +771,13 @@ def semdedup(
     n_centroids ∝ √N so clusters stay √N; a skewed/hot cluster takes the
     same count + hub-cap remedy as dedup.py's hot buckets). cid is the only
     shuffle key; no corpus-sized driver traffic.
+
+    Recall trade (measured, pinned by test): cluster-SCOPED dedup misses
+    pairs straddling a seeded boundary — 0.64-0.84 on the planted copies
+    across n_centroids 4-32 at sf0.001, vs 1.0 for the multi-table
+    banding (embedding_cosine_dups) on the same plants. SemDeDup buys
+    Σ|cluster|² locality at that recall cost; run the banded pass when
+    completeness matters more than the cluster structure.
     """
     cents = ivf_centroids(emb, n_centroids, n_iters=0)
     if not cents:
