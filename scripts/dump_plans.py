@@ -584,6 +584,105 @@ def main() -> None:
         ),
     ]
 
+    from graphical_context_extraction_pipeline_spark.operators import (
+        curate as CU,
+        linkgraph as LG,
+        similarity as SIM,
+        text_analysis as TA,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    edges = LG.extract_links(pages)
+    entries += [
+        (
+            "ann_topk_quantized (int8 Arrow kernel)",
+            SIM.ann_topk_quantized(emb, list(range(10))),
+            "round-5 fix of the interpreted-HOF trap: ONE MapInPandas scan "
+            "quantizes each batch and scores every query via a single int64 "
+            "matmul (queries ride the closure — no join, no broadcast "
+            "exchange); the batch pre-reduces to ≤ k·|Q| rows under the "
+            "final (dot_q desc, vec_id asc) order, so the top-k window's "
+            "exchange is corpus-size-independent.",
+        ),
+        (
+            "semantic_packing (cluster-aware first-fit)",
+            __import__(
+                "graphical_context_extraction_pipeline_spark.operators.sampling",
+                fromlist=["sampling"],
+            ).semantic_packing(flat, emb, budget=512, n_centroids=16),
+            "codebook rides as literals into the assignment scan; one "
+            "doc_id equi-join attaches cids, then the first-fit fold is a "
+            "grouped map keyed on cid — group count = n_centroids ∝ √N, "
+            "never corpus-sized.",
+        ),
+        (
+            "curated_mixture (ladder → exactly-k mixture)",
+            CU.curated_mixture(flat, k=100, stopwords=["the", "be", "join", "hash"]),
+            "zero-shuffle gopher/classifier rungs + ONE dup-key groupBy + "
+            "one semi-join feed the Hamilton/PPS mixture; quota math runs "
+            "over per-source totals (a handful of rows), never a global "
+            "sort of the corpus.",
+        ),
+        (
+            "spam_mass (TrustRank residual)",
+            LG.spam_mass(edges, ("example.com", "wiki.example.net")),
+            "two e9 fixed-point PageRank recurrences over the domain-graph "
+            "rollup (domains ≪ pages); per-round lineage truncated via "
+            "localCheckpoint, trust seeds as a broadcast literal set.",
+        ),
+        (
+            "kcore (iterative degeneracy peel)",
+            LG.kcore(edges, k=2),
+            "each peel round aggregates degrees on the domain rollup and "
+            "anti-joins the removed set — all exchanges carry (domain, "
+            "degree) pairs; rounds bounded by the k-core peel depth, "
+            "lineage checkpoint-truncated.",
+        ),
+        (
+            "vocab_growth (Heaps-law curve)",
+            TA.vocab_growth(flat),
+            "tokens carry their first-occurrence doc bucket through ONE "
+            "min-aggregate, then the cumulative curve runs over ≤ n_buckets "
+            "rows — the heavy exchange is (token, min_bucket), text never "
+            "shuffles.",
+        ),
+        (
+            "random_walks (md5-bucket DeepWalk)",
+            LG.random_walks(edges, length=4),
+            "RNG-free next-hop: md5 bucket over sorted neighbor arrays "
+            "broadcast per step; `length` self-joins on the frontier, each "
+            "carrying (start, cur) pairs only — retry/engine-stable, no "
+            "per-row Python.",
+        ),
+        (
+            "kneser_ney_bigrams (two-stage e9 chain)",
+            TA.kneser_ney_bigrams(flat),
+            "bigram + continuation counts are partial-aggregated groupBys "
+            "over (w1, w2) pairs; the interpolated KN score composes as a "
+            "TWO-STAGE integer e9 chain (single rational would overflow "
+            "int64 at corpus-scale continuation counts).",
+        ),
+        (
+            "span_corruption (T5 masking kernel)",
+            __import__(
+                "graphical_context_extraction_pipeline_spark.operators.sampling",
+                fromlist=["sampling"],
+            ).span_corruption(flat),
+            "ONE mapInPandas pass (the expression build needs an O(n²) "
+            "interpreted prefix rank — the fold trap); zero Exchange: "
+            "masking is per-document, so the plan is scan → kernel → "
+            "project.",
+        ),
+        (
+            "ppmi_matrix (bit-length log2 PMI)",
+            TA.ppmi_matrix(flat, window=3),
+            "co-occurrence rollup (vocabulary²-bounded) + two marginal "
+            "rollups + a 1-row total broadcast; PMI is integer bit-length "
+            "arithmetic — no libm, no floats, exchanges all "
+            "vocabulary-bounded.",
+        ),
+    ]
+
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
     with open(os.path.join(REPO, "BENCH", "PLANS.md"), "w") as f:
         f.write(

@@ -231,14 +231,33 @@ def test_quantized_topk_recall_vs_exact(spark):
     assert sum(recs) / len(recs) >= 0.85, recs
 
 
-def test_quantized_topk_plan_is_jvm_only(spark):
-    """The whole quantize→dot→rank chain is built-in expressions: no
-    ArrowEvalPython / BatchEvalPython anywhere (contrast lsh_bucket_multi,
-    which deliberately pays ONE Arrow batch for the matmul)."""
+def test_quantized_topk_kernel_matches_expression_twin(spark):
+    """The Arrow kernel (one mapInPandas pass, int64 matmul, per-batch
+    top-k pre-reduction) returns EXACTLY the expression twin's rows —
+    the integer ranking has no tie ambiguity, so set equality is the
+    right pin (round-5 fix for the interpreted-HOF trap: the twin ran
+    ~13× cosine_topk's wall on the same plan shape)."""
+    from graphical_context_extraction_pipeline_spark.operators import similarity as SIM
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    ids = list(range(10))
+    kern = {tuple(r) for r in SIM.ann_topk_quantized(emb, ids).collect()}
+    expr = {tuple(r) for r in SIM.ann_topk_quantized_expr(emb, ids).collect()}
+    assert kern == expr
+    assert len(kern) > 0
+
+
+def test_quantized_topk_plan_one_arrow_stage(spark):
+    """Exactly ONE Arrow batch stage (the lsh_bucket_multi /
+    classifier_score rule: pay one kernel, never per-pair interpreted
+    HOFs), no per-row Python, and no join — queries ride the closure, so
+    the corpus is scanned once with the window input pre-reduced to
+    ≤ k·|Q| rows per batch."""
     from graphical_context_extraction_pipeline_spark.operators import similarity as SIM
     from graphical_context_extraction_pipeline_spark.plans.explain import physical_plan
 
     emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     plan = physical_plan(SIM.ann_topk_quantized(emb, [1, 2]))
-    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan, plan
-    assert "BroadcastExchange" in plan, plan  # queries broadcast, corpus scanned once
+    assert plan.count("MapInPandas") == 1, plan
+    assert "BatchEvalPython" not in plan, plan
+    assert "CartesianProduct" not in plan and "Join" not in plan, plan
