@@ -1707,15 +1707,24 @@ asg AS (SELECT vec_id, cid, dot FROM (
         WHERE rn = 1)"""
 
 
-def _semdedup_oracle(n_centroids: int = 16, tau_e4: int = 9000) -> str:
+def _semdedup_oracle(n_centroids: int = 16, tau_e4: int = 9000, n_probe: int = 2) -> str:
     """Replays similarity.semdedup over the planted corpus: seeded-reservoir
-    clusters, within-cluster pairwise cosine, keep-first drop verdicts."""
+    clusters, MULTI-PROBE (rn ≤ n_probe under the same (dot DESC, cid DESC)
+    order as asg's argmax) pairwise cosine, keep-first drop verdicts; the
+    reported cid stays the argmax (asg).  A pair sharing both probe lists
+    scores twice — harmless, dropped is DISTINCT on vec_b."""
     return f"""
 WITH {_PLANTED_CORPUS_SQL},
 e AS (SELECT vec_id, cast(embedding AS DOUBLE[]) AS v FROM corpus),
 {_cent_asg_sql(n_centroids)},
+asgp AS (SELECT vec_id, cid FROM (
+          SELECT e.vec_id, c.cid,
+                 row_number() OVER (PARTITION BY e.vec_id
+                     ORDER BY list_dot_product(e.v, c.cv) DESC, c.cid DESC) AS rn
+          FROM e CROSS JOIN cent c)
+        WHERE rn <= {n_probe}),
 pairs AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
-          FROM asg a JOIN asg b ON a.cid = b.cid AND a.vec_id < b.vec_id),
+          FROM asgp a JOIN asgp b ON a.cid = b.cid AND a.vec_id < b.vec_id),
 scored AS (SELECT p.vec_a, p.vec_b,
                   cast(floor(({_COS_SQL}) * 10000) AS bigint) AS cos_e4
            FROM pairs p

@@ -69,7 +69,8 @@ def test_semdedup_drops_later_near_dups(spark, emb):
 
 def test_semdedup_python_replica(spark, emb):
     """Full independent replay: seeded-reservoir centroids, dot-argmax
-    assignment with the (dot, cid DESC) tiebreak, keep-first verdicts."""
+    assignment with the (dot, cid DESC) tiebreak, MULTI-PROBE (top-2
+    centroid) pair scope, keep-first verdicts — for n_probe in {1, 2}."""
     rows = sorted(emb.collect(), key=lambda r: r["vec_id"])
     vecs = {r["vec_id"]: [float(x) for x in r["embedding"]] for r in rows}
 
@@ -79,23 +80,27 @@ def test_semdedup_python_replica(spark, emb):
     n_cent = 2
     cents = [vecs[v] for v in sorted(vecs, key=lambda v: (pri(v), v))[:n_cent]]
 
-    def assign(v):
+    def probe(v, n_probe):
         scored = [(sum(x * y for x, y in zip(v, c)), i) for i, c in enumerate(cents)]
-        return max(scored)[1]
+        return [i for _, i in sorted(scored, key=lambda t: (-t[0], -t[1]))[:n_probe]]
 
-    cid = {vid: assign(v) for vid, v in vecs.items()}
     tau = 9900
-    dropped = set()
-    for a in vecs:
-        for b in vecs:
-            if a < b and cid[a] == cid[b]:
-                if math.floor(_cos(vecs[a], vecs[b]) * 10000) >= tau:
-                    dropped.add(b)
-    got = {
-        r["vec_id"]: (r["cid"], r["kept"])
-        for r in SIM.semdedup(emb, n_centroids=n_cent, tau_e4=tau).collect()
-    }
-    assert got == {v: (cid[v], v not in dropped) for v in vecs}
+    for n_probe in (1, 2):
+        cid = {vid: probe(v, 1)[0] for vid, v in vecs.items()}
+        memb = {vid: set(probe(v, n_probe)) for vid, v in vecs.items()}
+        dropped = set()
+        for a in vecs:
+            for b in vecs:
+                if a < b and memb[a] & memb[b]:
+                    if math.floor(_cos(vecs[a], vecs[b]) * 10000) >= tau:
+                        dropped.add(b)
+        got = {
+            r["vec_id"]: (r["cid"], r["kept"])
+            for r in SIM.semdedup(
+                emb, n_centroids=n_cent, tau_e4=tau, n_probe=n_probe
+            ).collect()
+        }
+        assert got == {v: (cid[v], v not in dropped) for v in vecs}, n_probe
 
 
 def test_semdedup_empty(spark):
@@ -176,14 +181,18 @@ def test_classifier_select_cross_multiplied(spark):
     assert 3 not in kept
 
 
-def test_semdedup_recall_is_cluster_bounded(spark):
-    """SemDeDup's documented trade measured: cluster-SCOPED dedup misses
-    near-dup pairs that straddle a seeded cluster boundary — recall on
-    the planted perturbed copies is substantial but strictly below the
-    1.0 the multi-table banding (embedding_cosine_dups) achieves on the
-    SAME plants (pinned by test_embedding_dups_recall). Measured band at
-    n_centroids ∈ {4, 8, 16, 32} on sf0.001: 0.76 / 0.76 / 0.64 / 0.84
-    (seeded boundaries are noisy, not monotone)."""
+def test_semdedup_recall_single_vs_multi_probe(spark):
+    """SemDeDup's round-4 measured trade, closed by multi-probe in round
+    5.  Strict argmax scope (n_probe=1) misses near-dup pairs straddling
+    a seeded cluster boundary — recall on the planted perturbed copies is
+    substantial but strictly below the 1.0 the multi-table banding
+    (embedding_cosine_dups) achieves on the SAME plants (pinned by
+    test_embedding_dups_recall); measured band at n_centroids ∈
+    {4, 8, 16, 32} on sf0.001: 0.76 / 0.76 / 0.64 / 0.84 (seeded
+    boundaries are noisy, not monotone).  The default n_probe=2 overlap
+    catches the straddlers: measured 1.0 at n_centroids=16 on the same
+    plants; the pin leaves noise room at ≥0.95 per the round-4 verdict's
+    bar."""
     import os
     import sys
 
@@ -195,10 +204,20 @@ def test_semdedup_recall_is_cluster_bounded(spark):
     planted = entry._planted_emb(emb)
     plant_ids = {r["vec_id"] for r in planted.where("vec_id >= 600000").collect()}
     assert plant_ids, "no plants at this sf"
-    out = {r["vec_id"]: r["kept"] for r in SIM.semdedup(planted, 16, 9000).collect()}
-    caught = sum(1 for v in plant_ids if not out[v])
-    recall = caught / len(plant_ids)
-    assert 0.5 <= recall < 1.0, (caught, len(plant_ids))
+
+    def recall(n_probe):
+        out = {
+            r["vec_id"]: r["kept"]
+            for r in SIM.semdedup(planted, 16, 9000, n_probe=n_probe).collect()
+        }
+        caught = sum(1 for v in plant_ids if not out[v])
+        return caught / len(plant_ids), out
+
+    r1, _ = recall(1)
+    assert 0.5 <= r1 < 1.0, r1
+    r2, out2 = recall(2)
+    assert r2 >= 0.95, (r2, r1)
+    assert r2 > r1  # multi-probe strictly closes the boundary gap here
     # originals always survive (keep-first + no natural pair above tau)
     originals = {v - 600000 for v in plant_ids if v < 700000}
-    assert all(out[o] for o in originals)
+    assert all(out2[o] for o in originals)
