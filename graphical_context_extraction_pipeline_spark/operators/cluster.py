@@ -22,7 +22,12 @@ Scale design (min-label propagation):
   in MapReduce and Beyond", SoCC'14) is implemented as
   :func:`connected_components_star` — same output contract, pinned
   equivalent, and it closes a 60-hop chain in a handful of rounds where
-  the propagation loop would need 60.
+  the propagation loop would need 60. Since round 5 the star variant is
+  the DEFAULT closure behind neardup_clusters/neardup_survivors (and so
+  the whole curation pipeline): the scale curve showed web_curate's wall
+  at the 50k-doc tier was round-count-bound (propagation 271 s vs star
+  168 s, identical rows); pass closure="propagation" to get the
+  one-pass-per-round loop back for known-shallow clique graphs.
 - Lineage is truncated every round (localCheckpoint) — an iterative plan
   otherwise doubles in depth per round and OOMs the planner long before the
   data is the problem. On a real cluster prefer reliable checkpointing
@@ -101,18 +106,36 @@ def connected_components(
     return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("component"))
 
 
-def neardup_clusters(pairs: DataFrame, src: str = "doc_a", dst: str = "doc_b") -> DataFrame:
+def neardup_clusters(
+    pairs: DataFrame,
+    src: str = "doc_a",
+    dst: str = "doc_b",
+    closure: str = "star",
+) -> DataFrame:
     """Cluster membership table: (doc_id, component, n_members) for every
     doc that belongs to a non-trivial near-dup cluster. n_members is the
     cluster size — one extra groupBy on the component key (map-side
-    partial count) joined back along the same key."""
-    cc = connected_components(pairs, src, dst)
+    partial count) joined back along the same key.
+
+    ``closure`` picks the components algorithm: ``"star"`` (default since
+    round 5) = O(log n)-round large-star/small-star rewriting;
+    ``"propagation"`` = min-label propagation (one shuffle round per hop
+    of graph diameter). Both produce IDENTICAL labels (equivalence pinned
+    by test_cluster_resolution); star became the default after the scale
+    curve showed web_curate's 50k-doc wall was round-count-bound —
+    271 s propagation vs 168 s star on the same tier, same rows."""
+    cc_fn = connected_components_star if closure == "star" else connected_components
+    cc = cc_fn(pairs, src, dst)
     sizes = cc.groupBy("component").agg(F.count("*").cast("long").alias("n_members"))
     return cc.join(sizes, "component").select("doc_id", "component", "n_members")
 
 
 def neardup_survivors(
-    docs: DataFrame, pairs: DataFrame, src: str = "doc_a", dst: str = "doc_b"
+    docs: DataFrame,
+    pairs: DataFrame,
+    src: str = "doc_a",
+    dst: str = "doc_b",
+    closure: str = "star",
 ) -> DataFrame:
     """The deduplicated corpus under transitive near-dup closure: every doc
     that is not in any cluster, plus each cluster's canonical (minimum
@@ -124,7 +147,7 @@ def neardup_survivors(
     corpus is never shuffled more than once, which is the property that
     matters at 100 TB (the membership table is |clustered docs| rows,
     orders of magnitude smaller than the corpus)."""
-    members = neardup_clusters(pairs, src, dst)
+    members = neardup_clusters(pairs, src, dst, closure=closure)
     return (
         docs.select("doc_id")
         .join(members, "doc_id", "left")
