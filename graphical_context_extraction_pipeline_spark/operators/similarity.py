@@ -285,6 +285,32 @@ EMB_DUP_TABLES = 10
 EMB_DUP_SEED = 7
 
 
+def suggest_planes(n_vecs: int, target_bucket: int = 8) -> int:
+    """Production LSH geometry: the plane count that keeps EXPECTED
+    sign-bucket occupancy ~``target_bucket`` as the corpus grows —
+    ``planes ≈ log2(n / target_bucket)``, floored at the default
+    :data:`EMB_DUP_PLANES` so small corpora keep the measured-recall
+    geometry.
+
+    Why this is the scaling rule: a probe against the banded index
+    touches ~``n_tables · n / 2^planes`` candidate rows, so at FIXED
+    planes the serving wall grows linearly with corpus size; sizing
+    planes with log2(n) pins the per-probe candidate count instead.
+    Measured on the 100× content-diverse span (BENCH/SERVING_CURVE.md):
+    fixed 8 planes grew the 200k-vector probe 2.10× over the 2k-vector
+    probe, while this sizing (15 planes at 200k) held it at the brute
+    wall's own fixed-cost growth (1.48×) and cut the absolute probe
+    0.598 → 0.395 s. Recall lost to longer signatures is recovered by
+    ``n_tables`` — the standard banding trade (same lever as
+    :func:`embedding_cosine_dups`' geometry note).
+    """
+    import math as _math
+
+    if n_vecs <= 0:
+        return EMB_DUP_PLANES
+    return max(EMB_DUP_PLANES, int(round(_math.log2(max(n_vecs, 1) / target_bucket))))
+
+
 def lsh_bucket_multi(
     emb: DataFrame, n_planes: int, n_tables: int, seed: int, dim: int
 ) -> DataFrame:

@@ -261,3 +261,26 @@ def test_quantized_topk_plan_one_arrow_stage(spark):
     assert plan.count("MapInPandas") == 1, plan
     assert "BatchEvalPython" not in plan, plan
     assert "CartesianProduct" not in plan and "Join" not in plan, plan
+
+
+def test_suggest_planes_sizing_rule():
+    """planes ≈ log2(n / target_bucket), floored at the measured-recall
+    default: the constant-occupancy serving geometry demonstrated on the
+    100× diverse span (BENCH/SERVING_CURVE.md)."""
+    from graphical_context_extraction_pipeline_spark.operators.similarity import (
+        EMB_DUP_PLANES,
+        suggest_planes,
+    )
+
+    assert suggest_planes(0) == EMB_DUP_PLANES
+    assert suggest_planes(500) == EMB_DUP_PLANES
+    assert suggest_planes(2_000) == EMB_DUP_PLANES  # log2(250) ≈ 7.97 → floor
+    assert suggest_planes(20_000) == 11
+    assert suggest_planes(200_000) == 15
+    # occupancy stays pinned near the target across 3 decades
+    for n in (20_000, 200_000, 2_000_000):
+        p = suggest_planes(n)
+        assert 4 <= n / 2**p <= 16, (n, p)
+    # monotone in n
+    planes = [suggest_planes(n) for n in (1_000, 10_000, 100_000, 1_000_000)]
+    assert planes == sorted(planes)
