@@ -475,6 +475,9 @@ def _emb_batch(emb: DataFrame) -> DataFrame:
 
 
 QUERY_IDS = list(range(10))
+# text-vectorizer family query docs: present at every sf tier (sf0.001 has
+# doc_ids 0..499), spread across the corpus
+TEXT_QUERY_IDS = [0, 101, 202, 303, 404]
 
 
 # --------------------------------------------------------------------------
@@ -558,6 +561,9 @@ _GATE_FIRST = [
     "classifier_select",
     "dsir_select",
     "c4_span_dedup",
+    "text_hashed_features",
+    "text_cosine_topk",
+    "text_semdedup",
 ]
 
 
@@ -1222,6 +1228,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d4_prune": lambda s, d: similarity.prototypicality_prune(
             _emb(s, d), n_centroids=16, drop_bp=2500
         ),
+        # hashing-trick text vectorizer family: the documents→vectors
+        # bridge (no GPU, engine-independent), then the EXISTING
+        # similarity machinery consumed unchanged over its output
+        "text_hashed_features": lambda s, d: similarity.hashed_features(
+            _flat_docs(s, d), 64
+        ),
+        "text_cosine_topk": lambda s, d: similarity.cosine_topk(
+            similarity.embed_text_hash(_flat_docs(s, d), 64), TEXT_QUERY_IDS
+        ),
+        "text_semdedup": lambda s, d: similarity.semdedup(
+            similarity.embed_text_hash(_flat_docs(s, d), 64),
+            n_centroids=16,
+            tau_e4=9500,
+        ),
         # margin-based bitext mining (even ids = source space, odd =
         # target): banded candidates, integer ratio-margin vs each side's
         # top-4 neighborhood, best target per source above the ~median
@@ -1546,6 +1566,23 @@ def _banded_sql(n_planes: int, n_tables: int, seed: int, dim: int) -> str:
 _COS_SQL = (
     "list_dot_product(ea.v, eb.v)"
     " / (sqrt(list_dot_product(ea.v, ea.v)) * sqrt(list_dot_product(eb.v, eb.v)))"
+)
+
+# hashing-trick document vectors (similarity.hashed_features /
+# embed_text_hash): one md5₆₀ per token → bucket = h % 64, sign from the
+# next bit of the SAME digest; dense assembly over the 64-slot grid.
+# Every value is a small-integer double, so downstream cosine/centroid
+# arithmetic replays bit-for-bit (the quantize_embeddings IEEE argument).
+_HASHED_E_SQL = (
+    r"""tk AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '') AS toks FROM documents),
+htok AS (SELECT doc_id, unnest(toks) AS t FROM tk),
+hb AS (SELECT doc_id, cast(('0x' || substr(md5('emb:' || t), 1, 15)) AS bigint) AS h FROM htok),
+hsw AS (SELECT doc_id, h % 64 AS bucket, CASE WHEN (h // 64) % 2 = 0 THEN 1 ELSE -1 END AS s FROM hb),
+hfeat AS (SELECT doc_id, bucket, cast(sum(s) AS bigint) AS w FROM hsw GROUP BY doc_id, bucket),
+hgrid AS (SELECT d.doc_id, r.range AS p FROM (SELECT doc_id FROM documents) d CROSS JOIN range(0, 64) r),
+e AS (SELECT g.doc_id AS vec_id, list(cast(coalesce(f.w, 0) AS DOUBLE) ORDER BY g.p) AS v
+      FROM hgrid g LEFT JOIN hfeat f ON f.doc_id = g.doc_id AND f.bucket = g.p
+      GROUP BY g.doc_id)"""
 )
 
 
@@ -5543,6 +5580,50 @@ FROM pt LEFT JOIN ph ON ph.query_id = pt.query_id
     q["ivf_topk"] = _ivf_oracle(ids)
     q["ivf_from_index"] = _ivf_oracle("3", drop_query_col=True)
     q["semdedup"] = _semdedup_oracle()
+
+    # ---- hashing-trick text vectorizer family: sparse features, then the
+    # similarity machinery replayed over the HASHED dense vectors (the
+    # `e` CTE is _HASHED_E_SQL instead of the embeddings table — the
+    # documents→vectors bridge is the only new arithmetic, and it's pure
+    # integer md5 bucketing)
+    q["text_hashed_features"] = f"""
+WITH {_HASHED_E_SQL}
+SELECT doc_id, bucket, w FROM hfeat
+"""
+    _text_ids = ", ".join(str(i) for i in TEXT_QUERY_IDS)
+    q["text_cosine_topk"] = f"""
+WITH {_HASHED_E_SQL},
+qv AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id IN ({_text_ids})),
+pairs AS (SELECT q.query_id, e.vec_id,
+                 list_dot_product(e.v, q.qv)
+                 / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(q.qv, q.qv))) AS cos
+          FROM e, qv q WHERE e.vec_id <> q.query_id),
+ranked AS (SELECT query_id, vec_id, cast(floor(cos * 10000) AS bigint) AS cos_e4,
+                  cast(row_number() OVER (PARTITION BY query_id
+                       ORDER BY cast(floor(cos * 10000) AS bigint) DESC, vec_id) AS bigint) AS rank
+           FROM pairs)
+SELECT query_id, vec_id, cos_e4, rank FROM ranked WHERE rank <= 10
+"""
+    q["text_semdedup"] = f"""
+WITH {_HASHED_E_SQL},
+{_cent_asg_sql(16)},
+asgp AS (SELECT vec_id, cid FROM (
+          SELECT e.vec_id, c.cid,
+                 row_number() OVER (PARTITION BY e.vec_id
+                     ORDER BY list_dot_product(e.v, c.cv) DESC, c.cid DESC) AS rn
+          FROM e CROSS JOIN cent c)
+        WHERE rn <= 2),
+pairs AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+          FROM asgp a JOIN asgp b ON a.cid = b.cid AND a.vec_id < b.vec_id),
+scored AS (SELECT p.vec_a, p.vec_b,
+                  cast(floor(({_COS_SQL}) * 10000) AS bigint) AS cos_e4
+           FROM pairs p
+           JOIN e ea ON ea.vec_id = p.vec_a
+           JOIN e eb ON eb.vec_id = p.vec_b),
+dropped AS (SELECT DISTINCT vec_b FROM scored WHERE cos_e4 >= 9500)
+SELECT a.vec_id, a.cid, (d.vec_b IS NULL) AS kept
+FROM asg a LEFT JOIN dropped d ON a.vec_id = d.vec_b
+"""
     q["d4_prune"] = _d4_oracle()
 
     q["bitext_mine"] = _bitext_oracle()

@@ -307,6 +307,12 @@ def run_suite(cpus: int, sf_dir: str) -> dict:
         # zero-shuffle hashed-classifier selection
         "semdedup": lambda: similarity.semdedup(emb, n_centroids=16).count(),
         "d4_prune": lambda: similarity.prototypicality_prune(emb, n_centroids=16).count(),
+        # round 5: hashing-trick text vectorizer (zero-shuffle Arrow kernel)
+        # and the end-to-end text semantic dedup it enables
+        "text_embed_hash": lambda: similarity.embed_text_hash(flat, 64).count(),
+        "text_semdedup": lambda: similarity.semdedup(
+            similarity.embed_text_hash(flat, 64), n_centroids=16, tau_e4=9500
+        ).count(),
         "classifier_select": lambda: TA.classifier_select(flat, 110_000).count(),
         # round 4 session 5: embedding-training prep trio — GloVe
         # co-occurrence rollup (pair explode + vocab² groupBy), tempered

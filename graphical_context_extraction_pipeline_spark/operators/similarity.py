@@ -1106,3 +1106,118 @@ def bitext_mine(
         .where((F.col("_rk") == 1) & (F.col("margin_e6") >= min_margin_e6))
         .select("src_id", "tgt_id", "cos_e6", "margin_e6")
     )
+
+
+def hashed_features(docs: DataFrame, dim: int = 64, salt: str = "emb") -> DataFrame:
+    """Sparse hashing-trick document features (Weinberger et al. 2009,
+    "Feature Hashing for Large Scale Multitask Learning"): each token is
+    hashed once to a (bucket, sign) pair — bucket = md5₆₀ % dim, sign
+    from the next bit of the same digest — and a document's feature is
+    the signed count per touched bucket. The sign hash makes the
+    hashed inner product an unbiased estimator of the exact BoW inner
+    product, which is what lets a FIXED ``dim`` survive an unbounded
+    vocabulary at 100 TB.
+
+    Output: (doc_id, bucket, w) — only TOUCHED buckets appear (a bucket
+    whose signs cancel to 0 still appears, with w = 0: the groupBy sees
+    it; this matches the oracle's GROUP BY exactly).
+
+    Scale shape: posexplode + one md5 per token ROW (regular codegen'd
+    expressions — exploding to rows is precisely what keeps the md5
+    chain OUT of the interpreted per-element HOF evaluator, the repo's
+    documented trap), then ONE (doc_id, bucket)-keyed partial-agg
+    shuffle whose width is bounded by min(n_tokens, dim) per doc.
+    For the zero-shuffle dense path used by the similarity family, see
+    :func:`embed_text_hash` (row-pinned consistent by test)."""
+    tok = docs.select(
+        "doc_id",
+        F.explode(
+            F.filter(F.split(F.lower(F.col("text")), r"\s+"), lambda t: t != "")
+        ).alias("t"),
+    )
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.lit(salt + ":"), F.col("t"))), 1, 15), 16, 10
+    ).cast("long")
+    feats = tok.select(
+        "doc_id",
+        F.pmod(h, F.lit(dim)).alias("bucket"),
+        F.expr(f"CASE WHEN pmod({_H_SQL(salt)} DIV {dim}, 2) = 0 THEN 1 ELSE -1 END").alias(
+            "s"
+        ),
+    )
+    return feats.groupBy("doc_id", "bucket").agg(
+        F.sum("s").cast("long").alias("w")
+    )
+
+
+def _H_SQL(salt: str) -> str:
+    """The 60-bit token-hash expression as a SQL string (over column t) —
+    shared by hashed_features' sign arm so bucket and sign provably read
+    the SAME digest."""
+    return (
+        f"cast(conv(substring(md5(concat('{salt}:', t)), 1, 15), 16, 10) AS bigint)"
+    )
+
+
+def embed_text_hash(docs: DataFrame, dim: int = 64, salt: str = "emb") -> DataFrame:
+    """Dense hashing-trick document embeddings — the deterministic,
+    GPU-free vectorizer that bridges the `documents` table into the
+    similarity family (cosine_topk / semdedup / d4 / ANN indexes all
+    take its output directly). Replaces the reference's GPU embedding
+    step (phase 2/src/embedder.py — CLIP/sentence-transformer calls)
+    per the north rule: same role (text → fixed-dim vector feeding
+    retrieval/dedup), engine-independent function of the stored bytes.
+
+    embedding[b] = Σ_token sign(token), over the same (bucket, sign)
+    hash as :func:`hashed_features` (consistency pinned by test).
+    Counts are small integers, exactly representable in float32, so
+    every downstream double cast is exact and the DuckDB replay is
+    bit-identical.
+
+    Output: (vec_id = doc_id, embedding array<float> length ``dim``,
+    label 0) — the embeddings-table schema.
+
+    Scale shape: ZERO shuffle — one Arrow-batched kernel pass with a
+    per-batch token→(bucket, sign) memo (Zipf: one md5 per distinct
+    token per batch; the classifier_score / winnow_fingerprints
+    pattern). Embarrassingly parallel over doc partitions; at 100 TB
+    this is a pure map stage whose output co-partitions with its input,
+    so a following semdedup/ANN build starts from the same layout."""
+    import hashlib
+    import re
+    from typing import Iterator
+
+    import pandas as pd
+
+    java_ws = re.compile(r"[ \t\n\x0b\f\r]+")
+
+    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        memo: dict = {}
+        for pdf in it:
+            vecs = []
+            for text in pdf["text"]:
+                v = np.zeros(dim, dtype=np.float32)
+                for t in java_ws.split((text or "").lower()):
+                    if not t:
+                        continue
+                    bs = memo.get(t)
+                    if bs is None:
+                        hv = int(
+                            hashlib.md5((salt + ":" + t).encode()).hexdigest()[:15],
+                            16,
+                        )
+                        bs = (hv % dim, np.float32(1.0 if (hv // dim) % 2 == 0 else -1.0))
+                        memo[t] = bs
+                    v[bs[0]] += bs[1]
+                vecs.append(v.tolist())
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["doc_id"].astype("int64"),
+                    "embedding": vecs,
+                    "label": np.zeros(len(pdf), dtype="int32"),
+                }
+            )
+
+    return docs.select("doc_id", "text").mapInPandas(
+        _batches, "vec_id long, embedding array<float>, label int"
+    )

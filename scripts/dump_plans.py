@@ -228,6 +228,37 @@ def main() -> None:
             "state is a single cluster; no corpus-wide window.",
         ),
         (
+            "text_embed_hash (hashing-trick vectorizer)",
+            __import__(
+                "graphical_context_extraction_pipeline_spark.operators.similarity",
+                fromlist=["similarity"],
+            ).embed_text_hash(flat, 64),
+            "ZERO Exchange: one Arrow-batched kernel over a (doc_id, text)-"
+            "pruned scan with a per-batch token→(bucket, sign) memo (one md5 "
+            "per distinct token per batch); output co-partitions with the "
+            "input, so a following semdedup/ANN build starts from the same "
+            "layout. The sparse JVM twin (hashed_features) trades the zero-"
+            "shuffle for a (doc_id, bucket) partial-agg when a sparse matrix "
+            "is the wanted shape.",
+        ),
+        (
+            "text_semdedup (text→vector→semantic dedup, end-to-end)",
+            __import__(
+                "graphical_context_extraction_pipeline_spark.operators.similarity",
+                fromlist=["similarity"],
+            ).semdedup(
+                __import__(
+                    "graphical_context_extraction_pipeline_spark.operators.similarity",
+                    fromlist=["similarity"],
+                ).embed_text_hash(flat, 64),
+                n_centroids=16,
+                tau_e4=9500,
+            ),
+            "the vectorizer fuses into semdedup's assignment scan (no "
+            "barrier between embed and assign); everything downstream is "
+            "the pinned semdedup shape — cid is the only shuffle key.",
+        ),
+        (
             "cooccurrence_counts (GloVe matrix)",
             __import__(
                 "graphical_context_extraction_pipeline_spark.operators.text_analysis",

@@ -895,6 +895,19 @@ def test_semdedup_shuffles_only_on_cid(spark):
     assert "EvalPython" not in plan, plan
 
 
+def test_embed_text_hash_zero_shuffle(spark):
+    """The dense vectorizer is a pure map stage: one Arrow kernel over a
+    (doc_id, text)-pruned scan — NO Exchange anywhere, no row-at-a-time
+    Python. At fleet scale its output co-partitions with its input."""
+    from graphical_context_extraction_pipeline_spark.operators import similarity as SIM
+
+    flat = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    out = SIM.embed_text_hash(flat, 64)
+    plan = physical_plan(out)
+    assert count_exchanges(out) == 0, plan
+    assert "BatchEvalPython" not in plan, plan
+
+
 def test_session5_ops_no_cartesian_no_row_python(spark):
     """Sweep: none of the session-5 operators may degrade to a Cartesian
     product or row-at-a-time Python (BatchEvalPython) — every join is
@@ -922,6 +935,10 @@ def test_session5_ops_no_cartesian_no_row_python(spark):
     )
     dfs = {
         "semdedup": SIM.semdedup(emb, n_centroids=4),
+        "text_semdedup": SIM.semdedup(
+            SIM.embed_text_hash(flat, 64), n_centroids=4, tau_e4=9500
+        ),
+        "text_hashed_features": SIM.hashed_features(flat, 64),
         "d4_prune": SIM.prototypicality_prune(emb, n_centroids=4),
         "bitext": SIM.bitext_mine(
             emb.where(F.col("vec_id") % 2 == 0), emb.where(F.col("vec_id") % 2 == 1)
