@@ -1242,6 +1242,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             n_centroids=16,
             tau_e4=9500,
         ),
+        "text_d4_prune": lambda s, d: similarity.prototypicality_prune(
+            similarity.embed_text_hash(_flat_docs(s, d), 64),
+            n_centroids=16,
+            drop_bp=2500,
+        ),
         # margin-based bitext mining (even ids = source space, odd =
         # target): banded candidates, integer ratio-margin vs each side's
         # top-4 neighborhood, best target per source above the ~median
@@ -5623,6 +5628,23 @@ scored AS (SELECT p.vec_a, p.vec_b,
 dropped AS (SELECT DISTINCT vec_b FROM scored WHERE cos_e4 >= 9500)
 SELECT a.vec_id, a.cid, (d.vec_b IS NULL) AS kept
 FROM asg a LEFT JOIN dropped d ON a.vec_id = d.vec_b
+"""
+    q["text_d4_prune"] = f"""
+WITH {_HASHED_E_SQL},
+{_cent_asg_sql(16)},
+scored AS (SELECT a.vec_id, a.cid,
+                  cast(floor(a.dot / (sqrt(list_dot_product(e.v, e.v))
+                       * sqrt(list_dot_product(c.cv, c.cv))) * 10000) AS bigint) AS cos_c_e4
+           FROM asg a
+           JOIN e ON e.vec_id = a.vec_id
+           JOIN cent c ON c.cid = a.cid),
+ranked AS (SELECT vec_id, cid, cos_c_e4,
+                  row_number() OVER (PARTITION BY cid
+                      ORDER BY cos_c_e4 DESC, vec_id) AS rk,
+                  count(*) OVER (PARTITION BY cid) AS n
+           FROM scored)
+SELECT vec_id, cid, cos_c_e4, (rk > (n * 2500) // 10000) AS kept
+FROM ranked
 """
     q["d4_prune"] = _d4_oracle()
 
