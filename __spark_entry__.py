@@ -136,6 +136,20 @@ def _planted_exact(docs: DataFrame) -> DataFrame:
     return base.unionAll(dup)
 
 
+def _planted_media(docs: DataFrame) -> DataFrame:
+    """Media-axis near-dup plant over the SPANS table: every doc whose
+    numeric id tail is ≡5 (mod 20) is re-emitted as ``<id>_dup`` keeping
+    only the spans with offset % 3 != 2 (~2/3 of its frames → frame-ref-set
+    Jaccard ≈ 0.66 vs the original, above the 5000 bp gate). Replayed
+    verbatim in the oracle."""
+    num = F.substring("doc_id", 5, 18).cast("bigint")
+    plant = docs.where(num % 20 == 5).select(
+        F.concat(F.col("doc_id"), F.lit("_dup")).alias("doc_id"),
+        F.filter("spans", lambda s: s["offset"] % 3 != 2).alias("spans"),
+    )
+    return docs.select("doc_id", "spans").unionAll(plant)
+
+
 _NEAR_TAIL = " graft extra trailing tokens"
 
 
@@ -715,6 +729,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ---- interleaved text+media training-data construction ----------------
         "caption_pairs": lambda s, d: MM.caption_pairs(_spans_docs(s, d)),
         "mm_sequence": lambda s, d: MM.mm_sequence(_spans_docs(s, d)),
+        # media-axis near-dup: docs sharing frame assets (ref-set Jaccard)
+        # over the planted 2/3-subset re-emissions
+        "media_ref_pairs": lambda s, d: MM.media_ref_pairs(
+            _planted_media(_spans_docs(s, d))
+        ),
         # ---- end-to-end web curation: HTML → main content → curation verdicts
         # (the full C4-style chain as ONE composed plan; same planted dup
         # constructions as curate_corpus so every status arm has members)
@@ -795,6 +814,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "containment_pairs": lambda s, d: dedup.containment_pairs(
             _planted_contained(_flat_docs(s, d))
         ),
+        # Lee et al. ExactSubstr: maximal duplicated ≥8-token runs, total-
+        # occurrence counted (within-doc repeats included) — the synthetic
+        # templated text carries both repeat regimes, no planting needed
+        "exact_substring_runs": lambda s, d: dedup.exact_substring_runs(_flat_docs(s, d)),
         "minhash_lsh_pairs": lambda s, d: dedup.minhash_lsh_pairs(_planted_near(_flat_docs(s, d))),
         # incremental near-dup: the same synthetic ingest batch as
         # dedup_incremental, against the seen corpus's banded LSH index
@@ -2193,6 +2216,48 @@ SELECT d.doc_id, coalesce(agg.mm_text, '') AS mm_text,
        cast(coalesce(agg.n_items, 0) AS bigint) AS n_items
 FROM (SELECT doc_id FROM {_SD} WHERE spans IS NOT NULL) d
 LEFT JOIN agg USING (doc_id)
+"""
+
+    # media-axis near-dup pairs: frame-ref-set Jaccard over the planted
+    # 2/3-subset re-emissions, replaying multimodal.media_ref_pairs'
+    # shared blocking machinery (hot-ref cap + all-hot identical-set hub
+    # star — dedup._set_jaccard_pairs) on the ref STRINGS (Jaccard on
+    # distinct 64-bit ref hashes equals Jaccard on the strings)
+    q["media_ref_pairs"] = f"""
+WITH sd AS (SELECT doc_id, spans FROM {_SD}),
+corpus AS (SELECT doc_id, spans FROM sd
+           UNION ALL
+           SELECT doc_id || '_dup' AS doc_id,
+                  list_filter(spans, s -> s."offset" % 3 <> 2) AS spans
+           FROM sd WHERE cast(substring(doc_id, 5) AS bigint) % 20 = 5),
+rs AS (SELECT doc_id,
+              list_distinct([s.media_ref FOR s IN spans
+                             IF s.kind = 'frame' AND s.media_ref IS NOT NULL]) AS refs
+       FROM corpus WHERE spans IS NOT NULL),
+sh AS MATERIALIZED (SELECT doc_id, len(refs) AS n_sh, unnest(refs) AS shingle
+                    FROM rs WHERE len(refs) > 0),
+ok AS (SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= 1024),
+shc AS MATERIALIZED (SELECT sh.doc_id, sh.shingle, sh.n_sh FROM sh JOIN ok USING (shingle)),
+pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                 a.n_sh AS na, b.n_sh AS nb, count(*) AS n_shared
+          FROM shc a JOIN shc b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+          GROUP BY 1, 2, 3, 4),
+allhot AS (SELECT doc_id, md5(array_to_string(list_sort(list(shingle)), ',')) AS sig,
+                  count(*) AS n_sh
+           FROM sh WHERE doc_id NOT IN (SELECT DISTINCT doc_id FROM shc)
+           GROUP BY doc_id),
+sigstats AS (SELECT sig, count(*) AS n_members, min(doc_id) AS hub
+             FROM allhot GROUP BY sig)
+SELECT doc_a, doc_b, cast(n_shared AS bigint) AS n_shared,
+       cast(na + nb - n_shared AS bigint) AS n_union,
+       cast(floor(n_shared * 10000.0 / (na + nb - n_shared)) AS bigint) AS jaccard_bp
+FROM pairs
+WHERE cast(floor(n_shared * 10000.0 / (na + nb - n_shared)) AS bigint) >= 5000
+UNION ALL
+SELECT s.hub AS doc_a, a.doc_id AS doc_b, cast(a.n_sh AS bigint) AS n_shared,
+       cast(a.n_sh AS bigint) AS n_union, cast(10000 AS bigint) AS jaccard_bp
+FROM allhot a JOIN sigstats s USING (sig)
+WHERE s.n_members > 1 AND a.doc_id <> s.hub
 """
 
     # ---- HTML main-content extraction (operators/html_extract.py) ---------
@@ -4358,6 +4423,27 @@ p AS (SELECT doc_id, unnest(list_distinct(CASE WHEN len(toks) >= 8
 SELECT passage, cast(count(*) AS bigint) AS n_docs,
        cast(min(doc_id) AS bigint) AS example_doc_id
 FROM p GROUP BY passage HAVING count(*) >= 2
+"""
+
+    # Lee et al. ExactSubstr runs: positional 8-token windows (1-based slice
+    # is stop-INCLUSIVE, range stop-EXCLUSIVE → i ≤ len-7 covers the last
+    # window), TOTAL-occurrence hot set (within-doc repeats count), covered
+    # indices, then textbook gaps-and-islands (idx − row_number) for the
+    # maximal-run merge the Spark side does intra-row
+    q["exact_substring_runs"] = f"""
+WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+w AS (SELECT doc_id, i - 1 AS start, array_to_string(toks[i:i+7], chr(31)) AS k
+      FROM t, LATERAL unnest(range(1, len(toks) - 6)) AS u(i)
+      WHERE len(toks) >= 8),
+hot AS (SELECT k FROM w GROUP BY k HAVING count(*) >= 2),
+cov AS (SELECT DISTINCT doc_id, start + off AS idx
+        FROM w JOIN hot USING (k), LATERAL unnest(range(0, 8)) AS o(off)),
+isl AS (SELECT doc_id, idx,
+               idx - row_number() OVER (PARTITION BY doc_id ORDER BY idx) AS grp
+        FROM cov)
+SELECT doc_id, cast(min(idx) AS bigint) AS run_start,
+       cast(max(idx) AS bigint) AS run_end, cast(count(*) AS bigint) AS run_len
+FROM isl GROUP BY doc_id, grp
 """
 
     # passage REMOVAL: positioned occurrences (parallel unnest carries the

@@ -308,6 +308,18 @@ def ngram_jaccard_pairs(
     base = docs.select(
         "doc_id", F.explode(_with_sizes(_hashed_shingles(F.col("text"), n))).alias("z")
     ).select("doc_id", F.col("z.shingle").alias("shingle"), F.col("z.n_sh").alias("n_sh"))
+    return _set_jaccard_pairs(base, min_jaccard_bp, max_docs_per_shingle)
+
+
+def _set_jaccard_pairs(
+    base: DataFrame, min_jaccard_bp: int, max_docs_per_shingle: int
+) -> DataFrame:
+    """The blocking / hot-cap / all-hot-star machinery of
+    :func:`ngram_jaccard_pairs` over an arbitrary element-set table ``base``
+    (doc_id, shingle: bigint, n_sh = the owning doc's distinct-set size) —
+    every scale note in that docstring applies verbatim. Shared by the
+    word-shingle family and the media-ref set similarity
+    (``multimodal.media_ref_pairs``)."""
     hot = (
         base.groupBy("shingle")
         .agg(F.count("*").alias("n_docs"))
@@ -1253,6 +1265,98 @@ def c4_span_dedup(docs: DataFrame, n_sent: int = 3, min_docs: int = 2) -> DataFr
         F.col("r.clean_text").alias("clean_text"),
         F.col("r.n_sentences").alias("n_sentences"),
         F.col("r.n_removed").alias("n_removed"),
+    )
+
+
+def _token_windows(col, l: int):
+    """All positional ``l``-token window keys in document order (index i =
+    the window starting at token i) — tokens joined on the unit separator
+    (a space join could collide when token boundaries shift). Same
+    shifted-slice ``zip_with`` fold as :func:`_sentence_spans`."""
+
+    def fold(ts):
+        m = F.size(ts) - (l - 1)
+        acc = F.zip_with(
+            F.slice(ts, 1, m),
+            F.slice(ts, 2, m),
+            lambda x, y: F.concat(x, F.lit(_SPAN_SEP), y),
+        )
+        for k in range(2, l):
+            acc = F.zip_with(
+                acc, F.slice(ts, k + 1, m), lambda x, y: F.concat(x, F.lit(_SPAN_SEP), y)
+            )
+        return acc
+
+    return _bind(
+        _tokens(col),
+        lambda ts: F.when(F.size(ts) >= l, fold(ts)).otherwise(
+            F.array().cast("array<string>")
+        ),
+    )
+
+
+def exact_substring_runs(
+    docs: DataFrame, l: int = 8, min_count: int = 2
+) -> DataFrame:
+    """Lee et al. 2022 ("Deduplicating Training Data Makes Language Models
+    Better") ExactSubstr artifact: the maximal duplicated token runs of the
+    corpus. Every ``l``-token window occurring ≥ ``min_count`` times —
+    counting TOTAL occurrences, so within-document repetition counts,
+    unlike :func:`duplicate_passages`' distinct-document frequency — marks
+    its tokens covered; covered indices merge into maximal runs per doc.
+    Any duplicated substring of ≥ l tokens has all of its l-windows
+    duplicated, so the merged run recovers the full substring (the paper's
+    suffix-array output at window granularity). Output: (doc_id,
+    run_start, run_end, run_len), 0-based inclusive token indices.
+
+    Scale: one corpus-position-linear explode + a count partial agg keyed
+    on the window string (at 100 TB hash the key — the
+    :func:`_hashed_shingles` note) + one semi join back. NO pair expansion
+    at any fan-in: a window occurring k times contributes k covered rows,
+    linear in corpus positions where the pair family is quadratic per
+    bucket. The island merge is intra-row, bounded by each doc's own token
+    count (collect_set of the doc's own covered window starts — same bound
+    argument as :func:`c4_span_dedup`).
+
+    Reference analog: the frame near-dup keep-chain drops repeated OCR text
+    (`phase 2/src/cleanup.py`); this is the corpus-level exact-substring
+    generalisation the training-data literature applies before training.
+    """
+    base = docs.select("doc_id", F.coalesce(F.col("text"), F.lit("")).alias("text"))
+    occ = base.select(
+        "doc_id", F.posexplode(_token_windows(F.col("text"), l)).alias("start", "k")
+    )
+    hot = (
+        occ.groupBy("k")
+        .agg(F.count(F.lit(1)).alias("n_occ"))
+        .where(F.col("n_occ") >= min_count)
+        .select("k")
+    )
+    cov = occ.join(hot, "k").groupBy("doc_id").agg(F.collect_set("start").alias("starts"))
+    covered = F.array_sort(
+        F.array_distinct(
+            F.flatten(
+                F.transform(F.col("starts"), lambda s: F.sequence(s, s + F.lit(l - 1)))
+            )
+        )
+    )
+    # gaps-and-islands intra-row: an element opens a run iff its
+    # predecessor is absent, closes one iff its successor is absent
+    # (out-of-range F.get is NULL; the boundary arm of the OR is then true)
+    runs = _bind(
+        covered,
+        lambda cv: F.zip_with(
+            F.filter(cv, lambda x, i: (i == F.lit(0)) | (F.get(cv, i - 1) != x - 1)),
+            F.filter(cv, lambda x, i: (i == F.size(cv) - 1) | (F.get(cv, i + 1) != x + 1)),
+            lambda s, e: F.struct(s.alias("run_start"), e.alias("run_end")),
+        ),
+    )
+    out = cov.select("doc_id", F.explode(runs).alias("r"))
+    return out.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("r.run_start").cast("long").alias("run_start"),
+        F.col("r.run_end").cast("long").alias("run_end"),
+        (F.col("r.run_end") - F.col("r.run_start") + 1).cast("long").alias("run_len"),
     )
 
 

@@ -123,3 +123,39 @@ def mm_sequence(docs: DataFrame) -> DataFrame:
             F.col("o.n_items").alias("n_items"),
         )
     )
+
+
+def media_ref_pairs(
+    docs: DataFrame, min_jaccard_bp: int = 5000, max_docs_per_ref: int = 1024
+) -> DataFrame:
+    """Interleaved-document near-dup signal on the MEDIA axis: pairs of
+    documents whose frame media_ref sets overlap with Jaccard ≥ threshold
+    (basis points) — (doc_a, doc_b, n_shared, n_union, jaccard_bp).
+    Re-posted / syndicated pages keep their image assets even when the
+    surrounding text is rewritten, a regime the text-shingle family
+    (``dedup.ngram_jaccard_pairs``) is blind to; CC-derived multimodal
+    corpora (MMC4, OBELICS) dedup on exactly this signal.
+
+    Each doc's distinct ref set is built intra-row (filter + array_distinct
+    over its own spans — zero shuffle), hashed to 64-bit keys, and fed to
+    the shared blocking machinery (``dedup._set_jaccard_pairs``): hot
+    assets — a site logo shared by millions of pages — are dropped from
+    blocking at ``max_docs_per_ref`` occupancy with the identical-set
+    hub-star fallback, every aggregation buffer bounded. Jaccard on hashed
+    distinct refs equals Jaccard on the strings up to 64-bit collisions.
+    """
+    from .dedup import _set_jaccard_pairs, _with_sizes
+
+    rset = F.array_distinct(
+        F.transform(
+            F.filter(
+                F.coalesce(F.col("spans"), F.array().cast(docs.schema["spans"].dataType)),
+                lambda s: (s["kind"] == "frame") & s["media_ref"].isNotNull(),
+            ),
+            lambda s: F.xxhash64(s["media_ref"]),
+        )
+    )
+    base = docs.select("doc_id", F.explode(_with_sizes(rset)).alias("z")).select(
+        "doc_id", F.col("z.shingle").alias("shingle"), F.col("z.n_sh").alias("n_sh")
+    )
+    return _set_jaccard_pairs(base, min_jaccard_bp, max_docs_per_ref)
