@@ -578,6 +578,11 @@ _GATE_FIRST = [
     "text_hashed_features",
     "text_cosine_topk",
     "text_semdedup",
+    # round-5 additions past the 50-window: judge-run parity covers these;
+    # the window stays reserved for the never-driver-sampled r4 backlog
+    "text_d4_prune",
+    "exact_substring_runs",
+    "media_ref_pairs",
 ]
 
 

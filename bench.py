@@ -359,6 +359,11 @@ def run_suite(cpus: int, sf_dir: str) -> dict:
             k=4,
             min_margin_e6=1_300_000,
         ).count(),
+        # round 5: ExactSubstr duplicated-run extraction (positional window
+        # chain, corpus-linear, no pair expansion) and the media-axis
+        # ref-set near-dup blocking over the interleaved spans corpus
+        "exact_substring_runs": lambda: dedup.exact_substring_runs(flat).count(),
+        "media_ref_pairs": lambda: MM.media_ref_pairs(docs).count(),
     }
     timings: dict[str, float] = {}
     extract_wall = None

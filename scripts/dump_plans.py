@@ -714,6 +714,35 @@ def main() -> None:
         ),
     ]
 
+    from graphical_context_extraction_pipeline_spark.operators import (
+        dedup as DD,
+        multimodal as MMOD,
+    )
+
+    spans_small = spark.read.parquet(
+        os.path.join(REPO, "data", "sf0.01", "documents_spans.parquet")
+    ).select("doc_id", "spans")
+    entries += [
+        (
+            "exact_substring_runs (Lee et al. ExactSubstr)",
+            DD.exact_substring_runs(flat),
+            "corpus-linear: positional window explode → total-occurrence "
+            "count (map-side partial) → one semi-join back → intra-row "
+            "gaps-and-islands merge. NO pair expansion at any fan-in — a "
+            "window occurring k times contributes k covered rows where the "
+            "pair family is quadratic per bucket.",
+        ),
+        (
+            "media_ref_pairs (media-axis ref-set Jaccard)",
+            MMOD.media_ref_pairs(spans_small),
+            "each doc's distinct frame-ref set is built intra-row (zero "
+            "shuffle) and hashed to 64-bit keys; the shared "
+            "_set_jaccard_pairs blocking caps hot assets (site logos) and "
+            "routes identical all-hot sets to a hub star — every "
+            "aggregation buffer bounded, shuffles carry 8-byte keys.",
+        ),
+    ]
+
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
     with open(os.path.join(REPO, "BENCH", "PLANS.md"), "w") as f:
         f.write(

@@ -954,6 +954,13 @@ def test_session5_ops_no_cartesian_no_row_python(spark):
         "seed_dist": LG.seed_distances(edges, ("a.com",), max_depth=2),
         "text_urls": UR.text_urls(flat),
     }
+    from graphical_context_extraction_pipeline_spark.operators import multimodal as MM
+
+    spans = spark.read.parquet(
+        "/root/repo/data/sf0.001/documents_spans.parquet"
+    ).select("doc_id", "spans")
+    dfs["exact_substring_runs"] = dedup.exact_substring_runs(flat)
+    dfs["media_ref_pairs"] = MM.media_ref_pairs(spans)
     from graphical_context_extraction_pipeline_spark.operators import search as SE
 
     pidx = SE.positional_index(flat, cap=64)
