@@ -583,6 +583,8 @@ _GATE_FIRST = [
     "text_d4_prune",
     "exact_substring_runs",
     "media_ref_pairs",
+    "kn_doc_surprisal",
+    "moore_lewis_select",
 ]
 
 
@@ -1011,6 +1013,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         # Kneser-Ney smoothed bigram LM (two-stage integer e9 fixed point)
         "kneser_ney_bigrams": lambda s, d: TA.kneser_ney_bigrams(_flat_docs(s, d)),
+        # cross-domain doc scoring under the smoothed KN LM (backoff mass
+        # scores unseen bigrams — target LM = the src0/src1 slice)
+        "kn_doc_surprisal": lambda s, d: TA.kn_doc_surprisal(
+            _flat_docs(s, d),
+            _flat_docs(s, d).where(F.col("source").isin("src0", "src1")),
+        ),
+        # Moore-Lewis 2010 cross-entropy-difference selection: in-domain
+        # (src0/src1) minus general (whole pool) KN surprisal, keep ≤ 0
+        "moore_lewis_select": lambda s, d: TA.moore_lewis_select(
+            _flat_docs(s, d),
+            _flat_docs(s, d).where(F.col("source").isin("src0", "src1")),
+            max_diff_e2=0,
+        ),
         # GloVe co-occurrence matrix: forward-window pairs, integer 1/dist
         # weights (12ths), vocabulary²-bounded rollup
         "cooccurrence_counts": lambda s, d: TA.cooccurrence_counts(
@@ -4032,6 +4047,72 @@ SELECT m2.w1, m2.w2, m2.c12, m1.c1,
               * ((1000000000 * mc.n1p_rev) // nt.ntot) // 1000000000
             AS bigint) AS p_kn_e9
 FROM m2 JOIN m1 USING (w1) JOIN mc USING (w2) CROSS JOIN nt
+"""
+
+    # cross-domain KN doc scoring: the kneser_ney_bigrams model chain
+    # re-rooted onto an lm-corpus filter, then every doc's bigrams
+    # LEFT-joined so unseen bigrams take the backoff arm; identical
+    # integer arithmetic (//, greatest, 30 − length(bin(p_e9)))
+    def _kn_score_ctes(pre: str, lm_where: str) -> str:
+        return f"""{pre}lm AS (SELECT {_TOKS} AS toks FROM documents {lm_where}),
+{pre}lbg AS (SELECT unnest(CASE WHEN len(toks) >= 2 THEN
+               list_transform(range(1, len(toks)), i ->
+                 {{'w1': toks[i], 'w2': toks[i + 1]}})
+             ELSE CAST([] AS STRUCT(w1 VARCHAR, w2 VARCHAR)[]) END) AS p
+       FROM {pre}lm),
+{pre}m2 AS (SELECT p.w1 AS w1, p.w2 AS w2, cast(count(*) AS bigint) AS c12
+       FROM {pre}lbg GROUP BY 1, 2),
+{pre}m1 AS (SELECT w1, cast(sum(c12) AS bigint) AS c1,
+              cast(count(*) AS bigint) AS n1p_fwd
+       FROM {pre}m2 GROUP BY 1),
+{pre}mc AS (SELECT w2, cast(count(*) AS bigint) AS n1p_rev FROM {pre}m2 GROUP BY 1),
+{pre}nt AS (SELECT cast(count(*) AS bigint) AS ntot FROM {pre}m2),
+{pre}db AS (SELECT doc_id, p.w1 AS w1, p.w2 AS w2 FROM (
+         SELECT doc_id,
+                unnest([struct_pack(w1 := toks[i], w2 := toks[i + 1])
+                        FOR i IN range(1, len(toks))]) AS p
+         FROM (SELECT doc_id, {_TOKS} AS toks FROM documents)
+         WHERE len(toks) >= 2)),
+{pre}sc AS (SELECT b.doc_id,
+              30 - length(bin(greatest(CASE
+                WHEN m2.c12 IS NOT NULL THEN
+                  (1000000000 * (4 * m2.c12 - 3)) // (4 * m1.c1)
+                  + ((750000000 * m1.n1p_fwd) // m1.c1)
+                    * ((1000000000 * coalesce(mc.n1p_rev, 0)) // nt.ntot) // 1000000000
+                WHEN m1.c1 IS NOT NULL THEN
+                  ((750000000 * m1.n1p_fwd) // m1.c1)
+                    * ((1000000000 * coalesce(mc.n1p_rev, 0)) // nt.ntot) // 1000000000
+                ELSE (1000000000 * coalesce(mc.n1p_rev, 0)) // nt.ntot
+                END, 1))) AS s
+       FROM {pre}db b
+       LEFT JOIN {pre}m2 m2 ON m2.w1 = b.w1 AND m2.w2 = b.w2
+       LEFT JOIN {pre}m1 m1 ON m1.w1 = b.w1
+       LEFT JOIN {pre}mc mc ON mc.w2 = b.w2
+       CROSS JOIN {pre}nt nt),
+{pre}agg AS (SELECT doc_id, cast(count(*) AS bigint) AS n_bigrams,
+               cast((100 * sum(s)) // count(*) AS bigint) AS kn_surprisal_e2
+        FROM {pre}sc GROUP BY doc_id)"""
+
+    _ML_LM_WHERE = "WHERE source IN ('src0', 'src1')"
+
+    q["kn_doc_surprisal"] = f"""
+WITH {_kn_score_ctes("k", _ML_LM_WHERE)}
+SELECT d.doc_id,
+       cast(coalesce(a.n_bigrams, 0) AS bigint) AS n_bigrams,
+       cast(coalesce(a.kn_surprisal_e2, -1) AS bigint) AS kn_surprisal_e2
+FROM documents d LEFT JOIN kagg a USING (doc_id)
+"""
+
+    # Moore-Lewis: both model chains side by side, diff = in − out, keep ≤ 0
+    q["moore_lewis_select"] = f"""
+WITH {_kn_score_ctes("t", _ML_LM_WHERE)},
+{_kn_score_ctes("g", "")}
+SELECT i.doc_id,
+       cast(i.kn_surprisal_e2 AS bigint) AS in_e2,
+       cast(o.kn_surprisal_e2 AS bigint) AS out_e2,
+       cast(i.kn_surprisal_e2 - o.kn_surprisal_e2 AS bigint) AS diff_e2
+FROM tagg i JOIN gagg o USING (doc_id)
+WHERE i.n_bigrams > 0 AND i.kn_surprisal_e2 - o.kn_surprisal_e2 <= 0
 """
 
     # seed distances: recursive BFS with a depth guard; min() collapses

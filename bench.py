@@ -364,6 +364,11 @@ def run_suite(cpus: int, sf_dir: str) -> dict:
         # ref-set near-dup blocking over the interleaved spans corpus
         "exact_substring_runs": lambda: dedup.exact_substring_runs(flat).count(),
         "media_ref_pairs": lambda: MM.media_ref_pairs(docs).count(),
+        # round 5: Moore-Lewis cross-entropy-difference selection — two
+        # KN-LM scoring passes (target + general) and the contrastive gate
+        "moore_lewis_select": lambda: TA.moore_lewis_select(
+            flat, flat.where(_F.col("source").isin("src0", "src1")), max_diff_e2=0
+        ).count(),
     }
     timings: dict[str, float] = {}
     extract_wall = None

@@ -1113,6 +1113,154 @@ def kneser_ney_bigrams(docs: DataFrame) -> DataFrame:
     )
 
 
+def kn_doc_surprisal(docs: DataFrame, lm_docs: DataFrame) -> DataFrame:
+    """Cross-domain document scoring under a SMOOTHED LM — the step
+    :func:`bigram_surprisal` cannot take: estimate the interpolated
+    Kneser-Ney bigram model of :func:`kneser_ney_bigrams` from
+    ``lm_docs`` (the in-domain/target corpus), then score EVERY document
+    in ``docs`` as the mean integer surprisal of its bigrams under that
+    model. Smoothing is the whole point: a foreign-domain document's
+    bigrams are mostly unseen in the LM corpus, and only the backoff
+    mass lets them be scored at all —
+
+        p_e9(w1, w2) = p_kn_e9                        (observed bigram)
+                     = (λ_e9(w1) · pcont_e9(w2)) DIV 1e9   (seen prefix)
+                     = pcont_e9(w2)                       (unseen prefix)
+
+    floored at 1, with the exact two-stage integer pieces of
+    kneser_ney_bigrams (every DIV floor-exact, non-negative operands, so
+    the DuckDB oracle replays bit-for-bit; p_e9 ≤ 1e9 because KN's
+    discount d = 0.75 caps each term — c12 + 0.75·(n1p_fwd − 1) ≤ c1).
+    Per-bigram surprisal s = 30 − bit_length(p_e9) (30 = bit_length(1e9);
+    the integer −log2 p of the unigram_surprisal idiom, s ∈ [0, 29]),
+    and per doc kn_surprisal_e2 = (100·Σs) DIV n_bigrams; docs with < 2
+    tokens emit the −1 sentinel (never NULL — the pandas NaN-hash trap).
+    Output: (doc_id, n_bigrams, kn_surprisal_e2). ``lm_docs`` must
+    contain at least one bigram (an empty model divides by ntot = 0).
+
+    This is the scoring half of intelligent data selection (Moore &
+    Lewis 2010): low kn_surprisal_e2 against a target-domain LM = reads
+    like the target domain. :func:`moore_lewis_select` composes the
+    contrastive difference.
+
+    Scale: the model is three partial-agg groupBys over the LM corpus's
+    bigrams (pair/prefix/suffix) + one scalar — AQE broadcasts it when
+    the target corpus is small (the Moore-Lewis regime: tiny in-domain
+    seed, huge general pool); scoring joins key on (w1, w2)/w1/w2 hashes,
+    text never shuffles; the per-doc rollup rides partial aggregation.
+    int64 budget: identical to kneser_ney_bigrams (1e9·4·c12)."""
+    from ..functions.exprs import bind
+
+    def pairs(t):
+        return F.when(
+            F.size(t) >= 2,
+            F.zip_with(
+                F.slice(t, F.lit(1), F.size(t) - 1),
+                F.slice(t, F.lit(2), F.size(t) - 1),
+                lambda x, y: F.struct(x.alias("w1"), y.alias("w2")),
+            ),
+        ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+
+    lm_bg = lm_docs.select(
+        F.explode(bind(_tokens(F.col("text")), pairs)).alias("p")
+    ).select(F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+    m2 = lm_bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).cast("long").alias("c12"))
+    m1 = m2.groupBy("w1").agg(
+        F.sum("c12").cast("long").alias("c1"),
+        F.count(F.lit(1)).cast("long").alias("n1p_fwd"),
+    )
+    mc = m2.groupBy("w2").agg(F.count(F.lit(1)).cast("long").alias("n1p_rev"))
+    ntot = m2.agg(F.count(F.lit(1)).cast("long").alias("ntot"))
+
+    bg = docs.select(
+        "doc_id", F.explode(bind(_tokens(F.col("text")), pairs)).alias("p")
+    ).select("doc_id", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+    scored = (
+        bg.join(m2, ["w1", "w2"], "left")
+        .join(m1, "w1", "left")
+        .join(mc, "w2", "left")
+        .crossJoin(F.broadcast(ntot))
+        .select(
+            "doc_id",
+            F.expr(
+                "30 - length(bin(greatest(CASE"
+                " WHEN c12 IS NOT NULL THEN"
+                "  (1000000000 * (4 * c12 - 3)) DIV (4 * c1)"
+                "  + ((750000000 * n1p_fwd) DIV c1)"
+                "    * ((1000000000 * coalesce(n1p_rev, 0)) DIV ntot) DIV 1000000000"
+                " WHEN c1 IS NOT NULL THEN"
+                "  ((750000000 * n1p_fwd) DIV c1)"
+                "    * ((1000000000 * coalesce(n1p_rev, 0)) DIV ntot) DIV 1000000000"
+                " ELSE (1000000000 * coalesce(n1p_rev, 0)) DIV ntot"
+                " END, 1)))"
+            )
+            .cast("long")
+            .alias("s"),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+            F.expr("(100 * sum(s)) DIV count(1)")
+            .cast("long")
+            .alias("kn_surprisal_e2"),
+        )
+    )
+    return (
+        docs.select("doc_id")
+        .join(scored, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_bigrams", F.lit(0)).cast("long").alias("n_bigrams"),
+            F.coalesce("kn_surprisal_e2", F.lit(-1))
+            .cast("long")
+            .alias("kn_surprisal_e2"),
+        )
+    )
+
+
+def moore_lewis_select(
+    docs: DataFrame, target_docs: DataFrame, max_diff_e2: int = 0
+) -> DataFrame:
+    """Intelligent data selection by cross-entropy difference (Moore &
+    Lewis 2010, "Intelligent Selection of Language Model Training
+    Data"): score every document under TWO Kneser-Ney bigram LMs — the
+    in-domain model estimated from ``target_docs`` and the general model
+    estimated from the scored pool itself — and keep documents whose
+    difference diff_e2 = in_e2 − out_e2 is ≤ ``max_diff_e2``. The
+    difference cancels generic fluency: a document scores low on BOTH
+    models if it is merely common text, but low-in/high-out only if it
+    specifically resembles the target domain — the contrastive signal a
+    single-model threshold (ccnet_buckets) cannot express. Default
+    threshold 0 = "at least as in-domain-likely as general", the natural
+    centre of Moore & Lewis's tuning axis.
+
+    Output: (doc_id, in_e2, out_e2, diff_e2), scoreable docs only
+    (n_bigrams > 0 — the −1 sentinels never enter the difference).
+    Purely integer end-to-end, so the DuckDB oracle replays the two
+    model chains and the difference bit-for-bit.
+
+    Scale: two :func:`kn_doc_surprisal` passes over the same doc-bigram
+    relation; the in-domain model is the tiny side (broadcast), the
+    general model's partial-agg rollups are the same shape as
+    kneser_ney_bigrams; the final join keys on doc_id only."""
+    ind = kn_doc_surprisal(docs, target_docs)
+    outd = kn_doc_surprisal(docs, docs).select(
+        "doc_id", F.col("kn_surprisal_e2").alias("out_e2")
+    )
+    return (
+        ind.where(F.col("n_bigrams") > 0)
+        .select("doc_id", F.col("kn_surprisal_e2").alias("in_e2"))
+        .join(outd, "doc_id")
+        .select(
+            "doc_id",
+            "in_e2",
+            "out_e2",
+            (F.col("in_e2") - F.col("out_e2")).cast("long").alias("diff_e2"),
+        )
+        .where(F.col("diff_e2") <= int(max_diff_e2))
+    )
+
+
 def ppmi_matrix(docs: DataFrame, window: int = 3) -> DataFrame:
     """Positive pointwise mutual information over the co-occurrence
     matrix (Church & Hanks 1990; the classic count-based word-vector

@@ -741,6 +741,20 @@ def main() -> None:
             "routes identical all-hot sets to a hub star — every "
             "aggregation buffer bounded, shuffles carry 8-byte keys.",
         ),
+        (
+            "moore_lewis_select (cross-entropy-difference selection)",
+            TA.moore_lewis_select(
+                flat,
+                flat.where(F.col("source").isin("src0", "src1")),
+                max_diff_e2=0,
+            ),
+            "two kn_doc_surprisal passes: each model is three partial-agg "
+            "groupBys over LM bigrams (AQE broadcasts the tiny in-domain "
+            "model — the Moore-Lewis regime); scoring joins key on "
+            "w1/w2 hashes, the backoff CASE is branch-free integer "
+            "arithmetic in codegen, and the final contrast joins on "
+            "doc_id only. Text never enters a shuffle.",
+        ),
     ]
 
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)

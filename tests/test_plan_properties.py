@@ -961,6 +961,9 @@ def test_session5_ops_no_cartesian_no_row_python(spark):
     ).select("doc_id", "spans")
     dfs["exact_substring_runs"] = dedup.exact_substring_runs(flat)
     dfs["media_ref_pairs"] = MM.media_ref_pairs(spans)
+    dfs["moore_lewis_select"] = TA.moore_lewis_select(
+        flat, flat.where(F.col("source").isin("src0", "src1"))
+    )
     from graphical_context_extraction_pipeline_spark.operators import search as SE
 
     pidx = SE.positional_index(flat, cap=64)
