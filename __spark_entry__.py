@@ -585,6 +585,7 @@ _GATE_FIRST = [
     "media_ref_pairs",
     "kn_doc_surprisal",
     "moore_lewis_select",
+    "ngram_novelty",
 ]
 
 
@@ -816,6 +817,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _planted_batch(_flat_docs(s, d)), _flat_docs(s, d), m_bits=4096
         ),
         "ngram_jaccard_pairs": lambda s, d: dedup.ngram_jaccard_pairs(_planted_near(_flat_docs(s, d))),
+        # per-doc ingest-order n-gram novelty (planted verbatim dups → 0)
+        "ngram_novelty": lambda s, d: dedup.ngram_novelty(
+            _planted_exact(_flat_docs(s, d))
+        ),
         # asymmetric containment (|A∩B|/|A|) over planted subset-dups — the
         # embedded-document regime Jaccard's union denominator dilutes away
         "containment_pairs": lambda s, d: dedup.containment_pairs(
@@ -3329,6 +3334,30 @@ WHERE s.n_members > 1 AND a.doc_id <> s.hub)
     ngram_cte = f"{_CORPUS_NEAR},\n{ngram_chain}"
 
     q["ngram_jaccard_pairs"] = f"WITH {ngram_cte}\nSELECT * FROM np"
+
+    # per-doc ingest-order n-gram novelty over the planted-exact corpus:
+    # string-shingle spec (the ngram_jaccard convention — Spark shuffles
+    # the 62-bit hashes; identical modulo hash collisions), first owner =
+    # min doc_id per shingle, novelty = own-first share in basis points
+    q["ngram_novelty"] = f"""
+WITH {_CORPUS_EXACT},
+tk AS (SELECT doc_id, {_TOKS} AS toks FROM corpus),
+sh AS (SELECT doc_id, unnest(list_distinct(
+         CASE WHEN len(toks) >= 3
+              THEN list_transform(generate_series(1, len(toks) - 2),
+                                  i -> array_to_string(list_slice(toks, i, i + 2), ' '))
+              ELSE []::VARCHAR[] END)) AS shingle FROM tk),
+fst AS (SELECT shingle, min(doc_id) AS first_doc FROM sh GROUP BY shingle),
+per AS (SELECT s.doc_id, cast(count(*) AS bigint) AS n_ngrams,
+               cast(sum(CASE WHEN f.first_doc = s.doc_id THEN 1 ELSE 0 END)
+                    AS bigint) AS n_novel
+        FROM sh s JOIN fst f USING (shingle) GROUP BY s.doc_id)
+SELECT c.doc_id,
+       cast(coalesce(p.n_ngrams, 0) AS bigint) AS n_ngrams,
+       cast(coalesce(p.n_novel, 0) AS bigint) AS n_novel,
+       cast(coalesce((10000 * p.n_novel) // p.n_ngrams, -1) AS bigint) AS novelty_bp
+FROM corpus c LEFT JOIN per p USING (doc_id)
+"""
 
     # winnowing (MOSS): positional 3-gram poly hashes, w=4 window minima,
     # distinct fps, hot-fp cap, shared-count pairs — over the near-dup

@@ -369,6 +369,9 @@ def run_suite(cpus: int, sf_dir: str) -> dict:
         "moore_lewis_select": lambda: TA.moore_lewis_select(
             flat, flat.where(_F.col("source").isin("src0", "src1")), max_diff_e2=0
         ).count(),
+        # round 5: ingest-order n-gram novelty (one hash-min rollup + one
+        # hash-keyed attribution join — hot-cap-free by construction)
+        "ngram_novelty": lambda: dedup.ngram_novelty(flat).count(),
     }
     timings: dict[str, float] = {}
     extract_wall = None

@@ -1584,3 +1584,56 @@ def cdc_dedup_stats(docs: DataFrame, mask: int = 31) -> DataFrame:
         F.countDistinct("doc_id").cast("long").alias("n_docs"),
         F.max("n_tokens").cast("long").alias("n_tokens"),
     )
+
+
+def ngram_novelty(docs: DataFrame) -> DataFrame:
+    """Per-document n-gram novelty against everything ingested BEFORE it
+    (order = doc_id): what fraction of a document's distinct word
+    3-grams appears in no earlier document. The corpus-growth diagnostic
+    the pair-expanding dedup family doesn't answer — "how much of each
+    new document is new text" — and the curve dataset audits plot to
+    decide when a crawl stops paying for itself (marginal novelty → 0
+    means further ingestion is re-buying the same text).
+
+    Output: (doc_id, n_ngrams, n_novel, novelty_bp) with novelty_bp =
+    (10000·n_novel) DIV n_ngrams; docs with < 3 tokens emit n_ngrams = 0
+    and the −1 sentinel (never NULL — the pandas NaN-hash trap). A
+    verbatim duplicate of an earlier doc scores 0; the FIRST copy keeps
+    its full score (min attribution, like keep-first dedup).
+
+    Scale: shingles shuffle as the 62-bit packed hashes of
+    :func:`_shingle_hash_pairs` (never strings — the ngram_jaccard_pairs
+    discipline; the DuckDB oracle specs the string form, identical modulo
+    hash collisions exactly as there). First-owner is ONE map-side
+    partial min per hash — hot n-grams (stop-phrases) cost one bounded
+    aggregation row each, never a bucket expansion, so no hot-cap is
+    needed. The attribution join keys on the 8-byte hash; the per-doc
+    rollup rides partial aggregation."""
+    sh = docs.select(
+        "doc_id", F.explode(_shingle_hash_pairs(F.col("text"))).alias("hh")
+    )
+    first = sh.groupBy("hh").agg(F.min("doc_id").alias("first_doc"))
+    per = (
+        sh.join(first, "hh")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_ngrams"),
+            F.sum(F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_novel"),
+        )
+    )
+    return (
+        docs.select("doc_id")
+        .join(per, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_ngrams", F.lit(0)).cast("long").alias("n_ngrams"),
+            F.coalesce("n_novel", F.lit(0)).cast("long").alias("n_novel"),
+            F.coalesce(
+                F.expr("(10000 * n_novel) DIV n_ngrams"), F.lit(-1)
+            )
+            .cast("long")
+            .alias("novelty_bp"),
+        )
+    )

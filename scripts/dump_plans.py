@@ -755,6 +755,15 @@ def main() -> None:
             "arithmetic in codegen, and the final contrast joins on "
             "doc_id only. Text never enters a shuffle.",
         ),
+        (
+            "ngram_novelty (ingest-order novelty share)",
+            DD.ngram_novelty(flat),
+            "shingles shuffle as 62-bit packed hashes; first-owner is one "
+            "map-side partial min per hash (hot n-grams cost one bounded "
+            "row each — no bucket expansion, so no hot-cap needed); the "
+            "attribution join keys on the 8-byte hash and the per-doc "
+            "rollup rides partial aggregation.",
+        ),
     ]
 
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)

@@ -964,6 +964,7 @@ def test_session5_ops_no_cartesian_no_row_python(spark):
     dfs["moore_lewis_select"] = TA.moore_lewis_select(
         flat, flat.where(F.col("source").isin("src0", "src1"))
     )
+    dfs["ngram_novelty"] = dedup.ngram_novelty(flat)
     from graphical_context_extraction_pipeline_spark.operators import search as SE
 
     pidx = SE.positional_index(flat, cap=64)
