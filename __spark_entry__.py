@@ -586,6 +586,7 @@ _GATE_FIRST = [
     "kn_doc_surprisal",
     "moore_lewis_select",
     "ngram_novelty",
+    "unimax_budgets",
 ]
 
 
@@ -967,6 +968,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # primitive), raw-weight PPS within each source
         "temperature_mixture": lambda s, d: SA.temperature_mixture(
             _flat_docs(s, d), k=100, alpha_q=2, weight_col="n_chars"
+        ),
+        # UniMax epoch-capped water-filling: budget 400k chars, cap 3.0
+        # epochs — sized so the cap binds for the small sources and the
+        # released budget visibly flows to the large ones
+        "unimax_budgets": lambda s, d: SA.unimax_budgets(
+            _flat_docs(s, d), budget=400_000, epoch_cap_bp=30_000
         ),
         "epoch_shuffle": lambda s, d: SA.epoch_shuffle(_flat_docs(s, d), epoch=1, n_shards=8),
         # DSIR importance resampling: hashed-unigram target-vs-raw scores
@@ -4253,6 +4260,35 @@ m AS (SELECT c.source, doc_id, weight,
       FROM c JOIN sl ON sl.source = c.source)
 SELECT source, doc_id, weight, cast(n_picks AS bigint) AS n_picks
 FROM m WHERE n_picks >= 1
+"""
+
+    # UniMax water-filling: the paper's sequential pass replayed as a
+    # recursive CTE — sources ascending by (weight, source), each step
+    # allocates min(cap, remaining DIV k_left) and carries the deducted
+    # remainder; every division floors non-negative operands so the
+    # driver loop and this CTE agree bit-for-bit
+    q["unimax_budgets"] = """
+WITH RECURSIVE
+tot AS (SELECT source, cast(sum(n_chars) AS bigint) AS n
+        FROM documents WHERE n_chars > 0 GROUP BY source),
+ord AS (SELECT source, n,
+               cast(row_number() OVER (ORDER BY n ASC, source ASC) AS bigint) AS rn
+        FROM tot),
+kk AS (SELECT cast(count(*) AS bigint) AS k FROM ord),
+r AS (
+  SELECT cast(0 AS bigint) AS rn, cast(400000 AS bigint) AS remaining,
+         cast(NULL AS varchar) AS source, cast(NULL AS bigint) AS n,
+         cast(NULL AS bigint) AS alloc
+  UNION ALL
+  SELECT o.rn,
+         r.remaining - least((30000 * o.n) // 10000, r.remaining // (kk.k - r.rn)),
+         o.source, o.n,
+         least((30000 * o.n) // 10000, r.remaining // (kk.k - r.rn))
+  FROM r, ord o, kk WHERE o.rn = r.rn + 1
+)
+SELECT source, n AS n_weight, alloc AS budget,
+       cast((10000 * alloc) // n AS bigint) AS epochs_bp
+FROM r WHERE rn >= 1
 """
 
     # temperature-flattened mixture: identical chain, but Hamilton slots

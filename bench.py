@@ -372,6 +372,9 @@ def run_suite(cpus: int, sf_dir: str) -> dict:
         # round 5: ingest-order n-gram novelty (one hash-min rollup + one
         # hash-keyed attribution join — hot-cap-free by construction)
         "ngram_novelty": lambda: dedup.ngram_novelty(flat).count(),
+        # round 5: UniMax epoch-capped water-filling (one partial-agg
+        # shuffle + O(n_sources) driver arithmetic)
+        "unimax_budgets": lambda: SA.unimax_budgets(flat).count(),
     }
     timings: dict[str, float] = {}
     extract_wall = None

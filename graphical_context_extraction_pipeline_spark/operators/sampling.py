@@ -835,3 +835,65 @@ def span_corruption(
         _batches,
         "doc_id long, n_tokens long, n_masked long, input_text string, target_text string",
     )
+
+
+def unimax_budgets(
+    docs: DataFrame,
+    budget: int = 400_000,
+    epoch_cap_bp: int = 30_000,
+    weight_col: str = "n_chars",
+    source_col: str = "source",
+) -> DataFrame:
+    """UniMax budget allocation (Chung et al. 2023, "UniMax: Fairer and
+    More Effective Language Sampling for Large-Scale Multilingual
+    Pretraining"): split a total training budget across sources so that
+    no source is repeated more than ``epoch_cap_bp``/10000 epochs, and
+    whatever the capped (low-resource) sources cannot absorb flows to
+    the sources that still have headroom. The temperature knob the
+    ``temperature_mixture`` family tunes by feel, replaced by one
+    interpretable parameter: the maximum epoch count.
+
+    Water-filling, in the paper's sequential form, all integer: visit
+    sources in ascending weight order (ties: source asc); at each step
+    with ``k_left`` sources unvisited, allocate
+    ``min((epoch_cap_bp·n) DIV 10000, remaining DIV k_left)`` and deduct
+    it. Small sources hit their epoch cap and release budget; the
+    released budget raises the fair share of every later (larger)
+    source. Σ budget ≤ ``budget`` with equality whenever the cap mass
+    Σ caps ≥ ``budget``.
+
+    Output: (source, n_weight, budget, epochs_bp), epochs_bp =
+    (10000·budget) DIV n_weight ≤ epoch_cap_bp. Rows with non-positive
+    total weight are unallocatable and dropped.
+
+    Scale: one partial-agg shuffle builds the per-source totals; the
+    water-filling itself is O(n_sources) driver arithmetic over that
+    mixture-scale relation (dozens–thousands of rows — the same bounded
+    collect as :func:`quota_mixture`'s Hamilton fold and bpe_learn's
+    merge-table). Document weights never leave the executors; both
+    engines replay the loop bit-for-bit because every division is a
+    floor on non-negative operands (the pinned DIV/`//` rule).
+    """
+    totals = (
+        docs.select(
+            F.col(source_col).alias("source"),
+            F.col(weight_col).cast("long").alias("w"),
+        )
+        .where(F.col(weight_col) > 0)
+        .groupBy("source")
+        .agg(F.sum("w").alias("n"))
+    )
+    rows = sorted(
+        ((r["source"], int(r["n"])) for r in totals.collect()),
+        key=lambda t: (t[1], t[0]),
+    )
+    out, remaining = [], int(budget)
+    for i, (src, n) in enumerate(rows):
+        k_left = len(rows) - i
+        alloc = min((epoch_cap_bp * n) // 10000, remaining // k_left)
+        remaining -= alloc
+        out.append((src, n, alloc, (10000 * alloc) // n))
+    return docs.sparkSession.createDataFrame(
+        out or [("", 0, 0, 0)],
+        "source string, n_weight long, budget long, epochs_bp long",
+    ).where(F.col("n_weight") > 0)
