@@ -587,6 +587,9 @@ _GATE_FIRST = [
     "moore_lewis_select",
     "ngram_novelty",
     "unimax_budgets",
+    "interleave_stats",
+    "interleave_gate",
+    "kind_transitions",
 ]
 
 
@@ -743,6 +746,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_ref_pairs": lambda s, d: MM.media_ref_pairs(
             _planted_media(_spans_docs(s, d))
         ),
+        # MMC4/OBELICS-style interleaved-corpus curation: per-doc
+        # interleave profile, the keep/drop gate over it, and the corpus
+        # kind-transition matrix — all intra-row over (offset, kind) order
+        "interleave_stats": lambda s, d: MM.interleave_stats(_spans_docs(s, d)),
+        "interleave_gate": lambda s, d: MM.interleave_gate(_spans_docs(s, d)),
+        "kind_transitions": lambda s, d: MM.kind_transitions(_spans_docs(s, d)),
         # ---- end-to-end web curation: HTML → main content → curation verdicts
         # (the full C4-style chain as ONE composed plan; same planted dup
         # constructions as curate_corpus so every status arm has members)
@@ -2290,6 +2299,66 @@ SELECT s.hub AS doc_a, a.doc_id AS doc_b, cast(a.n_sh AS bigint) AS n_shared,
        cast(a.n_sh AS bigint) AS n_union, cast(10000 AS bigint) AS jaccard_bp
 FROM allhot a JOIN sigstats s USING (sig)
 WHERE s.n_members > 1 AND a.doc_id <> s.hub
+"""
+
+    # MMC4/OBELICS interleave curation: the window replay of the intra-row
+    # (offset, kind)-ordered class sequence — gaps-and-islands for the run
+    # stats, lag for the transition matrix. Ties inside (offset, kind)
+    # carry equal classes, so every output is permutation-invariant and
+    # the engines need no total order to agree.
+    _IVRUNS = f"""
+u AS (SELECT doc_id, s.kind AS kind, s."offset" AS off,
+             CASE WHEN s.kind = 'frame' THEN 1 ELSE 0 END AS is_m,
+             CASE WHEN s.kind = 'frame' THEN 0
+                  ELSE length(coalesce(s.text, '')) END AS tl
+      FROM {_S1}),
+o AS (SELECT *, row_number() OVER w AS idx, lag(is_m) OVER w AS pm
+      FROM u WINDOW w AS (PARTITION BY doc_id ORDER BY off, kind)),
+r AS (SELECT *, sum(CASE WHEN pm IS NULL OR pm <> is_m THEN 1 ELSE 0 END)
+                OVER (PARTITION BY doc_id ORDER BY idx) AS run_id FROM o),
+runs AS (SELECT doc_id, run_id, max(is_m) AS is_m, count(*) AS rl
+         FROM r GROUP BY 1, 2),
+iv AS (SELECT d.doc_id, d.n_spans, d.n_spans - d.n_media AS n_text, d.n_media,
+              (10000 * d.n_media) // d.n_spans AS media_share_bp,
+              rr.n_runs, coalesce(rr.max_media_run, 0) AS max_media_run,
+              d.text_chars, d.first_class, d.last_class
+       FROM (SELECT doc_id, count(*) AS n_spans, sum(is_m) AS n_media,
+                    sum(tl) AS text_chars,
+                    CASE WHEN arg_min(is_m, idx) = 1 THEN 'media' ELSE 'text' END AS first_class,
+                    CASE WHEN arg_max(is_m, idx) = 1 THEN 'media' ELSE 'text' END AS last_class
+             FROM r GROUP BY 1) d
+       JOIN (SELECT doc_id, count(*) AS n_runs,
+                    max(CASE WHEN is_m = 1 THEN rl END) AS max_media_run
+             FROM runs GROUP BY 1) rr USING (doc_id))"""
+
+    q["interleave_stats"] = f"""
+WITH {_IVRUNS}
+SELECT doc_id, cast(n_spans AS bigint) AS n_spans, cast(n_text AS bigint) AS n_text,
+       cast(n_media AS bigint) AS n_media, cast(media_share_bp AS bigint) AS media_share_bp,
+       cast(n_runs AS bigint) AS n_runs, cast(max_media_run AS bigint) AS max_media_run,
+       cast(text_chars AS bigint) AS text_chars, first_class, last_class
+FROM iv
+"""
+
+    q["interleave_gate"] = f"""
+WITH {_IVRUNS}
+SELECT doc_id,
+       n_text >= 1 AS has_text,
+       n_media >= 1 AS has_media,
+       media_share_bp <= 7000 AS ok_media_share,
+       max_media_run <= 4 AS ok_media_run,
+       text_chars >= 200 AS ok_text_len,
+       (n_text >= 1 AND n_media >= 1 AND media_share_bp <= 7000
+        AND max_media_run <= 4 AND text_chars >= 200) AS keep
+FROM iv
+"""
+
+    q["kind_transitions"] = f"""
+WITH u AS (SELECT doc_id, s.kind AS kind, s."offset" AS off FROM {_S1}),
+p AS (SELECT kind, lag(kind) OVER (PARTITION BY doc_id ORDER BY off, kind) AS pk
+      FROM u)
+SELECT pk AS prev_kind, kind, cast(count(*) AS bigint) AS n
+FROM p WHERE pk IS NOT NULL GROUP BY 1, 2
 """
 
     # ---- HTML main-content extraction (operators/html_extract.py) ---------

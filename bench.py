@@ -375,6 +375,10 @@ def run_suite(cpus: int, sf_dir: str) -> dict:
         # round 5: UniMax epoch-capped water-filling (one partial-agg
         # shuffle + O(n_sources) driver arithmetic)
         "unimax_budgets": lambda: SA.unimax_budgets(flat).count(),
+        # round 5: MMC4/OBELICS interleave curation — shuffle-free per-doc
+        # profile + gate, and the kinds²-bounded transition matrix
+        "interleave_gate": lambda: MM.interleave_gate(docs).count(),
+        "kind_transitions": lambda: MM.kind_transitions(docs).count(),
     }
     timings: dict[str, float] = {}
     extract_wall = None

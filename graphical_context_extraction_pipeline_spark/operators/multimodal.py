@@ -159,3 +159,170 @@ def media_ref_pairs(
         "doc_id", F.col("z.shingle").alias("shingle"), F.col("z.n_sh").alias("n_sh")
     )
     return _set_jaccard_pairs(base, min_jaccard_bp, max_docs_per_ref)
+
+
+MEDIA_KIND = "frame"
+
+
+def _ordered_kinds(spans):
+    """spans → array<struct<off,kind>> in (offset, kind) document order —
+    the rendering order of the interleaved sequence. Natural struct
+    ordering sorts field-by-field, so no comparator lambda is needed (and
+    the datagen contract holds no null offsets/kinds to order)."""
+    return F.array_sort(
+        F.transform(
+            spans,
+            lambda s: F.struct(s["offset"].alias("off"), s["kind"].alias("kind")),
+        )
+    )
+
+
+def interleave_stats(docs: DataFrame) -> DataFrame:
+    """Per-document interleaving profile of the text|media span sequence —
+    the diagnostics MMC4 / OBELICS-style interleaved-corpus curation keys
+    on (image-wall pages, caption-less galleries, text-only docs).
+
+    Spans are ordered intra-row by (offset, kind); a span is MEDIA when
+    ``kind == MEDIA_KIND`` ('frame' — the media_ref-carrying kind), TEXT
+    otherwise. One row per non-empty document:
+
+        (doc_id, n_spans, n_text, n_media, media_share_bp, n_runs,
+         max_media_run, text_chars, first_class, last_class)
+
+    - ``media_share_bp`` = ⌊10000·n_media / n_spans⌋
+    - ``n_runs`` = number of maximal same-class runs (= alternations + 1)
+    - ``max_media_run`` = longest consecutive-media run (0 if no media)
+    - ``text_chars`` = Σ length(text) over TEXT spans
+
+    Scale: scan → project. Every statistic is an intra-row expression over
+    the doc's own spans (run detection via the O(n) ``segments`` primitive
+    — no accumulating fold), so the operator is shuffle-free and
+    embarrassingly partition-parallel; ties inside (offset, kind) leave
+    every output invariant (equal keys ⇒ equal class), so both engines
+    agree without a total order. Replaces nothing in the reference — the
+    reference's single-video pipeline has no corpus-curation stage; this
+    is the interleaved-payload analogue of its coverage report
+    (phase 2/src/validate.py)."""
+    from ..functions.exprs import segments
+
+    def over_spans(spans):
+        def over_c(carr):
+            n = F.size(carr)
+            n_media = F.size(F.filter(carr, lambda c: c == 1))
+            segs = segments(
+                carr,
+                lambda a, i: F.when(i == 1, F.lit(True)).otherwise(
+                    F.element_at(a, i.cast("int"))
+                    != F.element_at(a, (i - 1).cast("int"))
+                ),
+            )
+            media_runs = F.filter(
+                segs, lambda s: F.element_at(carr, s["a"].cast("int")) == 1
+            )
+            max_media_run = F.coalesce(
+                F.array_max(
+                    F.transform(media_runs, lambda s: (s["b"] - s["a"]).cast("long"))
+                ),
+                F.lit(0).cast("long"),
+            )
+            text_chars = F.aggregate(
+                F.filter(spans, lambda s: s["kind"] != MEDIA_KIND),
+                F.lit(0).cast("long"),
+                lambda acc, s: acc + F.length(F.coalesce(s["text"], F.lit(""))),
+            )
+            cls = lambda c: F.when(c == 1, F.lit("media")).otherwise(F.lit("text"))  # noqa: E731
+            return F.struct(
+                n.cast("long").alias("n_spans"),
+                (n - n_media).cast("long").alias("n_text"),
+                n_media.cast("long").alias("n_media"),
+                # exact on int64-scale numerators (≤ 1e4·n): floor(a/b) on
+                # non-negative operands == DIV, and both stay < 2^53
+                F.floor(n_media * 10000 / n).cast("long").alias("media_share_bp"),
+                F.size(segs).cast("long").alias("n_runs"),
+                max_media_run.alias("max_media_run"),
+                text_chars.alias("text_chars"),
+                cls(F.element_at(carr, 1)).alias("first_class"),
+                cls(F.element_at(carr, -1)).alias("last_class"),
+            )
+
+        return bind(
+            F.transform(
+                _ordered_kinds(spans),
+                lambda x: F.when(x["kind"] == MEDIA_KIND, 1).otherwise(0),
+            ),
+            over_c,
+        )
+
+    return (
+        docs.where(F.size("spans") > 0)
+        .select("doc_id", bind(F.col("spans"), over_spans).alias("st"))
+        .select("doc_id", "st.*")
+    )
+
+
+def interleave_gate(
+    docs: DataFrame,
+    max_media_share_bp: int = 7000,
+    max_run: int = 4,
+    min_text_chars: int = 200,
+) -> DataFrame:
+    """MMC4/OBELICS-shape keep/drop gate for interleaved documents: per-rule
+    boolean columns + the conjunction, one row per non-empty document —
+    the same audit-friendly contract as gopher_rules (every rule
+    inspectable, the funnel reconstructible from the flags).
+
+        has_text        n_text ≥ 1        (drop pure image galleries)
+        has_media       n_media ≥ 1       (drop text-only docs — this gate
+                                           curates the INTERLEAVED corpus)
+        ok_media_share  media_share_bp ≤ max_media_share_bp
+        ok_media_run    max_media_run ≤ max_run  (drop image walls)
+        ok_text_len     text_chars ≥ min_text_chars
+        keep            AND of the five
+
+    Scale: interleave_stats' shuffle-free scan plus a projection — the
+    flags are pure arithmetic on its row, so the gate adds zero exchanges
+    and composes with the curation ladder like any other rung."""
+    st = interleave_stats(docs)
+    flags = {
+        "has_text": F.col("n_text") >= 1,
+        "has_media": F.col("n_media") >= 1,
+        "ok_media_share": F.col("media_share_bp") <= max_media_share_bp,
+        "ok_media_run": F.col("max_media_run") <= max_run,
+        "ok_text_len": F.col("text_chars") >= min_text_chars,
+    }
+    keep = None
+    for c in flags.values():
+        keep = c if keep is None else (keep & c)
+    return st.select(
+        "doc_id",
+        *[c.alias(k) for k, c in flags.items()],
+        keep.alias("keep"),
+    )
+
+
+def kind_transitions(docs: DataFrame) -> DataFrame:
+    """Corpus-level first-order kind-transition matrix of the interleaved
+    span sequences: (prev_kind, kind, n) over consecutive spans in
+    (offset, kind) document order. The 25-cell (5 kinds²) relation answers
+    the layout questions interleaved-pretraining recipes ask — how often
+    does an image follow text vs pile into galleries, do chapters open
+    documents — without materializing any per-doc sequence.
+
+    Scale: pair construction is intra-row (consecutive_pairs — zero
+    shuffle before the explode); ONE explode feeds ONE kinds²-bounded
+    partial-agg groupBy. Equal (offset, kind) sort keys carry equal kind
+    values, so the matrix is permutation-invariant under ties."""
+    from ..functions.exprs import consecutive_pairs
+
+    pairs = consecutive_pairs(
+        F.transform(_ordered_kinds(F.col("spans")), lambda x: x["kind"])
+    )
+    return (
+        docs.where(F.size("spans") >= 2)
+        .select(F.explode(pairs).alias("p"))
+        .groupBy(
+            F.col("p.a").alias("prev_kind"),
+            F.col("p.b").alias("kind"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )

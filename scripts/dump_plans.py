@@ -766,6 +766,53 @@ def main() -> None:
         ),
     ]
 
+    from graphical_context_extraction_pipeline_spark.operators import sampling as SAM
+
+    entries += [
+        (
+            "unimax_budgets (epoch-capped water-filling)",
+            SAM.unimax_budgets(flat),
+            "the returned relation is a LocalTableScan (0 exchanges) because "
+            "the per-source totals are reduced by ONE eager partial-agg "
+            "groupBy (mixture-scale, the same bounded collect as "
+            "quota_mixture's Hamilton fold) and the water-filling loop is "
+            "O(n_sources) driver arithmetic — document rows never leave the "
+            "executors and text never keys a shuffle.",
+        ),
+        (
+            "interleave_stats (per-doc text|media profile)",
+            __import__(
+                "graphical_context_extraction_pipeline_spark.operators.multimodal",
+                fromlist=["multimodal"],
+            ).interleave_stats(spans_small),
+            "scan → project, ZERO exchanges: the (offset, kind) sort, class "
+            "sequence, run detection (segments primitive — no accumulating "
+            "fold) and every statistic are intra-row expressions over each "
+            "doc's own spans; the MMC4/OBELICS gate and funnel compose on "
+            "top without adding a shuffle.",
+        ),
+        (
+            "kind_transitions (corpus transition matrix)",
+            __import__(
+                "graphical_context_extraction_pipeline_spark.operators.multimodal",
+                fromlist=["multimodal"],
+            ).kind_transitions(spans_small),
+            "pair construction is intra-row (consecutive_pairs — zero "
+            "shuffle before the explode); ONE explode feeds ONE "
+            "kinds²-bounded (≤25-group) partial-agg groupBy.",
+        ),
+        (
+            "text_cosine_topk (hash-embed → exact top-k)",
+            SIM.cosine_topk(SIM.embed_text_hash(flat, 64), [0, 101, 202, 303, 404]),
+            "the hashing-trick vectorizer fuses into each side's scan (one "
+            "MapInPandas per side — the query side is |Q| rows under a "
+            "broadcast, the corpus side is scanned exactly once, no "
+            "barrier between embed and score); WindowGroupLimit(Partial) "
+            "prunes to ≤ k rows per partition per query BEFORE the single "
+            "exchange feeding the top-k window.",
+        ),
+    ]
+
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
     with open(os.path.join(REPO, "BENCH", "PLANS.md"), "w") as f:
         f.write(

@@ -1,0 +1,132 @@
+"""MMC4/OBELICS-style interleave curation (operators/multimodal.py):
+hand-built fixtures with known run structure, gate edge cases, the
+transition matrix, and the zero-shuffle plan pins.
+
+Oracle parity at corpus scale runs through test_oracle_parity.py
+(interleave_stats / interleave_gate / kind_transitions entries); this file
+pins the SEMANTICS on documents small enough to check by hand.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from graphical_context_extraction_pipeline_spark.operators import multimodal as MM
+from graphical_context_extraction_pipeline_spark.plans.explain import (
+    count_exchanges,
+    physical_plan,
+)
+
+SPAN_SCHEMA = (
+    "doc_id string, spans array<struct<kind:string,text:string,"
+    "media_ref:string,offset:int>>"
+)
+
+
+def _span(kind, text, off):
+    return {"kind": kind, "text": text, "media_ref": None, "offset": off}
+
+
+@pytest.fixture(scope="module")
+def fixture_docs(spark):
+    long_text = "x" * 250
+    rows = [
+        # alternating: text, frame, frame, text → 3 runs, max media run 2
+        (
+            "doc_a",
+            [
+                _span("asr", "ab", 0),
+                _span("frame", None, 10),
+                _span("frame", None, 20),
+                _span("asr", "cde", 30),
+            ],
+        ),
+        # pure image gallery → has_text false
+        ("doc_b", [_span("frame", None, 0), _span("frame", None, 1)]),
+        # empty spans → excluded from every output
+        ("doc_c", []),
+        # passes every gate rule: long text, one bounded media run
+        (
+            "doc_d",
+            [
+                _span("chapter", long_text, 0),
+                _span("frame", None, 5),
+                _span("asr", "tail", 9),
+            ],
+        ),
+        # text-only → has_media false
+        ("doc_e", [_span("ocr", "only text here", 0)]),
+        # out-of-order offsets: stats must follow offset order, not array
+        # order (media run is CONSECUTIVE only after the intra-row sort)
+        (
+            "doc_f",
+            [
+                _span("frame", None, 30),
+                _span("asr", "mid", 20),
+                _span("frame", None, 10),
+            ],
+        ),
+    ]
+    return spark.createDataFrame(rows, SPAN_SCHEMA)
+
+
+def test_interleave_stats_by_hand(fixture_docs):
+    st = {r["doc_id"]: r.asDict() for r in MM.interleave_stats(fixture_docs).collect()}
+    assert set(st) == {"doc_a", "doc_b", "doc_d", "doc_e", "doc_f"}  # doc_c dropped
+    a = st["doc_a"]
+    assert (a["n_spans"], a["n_text"], a["n_media"]) == (4, 2, 2)
+    assert a["media_share_bp"] == 5000
+    assert (a["n_runs"], a["max_media_run"]) == (3, 2)
+    assert a["text_chars"] == 5
+    assert (a["first_class"], a["last_class"]) == ("text", "text")
+    b = st["doc_b"]
+    assert (b["n_text"], b["n_media"], b["media_share_bp"]) == (0, 2, 10000)
+    assert (b["n_runs"], b["max_media_run"], b["text_chars"]) == (1, 2, 0)
+    assert (b["first_class"], b["last_class"]) == ("media", "media")
+    # doc_f sorted by offset is frame, asr, frame → alternating, runs of 1
+    f = st["doc_f"]
+    assert (f["n_runs"], f["max_media_run"]) == (3, 1)
+    assert (f["first_class"], f["last_class"]) == ("media", "media")
+
+
+def test_interleave_gate_rules(fixture_docs):
+    g = {r["doc_id"]: r.asDict() for r in MM.interleave_gate(fixture_docs).collect()}
+    assert g["doc_d"]["keep"] is True
+    assert not g["doc_b"]["has_text"] and g["doc_b"]["keep"] is False
+    assert not g["doc_e"]["has_media"] and g["doc_e"]["keep"] is False
+    # doc_a fails only the text-length rule
+    assert g["doc_a"]["has_text"] and g["doc_a"]["has_media"]
+    assert g["doc_a"]["ok_media_share"] and g["doc_a"]["ok_media_run"]
+    assert not g["doc_a"]["ok_text_len"] and g["doc_a"]["keep"] is False
+    # rule knobs: loosening the text floor admits doc_a
+    loose = {
+        r["doc_id"]: r["keep"]
+        for r in MM.interleave_gate(fixture_docs, min_text_chars=5).collect()
+    }
+    assert loose["doc_a"] is True
+
+
+def test_kind_transitions_by_hand(fixture_docs):
+    kt = {
+        (r["prev_kind"], r["kind"]): r["n"]
+        for r in MM.kind_transitions(fixture_docs).collect()
+    }
+    # doc_a: asr→frame, frame→frame, frame→asr; doc_b: frame→frame;
+    # doc_d: chapter→frame, frame→asr; doc_e: no pairs;
+    # doc_f (offset order): frame→asr, asr→frame
+    assert kt[("asr", "frame")] == 2
+    assert kt[("frame", "frame")] == 2
+    assert kt[("frame", "asr")] == 3
+    assert kt[("chapter", "frame")] == 1
+    assert sum(kt.values()) == 8  # 3 (doc_a) + 1 (doc_b) + 2 (doc_d) + 2 (doc_f)
+
+
+def test_interleave_plans_are_minimal(fixture_docs):
+    st = MM.interleave_stats(fixture_docs)
+    assert count_exchanges(st) == 0, physical_plan(st)
+    gate = MM.interleave_gate(fixture_docs)
+    assert count_exchanges(gate) == 0, physical_plan(gate)
+    # one partial-agg groupBy over the exploded pairs, nothing else
+    kt = MM.kind_transitions(fixture_docs)
+    plan = physical_plan(kt)
+    assert count_exchanges(kt) == 1, plan
+    assert "CartesianProduct" not in plan and "BatchEvalPython" not in plan
