@@ -590,6 +590,7 @@ _GATE_FIRST = [
     "interleave_stats",
     "interleave_gate",
     "kind_transitions",
+    "mm_curate",
 ]
 
 
@@ -752,6 +753,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "interleave_stats": lambda s, d: MM.interleave_stats(_spans_docs(s, d)),
         "interleave_gate": lambda s, d: MM.interleave_gate(_spans_docs(s, d)),
         "kind_transitions": lambda s, d: MM.kind_transitions(_spans_docs(s, d)),
+        # end-to-end: gate → media-asset near-dup closure → statuses, over
+        # the planted 2/3-subset re-emissions so the media_dup arm has
+        # members (the multimodal curate_corpus)
+        "mm_curate": lambda s, d: MM.mm_curate(_planted_media(_spans_docs(s, d))),
         # ---- end-to-end web curation: HTML → main content → curation verdicts
         # (the full C4-style chain as ONE composed plan; same planted dup
         # constructions as curate_corpus so every status arm has members)
@@ -2259,59 +2264,21 @@ FROM (SELECT doc_id FROM {_SD} WHERE spans IS NOT NULL) d
 LEFT JOIN agg USING (doc_id)
 """
 
-    # media-axis near-dup pairs: frame-ref-set Jaccard over the planted
-    # 2/3-subset re-emissions, replaying multimodal.media_ref_pairs'
-    # shared blocking machinery (hot-ref cap + all-hot identical-set hub
-    # star — dedup._set_jaccard_pairs) on the ref STRINGS (Jaccard on
-    # distinct 64-bit ref hashes equals Jaccard on the strings)
-    q["media_ref_pairs"] = f"""
-WITH sd AS (SELECT doc_id, spans FROM {_SD}),
-corpus AS (SELECT doc_id, spans FROM sd
-           UNION ALL
-           SELECT doc_id || '_dup' AS doc_id,
-                  list_filter(spans, s -> s."offset" % 3 <> 2) AS spans
-           FROM sd WHERE cast(substring(doc_id, 5) AS bigint) % 20 = 5),
-rs AS (SELECT doc_id,
-              list_distinct([s.media_ref FOR s IN spans
-                             IF s.kind = 'frame' AND s.media_ref IS NOT NULL]) AS refs
-       FROM corpus WHERE spans IS NOT NULL),
-sh AS MATERIALIZED (SELECT doc_id, len(refs) AS n_sh, unnest(refs) AS shingle
-                    FROM rs WHERE len(refs) > 0),
-ok AS (SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= 1024),
-shc AS MATERIALIZED (SELECT sh.doc_id, sh.shingle, sh.n_sh FROM sh JOIN ok USING (shingle)),
-pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-                 a.n_sh AS na, b.n_sh AS nb, count(*) AS n_shared
-          FROM shc a JOIN shc b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-          GROUP BY 1, 2, 3, 4),
-allhot AS (SELECT doc_id, md5(array_to_string(list_sort(list(shingle)), ',')) AS sig,
-                  count(*) AS n_sh
-           FROM sh WHERE doc_id NOT IN (SELECT DISTINCT doc_id FROM shc)
-           GROUP BY doc_id),
-sigstats AS (SELECT sig, count(*) AS n_members, min(doc_id) AS hub
-             FROM allhot GROUP BY sig)
-SELECT doc_a, doc_b, cast(n_shared AS bigint) AS n_shared,
-       cast(na + nb - n_shared AS bigint) AS n_union,
-       cast(floor(n_shared * 10000.0 / (na + nb - n_shared)) AS bigint) AS jaccard_bp
-FROM pairs
-WHERE cast(floor(n_shared * 10000.0 / (na + nb - n_shared)) AS bigint) >= 5000
-UNION ALL
-SELECT s.hub AS doc_a, a.doc_id AS doc_b, cast(a.n_sh AS bigint) AS n_shared,
-       cast(a.n_sh AS bigint) AS n_union, cast(10000 AS bigint) AS jaccard_bp
-FROM allhot a JOIN sigstats s USING (sig)
-WHERE s.n_members > 1 AND a.doc_id <> s.hub
-"""
-
     # MMC4/OBELICS interleave curation: the window replay of the intra-row
     # (offset, kind)-ordered class sequence — gaps-and-islands for the run
     # stats, lag for the transition matrix. Ties inside (offset, kind)
     # carry equal classes, so every output is permutation-invariant and
     # the engines need no total order to agree.
-    _IVRUNS = f"""
+    def _iv_chain(src: str) -> str:
+        """CTE chain from {src} (an unnested (doc_id, s) relation) to
+        iv(doc_id, n_spans, n_text, n_media, media_share_bp, n_runs,
+        max_media_run, text_chars, first_class, last_class)."""
+        return f"""
 u AS (SELECT doc_id, s.kind AS kind, s."offset" AS off,
              CASE WHEN s.kind = 'frame' THEN 1 ELSE 0 END AS is_m,
              CASE WHEN s.kind = 'frame' THEN 0
                   ELSE length(coalesce(s.text, '')) END AS tl
-      FROM {_S1}),
+      FROM {src}),
 o AS (SELECT *, row_number() OVER w AS idx, lag(is_m) OVER w AS pm
       FROM u WINDOW w AS (PARTITION BY doc_id ORDER BY off, kind)),
 r AS (SELECT *, sum(CASE WHEN pm IS NULL OR pm <> is_m THEN 1 ELSE 0 END)
@@ -2330,6 +2297,8 @@ iv AS (SELECT d.doc_id, d.n_spans, d.n_spans - d.n_media AS n_text, d.n_media,
        JOIN (SELECT doc_id, count(*) AS n_runs,
                     max(CASE WHEN is_m = 1 THEN rl END) AS max_media_run
              FROM runs GROUP BY 1) rr USING (doc_id))"""
+
+    _IVRUNS = _iv_chain(_S1)
 
     q["interleave_stats"] = f"""
 WITH {_IVRUNS}
@@ -2359,6 +2328,83 @@ p AS (SELECT kind, lag(kind) OVER (PARTITION BY doc_id ORDER BY off, kind) AS pk
       FROM u)
 SELECT pk AS prev_kind, kind, cast(count(*) AS bigint) AS n
 FROM p WHERE pk IS NOT NULL GROUP BY 1, 2
+"""
+
+
+    # media-axis near-dup pairs: frame-ref-set Jaccard over the planted
+    # 2/3-subset re-emissions, replaying multimodal.media_ref_pairs'
+    # shared blocking machinery (hot-ref cap + all-hot identical-set hub
+    # star — dedup._set_jaccard_pairs) on the ref STRINGS (Jaccard on
+    # distinct 64-bit ref hashes equals Jaccard on the strings)
+    # CTE chain from {src}(doc_id, spans) to mref_pairs(doc_a, doc_b,
+    # n_shared, n_union, jaccard_bp), replaying multimodal.media_ref_pairs'
+    # shared blocking machinery (hot-ref cap + all-hot identical-set hub
+    # star — dedup._set_jaccard_pairs) on the ref STRINGS (Jaccard on
+    # distinct 64-bit ref hashes equals Jaccard on the strings)
+    def _media_pairs_chain(src: str) -> str:
+        return f"""rs AS (SELECT doc_id,
+              list_distinct([s.media_ref FOR s IN spans
+                             IF s.kind = 'frame' AND s.media_ref IS NOT NULL]) AS refs
+       FROM {src} WHERE spans IS NOT NULL),
+sh AS MATERIALIZED (SELECT doc_id, len(refs) AS n_sh, unnest(refs) AS shingle
+                    FROM rs WHERE len(refs) > 0),
+ok AS (SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= 1024),
+shc AS MATERIALIZED (SELECT sh.doc_id, sh.shingle, sh.n_sh FROM sh JOIN ok USING (shingle)),
+prs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                 a.n_sh AS na, b.n_sh AS nb, count(*) AS n_shared
+          FROM shc a JOIN shc b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+          GROUP BY 1, 2, 3, 4),
+allhot AS (SELECT doc_id, md5(array_to_string(list_sort(list(shingle)), ',')) AS sig,
+                  count(*) AS n_sh
+           FROM sh WHERE doc_id NOT IN (SELECT DISTINCT doc_id FROM shc)
+           GROUP BY doc_id),
+sigstats AS (SELECT sig, count(*) AS n_members, min(doc_id) AS hub
+             FROM allhot GROUP BY sig),
+mref_pairs AS (
+SELECT doc_a, doc_b, cast(n_shared AS bigint) AS n_shared,
+       cast(na + nb - n_shared AS bigint) AS n_union,
+       cast(floor(n_shared * 10000.0 / (na + nb - n_shared)) AS bigint) AS jaccard_bp
+FROM prs
+WHERE cast(floor(n_shared * 10000.0 / (na + nb - n_shared)) AS bigint) >= 5000
+UNION ALL
+SELECT s.hub AS doc_a, a.doc_id AS doc_b, cast(a.n_sh AS bigint) AS n_shared,
+       cast(a.n_sh AS bigint) AS n_union, cast(10000 AS bigint) AS jaccard_bp
+FROM allhot a JOIN sigstats s USING (sig)
+WHERE s.n_members > 1 AND a.doc_id <> s.hub)"""
+
+    _MCORP = f"""sd AS (SELECT doc_id, spans FROM {_SD}),
+mcorp AS (SELECT doc_id, spans FROM sd
+           UNION ALL
+           SELECT doc_id || '_dup' AS doc_id,
+                  list_filter(spans, s -> s."offset" % 3 <> 2) AS spans
+           FROM sd WHERE cast(substring(doc_id, 5) AS bigint) % 20 = 5)"""
+
+    q["media_ref_pairs"] = f"""
+WITH {_MCORP},
+{_media_pairs_chain("mcorp")}
+SELECT doc_a, doc_b, n_shared, n_union, jaccard_bp FROM mref_pairs
+"""
+
+    # end-to-end interleaved-corpus curation: gate (iv chain over the
+    # planted corpus) → media-asset pairs among gate survivors → recursive
+    # closure → statuses; replays multimodal.mm_curate arm for arm
+    q["mm_curate"] = f"""
+WITH RECURSIVE {_MCORP},
+{_iv_chain("(SELECT doc_id, unnest(spans) AS s FROM mcorp)")},
+gate AS (SELECT doc_id,
+                (n_text >= 1 AND n_media >= 1 AND media_share_bp <= 7000
+                 AND max_media_run <= 4 AND text_chars >= 200) AS keep
+         FROM iv),
+kcorp AS (SELECT m.doc_id, m.spans FROM mcorp m JOIN gate g USING (doc_id)
+          WHERE g.keep),
+{_media_pairs_chain("kcorp")},
+np AS (SELECT doc_a, doc_b FROM mref_pairs),
+{_CC_CHAIN}
+SELECT g.doc_id,
+       CASE WHEN NOT g.keep THEN 'rejected'
+            WHEN cc.component IS NOT NULL AND cc.component <> g.doc_id THEN 'media_dup'
+            ELSE 'kept' END AS status
+FROM gate g LEFT JOIN cc ON cc.doc_id = g.doc_id
 """
 
     # ---- HTML main-content extraction (operators/html_extract.py) ---------

@@ -379,6 +379,8 @@ def run_suite(cpus: int, sf_dir: str) -> dict:
         # profile + gate, and the kinds²-bounded transition matrix
         "interleave_gate": lambda: MM.interleave_gate(docs).count(),
         "kind_transitions": lambda: MM.kind_transitions(docs).count(),
+        # gate → media-asset near-dup closure → statuses, end to end
+        "mm_curate": lambda: MM.mm_curate(docs).count(),
     }
     timings: dict[str, float] = {}
     extract_wall = None

@@ -203,6 +203,17 @@ def interleave_stats(docs: DataFrame) -> DataFrame:
     reference's single-video pipeline has no corpus-curation stage; this
     is the interleaved-payload analogue of its coverage report
     (phase 2/src/validate.py)."""
+    return (
+        docs.where(F.size("spans") > 0)
+        .select("doc_id", _profile_expr(F.col("spans")).alias("st"))
+        .select("doc_id", "st.*")
+    )
+
+
+def _profile_expr(spans_col):
+    """The interleave_stats struct as ONE intra-row expression over a spans
+    column — shared by interleave_stats and mm_curate (which needs the
+    keep decision on the same row as the spans, without a self-join)."""
     from ..functions.exprs import segments
 
     def over_spans(spans):
@@ -253,10 +264,19 @@ def interleave_stats(docs: DataFrame) -> DataFrame:
             over_c,
         )
 
+    return bind(spans_col, over_spans)
+
+
+def _keep_expr(
+    st, max_media_share_bp: int, max_run: int, min_text_chars: int
+):
+    """The gate conjunction over a _profile_expr struct column."""
     return (
-        docs.where(F.size("spans") > 0)
-        .select("doc_id", bind(F.col("spans"), over_spans).alias("st"))
-        .select("doc_id", "st.*")
+        (st["n_text"] >= 1)
+        & (st["n_media"] >= 1)
+        & (st["media_share_bp"] <= max_media_share_bp)
+        & (st["max_media_run"] <= max_run)
+        & (st["text_chars"] >= min_text_chars)
     )
 
 
@@ -325,4 +345,66 @@ def kind_transitions(docs: DataFrame) -> DataFrame:
             F.col("p.b").alias("kind"),
         )
         .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+
+
+def mm_curate(
+    docs: DataFrame,
+    max_media_share_bp: int = 7000,
+    max_run: int = 4,
+    min_text_chars: int = 200,
+    min_jaccard_bp: int = 5000,
+) -> DataFrame:
+    """End-to-end interleaved-corpus curation — the multimodal twin of
+    ``curate.curate_corpus``: the MMC4/OBELICS gate first, then media-axis
+    near-dup closure (frame-asset-set Jaccard → connected components) over
+    the gate survivors, keeping each cluster's minimum doc_id. One status
+    row per non-empty document:
+
+        rejected   failed the interleave gate (never enters dedup)
+        media_dup  passed the gate but lost its media-asset cluster
+        kept       passed the gate; cluster canonical member or unpaired
+
+    Scale: the gate keep decision is computed ON the spans row (shared
+    ``_profile_expr`` — no stats self-join), so the dedup stage's input is
+    one filtered scan; pairs ride media_ref_pairs' hot-capped blocking and
+    the closure is the O(log n) star default. The only doc_id-keyed join
+    is the final left join against the (clustered docs only) membership
+    relation — the same shape curate_corpus pins."""
+    from .cluster import neardup_clusters
+
+    # the keep predicate gets inlined into a Filter that Catalyst merges
+    # with the size(spans) > 0 guard into ONE conjunction — and SQL AND
+    # does not short-circuit, so the profile arithmetic (division by
+    # n_spans, element_at on the class array) must be gated behind a CASE
+    # branch (lazily evaluated) to stay empty-row-safe
+    base = docs.where(F.size("spans") > 0).select(
+        "doc_id",
+        "spans",
+        F.when(
+            F.size("spans") > 0,
+            _keep_expr(
+                _profile_expr(F.col("spans")),
+                max_media_share_bp,
+                max_run,
+                min_text_chars,
+            ),
+        )
+        .otherwise(F.lit(False))
+        .alias("keep"),
+    )
+    pairs = media_ref_pairs(
+        base.where(F.col("keep")).select("doc_id", "spans"),
+        min_jaccard_bp=min_jaccard_bp,
+    )
+    clusters = neardup_clusters(pairs).select("doc_id", "component")
+    return base.join(clusters, "doc_id", "left").select(
+        "doc_id",
+        F.when(~F.col("keep"), F.lit("rejected"))
+        .when(
+            F.col("component").isNotNull() & (F.col("component") != F.col("doc_id")),
+            F.lit("media_dup"),
+        )
+        .otherwise(F.lit("kept"))
+        .alias("status"),
     )

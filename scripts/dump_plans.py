@@ -802,6 +802,19 @@ def main() -> None:
             "kinds²-bounded (≤25-group) partial-agg groupBy.",
         ),
         (
+            "mm_curate (gate → media-asset closure → statuses)",
+            __import__(
+                "graphical_context_extraction_pipeline_spark.operators.multimodal",
+                fromlist=["multimodal"],
+            ).mm_curate(spans_small),
+            "the gate keep decision is computed ON the spans row (shared "
+            "_profile_expr, CASE-guarded against filter-merge — no stats "
+            "self-join); pairs ride media_ref_pairs' hot-capped blocking, "
+            "the closure is the O(log n) star default, and the only "
+            "doc_id-keyed join is the final left join against the "
+            "clustered-docs-only membership relation.",
+        ),
+        (
             "text_cosine_topk (hash-embed → exact top-k)",
             SIM.cosine_topk(SIM.embed_text_hash(flat, 64), [0, 101, 202, 303, 404]),
             "the hashing-trick vectorizer fuses into each side's scan (one "

@@ -120,6 +120,51 @@ def test_kind_transitions_by_hand(fixture_docs):
     assert sum(kt.values()) == 8  # 3 (doc_a) + 1 (doc_b) + 2 (doc_d) + 2 (doc_f)
 
 
+def test_mm_curate_statuses(spark):
+    long_text = "y" * 240
+
+    def media(ref, off):
+        return {"kind": "frame", "text": None, "media_ref": ref, "offset": off}
+
+    rows = [
+        # doc_m and doc_n share 2 of 3 assets (jaccard 6666 ≥ 5000) and
+        # both pass the gate → component = doc_m keeps, doc_n is the dup
+        (
+            "doc_m",
+            [
+                _span("asr", long_text, 0),
+                media("r1", 10),
+                _span("asr", "mid", 20),
+                media("r2", 30),
+                media("r3", 40),
+            ],
+        ),
+        (
+            "doc_n",
+            [
+                _span("asr", long_text, 0),
+                media("r1", 10),
+                _span("asr", "other", 20),
+                media("r2", 30),
+            ],
+        ),
+        # fails the gate (no text) → rejected, and its assets must NOT
+        # enter the dedup stage even though they'd pair with doc_m
+        ("doc_r", [media("r1", 0), media("r2", 1), media("r3", 2)]),
+        # passes the gate, unpaired → kept
+        ("doc_k", [_span("asr", long_text, 0), media("q1", 10)]),
+        ("doc_empty", []),
+    ]
+    docs = spark.createDataFrame(rows, SPAN_SCHEMA)
+    st = {r["doc_id"]: r["status"] for r in MM.mm_curate(docs).collect()}
+    assert st == {
+        "doc_m": "kept",
+        "doc_n": "media_dup",
+        "doc_r": "rejected",
+        "doc_k": "kept",
+    }
+
+
 def test_interleave_plans_are_minimal(fixture_docs):
     st = MM.interleave_stats(fixture_docs)
     assert count_exchanges(st) == 0, physical_plan(st)
