@@ -591,6 +591,7 @@ _GATE_FIRST = [
     "interleave_gate",
     "kind_transitions",
     "mm_curate",
+    "mm_pack",
 ]
 
 
@@ -757,6 +758,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # the planted 2/3-subset re-emissions so the media_dup arm has
         # members (the multimodal curate_corpus)
         "mm_curate": lambda s, d: MM.mm_curate(_planted_media(_spans_docs(s, d))),
+        # interleaved packing: mm_sequence cost model (text tokens +
+        # 64/image) through the shared first-fit fold
+        "mm_pack": lambda s, d: MM.mm_pack(_spans_docs(s, d)),
         # ---- end-to-end web curation: HTML → main content → curation verdicts
         # (the full C4-style chain as ONE composed plan; same planted dup
         # constructions as curate_corpus so every status arm has members)
@@ -4561,6 +4565,40 @@ walk AS (
   SELECT t.bucket, t.rn, t.doc_id, t.n_tokens,
          CASE WHEN w.fill + t.n_tokens > 512 THEN w.seq_idx + 1 ELSE w.seq_idx END,
          CASE WHEN w.fill + t.n_tokens > 512 THEN t.n_tokens ELSE w.fill + t.n_tokens END
+  FROM walk w JOIN t ON t.bucket = w.bucket AND t.rn = w.rn + 1)
+SELECT doc_id, cast(bucket AS bigint) AS bucket, n_tokens, seq_idx,
+       cast(fill AS bigint) AS fill
+FROM walk
+"""
+
+    # interleaved packing: the same recursive first-fit walk with the
+    # mm_sequence cost model (whitespace text tokens + 64/image — the
+    # fixed vision-encoder patch budget), docs in doc_id order per bucket
+    q["mm_pack"] = f"""
+WITH RECURSIVE it AS (SELECT doc_id, s.kind AS kind, s.text AS text
+            FROM {_S1}
+            WHERE (s.kind = 'asr' AND s.text IS NOT NULL AND s.text <> '')
+               OR (s.kind = 'frame' AND s.media_ref IS NOT NULL)),
+agg AS (SELECT doc_id,
+               sum(CASE WHEN kind = 'asr' THEN
+                 len(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> ''))
+                 ELSE 0 END) AS ntt,
+               sum(CASE WHEN kind = 'frame' THEN 1 ELSE 0 END) AS nm
+        FROM it GROUP BY doc_id),
+base AS (SELECT d.doc_id, {_bucket_sql('pack:', 8)} AS bucket,
+                cast(coalesce(agg.ntt, 0) + 64 * coalesce(agg.nm, 0) AS bigint) AS n_tokens
+         FROM (SELECT doc_id FROM {_SD} WHERE spans IS NOT NULL) d
+         LEFT JOIN agg USING (doc_id)),
+t AS (SELECT doc_id, bucket, n_tokens,
+             row_number() OVER (PARTITION BY bucket ORDER BY doc_id) AS rn
+      FROM base),
+walk AS (
+  SELECT bucket, rn, doc_id, n_tokens, cast(0 AS bigint) AS seq_idx, n_tokens AS fill
+  FROM t WHERE rn = 1
+  UNION ALL
+  SELECT t.bucket, t.rn, t.doc_id, t.n_tokens,
+         CASE WHEN w.fill + t.n_tokens > 2048 THEN w.seq_idx + 1 ELSE w.seq_idx END,
+         CASE WHEN w.fill + t.n_tokens > 2048 THEN t.n_tokens ELSE w.fill + t.n_tokens END
   FROM walk w JOIN t ON t.bucket = w.bucket AND t.rn = w.rn + 1)
 SELECT doc_id, cast(bucket AS bigint) AS bucket, n_tokens, seq_idx,
        cast(fill AS bigint) AS fill

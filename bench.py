@@ -381,6 +381,8 @@ def run_suite(cpus: int, sf_dir: str) -> dict:
         "kind_transitions": lambda: MM.kind_transitions(docs).count(),
         # gate → media-asset near-dup closure → statuses, end to end
         "mm_curate": lambda: MM.mm_curate(docs).count(),
+        # interleaved packing under the text+64/image cost model
+        "mm_pack": lambda: MM.mm_pack(docs).count(),
     }
     timings: dict[str, float] = {}
     extract_wall = None

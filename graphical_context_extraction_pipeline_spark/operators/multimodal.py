@@ -408,3 +408,43 @@ def mm_curate(
         .otherwise(F.lit("kept"))
         .alias("status"),
     )
+
+
+def mm_pack(
+    docs: DataFrame,
+    budget: int = 2048,
+    image_tokens: int = 64,
+    n_buckets: int = 8,
+) -> DataFrame:
+    """Interleaved sequence packing: mm_sequence rows first-fit packed into
+    fixed token-budget training sequences where every ``<image>``
+    placeholder costs ``image_tokens`` — the fixed vision-encoder patch
+    budget interleaved-pretraining batchers charge per image (LLaVA-style
+    n tokens/image), so a media-heavy doc consumes budget even when its
+    text is short. One row per document:
+
+        (doc_id, bucket, n_tokens, seq_idx, fill)
+
+    with ``n_tokens = n_text_tokens + image_tokens·n_media`` and
+    seq_idx/fill from the same first-fit-sequential fold as
+    pack_sequences (oversize docs get singleton bins).
+
+    Scale: mm_sequence's shuffle-free scan computes the cost, docs deal to
+    md5 salt buckets, and the inherently sequential reset-on-overflow fold
+    runs as the shared Arrow grouped-map kernel (``_firstfit_fold``) —
+    text never enters the shuffle, only (doc_id, bucket, cost). The DuckDB
+    oracle replays the identical fold as a recursive CTE."""
+    from .sampling import _firstfit_fold, hash_bucket
+
+    seq = mm_sequence(docs)
+    base = seq.select(
+        "doc_id",
+        hash_bucket(F.col("doc_id"), "pack:", n_buckets).alias("bucket"),
+        (F.col("n_text_tokens") + F.lit(image_tokens) * F.col("n_media"))
+        .cast("long")
+        .alias("n_tokens"),
+    )
+    return base.groupBy("bucket").applyInPandas(
+        _firstfit_fold(budget),
+        "doc_id string, bucket long, n_tokens long, seq_idx long, fill long",
+    )

@@ -815,6 +815,18 @@ def main() -> None:
             "clustered-docs-only membership relation.",
         ),
         (
+            "mm_pack (interleaved first-fit packing)",
+            __import__(
+                "graphical_context_extraction_pipeline_spark.operators.multimodal",
+                fromlist=["multimodal"],
+            ).mm_pack(spans_small),
+            "mm_sequence's shuffle-free scan computes the text+64/image "
+            "cost; ONE bucket-keyed exchange feeds the shared Arrow "
+            "grouped-map first-fit fold (inherently sequential "
+            "reset-on-overflow cumsum) — text never enters the shuffle, "
+            "only (doc_id, bucket, cost).",
+        ),
+        (
             "text_cosine_topk (hash-embed → exact top-k)",
             SIM.cosine_topk(SIM.embed_text_hash(flat, 64), [0, 101, 202, 303, 404]),
             "the hashing-trick vectorizer fuses into each side's scan (one "

@@ -165,6 +165,34 @@ def test_mm_curate_statuses(spark):
     }
 
 
+def test_mm_pack_image_cost(spark):
+    # one bucket so the fold order is the plain doc_id order
+    def media(ref, off):
+        return {"kind": "frame", "text": None, "media_ref": ref, "offset": off}
+
+    rows = [
+        # 2 text tokens + 1 image = 2 + 64 = 66
+        ("doc_1", [_span("asr", "two words", 0), media("r1", 5)]),
+        # 40 images = 2560 > budget 2048 → oversize singleton bin
+        ("doc_2", [media(f"r{i}", i) for i in range(40)]),
+        # 3 text tokens, no image = 3
+        ("doc_3", [_span("asr", "a b c", 0)]),
+    ]
+    docs = spark.createDataFrame(rows, SPAN_SCHEMA)
+    out = {
+        r["doc_id"]: r.asDict()
+        for r in MM.mm_pack(docs, budget=2048, image_tokens=64, n_buckets=1).collect()
+    }
+    assert out["doc_1"]["n_tokens"] == 66
+    assert out["doc_2"]["n_tokens"] == 2560
+    assert out["doc_3"]["n_tokens"] == 3
+    # doc_id order: doc_1 opens bin 0 (fill 66); doc_2 overflows → bin 1
+    # alone (oversize); doc_3 overflows doc_2's full bin → bin 2
+    assert (out["doc_1"]["seq_idx"], out["doc_1"]["fill"]) == (0, 66)
+    assert (out["doc_2"]["seq_idx"], out["doc_2"]["fill"]) == (1, 2560)
+    assert (out["doc_3"]["seq_idx"], out["doc_3"]["fill"]) == (2, 3)
+
+
 def test_interleave_plans_are_minimal(fixture_docs):
     st = MM.interleave_stats(fixture_docs)
     assert count_exchanges(st) == 0, physical_plan(st)
