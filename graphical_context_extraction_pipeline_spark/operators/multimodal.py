@@ -144,7 +144,22 @@ def media_ref_pairs(
     hub-star fallback, every aggregation buffer bounded. Jaccard on hashed
     distinct refs equals Jaccard on the strings up to 64-bit collisions.
     """
-    from .dedup import _set_jaccard_pairs, _with_sizes
+    from .dedup import _set_jaccard_pairs
+
+    return _set_jaccard_pairs(
+        media_ref_postings(docs), min_jaccard_bp, max_docs_per_ref
+    )
+
+
+def media_ref_postings(docs: DataFrame) -> DataFrame:
+    """(doc_id, shingle, n_sh): one row per distinct frame-asset hash per
+    document — the posting relation media_ref_pairs blocks on, shared with
+    the streaming ingest twin (streaming/mmingest.py) so the two regimes
+    agree by construction. shingle = xxhash64(media_ref); n_sh = the doc's
+    distinct-asset count (the Jaccard denominator's per-doc half). Built
+    intra-row (filter + array_distinct over the doc's own spans), zero
+    shuffle; docs without frame assets emit nothing."""
+    from .dedup import _with_sizes
 
     rset = F.array_distinct(
         F.transform(
@@ -155,10 +170,9 @@ def media_ref_pairs(
             lambda s: F.xxhash64(s["media_ref"]),
         )
     )
-    base = docs.select("doc_id", F.explode(_with_sizes(rset)).alias("z")).select(
+    return docs.select("doc_id", F.explode(_with_sizes(rset)).alias("z")).select(
         "doc_id", F.col("z.shingle").alias("shingle"), F.col("z.n_sh").alias("n_sh")
     )
-    return _set_jaccard_pairs(base, min_jaccard_bp, max_docs_per_ref)
 
 
 MEDIA_KIND = "frame"
@@ -280,6 +294,29 @@ def _keep_expr(
     )
 
 
+def gate_keep_col(
+    max_media_share_bp: int = 7000, max_run: int = 4, min_text_chars: int = 200
+):
+    """The gate's keep decision as ONE column over the spans row, shared by
+    mm_curate and the streaming ingest twin. The predicate gets inlined
+    into Filters that Catalyst merges with the size(spans) > 0 guard into
+    ONE conjunction — and SQL AND does not short-circuit, so the profile
+    arithmetic (division by n_spans, element_at on the class array) is
+    gated behind a CASE branch (lazily evaluated) to stay empty-row-safe."""
+    return (
+        F.when(
+            F.size("spans") > 0,
+            _keep_expr(
+                _profile_expr(F.col("spans")),
+                max_media_share_bp,
+                max_run,
+                min_text_chars,
+            ),
+        )
+        .otherwise(F.lit(False))
+    )
+
+
 def interleave_gate(
     docs: DataFrame,
     max_media_share_bp: int = 7000,
@@ -373,25 +410,10 @@ def mm_curate(
     relation — the same shape curate_corpus pins."""
     from .cluster import neardup_clusters
 
-    # the keep predicate gets inlined into a Filter that Catalyst merges
-    # with the size(spans) > 0 guard into ONE conjunction — and SQL AND
-    # does not short-circuit, so the profile arithmetic (division by
-    # n_spans, element_at on the class array) must be gated behind a CASE
-    # branch (lazily evaluated) to stay empty-row-safe
     base = docs.where(F.size("spans") > 0).select(
         "doc_id",
         "spans",
-        F.when(
-            F.size("spans") > 0,
-            _keep_expr(
-                _profile_expr(F.col("spans")),
-                max_media_share_bp,
-                max_run,
-                min_text_chars,
-            ),
-        )
-        .otherwise(F.lit(False))
-        .alias("keep"),
+        gate_keep_col(max_media_share_bp, max_run, min_text_chars).alias("keep"),
     )
     pairs = media_ref_pairs(
         base.where(F.col("keep")).select("doc_id", "spans"),
