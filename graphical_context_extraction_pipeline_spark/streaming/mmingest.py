@@ -197,3 +197,30 @@ def stream_mm_ingest(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def prune_asset_versions(store_dir: str, keep_last: int = 2) -> list[str]:
+    """Bound the asset-posting store's disk growth (each epoch writes a
+    FULL posting snapshot): delete old ``assets/v*`` directories keeping
+    the pointer's current version, ``keep_last - 1`` before it, and
+    anything newer than the pointer — the contract shared with
+    streaming/curate.prune_key_versions. The ``statuses/v*`` log is NOT
+    touched (accumulated output, not a rollback window); mm_ingest_epoch
+    refuses replayed epochs before reading any version, so no reader
+    dereferences a pruned snapshot."""
+    import shutil
+
+    from .index import list_versions
+
+    meta = _read_pointer(store_dir)
+    if meta is None or keep_last < 1:
+        return []
+    assets_dir = os.path.join(store_dir, "assets")
+    versions = list_versions(assets_dir)
+    if meta["version"] not in versions:
+        return []
+    cur = versions.index(meta["version"])
+    doomed = versions[: max(0, cur - (keep_last - 1))]
+    for v in doomed:
+        shutil.rmtree(os.path.join(assets_dir, v))
+    return doomed

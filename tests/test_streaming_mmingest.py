@@ -117,6 +117,25 @@ def test_dup_chain_through_retained_postings(spark, tmp_path):
     assert got["doc_c"] == "media_dup"
 
 
+def test_prune_asset_versions(spark, tmp_path):
+    from graphical_context_extraction_pipeline_spark.streaming.mmingest import (
+        prune_asset_versions,
+    )
+
+    store = str(tmp_path / "store4")
+    os.makedirs(store)
+    for e in range(3):
+        b = spark.createDataFrame([_doc(f"doc_{e}", [f"r{e}"])], SPAN_SCHEMA)
+        assert mm_ingest_epoch(spark, store, b, e)
+    assert prune_asset_versions(store, keep_last=2) == ["v0000000000"]
+    left = sorted(
+        os.path.basename(p) for p in glob.glob(os.path.join(store, "assets", "v*"))
+    )
+    assert left == ["v0000000001", "v0000000002"]
+    # statuses log untouched
+    assert len(glob.glob(os.path.join(store, "statuses", "v*"))) == 3
+
+
 def test_mm_ingest_epoch_replay_noop(spark, tmp_path):
     store = str(tmp_path / "store3")
     os.makedirs(store)
