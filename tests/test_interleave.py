@@ -203,3 +203,7 @@ def test_interleave_plans_are_minimal(fixture_docs):
     plan = physical_plan(kt)
     assert count_exchanges(kt) == 1, plan
     assert "CartesianProduct" not in plan and "BatchEvalPython" not in plan
+    # the composed chains never degrade to a cartesian or row-Python
+    for df in (MM.mm_curate(fixture_docs), MM.mm_pack(fixture_docs)):
+        p = physical_plan(df)
+        assert "CartesianProduct" not in p and "BatchEvalPython" not in p, p
