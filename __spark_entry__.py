@@ -592,6 +592,7 @@ _GATE_FIRST = [
     "kind_transitions",
     "mm_curate",
     "mm_pack",
+    "caption_ocr_agreement",
 ]
 
 
@@ -761,6 +762,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # interleaved packing: mm_sequence cost model (text tokens +
         # 64/image) through the shared first-fit fold
         "mm_pack": lambda s, d: MM.mm_pack(_spans_docs(s, d)),
+        # CLIP-filter stand-in: caption↔OCR token-set agreement per frame
+        "caption_ocr_agreement": lambda s, d: MM.caption_ocr_agreement(
+            _spans_docs(s, d)
+        ),
         # ---- end-to-end web curation: HTML → main content → curation verdicts
         # (the full C4-style chain as ONE composed plan; same planted dup
         # constructions as curate_corpus so every status arm has members)
@@ -2241,6 +2246,43 @@ j AS (SELECT f.doc_id, f.media_ref, f.frame_ts, t.text AS caption, t.ts AS capti
 SELECT doc_id, media_ref, frame_ts, caption, caption_ts,
        cast(distance_ms AS bigint) AS distance_ms
 FROM j WHERE rn = 1
+"""
+
+    # caption↔OCR token-set agreement (the CLIP-filter stand-in): the
+    # caption chain above + per-frame distinct OCR tokens; Jaccard on
+    # distinct lowercase whitespace tokens, floor bp, 0 on empty union
+    q["caption_ocr_agreement"] = f"""
+WITH t AS (SELECT doc_id, cast(s.offset AS bigint) AS ts, s.text AS text
+           FROM {_S1} WHERE s.kind = 'asr' AND s.text IS NOT NULL AND s.text <> ''),
+f AS (SELECT doc_id, s.media_ref AS media_ref, cast(s.offset AS bigint) AS frame_ts
+      FROM {_S1} WHERE s.kind = 'frame' AND s.media_ref IS NOT NULL),
+j AS (SELECT f.doc_id, f.media_ref, f.frame_ts, t.text AS caption,
+             row_number() OVER (PARTITION BY f.doc_id, f.media_ref, f.frame_ts
+                                ORDER BY abs(t.ts - f.frame_ts), t.ts, t.text) AS rn
+      FROM f JOIN t ON f.doc_id = t.doc_id),
+o AS (SELECT doc_id, s.media_ref AS media_ref,
+             unnest(list_filter(regexp_split_to_array(lower(s.text), '\\s+'),
+                                x -> x <> '')) AS tok
+      FROM {_S1}
+      WHERE s.kind = 'ocr' AND s.media_ref IS NOT NULL AND s.text IS NOT NULL),
+od AS (SELECT doc_id, media_ref, list(DISTINCT tok) AS otoks FROM o GROUP BY 1, 2),
+c AS (SELECT j.doc_id, j.media_ref, j.caption,
+             list_distinct(list_filter(regexp_split_to_array(lower(j.caption), '\\s+'),
+                                       x -> x <> '')) AS ctoks,
+             coalesce(od.otoks, []) AS otoks
+      FROM j LEFT JOIN od ON od.doc_id = j.doc_id AND od.media_ref = j.media_ref
+      WHERE j.rn = 1)
+SELECT doc_id, media_ref, caption,
+       cast(len(ctoks) AS bigint) AS n_caption_toks,
+       cast(len(otoks) AS bigint) AS n_ocr_toks,
+       cast(len(list_filter(ctoks, x -> list_contains(otoks, x))) AS bigint) AS n_shared,
+       cast(CASE WHEN len(ctoks) + len(otoks)
+                      - len(list_filter(ctoks, x -> list_contains(otoks, x))) > 0
+                 THEN (10000 * len(list_filter(ctoks, x -> list_contains(otoks, x))))
+                      // (len(ctoks) + len(otoks)
+                          - len(list_filter(ctoks, x -> list_contains(otoks, x))))
+                 ELSE 0 END AS bigint) AS agreement_bp
+FROM c
 """
 
     q["mm_sequence"] = f"""

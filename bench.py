@@ -383,6 +383,8 @@ def run_suite(cpus: int, sf_dir: str) -> dict:
         "mm_curate": lambda: MM.mm_curate(docs).count(),
         # interleaved packing under the text+64/image cost model
         "mm_pack": lambda: MM.mm_pack(docs).count(),
+        # CLIP-filter stand-in: caption↔OCR token agreement per frame
+        "caption_ocr_agreement": lambda: MM.caption_ocr_agreement(docs).count(),
     }
     timings: dict[str, float] = {}
     extract_wall = None

@@ -470,3 +470,95 @@ def mm_pack(
         _firstfit_fold(budget),
         "doc_id string, bucket long, n_tokens long, seq_idx long, fill long",
     )
+
+
+def caption_ocr_agreement(docs: DataFrame) -> DataFrame:
+    """Per frame: lexical agreement between the mined nearest-ASR caption
+    and the frame's own OCR tokens — the engine-independent stand-in for
+    CLIP-score image-text alignment filtering (the LAION admit gate):
+    low-agreement pairs are the noisy-caption arm a multimodal curation
+    pipeline drops or down-weights before (image, caption) training.
+
+    One row per frame span whose document has ≥1 ASR text span:
+
+        (doc_id, media_ref, caption, n_caption_toks, n_ocr_toks,
+         n_shared, agreement_bp)
+
+    Tokens are distinct lowercase whitespace tokens (the _TOKS contract);
+    agreement_bp = ⌊10000·|C∩O| / |C∪O|⌋ (0 when both sets are empty).
+    The caption is caption_pairs' nearest-ASR pick with the identical
+    (|Δt|, earlier, lexicographic) tie-break.
+
+    Scale: scan → project → Generate, zero exchanges — caption mining AND
+    the per-frame OCR token set are intra-row expressions over the doc's
+    own spans (O(F·(T+B)) per document, the caption_pairs contract); the
+    production path for unbounded documents is the extraction kernel's
+    searchsorted, this is the relational form."""
+    z = F.col("spans")
+    texts = F.filter(
+        z, lambda s: (s["kind"] == "asr") & s["text"].isNotNull() & (s["text"] != "")
+    )
+    frames = F.filter(z, lambda s: (s["kind"] == "frame") & s["media_ref"].isNotNull())
+    ocrs = F.filter(
+        z,
+        lambda s: (s["kind"] == "ocr")
+        & s["media_ref"].isNotNull()
+        & s["text"].isNotNull(),
+    )
+
+    def toks(t):
+        return F.array_distinct(
+            F.filter(F.split(F.lower(t), r"\s+"), lambda w: w != "")
+        )
+
+    def per_frame(fr, ts, ocr_spans):
+        best = F.array_min(
+            F.transform(
+                ts,
+                lambda t: F.struct(
+                    F.abs(t["offset"].cast("long") - fr["offset"].cast("long")).alias(
+                        "distance_ms"
+                    ),
+                    t["offset"].cast("long").alias("caption_ts"),
+                    t["text"].alias("caption"),
+                ),
+            )
+        )
+        cap = best["caption"]
+        otoks = F.array_distinct(
+            F.flatten(
+                F.transform(
+                    F.filter(ocr_spans, lambda o: o["media_ref"] == fr["media_ref"]),
+                    lambda o: toks(o["text"]),
+                )
+            )
+        )
+        ctoks = toks(cap)
+        shared = F.size(F.array_intersect(ctoks, otoks)).cast("long")
+        union = F.size(ctoks) + F.size(otoks) - shared
+        return F.struct(
+            fr["media_ref"].alias("media_ref"),
+            cap.alias("caption"),
+            F.size(ctoks).cast("long").alias("n_caption_toks"),
+            F.size(otoks).cast("long").alias("n_ocr_toks"),
+            shared.alias("n_shared"),
+            F.when(union > 0, F.floor(shared * 10000 / union))
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("agreement_bp"),
+        )
+
+    empty = (
+        "array<struct<media_ref:string,caption:string,n_caption_toks:bigint,"
+        "n_ocr_toks:bigint,n_shared:bigint,agreement_bp:bigint>>"
+    )
+    rows = bind(
+        texts,
+        lambda ts: bind(
+            ocrs,
+            lambda os_: F.when(
+                F.size(ts) > 0, F.transform(frames, lambda fr: per_frame(fr, ts, os_))
+            ).otherwise(F.array().cast(empty)),
+        ),
+    )
+    return docs.select("doc_id", F.explode(rows).alias("p")).select("doc_id", "p.*")

@@ -827,6 +827,17 @@ def main() -> None:
             "only (doc_id, bucket, cost).",
         ),
         (
+            "caption_ocr_agreement (CLIP-filter stand-in)",
+            __import__(
+                "graphical_context_extraction_pipeline_spark.operators.multimodal",
+                fromlist=["multimodal"],
+            ).caption_ocr_agreement(spans_small),
+            "scan → project → Generate, ZERO exchanges: caption mining and "
+            "the per-frame OCR token set are intra-row expressions over "
+            "each doc's own spans; the Jaccard is pure integer arithmetic "
+            "on distinct token arrays.",
+        ),
+        (
             "text_cosine_topk (hash-embed → exact top-k)",
             SIM.cosine_topk(SIM.embed_text_hash(flat, 64), [0, 101, 202, 303, 404]),
             "the hashing-trick vectorizer fuses into each side's scan (one "

@@ -193,6 +193,41 @@ def test_mm_pack_image_cost(spark):
     assert (out["doc_3"]["seq_idx"], out["doc_3"]["fill"]) == (2, 3)
 
 
+def test_caption_ocr_agreement_by_hand(spark):
+    def ocr(ref, text, off):
+        return {"kind": "ocr", "text": text, "media_ref": ref, "offset": off}
+
+    def media(ref, off):
+        return {"kind": "frame", "text": None, "media_ref": ref, "offset": off}
+
+    rows = [
+        (
+            "doc_a",
+            [
+                _span("asr", "Alpha beta gamma", 100),
+                media("f1", 105),  # caption = nearest asr
+                ocr("f1", "beta GAMMA delta", 105),
+                media("f2", 300),  # no OCR on f2
+            ],
+        ),
+        # frames but no ASR → no rows (caption_pairs contract)
+        ("doc_b", [media("g1", 0), ocr("g1", "words", 0)]),
+    ]
+    docs = spark.createDataFrame(rows, SPAN_SCHEMA)
+    out = {
+        r["media_ref"]: r.asDict()
+        for r in MM.caption_ocr_agreement(docs).collect()
+    }
+    assert set(out) == {"f1", "f2"}  # doc_b emits nothing
+    a = out["f1"]
+    # ctoks {alpha,beta,gamma}, otoks {beta,gamma,delta} → 2 shared / 4
+    assert (a["n_caption_toks"], a["n_ocr_toks"], a["n_shared"]) == (3, 3, 2)
+    assert a["agreement_bp"] == 5000
+    assert a["caption"] == "Alpha beta gamma"
+    b = out["f2"]
+    assert (b["n_ocr_toks"], b["n_shared"], b["agreement_bp"]) == (0, 0, 0)
+
+
 def test_interleave_plans_are_minimal(fixture_docs):
     st = MM.interleave_stats(fixture_docs)
     assert count_exchanges(st) == 0, physical_plan(st)
