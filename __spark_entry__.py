@@ -593,6 +593,7 @@ _GATE_FIRST = [
     "mm_curate",
     "mm_pack",
     "caption_ocr_agreement",
+    "asr_quality",
 ]
 
 
@@ -646,6 +647,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # per-word ASR detail re-emitted for downstream consumers
         # (reference phase 2/src/loader.py:12-18)
         "word_spans": lambda s, d: R.word_spans(_spans_docs(s, d)),
+        # speech-rate + word-confidence admit gate over the same detail
+        "asr_quality": lambda s, d: R.asr_quality(_spans_docs(s, d)),
         "transcript_lines": lambda s, d: EX.transcript_lines(_spans_docs(s, d)),
         # ---- PDF/layout-parse heuristics over the OCR bbox geometry ----------
         "layout_reading_order": lambda s, d: LY.reading_order(_spans_docs(s, d)),
@@ -2167,6 +2170,41 @@ SELECT doc_id, seg_start_ms, seg_end_ms, cast(word_idx AS bigint) AS word_idx,
        cast(w.end_ms AS bigint) AS end_ms,
        coalesce(cast(round(w.score * 10000) AS bigint), -1) AS score_e4
 FROM w
+"""
+
+    # speech-rate + word-confidence admit gate: per-segment stats are
+    # list expressions, ONE doc rollup; every division floors on
+    # non-negative operands (engine-portable)
+    q["asr_quality"] = f"""
+WITH seg AS (SELECT doc_id,
+                    greatest(cast(a.end_ms AS bigint) - cast(s.offset AS bigint), 0) AS dur_ms,
+                    cast(len(a.words) AS bigint) AS n_w,
+                    cast(coalesce(list_sum(list_transform(a.words,
+                         w -> CASE WHEN w.score IS NULL THEN 0
+                                   ELSE cast(round(w.score * 10000) AS bigint) END)), 0)
+                         AS bigint) AS sum_e4,
+                    cast(len(list_filter(a.words, w -> w.score IS NOT NULL)) AS bigint) AS n_scored
+             FROM {_Z}
+             WHERE s.kind = 'asr' AND a.words IS NOT NULL AND len(a.words) > 0),
+agg AS (SELECT doc_id, cast(count(*) AS bigint) AS n_segments,
+               cast(sum(n_w) AS bigint) AS n_words,
+               cast(sum(dur_ms) AS bigint) AS speech_ms,
+               cast(sum(sum_e4) AS bigint) AS sum_e4,
+               cast(sum(n_scored) AS bigint) AS n_scored
+        FROM seg GROUP BY 1),
+o AS (SELECT doc_id, n_segments, n_words, speech_ms,
+             cast(CASE WHEN speech_ms > 0 THEN (n_words * 60000) // speech_ms
+                       ELSE 0 END AS bigint) AS wpm,
+             n_scored,
+             cast(CASE WHEN n_scored > 0 THEN sum_e4 // n_scored
+                       ELSE -1 END AS bigint) AS mean_score_e4
+      FROM agg)
+SELECT *,
+       (speech_ms > 0 AND wpm >= 80 AND wpm <= 360) AS ok_rate,
+       (n_scored > 0 AND mean_score_e4 >= 5000) AS ok_conf,
+       ((speech_ms > 0 AND wpm >= 80 AND wpm <= 360)
+        AND (n_scored > 0 AND mean_score_e4 >= 5000)) AS keep
+FROM o
 """
 
     # ---- PDF/layout-parse heuristics (operators/layout.py) ----------------

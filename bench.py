@@ -385,6 +385,8 @@ def run_suite(cpus: int, sf_dir: str) -> dict:
         "mm_pack": lambda: MM.mm_pack(docs).count(),
         # CLIP-filter stand-in: caption↔OCR token agreement per frame
         "caption_ocr_agreement": lambda: MM.caption_ocr_agreement(docs).count(),
+        # speech-rate + word-confidence ASR admit gate
+        "asr_quality": lambda: R.asr_quality(docs).count(),
     }
     timings: dict[str, float] = {}
     extract_wall = None

@@ -557,3 +557,92 @@ def word_spans(docs: DataFrame) -> DataFrame:
             F.round(F.col("w.score") * 10000, 0).cast("bigint"), F.lit(-1).cast("bigint")
         ).alias("score_e4"),
     )
+
+
+def asr_quality(
+    docs: DataFrame,
+    min_wpm: int = 80,
+    max_wpm: int = 360,
+    min_score_e4: int = 5000,
+) -> DataFrame:
+    """Speech-corpus quality gate over the word-detailed ASR segments —
+    the standard admit filter ASR-derived text corpora run before
+    training (speech-rate sanity + word-confidence floor): implausibly
+    fast or slow words-per-minute flags hallucinated/looped transcripts,
+    a low mean word score flags audio the recognizer guessed through.
+
+    One row per document with ≥1 word-detailed ASR segment:
+
+        (doc_id, n_segments, n_words, speech_ms, wpm, n_scored,
+         mean_score_e4, ok_rate, ok_conf, keep)
+
+    - ``speech_ms`` = Σ max(end_ms − offset, 0) over those segments
+    - ``wpm`` = (60000·n_words) DIV speech_ms (0 when speech_ms = 0)
+    - ``mean_score_e4`` = ⌊Σ round(1e4·score) / n_scored⌋ over scored
+      words (−1 sentinel when no word carries a score)
+    - ``ok_rate`` = speech_ms > 0 ∧ min_wpm ≤ wpm ≤ max_wpm;
+      ``ok_conf`` = n_scored > 0 ∧ mean_score_e4 ≥ min_score_e4;
+      ``keep`` = both
+
+    Scale: per-segment statistics are intra-row expressions on the zipped
+    scan (span_attrs pruned to end_ms/words); ONE doc_id-keyed partial-agg
+    groupBy builds the doc rollup — no window, no second shuffle. All
+    divisions floor on non-negative operands (engine-portable)."""
+    seg = (
+        _zipped(docs, "asr", attrs=("end_ms", "words"))
+        .where(F.col("z.words").isNotNull() & (F.size("z.words") > 0))
+        .select(
+            "doc_id",
+            F.greatest(
+                F.col("z.end_ms").cast("long") - F.col("z.s.offset").cast("long"),
+                F.lit(0).cast("long"),
+            ).alias("dur_ms"),
+            F.size("z.words").cast("long").alias("n_w"),
+            F.aggregate(
+                F.col("z.words"),
+                F.lit(0).cast("long"),
+                lambda acc, w: acc
+                + F.coalesce(
+                    F.round(w["score"] * 10000, 0).cast("long"), F.lit(0).cast("long")
+                ),
+            ).alias("sum_e4"),
+            F.size(
+                F.filter(F.col("z.words"), lambda w: w["score"].isNotNull())
+            ).cast("long").alias("n_scored"),
+        )
+    )
+    agg = seg.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_segments"),
+        F.sum("n_w").cast("long").alias("n_words"),
+        F.sum("dur_ms").cast("long").alias("speech_ms"),
+        F.sum("sum_e4").cast("long").alias("sum_e4"),
+        F.sum("n_scored").cast("long").alias("n_scored"),
+    )
+    wpm = F.when(
+        F.col("speech_ms") > 0,
+        F.floor(F.col("n_words") * 60000 / F.col("speech_ms")),
+    ).otherwise(F.lit(0)).cast("long")
+    mean = F.when(
+        F.col("n_scored") > 0, F.floor(F.col("sum_e4") / F.col("n_scored"))
+    ).otherwise(F.lit(-1)).cast("long")
+    out = agg.select(
+        "doc_id",
+        "n_segments",
+        "n_words",
+        "speech_ms",
+        wpm.alias("wpm"),
+        "n_scored",
+        mean.alias("mean_score_e4"),
+    )
+    ok_rate = (
+        (F.col("speech_ms") > 0)
+        & (F.col("wpm") >= min_wpm)
+        & (F.col("wpm") <= max_wpm)
+    )
+    ok_conf = (F.col("n_scored") > 0) & (F.col("mean_score_e4") >= min_score_e4)
+    return out.select(
+        "*",
+        ok_rate.alias("ok_rate"),
+        ok_conf.alias("ok_conf"),
+        (ok_rate & ok_conf).alias("keep"),
+    )

@@ -838,6 +838,17 @@ def main() -> None:
             "on distinct token arrays.",
         ),
         (
+            "asr_quality (speech-rate + word-confidence gate)",
+            __import__(
+                "graphical_context_extraction_pipeline_spark.operators.relational",
+                fromlist=["relational"],
+            ).asr_quality(spans_small),
+            "per-segment stats are intra-row list expressions on the "
+            "zipped scan (span_attrs pruned to end_ms/words); ONE "
+            "doc_id-keyed partial-agg groupBy builds the rollup — no "
+            "window, no second shuffle.",
+        ),
+        (
             "text_cosine_topk (hash-embed → exact top-k)",
             SIM.cosine_topk(SIM.embed_text_hash(flat, 64), [0, 101, 202, 303, 404]),
             "the hashing-trick vectorizer fuses into each side's scan (one "

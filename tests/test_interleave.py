@@ -228,6 +228,64 @@ def test_caption_ocr_agreement_by_hand(spark):
     assert (b["n_ocr_toks"], b["n_shared"], b["agreement_bp"]) == (0, 0, 0)
 
 
+FULL_SCHEMA = SPAN_SCHEMA + (
+    ", span_attrs array<struct<end_ms:int,confidence:double,"
+    "bbox:array<double>,scene_id:int,n_words:int,"
+    "words:array<struct<word:string,start_ms:int,end_ms:int,score:double>>>>"
+)
+
+
+def test_asr_quality_flags(spark):
+    from graphical_context_extraction_pipeline_spark.operators.relational import (
+        asr_quality,
+    )
+
+    def attr(end_ms, words):
+        return {
+            "end_ms": end_ms,
+            "confidence": 0.9,
+            "bbox": None,
+            "scene_id": 0,
+            "n_words": len(words),
+            "words": words,
+        }
+
+    def w(word, score):
+        return {"word": word, "start_ms": 0, "end_ms": 100, "score": score}
+
+    rows = [
+        # 150 words over 60 s → wpm 150 (ok); scores 0.8 → mean 8000 (ok)
+        (
+            "doc_ok",
+            [_span("asr", "t", 0)],
+            [attr(60000, [w(f"a{i}", 0.8) for i in range(150)])],
+        ),
+        # 10 words over 60 s → wpm 10 < 80 → rate fail
+        (
+            "doc_slow",
+            [_span("asr", "t", 0)],
+            [attr(60000, [w(f"b{i}", 0.9) for i in range(10)])],
+        ),
+        # rate ok but scoreless words → mean sentinel −1, conf fail
+        (
+            "doc_unscored",
+            [_span("asr", "t", 0)],
+            [attr(60000, [w(f"c{i}", None) for i in range(150)])],
+        ),
+        # no word detail at all → no row
+        ("doc_bare", [_span("asr", "t", 0)], [attr(60000, [])]),
+    ]
+    docs = spark.createDataFrame(rows, FULL_SCHEMA)
+    out = {r["doc_id"]: r.asDict() for r in asr_quality(docs).collect()}
+    assert set(out) == {"doc_ok", "doc_slow", "doc_unscored"}
+    assert out["doc_ok"]["wpm"] == 150 and out["doc_ok"]["keep"] is True
+    assert out["doc_ok"]["mean_score_e4"] == 8000
+    assert out["doc_slow"]["wpm"] == 10 and not out["doc_slow"]["ok_rate"]
+    u = out["doc_unscored"]
+    assert u["ok_rate"] and u["mean_score_e4"] == -1 and not u["ok_conf"]
+    assert u["keep"] is False
+
+
 def test_interleave_plans_are_minimal(fixture_docs):
     st = MM.interleave_stats(fixture_docs)
     assert count_exchanges(st) == 0, physical_plan(st)
