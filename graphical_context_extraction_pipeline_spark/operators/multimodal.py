@@ -217,9 +217,16 @@ def interleave_stats(docs: DataFrame) -> DataFrame:
     reference's single-video pipeline has no corpus-curation stage; this
     is the interleaved-payload analogue of its coverage report
     (phase 2/src/validate.py)."""
+    # explode of a 1-element array = a Generate barrier: the st.* expansion
+    # below references the Generate's OUTPUT ATTRIBUTE, so the profile
+    # expression is evaluated once per row. A plain select would be
+    # collapsed by CollapseProject into one GetStructField(profile) per
+    # output column — 9 full evaluations of the profile HOF chain per row
+    # (measured ~5x the single-evaluation wall at sf0.1; interpreted HOFs
+    # get no codegen-level common-subexpression elimination).
     return (
         docs.where(F.size("spans") > 0)
-        .select("doc_id", _profile_expr(F.col("spans")).alias("st"))
+        .select("doc_id", F.explode(F.array(_profile_expr(F.col("spans")))).alias("st"))
         .select("doc_id", "st.*")
     )
 
@@ -302,15 +309,22 @@ def gate_keep_col(
     into Filters that Catalyst merges with the size(spans) > 0 guard into
     ONE conjunction — and SQL AND does not short-circuit, so the profile
     arithmetic (division by n_spans, element_at on the class array) is
-    gated behind a CASE branch (lazily evaluated) to stay empty-row-safe."""
+    gated behind a CASE branch (lazily evaluated) to stay empty-row-safe.
+
+    The profile struct is let-bound (``bind``) so the five conjuncts of
+    _keep_expr share ONE evaluation of the profile HOF chain — referencing
+    the struct expression directly would inline a full copy per conjunct
+    (measured 6.1 s vs 1.8 s for a single evaluation at sf0.1)."""
+    from ..functions.exprs import bind
+
     return (
         F.when(
             F.size("spans") > 0,
-            _keep_expr(
+            bind(
                 _profile_expr(F.col("spans")),
-                max_media_share_bp,
-                max_run,
-                min_text_chars,
+                lambda st: _keep_expr(
+                    st, max_media_share_bp, max_run, min_text_chars
+                ),
             ),
         )
         .otherwise(F.lit(False))
@@ -407,20 +421,32 @@ def mm_curate(
     one filtered scan; pairs ride media_ref_pairs' hot-capped blocking and
     the closure is the O(log n) star default. The only doc_id-keyed join
     is the final left join against the (clustered docs only) membership
-    relation — the same shape curate_corpus pins."""
+    relation — the same shape curate_corpus pins.
+
+    The survivor POSTINGS relation — (doc_id, shingle, n_sh), 8-byte hashes,
+    orders of magnitude smaller than the spans it came from — is
+    materialized (localCheckpoint) before the pair machinery:
+    _set_jaccard_pairs references its input from three sides (hot-asset
+    census, the anti-join against it, the all-hot fallback), and the
+    closure is iterative besides; without the barrier each reference
+    re-evaluates the gate + ref-set extraction over the full spans scan
+    (measured 100 s → ~25 s for the composed chain at sf0.1). On a real
+    cluster this is the natural cache/checkpoint point for the same
+    reason."""
     from .cluster import neardup_clusters
+    from .dedup import _set_jaccard_pairs
 
     base = docs.where(F.size("spans") > 0).select(
         "doc_id",
         "spans",
         gate_keep_col(max_media_share_bp, max_run, min_text_chars).alias("keep"),
     )
-    pairs = media_ref_pairs(
-        base.where(F.col("keep")).select("doc_id", "spans"),
-        min_jaccard_bp=min_jaccard_bp,
-    )
+    posts = media_ref_postings(
+        base.where(F.col("keep")).select("doc_id", "spans")
+    ).localCheckpoint(eager=True)
+    pairs = _set_jaccard_pairs(posts, min_jaccard_bp, 1024)
     clusters = neardup_clusters(pairs).select("doc_id", "component")
-    return base.join(clusters, "doc_id", "left").select(
+    return base.select("doc_id", "keep").join(clusters, "doc_id", "left").select(
         "doc_id",
         F.when(~F.col("keep"), F.lit("rejected"))
         .when(
