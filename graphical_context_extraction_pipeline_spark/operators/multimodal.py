@@ -217,16 +217,15 @@ def interleave_stats(docs: DataFrame) -> DataFrame:
     reference's single-video pipeline has no corpus-curation stage; this
     is the interleaved-payload analogue of its coverage report
     (phase 2/src/validate.py)."""
-    # explode of a 1-element array = a Generate barrier: the st.* expansion
-    # below references the Generate's OUTPUT ATTRIBUTE, so the profile
-    # expression is evaluated once per row. A plain select would be
-    # collapsed by CollapseProject into one GetStructField(profile) per
-    # output column — 9 full evaluations of the profile HOF chain per row
-    # (measured ~5x the single-evaluation wall at sf0.1; interpreted HOFs
-    # get no codegen-level common-subexpression elimination).
+    # The two-step select is single-evaluation as written: st is a named
+    # projection attribute, and CollapseProject's is-cheap guard refuses to
+    # inline a non-trivial expression referenced by several output columns,
+    # so the st.* expansion references ONE evaluation of the profile. (A
+    # Generate barrier — explode of a 1-element array — also guarantees it
+    # but costs 7x here by breaking codegen fusion; measured at sf0.1.)
     return (
         docs.where(F.size("spans") > 0)
-        .select("doc_id", F.explode(F.array(_profile_expr(F.col("spans")))).alias("st"))
+        .select("doc_id", _profile_expr(F.col("spans")).alias("st"))
         .select("doc_id", "st.*")
     )
 
@@ -314,7 +313,7 @@ def gate_keep_col(
     The profile struct is let-bound (``bind``) so the five conjuncts of
     _keep_expr share ONE evaluation of the profile HOF chain — referencing
     the struct expression directly would inline a full copy per conjunct
-    (measured 6.1 s vs 1.8 s for a single evaluation at sf0.1)."""
+    (measured 1.62 s vs 0.43 s best-of-3 at sf0.1)."""
     from ..functions.exprs import bind
 
     return (
@@ -430,7 +429,7 @@ def mm_curate(
     census, the anti-join against it, the all-hot fallback), and the
     closure is iterative besides; without the barrier each reference
     re-evaluates the gate + ref-set extraction over the full spans scan
-    (measured 100 s → ~25 s for the composed chain at sf0.1). On a real
+    (measured 100 s → 8 s for the composed chain at sf0.1). On a real
     cluster this is the natural cache/checkpoint point for the same
     reason."""
     from .cluster import neardup_clusters
