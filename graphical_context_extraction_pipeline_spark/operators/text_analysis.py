@@ -409,7 +409,11 @@ def top_terms(docs: DataFrame, k: int = 5) -> DataFrame:
         "term",
         "tf",
         "df",
-        F.expr(f"tf * (({n_docs} * 1000000) DIV df)").alias("score_e6"),
+        # the N·10⁶ product is computed in PYTHON so it lands in the SQL as
+        # one bigint literal — "{N} * 1000000" folds in int32 under ANSI
+        # and overflows past ~2100 documents (caught by the sf0.1 registry
+        # sweep; the sf0.01 gate scale never trips it)
+        F.expr(f"tf * ({n_docs * 1_000_000} DIV df)").alias("score_e6"),
     )
     topk = (
         scored.groupBy("doc_id")
