@@ -537,6 +537,13 @@ def caption_ocr_agreement(docs: DataFrame) -> DataFrame:
         )
 
     def per_frame(fr, ts, ocr_spans):
+        # Each intermediate (nearest caption, the two token sets, the
+        # intersection) is let-bound before anything references it twice:
+        # referencing the raw expression would duplicate the whole subtree
+        # per reference at CONSTRUCTION time — the agreement arithmetic
+        # alone touches the caption-token set 3x and the intersection 3x,
+        # compounding to ~10 evaluations of the O(T)+O(B·w) chains per
+        # frame (measured 26.6 s → expected few s at sf0.1).
         best = F.array_min(
             F.transform(
                 ts,
@@ -549,29 +556,54 @@ def caption_ocr_agreement(docs: DataFrame) -> DataFrame:
                 ),
             )
         )
-        cap = best["caption"]
-        otoks = F.array_distinct(
-            F.flatten(
-                F.transform(
-                    F.filter(ocr_spans, lambda o: o["media_ref"] == fr["media_ref"]),
-                    lambda o: toks(o["text"]),
+
+        def with_best(b):
+            cap = b["caption"]
+            ctoks = toks(cap)
+            otoks = F.array_distinct(
+                F.flatten(
+                    F.transform(
+                        F.filter(
+                            ocr_spans, lambda o: o["media_ref"] == fr["media_ref"]
+                        ),
+                        lambda o: toks(o["text"]),
+                    )
                 )
             )
-        )
-        ctoks = toks(cap)
-        shared = F.size(F.array_intersect(ctoks, otoks)).cast("long")
-        union = F.size(ctoks) + F.size(otoks) - shared
-        return F.struct(
-            fr["media_ref"].alias("media_ref"),
-            cap.alias("caption"),
-            F.size(ctoks).cast("long").alias("n_caption_toks"),
-            F.size(otoks).cast("long").alias("n_ocr_toks"),
-            shared.alias("n_shared"),
-            F.when(union > 0, F.floor(shared * 10000 / union))
-            .otherwise(F.lit(0))
-            .cast("long")
-            .alias("agreement_bp"),
-        )
+
+            def with_toks(p):
+                shared = F.size(F.array_intersect(p["ct"], p["ot"])).cast("long")
+
+                def with_counts(q):
+                    union = q["n_ct"] + q["n_ot"] - q["shared"]
+                    return F.struct(
+                        fr["media_ref"].alias("media_ref"),
+                        q["cap"].alias("caption"),
+                        q["n_ct"].alias("n_caption_toks"),
+                        q["n_ot"].alias("n_ocr_toks"),
+                        q["shared"].alias("n_shared"),
+                        F.when(union > 0, F.floor(q["shared"] * 10000 / union))
+                        .otherwise(F.lit(0))
+                        .cast("long")
+                        .alias("agreement_bp"),
+                    )
+
+                return bind(
+                    F.struct(
+                        p["cap"].alias("cap"),
+                        F.size(p["ct"]).cast("long").alias("n_ct"),
+                        F.size(p["ot"]).cast("long").alias("n_ot"),
+                        shared.alias("shared"),
+                    ),
+                    with_counts,
+                )
+
+            return bind(
+                F.struct(cap.alias("cap"), ctoks.alias("ct"), otoks.alias("ot")),
+                with_toks,
+            )
+
+        return bind(best, with_best)
 
     empty = (
         "array<struct<media_ref:string,caption:string,n_caption_toks:bigint,"
