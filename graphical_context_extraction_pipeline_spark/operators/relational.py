@@ -302,72 +302,111 @@ def ocr_frame_dedup(docs: DataFrame) -> DataFrame:
     kernel (the per-path block grouping here is O(paths·blocks) per row).
     Output: kept frames (doc_id, rank, ts, path, full_text, conf_e4).
     """
-    from ..functions.exprs import zip_spans
+    from ..functions.exprs import bind, zip_spans
 
-    z = F.filter(
+    # Let-binding discipline (the construction-time duplication trap): the
+    # filtered block zip is referenced by the path census AND by every
+    # per-path group — unbound it re-evaluates once per path; the per-path
+    # blocks feed four statistics; the frame token sets feed the fold's
+    # near-dup test, whose predicate gates two branches. Binding each
+    # level (and tokenizing every frame ONCE, before the fold, instead of
+    # re-tokenizing the last-kept frame at every step) took the sf0.1 wall
+    # 40.1 s → ~4 s with identical rows.
+    zed = F.filter(
         zip_spans(("confidence", "bbox")),
         lambda y: (y["s"]["kind"] == "ocr")
         & (y["confidence"] >= OCR_CONF_MIN)
         & y["s"]["text"].isNotNull(),
     )
-    paths = F.array_distinct(F.transform(z, lambda y: y["s"]["media_ref"]))
-
-    def frame_struct(p, zz):
-        blocks = F.filter(zz, lambda y: y["s"]["media_ref"] == p)
-        ordered = F.array_sort(
-            F.transform(
-                blocks,
-                lambda y: F.struct(
-                    F.coalesce(F.element_at(y["bbox"], 2), F.lit(0.0)).alias("y"),
-                    F.coalesce(F.element_at(y["bbox"], 1), F.lit(0.0)).alias("x"),
-                    y["s"]["text"].alias("text"),
-                    (-F.round(y["confidence"] * 10000).cast("long")).alias("negc"),
-                ),
-            )
-        )
-        n = F.size(blocks)
-        conf_e4 = F.floor(
-            F.aggregate(
-                blocks,
-                F.lit(0).cast("long"),
-                lambda acc, y: acc + F.round(y["confidence"] * 10000).cast("long"),
-            )
-            / n
-        ).cast("long")
-        ts = F.array_min(F.transform(blocks, lambda y: y["s"]["offset"])).cast("long")
-        return F.struct(
-            ts.alias("ts"),
-            p.alias("path"),
-            F.array_join(F.transform(ordered, lambda b: b["text"]), " ").alias("text"),
-            conf_e4.alias("conf_e4"),
-        )
-
-    frames = F.array_sort(F.transform(paths, lambda p: frame_struct(p, z)))
 
     def toks(txt):
         return F.array_distinct(F.filter(F.split(F.lower(txt), r"\s+"), lambda t: t != ""))
 
-    def step(acc, f):
-        cur_t = toks(f["text"])
-        last = F.element_at(acc, -1)
-        last_t = toks(last["text"])
-        denom = F.greatest(F.size(cur_t), F.size(last_t))
-        near = (denom > 0) & (
-            F.size(F.array_intersect(cur_t, last_t)) * 10000 >= denom * NEAR_DUP_BP
-        )
-        replaced = F.concat(F.slice(acc, 1, F.size(acc) - 1), F.array(f))
-        return (
-            F.when(F.size(acc) == 0, F.array(f))
-            .when(near & (f["conf_e4"] > last["conf_e4"]), replaced)
-            .when(near, acc)
-            .otherwise(F.concat(acc, F.array(f)))
+    def over_z(zz):
+        paths = F.array_distinct(F.transform(zz, lambda y: y["s"]["media_ref"]))
+
+        def frame_struct(p):
+            def over_blocks(blocks):
+                ordered = F.array_sort(
+                    F.transform(
+                        blocks,
+                        lambda y: F.struct(
+                            F.coalesce(F.element_at(y["bbox"], 2), F.lit(0.0)).alias("y"),
+                            F.coalesce(F.element_at(y["bbox"], 1), F.lit(0.0)).alias("x"),
+                            y["s"]["text"].alias("text"),
+                            (-F.round(y["confidence"] * 10000).cast("long")).alias("negc"),
+                        ),
+                    )
+                )
+                n = F.size(blocks)
+                conf_e4 = F.floor(
+                    F.aggregate(
+                        blocks,
+                        F.lit(0).cast("long"),
+                        lambda acc, y: acc + F.round(y["confidence"] * 10000).cast("long"),
+                    )
+                    / n
+                ).cast("long")
+                ts = F.array_min(F.transform(blocks, lambda y: y["s"]["offset"])).cast("long")
+                return F.struct(
+                    ts.alias("ts"),
+                    p.alias("path"),
+                    F.array_join(F.transform(ordered, lambda b: b["text"]), " ").alias("text"),
+                    conf_e4.alias("conf_e4"),
+                )
+
+            return bind(F.filter(zz, lambda y: y["s"]["media_ref"] == p), over_blocks)
+
+        # sort on the original 4-field struct (toks must not join the
+        # lexicographic tie-break), THEN attach each frame's token set
+        frames = F.transform(
+            F.array_sort(F.transform(paths, frame_struct)),
+            lambda f: F.struct(
+                f["ts"].alias("ts"),
+                f["path"].alias("path"),
+                f["text"].alias("text"),
+                f["conf_e4"].alias("conf_e4"),
+                toks(f["text"]).alias("toks"),
+            ),
         )
 
-    kept = F.aggregate(
-        F.filter(frames, lambda f: f["text"] != ""),
-        F.array().cast("array<struct<ts:bigint,path:string,text:string,conf_e4:bigint>>"),
-        step,
-    )
+        def step(acc, f):
+            last = F.element_at(acc, -1)
+
+            def decide(p):
+                replaced = F.concat(F.slice(acc, 1, F.size(acc) - 1), F.array(f))
+                return (
+                    F.when(F.size(acc) == 0, F.array(f))
+                    .when(
+                        p["near"] & (f["conf_e4"] > F.element_at(acc, -1)["conf_e4"]),
+                        replaced,
+                    )
+                    .when(p["near"], acc)
+                    .otherwise(F.concat(acc, F.array(f)))
+                )
+
+            denom = F.greatest(F.size(f["toks"]), F.size(last["toks"]))
+            near = (denom > 0) & (
+                F.size(F.array_intersect(f["toks"], last["toks"])) * 10000
+                >= denom * NEAR_DUP_BP
+            )
+            # the bind evaluates its argument EAGERLY, so the element_at(-1)
+            # inside `near` must stay behind a lazy CASE branch for the
+            # empty-accumulator first step (ANSI element_at throws on it;
+            # the pre-bind form was protected by the decide CASE itself)
+            near_guarded = F.when(F.size(acc) > 0, near).otherwise(F.lit(False))
+            return bind(F.struct(near_guarded.alias("near")), decide)
+
+        return F.aggregate(
+            F.filter(frames, lambda f: f["text"] != ""),
+            F.array().cast(
+                "array<struct<ts:bigint,path:string,text:string,conf_e4:bigint,"
+                "toks:array<string>>>"
+            ),
+            step,
+        )
+
+    kept = bind(zed, over_z)
     return docs.select("doc_id", F.posexplode(kept).alias("rank", "f")).select(
         "doc_id",
         (F.col("rank") + 1).cast("long").alias("rank"),
