@@ -719,9 +719,10 @@ def main() -> None:
         multimodal as MMOD,
     )
 
-    spans_small = spark.read.parquet(
+    spans_full = spark.read.parquet(
         os.path.join(REPO, "data", "sf0.01", "documents_spans.parquet")
-    ).select("doc_id", "spans")
+    )
+    spans_small = spans_full.select("doc_id", "spans")
     entries += [
         (
             "exact_substring_runs (Lee et al. ExactSubstr)",
@@ -842,7 +843,7 @@ def main() -> None:
             __import__(
                 "graphical_context_extraction_pipeline_spark.operators.relational",
                 fromlist=["relational"],
-            ).asr_quality(spans_small),
+            ).asr_quality(spans_full),
             "per-segment stats are intra-row list expressions on the "
             "zipped scan (span_attrs pruned to end_ms/words); ONE "
             "doc_id-keyed partial-agg groupBy builds the rollup — no "
