@@ -365,7 +365,10 @@ def weighted_sample(
     withw = global_cumsum(base, ["doc_id"], "weight", "cum", total_col="W")
 
     def f(x):
-        return F.expr(f"(2 * {k} * ({x}) + W - 1) DIV (2 * W)")
+        # 2k is computed in Python so it lands as ONE bigint literal —
+        # "2 * {k}" would constant-fold in int32 under ANSI and overflow
+        # for k > 2^30 (the top_terms idf-literal lesson)
+        return F.expr(f"({2 * k} * ({x}) + W - 1) DIV (2 * W)")
 
     return (
         withw.withColumn("n_picks", (f("cum") - f("cum - weight")).cast("long"))
