@@ -930,8 +930,10 @@ def similar_to(
         .select("doc_id", _shingle_hash_pairs(F.col("text"), n).alias("sh"))
         .select(
             "doc_id",
-            F.size("sh").alias("n_doc"),
-            F.size(F.array_intersect(F.col("sh"), q_arr)).alias("inter"),
+            # size() is int32 — widen before the e4 scale-up, or a doc
+            # with > 2^31/10^4 ≈ 214k shingles overflows the numerator
+            F.size("sh").cast("long").alias("n_doc"),
+            F.size(F.array_intersect(F.col("sh"), q_arr)).cast("long").alias("inter"),
         )
         .select(
             "doc_id",

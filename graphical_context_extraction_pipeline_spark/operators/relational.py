@@ -385,9 +385,13 @@ def ocr_frame_dedup(docs: DataFrame) -> DataFrame:
                     .otherwise(F.concat(acc, F.array(f)))
                 )
 
-            denom = F.greatest(F.size(f["toks"]), F.size(last["toks"]))
+            # widened before the e4 scale-up: size() is int32 and a
+            # pathological frame with >214k distinct tokens would overflow
+            denom = F.greatest(
+                F.size(f["toks"]).cast("long"), F.size(last["toks"]).cast("long")
+            )
             near = (denom > 0) & (
-                F.size(F.array_intersect(f["toks"], last["toks"])) * 10000
+                F.size(F.array_intersect(f["toks"], last["toks"])).cast("long") * 10000
                 >= denom * NEAR_DUP_BP
             )
             # the bind evaluates its argument EAGERLY, so the element_at(-1)
