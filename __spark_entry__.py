@@ -594,6 +594,7 @@ _GATE_FIRST = [
     "mm_pack",
     "caption_ocr_agreement",
     "asr_quality",
+    "media_admit",
 ]
 
 
@@ -1258,6 +1259,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ---- similarity search ----------------------------------------------
         # ---- multimodal binary columns (decode behind deterministic fake) ----
         "media_features": lambda s, d: media.media_features_canonical(
+            media.extract_media_features(media.synthesize_media(_spans_docs(s, d)))
+        ),
+        # LAION-shape metadata admit gate over the feature table (resolution
+        # / aspect / payload-size rules as inspectable flags; the synthetic
+        # resolution ladder plants thumbs and 4:1 banners so both failing
+        # rules have real members)
+        "media_admit": lambda s, d: media.media_admit(
             media.extract_media_features(media.synthesize_media(_spans_docs(s, d)))
         ),
         "cosine_topk": lambda s, d: similarity.cosine_topk(_emb(s, d), QUERY_IDS),
@@ -5903,6 +5911,22 @@ FROM documents
     q["media_features"] = (
         f"SELECT media_ref, mime, n_bytes, sha256, width, height, feature_e8_s FROM {OMF}"
     )
+
+    # LAION-shape admit gate: pure integer rules over the feature replica
+    # (aspect by cross-multiplication — no float ratio on either engine)
+    q["media_admit"] = f"""
+SELECT media_ref,
+       cast(width AS bigint) AS width,
+       cast(height AS bigint) AS height,
+       cast(n_bytes AS bigint) AS n_bytes,
+       (width >= 200 AND height >= 200) AS ok_resolution,
+       (width <= 3 * height AND height <= 3 * width) AS ok_aspect,
+       (n_bytes >= 1) AS ok_bytes,
+       ((width >= 200 AND height >= 200)
+        AND (width <= 3 * height AND height <= 3 * width)
+        AND (n_bytes >= 1)) AS keep
+FROM {OMF}
+"""
 
     # genuine SQL logic over the oracle chunk table
     q["quality_flags"] = f"""

@@ -33,22 +33,39 @@ FEATURES_DDL = (
 FEATURE_DIM = 32
 
 
+# deterministic (width, height) ladder for synthesized assets, indexed by
+# the first sha256 byte of the ref (replayed verbatim by the oracle
+# replica, oracle_artifacts._media_feature_rows): an HD frame, a thumbnail
+# (fails a min-resolution admit rule), a 4:1 banner (fails max-aspect), a
+# portrait, and an SD frame — so resolution/aspect gates have real work.
+RESOLUTION_LADDER = ((1280, 720), (160, 120), (1920, 480), (480, 800), (640, 480))
+
+
 def synthesize_media(docs: DataFrame) -> DataFrame:
     """Deterministic opaque payloads for every frame media_ref in the spans
-    table (payload bytes derived from the ref — stable across runs)."""
+    table (payload bytes derived from the ref — stable across runs);
+    width/height drawn from RESOLUTION_LADDER by the ref's hash."""
     frames = (
         docs.select(F.explode("spans").alias("s"))
         .where(F.col("s.kind") == "frame")
         .select(F.col("s.media_ref").alias("media_ref"))
         .distinct()
     )
+    idx = F.conv(F.substring(F.sha2(F.col("media_ref"), 256), 1, 2), 16, 10).cast(
+        "int"
+    ) % len(RESOLUTION_LADDER)
+    width = F.lit(None).cast("int")
+    height = F.lit(None).cast("int")
+    for i, (w, h) in enumerate(RESOLUTION_LADDER):
+        width = F.when(idx == i, F.lit(w)).otherwise(width)
+        height = F.when(idx == i, F.lit(h)).otherwise(height)
     return frames.select(
         "media_ref",
         F.sha2(F.col("media_ref"), 256).cast("binary").alias("payload"),
         F.struct(
             F.lit("image/jpeg").alias("mime"),
-            F.lit(1280).alias("width"),
-            F.lit(720).alias("height"),
+            width.alias("width"),
+            height.alias("height"),
             F.lit(None).cast("long").alias("duration_ms"),
         ).alias("media_meta"),
     )
@@ -134,6 +151,46 @@ def media_features_canonical(features: DataFrame) -> DataFrame:
         F.col("width").cast("long").alias("width"),
         F.col("height").cast("long").alias("height"),
         feature_e8_s.alias("feature_e8_s"),
+    )
+
+
+def media_admit(
+    features: DataFrame,
+    min_width: int = 200,
+    min_height: int = 200,
+    max_aspect_x: int = 3,
+    min_bytes: int = 1,
+) -> DataFrame:
+    """LAION-style per-asset admit gate over the media feature table — the
+    metadata arm of image-corpus curation (LAION-5B discards tiny thumbs
+    and extreme aspect ratios before any model scoring; the model-score
+    arm here is ``multimodal.caption_ocr_agreement``). One row per asset,
+    every rule its own inspectable flag (the gopher_rules contract):
+
+        ok_resolution  width ≥ min_width ∧ height ≥ min_height
+        ok_aspect      width ≤ max_aspect_x·height ∧ height ≤ max_aspect_x·width
+        ok_bytes       n_bytes ≥ min_bytes (degenerate/truncated payloads)
+        keep           AND of the three
+
+    The aspect rule is integer cross-multiplication — no float ratio, so
+    the DuckDB oracle hash-matches bit-for-bit.
+
+    Scale: a zero-shuffle projection of the feature relation (the decode
+    cost was already paid by extract_media_features); composes with the
+    interleave gate upstream of mm_curate for asset-level curation."""
+    w, h, nb = F.col("width").cast("long"), F.col("height").cast("long"), F.col("n_bytes")
+    ok_res = (w >= min_width) & (h >= min_height)
+    ok_aspect = (w <= max_aspect_x * h) & (h <= max_aspect_x * w)
+    ok_bytes = nb >= min_bytes
+    return features.select(
+        "media_ref",
+        w.alias("width"),
+        h.alias("height"),
+        F.col("n_bytes").cast("long").alias("n_bytes"),
+        ok_res.alias("ok_resolution"),
+        ok_aspect.alias("ok_aspect"),
+        ok_bytes.alias("ok_bytes"),
+        (ok_res & ok_aspect & ok_bytes).alias("keep"),
     )
 
 

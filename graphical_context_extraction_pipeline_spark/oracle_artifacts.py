@@ -27,7 +27,7 @@ import re
 
 # bump when any artifact's schema or semantics change — stale artifacts are
 # rebuilt automatically
-ARTIFACTS_VERSION = 5
+ARTIFACTS_VERSION = 6
 
 US = "\x1f"  # field separator inside a serialized span
 RS = "\x1e"  # separator between serialized spans / list elements
@@ -180,9 +180,15 @@ def _media_feature_rows(docs: list[dict]) -> list[dict]:
         }
     )
     rows = []
+    from .operators.media import RESOLUTION_LADDER
+
     for ref in refs:
-        # synthesize_media: payload = UTF-8 bytes of the sha2 hex STRING
-        payload = hashlib.sha256(ref.encode("utf-8")).hexdigest().encode("utf-8")
+        # synthesize_media: payload = UTF-8 bytes of the sha2 hex STRING;
+        # width/height from the ladder by the digest's first byte (the
+        # Spark side reads the first 2 hex chars — the same byte)
+        hexd = hashlib.sha256(ref.encode("utf-8")).hexdigest()
+        payload = hexd.encode("utf-8")
+        width, height = RESOLUTION_LADDER[int(hexd[:2], 16) % len(RESOLUTION_LADDER)]
         seed = int.from_bytes(hashlib.sha256(payload).digest()[:4], "big")
         rng = np.random.RandomState(seed)
         img = rng.randint(0, 256, size=(16, 16), dtype=np.uint8)
@@ -195,8 +201,8 @@ def _media_feature_rows(docs: list[dict]) -> list[dict]:
                 "mime": "image/jpeg",
                 "n_bytes": len(payload),
                 "sha256": hashlib.sha256(payload).hexdigest(),
-                "width": 1280,
-                "height": 720,
+                "width": width,
+                "height": height,
                 "feature_e8_s": ",".join(
                     str(int(math.floor(float(v) * 100000000.0 + 0.5))) for v in feat
                 ),

@@ -84,3 +84,36 @@ def test_media_resize_plumbing(spark, docs_path):
     again = {r["media_ref"]: bytes(r["payload"]) for r in resized.collect()}
     assert all(bytes(r["payload"]) == again[r["media_ref"]] for r in rows)
     assert count_exchanges(resize_media(media)) == count_exchanges(media)
+
+
+def test_media_admit_gate(spark, docs_path):
+    """LAION-shape metadata admit gate: rule flags match the resolution
+    ladder by hand; both failing rungs (thumbnail, 4:1 banner) have real
+    members in the corpus; zero shuffle beyond the feature stage."""
+    import hashlib
+
+    from graphical_context_extraction_pipeline_spark.operators.media import (
+        RESOLUTION_LADDER,
+        extract_media_features,
+        media_admit,
+        synthesize_media,
+    )
+
+    docs = spark.read.parquet(docs_path)
+    feats = extract_media_features(synthesize_media(docs))
+    rows = media_admit(feats).collect()
+    assert len(rows) == feats.count()
+    seen = set()
+    for r in rows:
+        hexd = hashlib.sha256(r["media_ref"].encode()).hexdigest()
+        w, h = RESOLUTION_LADDER[int(hexd[:2], 16) % len(RESOLUTION_LADDER)]
+        assert (r["width"], r["height"]) == (w, h)  # ladder replay
+        assert r["ok_resolution"] == (w >= 200 and h >= 200)
+        assert r["ok_aspect"] == (w <= 3 * h and h <= 3 * w)
+        assert r["ok_bytes"] is True  # 64-byte payloads by construction
+        assert r["keep"] == (r["ok_resolution"] and r["ok_aspect"] and r["ok_bytes"])
+        seen.add((w, h))
+    # the plants are real: the thumb rung fails resolution, the banner
+    # rung fails aspect, and at least one passing rung exists
+    assert (160, 120) in seen and (1920, 480) in seen
+    assert any(w >= 200 and h >= 200 and w <= 3 * h and h <= 3 * w for w, h in seen)
