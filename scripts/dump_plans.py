@@ -850,6 +850,27 @@ def main() -> None:
             "window, no second shuffle.",
         ),
         (
+            "media_admit (LAION-shape metadata admit gate)",
+            __import__(
+                "graphical_context_extraction_pipeline_spark.operators.media",
+                fromlist=["media"],
+            ).media_admit(
+                __import__(
+                    "graphical_context_extraction_pipeline_spark.operators.media",
+                    fromlist=["media"],
+                ).extract_media_features(
+                    __import__(
+                        "graphical_context_extraction_pipeline_spark.operators.media",
+                        fromlist=["media"],
+                    ).synthesize_media(spans_full)
+                )
+            ),
+            "zero-shuffle projection over the feature stage: every rule is "
+            "integer arithmetic on the row (aspect by cross-multiplication); "
+            "the one exchange is extract_media_features' explicit row-count "
+            "repartition feeding the decode kernel.",
+        ),
+        (
             "text_cosine_topk (hash-embed → exact top-k)",
             SIM.cosine_topk(SIM.embed_text_hash(flat, 64), [0, 101, 202, 303, 404]),
             "the hashing-trick vectorizer fuses into each side's scan (one "
