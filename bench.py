@@ -387,6 +387,21 @@ def run_suite(cpus: int, sf_dir: str) -> dict:
         "caption_ocr_agreement": lambda: MM.caption_ocr_agreement(docs).count(),
         # speech-rate + word-confidence ASR admit gate
         "asr_quality": lambda: R.asr_quality(docs).count(),
+        # media decode throughput (row-count-repartitioned kernel) + the
+        # LAION-shape metadata admit gate over the feature table
+        "media_admit": lambda: __import__(
+            "graphical_context_extraction_pipeline_spark.operators.media", fromlist=["media"]
+        ).media_admit(
+            __import__(
+                "graphical_context_extraction_pipeline_spark.operators.media",
+                fromlist=["media"],
+            ).extract_media_features(
+                __import__(
+                    "graphical_context_extraction_pipeline_spark.operators.media",
+                    fromlist=["media"],
+                ).synthesize_media(docs)
+            )
+        ).count(),
     }
     timings: dict[str, float] = {}
     extract_wall = None
