@@ -595,6 +595,7 @@ _GATE_FIRST = [
     "caption_ocr_agreement",
     "asr_quality",
     "media_admit",
+    "similar_from_index",
 ]
 
 
@@ -830,6 +831,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # query is doc 7's text + a suffix, taken from the corpus itself so
         # both engines agree at any sf
         "similar_to": lambda s, d: dedup.similar_to(
+            _flat_docs(s, d),
+            _flat_docs(s, d).where("doc_id = 7").first()["text"] + " graft query suffix",
+        ),
+        # serving twin: probe a STANDING banded-signature index (merge-law
+        # oracled against the derive-per-call form)
+        "similar_from_index": lambda s, d: dedup.similar_from_index(
+            dedup.banded_signatures(_flat_docs(s, d), dedup.N_MINHASH, dedup.LSH_BANDS),
             _flat_docs(s, d),
             _flat_docs(s, d).where("doc_id = 7").first()["text"] + " graft query suffix",
         ),
@@ -3759,6 +3767,12 @@ scored AS (SELECT c.doc_id,
            LEFT JOIN inter x ON x.doc_id = c.doc_id)
 SELECT doc_id, jaccard_bp FROM scored WHERE jaccard_bp >= 1000
 """
+
+    # serving twin: the MERGE LAW is the oracle — probing the standing
+    # signature index returns exactly the derive-per-call rows (the
+    # phrase_from_index idiom carried to the minhash family)
+    q["similar_from_index"] = q["similar_to"]
+
     q["minhash_incremental"] = _minhash_incremental_oracle()
 
     # batch-vs-seen simhash index join: seen side banded, two-tier hot

@@ -900,12 +900,44 @@ def similar_to(
 
     Scale path: the query's LSH band keys are computed on the driver (one
     1-row job) and broadcast against the banded signature index — in
-    production the MATERIALIZED index relation, here derived — so only
+    production the MATERIALIZED index relation (use
+    :func:`similar_from_index` with a standing signature table; this
+    convenience form derives it per call) — so only
     band-colliding candidates are scanned for exact Jaccard; the query's
     shingle set rides along as a literal array (KB-scale for any sane
     query text). Recall is the LSH band recall (a true near-dup missing
     all bands is missed — same contract as minhash_lsh_pairs).
     """
+    return similar_from_index(
+        banded_signatures(docs, n_hashes, bands),
+        docs,
+        query_text,
+        n=n,
+        min_jaccard_bp=min_jaccard_bp,
+        n_hashes=n_hashes,
+        bands=bands,
+    )
+
+
+def similar_from_index(
+    signatures: DataFrame,
+    docs: DataFrame,
+    query_text: str,
+    n: int = 3,
+    min_jaccard_bp: int = 1000,
+    n_hashes: int = N_MINHASH,
+    bands: int = LSH_BANDS,
+) -> DataFrame:
+    """:func:`similar_to` probing a STANDING banded-signature index — the
+    serving shape of the point near-dup lookup (the bm25_from_index /
+    ann_from_index discipline carried to the minhash family): the corpus
+    signature relation is built once (``banded_signatures``, maintained
+    like any index table) and each query pays only its own 1-row band
+    computation, a broadcast semi-join probe of the index, and the exact
+    Jaccard over the colliding candidates. ``signatures`` must come from
+    ``banded_signatures(docs, n_hashes, bands)`` (or its maintained
+    equivalent); the merge law — identical rows to the derive-per-call
+    form — is pinned by test and IS the DuckDB oracle registration."""
     spark = docs.sparkSession
     qdf = spark.createDataFrame([(0, query_text)], "doc_id long, text string")
     q_sh = qdf.select(_shingle_hash_pairs(F.col("text"), n).alias("sh")).first()["sh"]
@@ -918,7 +950,7 @@ def similar_to(
         [(int(r["band"]), int(r["bkey"])) for r in q_bands], "band int, bkey bigint"
     )
     cands = (
-        banded_signatures(docs, n_hashes, bands)
+        signatures
         .join(F.broadcast(keys), ["band", "bkey"], "left_semi")
         .select("doc_id")
         .distinct()

@@ -185,3 +185,42 @@ def test_simhash_incremental_hot_bucket_identical_group_lossless(spark):
     )
     got = dedup.simhash_incremental_pairs(batch, seen, max_bucket=5).collect()
     assert [(r.doc_new, r.doc_seen, r.hamming) for r in got] == [(100001, 0, 0)]
+
+
+def test_similar_from_index_merge_law(spark):
+    """Serving twin: probing a standing banded-signature index returns
+    EXACTLY the derive-per-call rows (the bm25/ann/phrase from_index
+    discipline carried to the minhash family) — including when the
+    signatures come back from parquet, the maintained-index shape."""
+    import os
+    import tempfile
+
+    from graphical_context_extraction_pipeline_spark.operators import dedup
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 3
+    docs = spark.createDataFrame(
+        [
+            (1, base),
+            (2, base + " lambda mu"),
+            (3, "completely different words nothing shared here at all today"),
+        ],
+        "doc_id long, text string",
+    )
+    want = sorted(
+        (r.doc_id, r.jaccard_bp) for r in dedup.similar_to(docs, base).collect()
+    )
+    sigs = dedup.banded_signatures(docs, dedup.N_MINHASH, dedup.LSH_BANDS)
+    got = sorted(
+        (r.doc_id, r.jaccard_bp)
+        for r in dedup.similar_from_index(sigs, docs, base).collect()
+    )
+    assert got == want and len(want) == 2
+    with tempfile.TemporaryDirectory() as tmp:
+        path = os.path.join(tmp, "sigs")
+        sigs.write.parquet(path)
+        standing = spark.read.parquet(path)
+        got2 = sorted(
+            (r.doc_id, r.jaccard_bp)
+            for r in dedup.similar_from_index(standing, docs, base).collect()
+        )
+        assert got2 == want
